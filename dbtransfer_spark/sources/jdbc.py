@@ -1,0 +1,314 @@
+"""JDBC source/sink: MySQL + PostgreSQL, partitioned reads + upsert writes.
+
+Reads
+-----
+The reference paginates serially with keyset queries
+(``WHERE pk > ? ORDER BY pk LIMIT ?`` — /root/reference/internal/migration/
+mysql/mysql.go:617-631, postgresql.go:376-380). Spark's JDBC partitioned
+read replaces the loop: ``partitionColumn/lowerBound/upperBound/
+numPartitions`` issues N concurrent range scans — the same index-backed
+access path, minus the per-batch round trip, scaling with executors instead
+of being single-connection-bound. Resume is the same watermark predicate
+(``pk > last``) pushed down by Catalyst (P4, mysql.go:617-627).
+
+Writes
+------
+No native Spark MERGE to JDBC (SURVEY.md §7 hard-part #1). The sink runs
+the reference's exact upsert statements from ``foreachPartition`` workers:
+MySQL multi-row ``INSERT ... ON DUPLICATE KEY UPDATE`` (W1,
+mysql.go:417-445) and PostgreSQL ``INSERT ... ON CONFLICT (pk) DO UPDATE``
+(W2, postgresql.go:725-777), batched ``batch_size`` rows per statement with
+retry-with-backoff (R2, mysql.go:448-498). Statements are idempotent, so
+Spark task retries are safe (at-least-once × idempotent = exactly-once
+effect). DB-API drivers are import-gated: statement generation is pure and
+unit-tested; execution requires a driver + server at runtime.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable, Iterator
+from typing import Any
+
+from pyspark.sql import DataFrame, Row
+
+from dbtransfer_spark.config import DBConfig, TableMapping
+from dbtransfer_spark.sources import ddl
+from dbtransfer_spark.sources.base import Sink, Source
+
+# ---------------------------------------------------------------------------
+# Catalog SQL (C1/C2): driver-side PK detection, same queries as reference.
+# ---------------------------------------------------------------------------
+
+MYSQL_PK_SQL = "SHOW KEYS FROM `{table}` WHERE Key_name = 'PRIMARY'"  # mysql.go:683
+
+# postgresql.go:674-686
+POSTGRES_PK_SQL = """\
+SELECT a.attname
+FROM pg_index i
+JOIN pg_attribute a ON a.attrelid = i.indrelid AND a.attnum = ANY(i.indkey)
+WHERE i.indrelid = '{table}'::regclass AND i.indisprimary
+"""
+
+
+def jdbc_url(cfg: DBConfig) -> str:
+    host = cfg.hosts[0] if cfg.hosts else "localhost"
+    t = (cfg.type or "mysql").lower()
+    if t == "mysql":
+        return f"jdbc:mysql://{host}/{cfg.database}"
+    return f"jdbc:postgresql://{host}/{cfg.database}"
+
+
+def jdbc_driver(cfg: DBConfig) -> str:
+    t = (cfg.type or "mysql").lower()
+    return "com.mysql.cj.jdbc.Driver" if t == "mysql" else "org.postgresql.Driver"
+
+
+def read_options(
+    cfg: DBConfig,
+    table: TableMapping,
+    pk: str | None,
+    lower: int | None,
+    upper: int | None,
+    num_partitions: int,
+    fetch_size: int = 10_000,
+    watermark: int | None = None,
+) -> dict[str, str]:
+    """Build the partitioned-read option dict (pure; unit-testable).
+
+    ``watermark`` embeds the resume predicate into a pushdown subquery so
+    the source scans only ``pk > watermark`` — keyset resume (P4) at
+    partition granularity.
+    """
+    qualified = f"{cfg.schema}.{table.name}" if cfg.schema else table.name
+    dbtable = qualified
+    if watermark is not None and pk:
+        dbtable = f"(SELECT * FROM {qualified} WHERE {pk} > {watermark}) AS t"
+    opts = {
+        "url": jdbc_url(cfg),
+        "dbtable": dbtable,
+        "user": cfg.username,
+        "password": cfg.password,
+        "driver": jdbc_driver(cfg),
+        "fetchsize": str(fetch_size),
+    }
+    if pk and lower is not None and upper is not None and upper > lower:
+        opts.update(
+            partitionColumn=pk,
+            lowerBound=str(lower),
+            upperBound=str(upper),
+            numPartitions=str(num_partitions),
+        )
+    return opts
+
+
+# ---------------------------------------------------------------------------
+# Upsert statement generation (pure functions; W1/W2 parity).
+# ---------------------------------------------------------------------------
+
+
+def mysql_upsert_sql(table: str, columns: list[str], n_rows: int) -> str:
+    """Multi-row INSERT ... ON DUPLICATE KEY UPDATE (mysql.go:417-445)."""
+    col_list = ", ".join(f"`{c}`" for c in columns)
+    row = "(" + ", ".join(["%s"] * len(columns)) + ")"
+    values = ", ".join([row] * n_rows)
+    updates = ", ".join(f"`{c}`=VALUES(`{c}`)" for c in columns)
+    return (
+        f"INSERT INTO `{table}` ({col_list}) VALUES {values} "
+        f"ON DUPLICATE KEY UPDATE {updates}"
+    )
+
+
+def postgres_upsert_sql(table: str, columns: list[str], key_columns: list[str], n_rows: int) -> str:
+    """INSERT ... ON CONFLICT (pk) DO UPDATE SET col=EXCLUDED.col
+    (postgresql.go:725-777, buildUpdateClause 585-593)."""
+    col_list = ", ".join(f'"{c}"' for c in columns)
+    placeholders = []
+    i = 1
+    for _ in range(n_rows):
+        placeholders.append("(" + ", ".join(f"${j}" for j in range(i, i + len(columns))) + ")")
+        i += len(columns)
+    conflict = ", ".join(f'"{c}"' for c in key_columns)
+    updates = ", ".join(f'"{c}"=EXCLUDED."{c}"' for c in columns if c not in key_columns)
+    action = f"DO UPDATE SET {updates}" if updates else "DO NOTHING"
+    return (
+        f'INSERT INTO "{table}" ({col_list}) VALUES {", ".join(placeholders)} '
+        f"ON CONFLICT ({conflict}) {action}"
+    )
+
+
+def make_upsert_partition_writer(
+    dialect: str,
+    table: str,
+    columns: list[str],
+    key_columns: list[str],
+    connect: Callable[[], Any],
+    batch_size: int = 1000,
+    max_retries: int = 3,
+    retry_delay: float = 5.0,
+    rows_per_sec: int | None = None,
+) -> Callable[[Iterator[Row]], None]:
+    """Build the ``foreachPartition`` upsert function.
+
+    Each executor partition opens one connection, writes ``batch_size``-row
+    idempotent upsert statements with R2 retry semantics
+    (mysql.go:448-498: max 3 retries, fixed delay), and paces itself to
+    ``rows_per_sec`` — the distributed approximation of the reference's
+    global limiter (R3, migration.go:211-268): global cap ≈ per-partition
+    cap × numPartitions, sized by the caller.
+    """
+
+    def write_partition(rows: Iterator[Row]) -> None:
+        conn = connect()
+        try:
+            cur = conn.cursor()
+            batch: list[tuple] = []
+            window_start = time.monotonic()
+            window_rows = 0
+
+            def flush() -> None:
+                if not batch:
+                    return
+                if dialect == "mysql":
+                    sql = mysql_upsert_sql(table, columns, len(batch))
+                else:
+                    sql = postgres_upsert_sql(table, columns, key_columns, len(batch))
+                flat = [v for row in batch for v in row]
+                attempt = 0
+                while True:
+                    try:
+                        cur.execute(sql, flat)
+                        conn.commit()
+                        return
+                    except Exception:
+                        attempt += 1
+                        if attempt > max_retries:
+                            raise
+                        conn.rollback()
+                        time.sleep(retry_delay)
+
+            for row in rows:
+                batch.append(tuple(row[c] for c in columns))
+                if len(batch) >= batch_size:
+                    flush()
+                    window_rows += len(batch)
+                    batch.clear()
+                    if rows_per_sec:
+                        elapsed = time.monotonic() - window_start
+                        expected = window_rows / rows_per_sec
+                        if expected > elapsed:
+                            time.sleep(expected - elapsed)
+            flush()
+        finally:
+            conn.close()
+
+    return write_partition
+
+
+class JDBCSource(Source):
+    def read(self, table: TableMapping) -> DataFrame:
+        pk_cols = self.detect_primary_key(table)
+        pk = pk_cols[0] if pk_cols else None
+        lower = upper = None
+        if pk:
+            # One cheap bounds probe replaces the reference's per-batch
+            # MAX tracking (mysql.go:659-661).
+            bounds_q = f"(SELECT MIN({pk}) AS lo, MAX({pk}) AS hi FROM {table.name}) AS b"
+            probe = (
+                self.spark.read.format("jdbc")
+                .options(
+                    url=jdbc_url(self.cfg),
+                    dbtable=bounds_q,
+                    user=self.cfg.username,
+                    password=self.cfg.password,
+                    driver=jdbc_driver(self.cfg),
+                )
+                .load()
+                .collect()
+            )
+            if probe and probe[0]["lo"] is not None:
+                lower, upper = int(probe[0]["lo"]), int(probe[0]["hi"]) + 1
+        opts = read_options(
+            self.cfg,
+            table,
+            pk,
+            lower,
+            upper,
+            num_partitions=int(self.spark.conf.get("spark.sql.shuffle.partitions", "32")),
+        )
+        return self.spark.read.format("jdbc").options(**opts).load()
+
+    def detect_primary_key(self, table: TableMapping) -> list[str]:
+        if table.primary_key:
+            return [c.strip() for c in table.primary_key.split(",")]
+        t = (self.cfg.type or "mysql").lower()
+        query = (
+            MYSQL_PK_SQL.format(table=table.name)
+            if t == "mysql"
+            else POSTGRES_PK_SQL.format(table=table.name)
+        )
+        try:
+            rows = (
+                self.spark.read.format("jdbc")
+                .options(
+                    url=jdbc_url(self.cfg),
+                    query=query,
+                    user=self.cfg.username,
+                    password=self.cfg.password,
+                    driver=jdbc_driver(self.cfg),
+                )
+                .load()
+                .collect()
+            )
+            if t == "mysql":
+                return [r["Column_name"] for r in rows]
+            return [r[0] for r in rows]
+        except Exception:
+            return []
+
+
+class JDBCSink(Sink):
+    def __init__(self, spark, cfg, connect: Callable[[], Any] | None = None, batch_size: int = 1000, rows_per_sec: int | None = None):
+        super().__init__(spark, cfg)
+        self.connect = connect
+        self.batch_size = batch_size
+        self.rows_per_sec = rows_per_sec
+
+    def ensure_schema(self, df: DataFrame, table: TableMapping) -> None:
+        if self.connect is None:
+            raise RuntimeError("JDBC sink requires a DB-API connection factory")
+        t = (self.cfg.type or "mysql").lower()
+        key_cols = [c.strip() for c in table.primary_key.split(",")] if table.primary_key else []
+        stmt = (
+            ddl.mysql_create_table(table.effective_target, df.schema, key_cols)
+            if t == "mysql"
+            else ddl.postgres_create_table(table.effective_target, df.schema, key_cols)
+        )
+        conn = self.connect()
+        try:
+            cur = conn.cursor()
+            cur.execute(stmt)
+            conn.commit()
+        finally:
+            conn.close()
+
+    def upsert(self, df: DataFrame, table: TableMapping, key_columns: list[str]) -> int:
+        if self.connect is None:
+            raise RuntimeError("JDBC sink requires a DB-API connection factory")
+        t = (self.cfg.type or "mysql").lower()
+        dialect = "mysql" if t == "mysql" else "postgresql"
+        n_parts = df.rdd.getNumPartitions() or 1
+        per_part_rate = (
+            max(1, self.rows_per_sec // n_parts) if self.rows_per_sec else None
+        )
+        writer = make_upsert_partition_writer(
+            dialect,
+            table.effective_target,
+            df.columns,
+            key_columns,
+            self.connect,
+            batch_size=self.batch_size,
+            rows_per_sec=per_part_rate,
+        )
+        df.foreachPartition(writer)
+        return -1  # rows written == df.count(); avoid an extra job here

@@ -1,0 +1,145 @@
+"""M1 end-to-end: parquet → transform → parquet upsert, checkpoint/resume.
+
+Mirrors the reference's golden path (SURVEY.md §3.2) on the fixture tables:
+transfer with transforms, idempotence (run twice → identical), resume
+(mid-run checkpoint → rerun → identical), skip-complete.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from dbtransfer_spark.checkpoint import Checkpoint, CheckpointStore
+from dbtransfer_spark.config import (
+    ColumnTransformation,
+    Config,
+    DBConfig,
+    MigrationConfig,
+    TableMapping,
+)
+from dbtransfer_spark.engine import TransferEngine
+from tests.conftest import SF_SMOKE
+
+
+def make_config(tmp_path, tables) -> Config:
+    cfg = Config(
+        source=DBConfig(type="parquet", database=SF_SMOKE, tables=tables),
+        destination=DBConfig(type="parquet", database=str(tmp_path / "out")),
+        migration=MigrationConfig(checkpoint_dir=str(tmp_path / "ckpt")),
+    )
+    cfg.set_defaults()
+    return cfg
+
+
+def test_transfer_with_transforms(spark, tmp_path):
+    tables = [
+        TableMapping(
+            name="customer",
+            primary_key="c_custkey",
+            column_transformations=[
+                ColumnTransformation("c_name", "UPPER(c_name)"),
+                ColumnTransformation("c_acctbal", "c_acctbal * 100"),
+            ],
+        )
+    ]
+    cfg = make_config(tmp_path, tables)
+    engine = TransferEngine(spark, cfg)
+    results = engine.run()
+    assert "error" not in results["customer"], results["customer"]
+
+    src = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    out = spark.read.parquet(str(tmp_path / "out" / "customer.parquet"))
+    assert out.count() == src.count()
+    assert out.columns == src.columns
+    joined = (
+        src.alias("s")
+        .join(out.alias("o"), "c_custkey")
+        .select(
+            F.max(F.col("o.c_name") == F.upper(F.col("s.c_name"))).alias("name_ok"),
+            F.min(
+                F.abs(F.col("o.c_acctbal") - F.col("s.c_acctbal") * 100) < 1e-9
+            ).alias("bal_ok"),
+        )
+        .collect()[0]
+    )
+    assert joined["name_ok"] and joined["bal_ok"]
+
+
+def test_transfer_idempotent(spark, tmp_path):
+    tables = [TableMapping(name="nation", primary_key="n_nationkey")]
+    cfg = make_config(tmp_path, tables)
+    TransferEngine(spark, cfg).run()
+    first = {r["n_nationkey"]: r for r in spark.read.parquet(str(tmp_path / "out" / "nation.parquet")).collect()}
+    # Clear the completion marker so the second run actually re-transfers.
+    CheckpointStore(cfg.migration.checkpoint_dir).save("nation", Checkpoint())
+    TransferEngine(spark, cfg).run()
+    second = {r["n_nationkey"]: r for r in spark.read.parquet(str(tmp_path / "out" / "nation.parquet")).collect()}
+    assert first == second
+
+
+def test_skip_complete(spark, tmp_path):
+    tables = [TableMapping(name="region", primary_key="r_regionkey")]
+    cfg = make_config(tmp_path, tables)
+    engine = TransferEngine(spark, cfg)
+    engine.run()
+    results = TransferEngine(spark, cfg).run()
+    assert results["region"].get("skipped") is True
+
+
+def test_resume_from_watermark(spark, tmp_path):
+    """Kill-mid-run analog: pre-seed a watermark, verify only pk>watermark
+    rows are (re)written, and the final table equals a full transfer."""
+    tables = [TableMapping(name="supplier", primary_key="s_suppkey")]
+    cfg = make_config(tmp_path, tables)
+    store = CheckpointStore(cfg.migration.checkpoint_dir)
+
+    src = spark.read.parquet(f"{SF_SMOKE}/supplier.parquet")
+    keys = sorted(r["s_suppkey"] for r in src.select("s_suppkey").collect())
+    cut = keys[len(keys) // 2]
+
+    # Simulate a partial run: rows ≤ cut already at destination (stale name),
+    # checkpoint watermark at cut.
+    partial = src.filter(F.col("s_suppkey") <= cut).withColumn("s_name", F.lit("STALE"))
+    partial.write.parquet(str(tmp_path / "out" / "supplier.parquet"))
+    store.save("supplier", Checkpoint(last_key={"supplier": str(cut)}))
+
+    TransferEngine(spark, cfg).run()
+    out = spark.read.parquet(str(tmp_path / "out" / "supplier.parquet"))
+    assert out.count() == src.count()
+    # Rows beyond the watermark were re-transferred fresh...
+    fresh = out.filter((F.col("s_suppkey") > cut) & (F.col("s_name") == "STALE")).count()
+    assert fresh == 0
+    # ...and rows before it were left as the partial run wrote them.
+    assert out.filter(F.col("s_name") == "STALE").count() == len([k for k in keys if k <= cut])
+
+
+def test_chunked_transfer_matches_single_shot(spark, tmp_path):
+    tables = [TableMapping(name="orders", primary_key="o_orderkey")]
+    cfg = make_config(tmp_path, tables)
+    engine = TransferEngine(spark, cfg, chunk_rows=400)
+    results = engine.run()
+    assert "error" not in results["orders"], results["orders"]
+    src = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    out = spark.read.parquet(str(tmp_path / "out" / "orders.parquet"))
+    assert out.count() == src.count()
+    assert out.exceptAll(src).count() == 0
+
+
+def test_upsert_overwrites_by_key(spark, tmp_path):
+    from dbtransfer_spark.sources.parquet import ParquetSink
+
+    dest = DBConfig(type="parquet", database=str(tmp_path / "up"))
+    sink = ParquetSink(spark, dest)
+    t = TableMapping(name="region")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k int, v string"
+    )
+    sink.upsert(base, t, ["k"])
+    update = spark.createDataFrame([(2, "B"), (4, "d")], "k int, v string")
+    sink.upsert(update, t, ["k"])
+    rows = {
+        r["k"]: r["v"]
+        for r in spark.read.parquet(str(tmp_path / "up" / "region.parquet")).collect()
+    }
+    assert rows == {1: "a", 2: "B", 3: "c", 4: "d"}
