@@ -12,6 +12,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -43,8 +44,37 @@ PRIMARY_KEYS: dict[str, tuple[str, ...]] = {
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _nanos_timestamp_columns(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects (PARQUET_TYPE_ILLEGAL). Footer-only probe via pyarrow."""
+    try:
+        import pyarrow.parquet as pq
+        import pyarrow.types as pat
+
+        schema = pq.read_schema(path)
+        return [
+            f.name
+            for f in schema
+            if pat.is_timestamp(f.type) and f.type.unit == "ns"
+        ]
+    except Exception:
+        return []
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    ns_cols = _nanos_timestamp_columns(path)
+    if ns_cols:
+        # Read nanos as long, then truncate to microsecond timestamps —
+        # the same ns→µs truncation DuckDB applies, so oracles agree.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        for c in ns_cols:
+            # Integer division — double division loses µs precision at
+            # ~1e18 ns (beyond double's 2^53 exact-integer range).
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        return df
+    return spark.read.parquet(path)
 
 
 def load_tables(

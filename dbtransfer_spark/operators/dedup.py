@@ -1,0 +1,375 @@
+"""Deduplication operators (SURVEY.md §2.10): exact, MinHash-LSH, SimHash,
+n-gram Jaccard, embedding-cosine near-dup.
+
+Scale design notes (the whole point of these at 100 TB):
+- Exact dedup is a deterministic keep-min-key window, NOT
+  ``dropDuplicates`` (which keeps an arbitrary row — non-reproducible
+  across runs/cluster layouts). One shuffle on the dedup key; with a
+  rank-limit pushdown Spark forwards one row per key per partition.
+- MinHash/SimHash/n-gram are *candidate generation by banding*: signatures
+  are computed per-row (narrow), then pairs are generated only within
+  LSH bands/buckets — never an all-pairs product. Shuffle volume is
+  O(rows × bands), pair volume is bounded by bucket collisions.
+- Embedding near-dup at scale should go through similarity.py's LSH
+  variant; the exact-threshold version here is the correctness anchor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dbtransfer_spark.catalog import load_table
+
+QUERIES = {}
+ORACLE = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
+    """Keep exactly one row per key: the one with the smallest
+    ``order_col`` (deterministic, unlike dropDuplicates)."""
+    w = Window.partitionBy(*key_cols).orderBy(order_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+@register(
+    "dedup_exact_fingerprint",
+    r"""
+    SELECT doc_id, lang, source, n_chars
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY md5(trim(regexp_replace(regexp_replace(lower(text),
+                        '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))
+        ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on the normalized-text fingerprint, keeping the lowest
+    doc_id per group (hash-groupBy dedup from BASELINE.json)."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    df = load_table(spark, sf_dir, "documents").withColumn("__fp", F.md5(norm))
+    return exact_dedup(df, ["__fp"], "doc_id").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@register(
+    "dedup_exact_events",
+    """
+    SELECT user_id, event_type, event_id, ts
+    FROM (
+      SELECT user_id, event_type, event_id, ts,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def dedup_exact_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-occurrence dedup on a composite key (earliest event per
+    (user, type)) — the 'keep first version of each record' primitive of
+    incremental sync."""
+    df = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts")
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard near-dup (SQL-expressible → exact oracle)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_ngram_jaccard",
+    r"""
+    WITH shingled AS (
+      SELECT doc_id, unnest(list_distinct([
+               array_to_string(words[i:i+2], ' ')
+               FOR i IN range(1, greatest(len(words) - 2, 0) + 1)
+             ])) AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM shingled GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM shingled a JOIN shingled b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(n_common AS DOUBLE)
+                 / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard similarity join, threshold 0.5.
+
+    Implementation is the inverted-index pattern: explode distinct shingles,
+    self-join on shingle (pairs only where they co-occur), count
+    intersections, compute |A∪B| from per-doc shingle counts. No all-pairs
+    product; shuffle is bounded by shingle frequency. At 100 TB you'd add
+    a document-frequency cap (drop shingles in >X docs — stopword-gram
+    suppression) to bound the hottest buckets; the MinHash variant below
+    replaces the exact intersection count entirely."""
+    df = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ", -1)
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - 3, F.lit(-1)))
+    shingled = (
+        df.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, 3)))
+                )
+            ).alias("shingle"),
+        )
+        .filter(F.col("shingle") != "")
+    )
+    sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = shingled.alias("a")
+    b = shingled.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")
+    )
+    return (
+        inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding (no exact SQL oracle: hash-function specific)
+# ---------------------------------------------------------------------------
+
+# Largest prime < 2^32; permutation hashes h_i(x) = (a_i*x + b_i) mod p with
+# a < 2^30, x < 2^32, so a*x + b < 2^63 — no signed-64 overflow JVM-side.
+_PRIME = 4294967291
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 32, shingle_len: int = 3, seed: int = 42
+) -> DataFrame:
+    """Per-doc MinHash signature as array<bigint>.
+
+    Shingles → xxhash64 → for each of ``num_hashes`` affine permutations
+    keep the min — all inside built-in higher-order functions
+    (transform/aggregate), entirely JVM-side, no UDF. Narrow op: scales
+    embarrassingly."""
+    import random
+
+    rnd = random.Random(seed)
+    coeffs = [
+        (rnd.randrange(1, 1 << 30), rnd.randrange(0, 1 << 31)) for _ in range(num_hashes)
+    ]
+
+    words = F.split(F.col(text_col), " ", -1)
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - shingle_len, F.lit(-1)))
+    shingles = F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.pmod(
+                F.xxhash64(F.concat_ws(" ", F.slice(words, i + 1, shingle_len))),
+                F.lit(_PRIME),
+            ),
+        )
+    )
+    def perm_min(a: int, b: int):
+        # Factory (not default-arg lambda): Spark derives HOF arity from the
+        # Python signature, so the lambda must take exactly (acc, x).
+        return lambda acc, x: F.least(acc, (x * F.lit(a) + F.lit(b)) % F.lit(_PRIME))
+
+    sig = F.array(
+        *[
+            F.aggregate(shingles, F.lit(_PRIME).cast("long"), perm_min(a, b))
+            for a, b in coeffs
+        ]
+    ).alias("minhash")
+    return df.select(F.col(id_col), sig)
+
+
+def minhash_lsh_pairs(
+    sigs: DataFrame, id_col: str, bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """LSH banding: split each signature into ``bands`` bands of
+    ``rows_per_band`` values; docs sharing any band land in the same bucket
+    → candidate pair. Pair generation is a self-join on (band, bucket-hash),
+    deduplicated; cost ∝ bucket collision counts, never |docs|²."""
+    banded = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.hash(F.slice("minhash", i * rows_per_band + 1, rows_per_band)).alias(
+                            "bucket"
+                        ),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_jaccard_estimate(sigs: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
+    """Estimated Jaccard = fraction of equal signature positions."""
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("minhash").alias("mh_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("minhash").alias("mh_b"))
+    est = F.size(
+        F.filter(F.zip_with("mh_a", "mh_b", lambda x, y: x == y), lambda v: v)
+    ).cast("double") / F.size(F.col("mh_a"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", F.round(est, 4).alias("est_jaccard"))
+    )
+
+
+@register("dedup_minhash_lsh")  # no oracle: permutation-hash specific
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32 perms) + LSH(8 bands × 4 rows) candidate pairs with
+    estimated Jaccard ≥ 0.5 — the scale path for near-dup dedup; the exact
+    n-gram query above is its correctness anchor on small data."""
+    df = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(df, "doc_id", "text")
+    pairs = minhash_lsh_pairs(sigs, "doc_id")
+    return (
+        minhash_jaccard_estimate(sigs, pairs, "doc_id")
+        .filter(F.col("est_jaccard") >= 0.5)
+        .select(
+            F.col("id_a").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
+            "est_jaccard",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (no oracle: bit-manipulation specific)
+# ---------------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+    """64-bit SimHash over word tokens: per-bit majority vote of token
+    hashes, via higher-order functions (no UDF). Hamming-close signatures
+    ⇒ similar token multisets."""
+    tokens = F.split(F.col(text_col), " ", -1)
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+
+    def vote(i: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    bit_votes = [F.aggregate(hashes, F.lit(0), vote(i)) for i in range(bits)]
+    # Assemble the signature with literal shift amounts (shiftleft requires
+    # an int, not a Column); bit 63 is the sign bit → min-long literal.
+    sig = F.lit(0).cast("long")
+    for i, v in enumerate(bit_votes):
+        bit_val = -(1 << 63) if i == 63 else (1 << i)
+        sig = sig.bitwiseOR(
+            F.when(v > 0, F.lit(bit_val).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    return df.select(F.col(id_col), sig.alias("simhash"))
+
+
+@register("dedup_simhash")  # no oracle
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates: signatures bucketed by 4 × 16-bit
+    chunks (any equal chunk → candidate; guarantees recall for Hamming
+    distance ≤ 3), then exact Hamming filter ≤ 8. Same
+    band-bucket-join shape as MinHash-LSH — no all-pairs."""
+    df = load_table(spark, sf_dir, "documents")
+    sigs = simhash(df, "doc_id", "text")
+    chunks = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftright("simhash", i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "simhash", "c.chunk", "c.val")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= 8)
+    )

@@ -1,0 +1,154 @@
+"""Multimodal column support: opaque binary payloads + typed metadata.
+
+Design (BASELINE.json): image/audio/video travel as ``binary`` columns
+with struct metadata beside them; decode / feature-extract / resize /
+frame-sample run as Arrow-batched pandas functions over ``mapInPandas``.
+The decode kernels themselves are STUBBED (no PIL/ffmpeg in this
+container — they raise NotImplementedError unless a deterministic fake is
+requested), but everything Spark-side is real and tested: schema, batch
+iteration, partitioning, and the UDF signatures.
+
+The ``multimodal_payload_stats`` query is the SQL-checkable part of the
+plumbing: binary construction, byte lengths, content hashes — DuckDB
+verifies them exactly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dbtransfer_spark.catalog import load_table
+
+QUERIES = {}
+ORACLE = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("checksum", T.StringType()),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def decode_media(payload: bytes, media_type: str, fake: bool = False) -> dict:
+    """Decode stub. Real pipelines plug PIL/torchaudio/ffmpeg here; this
+    container has none, so either raise (default) or produce a
+    deterministic fake derived from the payload bytes."""
+    if not fake:
+        raise NotImplementedError(
+            "media decoding requires image/audio libs not present in this "
+            "container; pass fake=True for the deterministic test double"
+        )
+    h = sum(payload[:64]) if payload else 0
+    return {
+        "width": 16 + h % 32,
+        "height": 16 + (h // 32) % 32,
+        "n_frames": 1 + h % 4,
+        "feature": [float((b % 17)) / 17.0 for b in payload[:8]],
+    }
+
+
+def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
+    """mapInPandas feature extraction: Arrow batches in, Arrow batches out.
+    One Python worker per partition; batch size bounded by
+    spark.sql.execution.arrow.maxRecordsPerBatch — memory-safe for large
+    payload columns because batches stream."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode_media(p, m, fake=fake) for p, m in zip(pdf["payload"], pdf["media_type"])]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "width": [f["width"] for f in feats],
+                    "height": [f["height"] for f in feats],
+                    "n_frames": [f["n_frames"] for f in feats],
+                    "feature": [f["feature"] for f in feats],
+                }
+            )
+
+    return df.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def documents_as_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a media table from the documents fixture: text bytes stand in
+    for an opaque payload (the container ships no real media); media_type
+    assigned deterministically."""
+    df = load_table(spark, sf_dir, "documents")
+    payload = F.encode("text", "utf-8")
+    return df.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.length(payload).cast("long").alias("n_bytes"),
+        F.md5(payload).alias("checksum"),
+    )
+
+
+@register(
+    "multimodal_payload_stats",
+    """
+    SELECT media_type, count(*) AS n_items,
+           sum(n_bytes) AS total_bytes,
+           count(DISTINCT checksum) AS n_distinct_payloads
+    FROM (
+      SELECT doc_id,
+             ['image','audio','video'][(doc_id % 3 + 1)] AS media_type,
+             octet_length(encode(text)) AS n_bytes,
+             md5(text) AS checksum
+      FROM documents
+    ) GROUP BY media_type
+    """,
+)
+def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing, SQL-checkable: encode → byte length → md5
+    checksum → per-modality aggregates."""
+    media = documents_as_media(spark, sf_dir)
+    return media.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.countDistinct("checksum").alias("n_distinct_payloads"),
+    )
+
+
+@register("multimodal_features_fake")  # no oracle: stubbed decode
+def multimodal_features_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end mapInPandas feature extraction with the deterministic
+    fake decoder — proves schema/batching/partitioning; swap the decoder
+    for a real one without touching the Spark plumbing."""
+    media = documents_as_media(spark, sf_dir)
+    return extract_features(media, fake=True)

@@ -1,0 +1,276 @@
+"""Similarity search over the ``embeddings`` table (array<float>, dim 64).
+
+Two tiers, per BASELINE.json:
+- Brute-force cosine top-k — the exactness baseline. Dot products via
+  built-in higher-order functions (zip_with + aggregate), entirely
+  JVM-side; top-k via per-query window rank with rank-limit pushdown.
+  Cost O(|Q|·|N|·d): correct tool when |Q| is small (probe queries) or
+  data fits a partition.
+- LSH-bucketed (random hyperplane signatures, Hamming banding) — the scale
+  path: candidates only within matching signature bands, so the join is
+  |Q|·bucket_size instead of |Q|·|N|. Recall tunable by bands/bits. Same
+  shape as an IVF coarse quantizer (bucket = inverted list).
+
+Embedding-cosine near-dup pairs (dedup use-case) reuse the same kernels.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dbtransfer_spark.catalog import load_table
+
+QUERIES = {}
+ORACLE = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Σ aᵢ·bᵢ in double precision (JVM codegen; no UDF)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column | str) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    q_id: str = "q_id",
+    c_id: str = "c_id",
+    q_vec: str = "q_vec",
+    c_vec: str = "c_vec",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query set against the
+    corpus, per-query rank window. Tie-break on neighbor id for
+    determinism."""
+    joined = corpus.crossJoin(F.broadcast(queries))
+    scored = joined.select(
+        q_id,
+        c_id,
+        cosine(F.col(q_vec), F.col(c_vec)).alias("cos_sim"),
+    ).filter(F.col(q_id) != F.col(c_id))
+    w = Window.partitionBy(q_id).orderBy(F.desc("cos_sim"), c_id)
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+@register(
+    "knn_bruteforce_cosine",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec
+               FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_inner_product(
+               list_transform(q.q_vec, x -> CAST(x AS DOUBLE)),
+               list_transform(e.embedding, x -> CAST(x AS DOUBLE)))
+             / (sqrt(list_inner_product(list_transform(q.q_vec, x -> CAST(x AS DOUBLE)),
+                                        list_transform(q.q_vec, x -> CAST(x AS DOUBLE))))
+              * sqrt(list_inner_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                                        list_transform(e.embedding, x -> CAST(x AS DOUBLE)))))
+               AS cos_sim
+      FROM embeddings e, q WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, round(cos_sim, 4) AS cos_sim, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for probe queries (vec_id < 10)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_vec"))
+    out = brute_force_topk(
+        queries, corpus, k=5, q_id="query_id", c_id="neighbor_id", q_vec="q_vec", c_vec="c_vec"
+    )
+    return out.select("query_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"), "rank")
+
+
+@register(
+    "embedding_neardup_pairs",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(
+             list_inner_product(
+               list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+               list_transform(b.embedding, x -> CAST(x AS DOUBLE)))
+             / (sqrt(list_inner_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                                        list_transform(a.embedding, x -> CAST(x AS DOUBLE))))
+              * sqrt(list_inner_product(list_transform(b.embedding, x -> CAST(x AS DOUBLE)),
+                                        list_transform(b.embedding, x -> CAST(x AS DOUBLE))))),
+             4) AS cos_sim,
+           (a.label = b.label) AS same_label
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_inner_product(
+            list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+            list_transform(b.embedding, x -> CAST(x AS DOUBLE)))
+          / (sqrt(list_inner_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                                     list_transform(a.embedding, x -> CAST(x AS DOUBLE))))
+           * sqrt(list_inner_product(list_transform(b.embedding, x -> CAST(x AS DOUBLE)),
+                                     list_transform(b.embedding, x -> CAST(x AS DOUBLE))))) >= 0.4
+    """,
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: all pairs ≥ 0.4 (fixture vectors are
+    cluster-sampled; 0.4 is the meaningful near-dup band there). The exact (quadratic)
+    correctness anchor for the LSH variant below; at scale the LSH
+    candidates feed this same exact filter."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), F.col("label").alias("la")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), F.col("label").alias("lb")
+    )
+    sim = cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim_raw", sim)
+        .filter(F.col("cos_sim_raw") >= 0.4)
+        .select(
+            "id_a",
+            "id_b",
+            F.round("cos_sim_raw", 4).alias("cos_sim"),
+            (F.col("la") == F.col("lb")).alias("same_label"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH / IVF scale path (no SQL oracle: hyperplane-seed specific)
+# ---------------------------------------------------------------------------
+
+
+def hyperplane_signatures(
+    df: DataFrame, id_col: str, vec_col: str, bits: int = 16, dim: int = 64, seed: int = 42
+) -> DataFrame:
+    """Random-hyperplane (sign) LSH: bit i = sign(v · rᵢ). Deterministic
+    pseudo-random planes derived from ``seed`` driver-side. cos(θ) close ⇒
+    signatures Hamming-close (SimHash for vectors)."""
+    import random
+
+    rnd = random.Random(seed)
+    planes = [[rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.lit(c) for c in plane]),
+                lambda x, c: x.cast("double") * c,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        sig = sig.bitwiseOR(
+            F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        )
+    return df.select(F.col(id_col), F.col(vec_col), sig.alias("sig"))
+
+
+@register("knn_lsh_cosine")  # no oracle: approximate + seed-specific
+def knn_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5: 16-bit hyperplane signatures, candidates = pairs
+    sharing any of 4 × 4-bit bands (multi-probe analog), exact cosine
+    re-rank of candidates only. At 100 TB: signatures are one narrow pass;
+    the band join touches only colliding buckets — this is the IVF-list
+    pattern with hyperplane buckets."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sigs = hyperplane_signatures(emb, "vec_id", "embedding")
+    queries = sigs.filter(F.col("vec_id") < 10)
+
+    def banded(df: DataFrame, prefix: str) -> DataFrame:
+        return df.select(
+            F.col("vec_id").alias(f"{prefix}_id"),
+            F.col("embedding").alias(f"{prefix}_vec"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band"),
+                            F.shiftright("sig", i * 4).bitwiseAND(F.lit(0xF)).alias("val"),
+                        )
+                        for i in range(4)
+                    ]
+                )
+            ).alias("bb"),
+        ).select(f"{prefix}_id", f"{prefix}_vec", "bb.band", "bb.val")
+
+    qb = banded(queries, "q")
+    cb = banded(sigs, "c")
+    candidates = (
+        qb.join(cb, ["band", "val"])
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id", "q_vec", "c_vec")
+        .distinct()
+    )
+    scored = candidates.select(
+        F.col("q_id").alias("query_id"),
+        F.col("c_id").alias("neighbor_id"),
+        cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim_raw"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim_raw"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", F.round("cos_sim_raw", 4).alias("cos_sim"), "rank")
+    )
+
+
+@register(
+    "embedding_centroids",
+    """
+    SELECT label, count(*) AS n,
+           round(CAST(sum(CAST(emb_norm AS DECIMAL(30,10))) AS DOUBLE) / count(*), 4) AS avg_norm
+    FROM (
+      SELECT label,
+             sqrt(list_inner_product(
+               list_transform(embedding, x -> CAST(x AS DOUBLE)),
+               list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS emb_norm
+      FROM embeddings
+    ) GROUP BY label
+    """,
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster stats (norms by label) — the coarse-quantizer training
+    aggregate of an IVF index, SQL-checkable."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", norm(F.col("embedding")).alias("emb_norm"))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum(F.col("emb_norm").cast("decimal(30,10)")).cast("double") / F.count(F.lit(1)), 4).alias("avg_norm"))
+    )

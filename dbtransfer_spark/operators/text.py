@@ -1,0 +1,210 @@
+"""Text analysis operators over the ``documents`` table (SURVEY.md §2.10).
+
+All hot-path metrics are built-in JVM expressions (length/split/regexp_*)
+— no Python in the data path, so they codegen into the scan stage and scale
+linearly. Language ID is the one genuinely heuristic operator: implemented
+as a vectorized pandas UDF (Arrow batches) scoring language-specific
+stopword hit-rates; its oracle is omitted (rows-only check) because the
+heuristic is not ANSI-SQL-expressible.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from dbtransfer_spark.catalog import load_table
+
+QUERIES = {}
+ORACLE = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+# BPE-ish pre-tokenizer: word pieces or single non-space punctuation.
+TOKEN_PATTERN = r"\w+|[^\w\s]"
+
+
+@register(
+    "text_stats",
+    r"""
+    SELECT doc_id, lang, source,
+           length(text) AS n_chars_calc,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe_tokens,
+           round(CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+                 / length(text), 4) AS punct_ratio,
+           round(CAST(len(string_split(text, ' ')) AS DOUBLE)
+                 / length(text), 4) AS token_density
+    FROM documents WHERE length(text) > 0
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex), char counts,
+    punctuation ratio, token density — entirely codegen'd expressions."""
+    df = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    n_ws = F.size(F.split("text", " ", -1))
+    n_len = F.length("text")
+    return df.select(
+        "doc_id",
+        "lang",
+        "source",
+        n_len.alias("n_chars_calc"),
+        n_ws.alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(TOKEN_PATTERN), 0)).alias("n_bpe_tokens"),
+        F.round(
+            F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", "")).cast("double") / n_len,
+            4,
+        ).alias("punct_ratio"),
+        F.round(n_ws.cast("double") / n_len, 4).alias("token_density"),
+    )
+
+
+@register(
+    "text_quality",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             length(text) AS n_chars_calc,
+             len(string_split(text, ' ')) AS n_tokens,
+             CASE WHEN len(string_split(text, ' ')) = 0 THEN 0.0
+                  ELSE CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                       / len(string_split(text, ' ')) END AS mean_word_len,
+             len(list_filter(string_split(text, ' '),
+                 w -> w IN ('the','a','of','and','to','in','is','it'))) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, n_chars_calc, n_tokens,
+           round(mean_word_len, 4) AS mean_word_len,
+           round(CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1), 4) AS stopword_ratio,
+           (n_chars_calc >= 20 AND n_tokens >= 5
+            AND mean_word_len BETWEEN 2.0 AND 12.0) AS passes_quality
+    FROM t
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length gates, mean word length, stopword ratio —
+    the standard cheap pre-filters of an LLM data pipeline, all built-in
+    expressions (one pass over the scan, no shuffle)."""
+    df = load_table(spark, sf_dir, "documents")
+    tokens = F.split("text", " ", -1)
+    n_tokens = F.size(tokens)
+    mean_wl = F.when(n_tokens == 0, F.lit(0.0)).otherwise(
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double") / n_tokens
+    )
+    stop = F.array([F.lit(w) for w in ("the", "a", "of", "and", "to", "in", "is", "it")])
+    n_stop = F.size(F.filter(tokens, lambda w: F.array_contains(stop, w)))
+    return df.select(
+        "doc_id",
+        F.length("text").alias("n_chars_calc"),
+        n_tokens.alias("n_tokens"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        F.round(n_stop.cast("double") / F.greatest(n_tokens, F.lit(1)), 4).alias(
+            "stopword_ratio"
+        ),
+        (
+            (F.length("text") >= 20)
+            & (n_tokens >= 5)
+            & mean_wl.between(2.0, 12.0)
+        ).alias("passes_quality"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    r"""
+    SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                   ' +', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: normalization (lowercase, strip
+    non-alphanumerics, collapse whitespace) + md5 — the canonical exact-dup
+    key that ignores formatting noise. A deterministic cross-engine hash
+    (unlike xxhash/murmur which differ per engine)."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(norm).alias("fingerprint")
+    )
+
+
+@register(
+    "lang_stats",
+    """
+    SELECT lang, count(*) AS n_docs,
+           round(avg(CAST(n_chars AS DOUBLE)), 2) AS avg_chars,
+           round(CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM documents), 4)
+             AS share
+    FROM documents GROUP BY lang
+    """,
+)
+def lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition per language — the monitoring aggregate every
+    training-data pipeline runs after language ID."""
+    df = load_table(spark, sf_dir, "documents")
+    total = df.count()  # tiny: one metadata-backed count
+    return (
+        df.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg(F.col("n_chars").cast("double")), 2).alias("avg_chars"),
+        )
+        .withColumn("share", F.round(F.col("n_docs").cast("double") / total, 4))
+        .select("lang", "n_docs", "avg_chars", "share")
+    )
+
+
+# -- language ID (pandas UDF; no SQL oracle — rows-only check) --------------
+
+_STOPWORDS: dict[str, frozenset[str]] = {
+    "en": frozenset("the a of and to in is it that for on with as at by".split()),
+    "es": frozenset("el la de y que en un una es los las por con para no".split()),
+    "fr": frozenset("le la de et les des en un une est que pour dans qui".split()),
+    "de": frozenset("der die das und ist von den ein eine mit für auf des".split()),
+    "zh": frozenset("的 了 是 在 我 有 和 就 不 人 都 一 一个 上".split()),
+}
+
+
+@pandas_udf(T.StringType())
+def langid_udf(texts: pd.Series) -> pd.Series:
+    """Stopword hit-rate heuristic language ID. Vectorized per Arrow batch;
+    pure-Python per doc but O(tokens) with small constants. Real pipelines
+    swap in fastText/CLD3 behind this exact UDF signature."""
+
+    def classify(text: str | None) -> str:
+        if not text:
+            return "und"
+        tokens = text.lower().split()
+        if not tokens:
+            return "und"
+        best_lang, best_hits = "und", 0
+        for lang, stops in _STOPWORDS.items():
+            hits = sum(1 for t in tokens if t in stops)
+            if hits > best_hits:
+                best_lang, best_hits = lang, hits
+        return best_lang
+
+    return texts.map(classify)
+
+
+@register("lang_id_predict")  # no oracle: heuristic is not SQL-expressible
+def lang_id_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "documents")
+    return df.select("doc_id", langid_udf(F.col("text")).alias("predicted_lang"))

@@ -1,0 +1,188 @@
+"""Event-time windowing over the ``events`` table — batch twins of the
+Structured Streaming path (streaming/incremental.py uses the same
+expressions under ``readStream``; Spark guarantees batch/stream parity for
+time windows, which is why these have exact SQL oracles).
+
+Tumbling/sliding use ``F.window`` (event-time bucketing, no shuffle beyond
+the aggregation); session windows use ``F.session_window`` (gap-merged,
+state-bounded in streaming). JSON extraction exercises the semi-structured
+path (events.props is a JSON string, FIXTURES.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dbtransfer_spark.catalog import load_table
+
+QUERIES = {}
+ORACLE = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+@register(
+    "events_tumbling_1h",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type, count(*) AS n_events,
+           CAST(round(sum(CAST("value" AS DECIMAL(30,10))), 2) AS DOUBLE) AS total_value
+    FROM events GROUP BY window_start, event_type
+    """,
+)
+def events_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h window × event_type. Map-side partial aggregation means
+    the shuffle carries |windows × types| rows regardless of input size —
+    the standard streaming-aggregation shape run as a batch."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(30,10)")), 2).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "events_sliding_30m_15m",
+    """
+    WITH slid AS (
+      SELECT time_bucket(INTERVAL '15 minutes', ts) AS window_start, * FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '15 minutes', ts) - INTERVAL '15 minutes'
+               AS window_start, * FROM events
+    )
+    SELECT window_start, count(*) AS n_events,
+           CAST(round(sum(CAST("value" AS DECIMAL(30,10))), 2) AS DOUBLE) AS total_value
+    FROM slid GROUP BY window_start
+    """,
+)
+def events_sliding_30m_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (30 min length, 15 min slide): each event lands in 2
+    windows. Spark's F.window explodes to the overlapping windows before
+    aggregating — the oracle reproduces that as a UNION ALL of shifted
+    tumbling buckets."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "30 minutes", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(30,10)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+@register(
+    "events_session_30m",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, "value",
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '30 minutes'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts, "value",
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_no
+      FROM marked
+    )
+    SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL '30 minutes' AS session_end,
+           count(*) AS n_events, CAST(round(sum(CAST("value" AS DECIMAL(30,10))), 2) AS DOUBLE) AS session_value
+    FROM sess GROUP BY user_id, session_no
+    """,
+)
+def events_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows, 30-minute gap, via F.session_window — Spark merges
+    events whose gaps are < 30 min into one window per user; window.end is
+    last-event + gap, matching the oracle's lag/gap-marking construction.
+    In streaming this same expression is incremental state; in batch it is
+    one shuffle by user_id."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(30,10)")), 2).cast("double").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+@register(
+    "events_json_extract",
+    """
+    SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+    FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+    """,
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured projection: get_json_object + predicate on the
+    extracted value. JSON parsing is JVM-side codegen (no Python)."""
+    df = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        df.select("event_id", "event_type", k.alias("prop_k"))
+        .filter(F.col("prop_k") > 50)
+    )
+
+
+@register(
+    "events_sessionize_stats",
+    """
+    WITH marked AS (
+      SELECT user_id,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '30 minutes'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    )
+    SELECT user_id, sum(is_new) AS n_sessions, count(*) AS n_events
+    FROM marked GROUP BY user_id
+    """,
+)
+def events_sessionize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization via lag() — the imperative-looking loop the
+    reference would need becomes two window functions + one aggregation
+    (single shuffle by user)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    is_new = F.when(
+        prev.isNull() | (F.col("ts").cast("long") - prev.cast("long") > 1800), 1
+    ).otherwise(0)
+    return (
+        load_table(spark, sf_dir, "events")
+        .withColumn("is_new", is_new)
+        .groupBy("user_id")
+        .agg(F.sum("is_new").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+    )

@@ -1,0 +1,562 @@
+"""Relational query surface — the engine's named operators over the catalog.
+
+The reference's only dataflow is scan → pushdown transform → upsert
+(SURVEY.md §0); every relational operator beyond that (§2.9: joins,
+aggregations, windows, set ops, sorts, limits) comes from Catalyst and is
+exposed here as a named query, each paired with an ANSI-SQL oracle string
+(see ``ORACLE``) so the driver can hash-compare against DuckDB.
+
+Conventions:
+- Every computed column is aliased identically in the DataFrame code and
+  the oracle SQL (driver compares by sorted column name).
+- Float aggregates are rounded (2–4 dp) on BOTH sides so engine-order
+  summation noise cannot flip the value hash.
+- Every ordered/limited query has a total order (unique tie-break key).
+
+Scale notes are inline per query: which side broadcasts, where the
+shuffles are, and why the plan survives 100 TB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dbtransfer_spark.catalog import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE: dict[str, str] = {}
+
+
+
+def dsum(col, scale: int = 2):
+    """Order-independent sum of doubles: exact DECIMAL(30,10) accumulation
+    (each per-row term is rounded to 10 dp deterministically, the sum is
+    exact integer arithmetic), rounded **while still decimal** (both DuckDB
+    and Spark round decimals half-away-from-zero exactly), then cast to
+    double. Shuffle order and double-rounding quirks can no longer flip a
+    digit — required for cross-engine hash-stable aggregates."""
+    return F.round(F.sum(col.cast("decimal(30,10)")), scale).cast("double")
+
+
+def davg(col, scale: int = 4):
+    """Order-independent mean: exact decimal sum / count."""
+    return F.round(
+        F.sum(col.cast("decimal(30,10)")).cast("double") / F.count(F.lit(1)), scale
+    )
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Reference-parity queries (SURVEY.md §2.1/§2.3/§2.4/§2.5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "transfer_transform",
+    """
+    SELECT l_orderkey, l_linenumber,
+           upper(l_returnflag) AS l_returnflag,
+           round(l_extendedprice * 100, 2) AS l_extendedprice,
+           strftime(l_shipdate, '%Y-%m-%d') AS ship_day,
+           concat('Status: ', l_linestatus) AS status_note
+    FROM lineitem
+    """,
+)
+def transfer_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 pushdown column transforms (mysql.go:599-618) using the shipped
+    config's exact expression shapes (configs/config.yaml:11-21): UPPER,
+    arithmetic, DATE_FORMAT, CONCAT. Narrow ops — no shuffle at any scale;
+    Catalyst collapses them into the parquet scan's project."""
+    from dbtransfer_spark.transforms import apply_transforms
+
+    df = load_table(spark, sf_dir, "lineitem")
+    df = apply_transforms(
+        df,
+        {
+            "l_returnflag": "UPPER(l_returnflag)",
+            "l_extendedprice": "round(l_extendedprice * 100, 2)",
+        },
+    )
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_extendedprice",
+        F.expr("DATE_FORMAT(l_shipdate, 'yyyy-MM-dd')").alias("ship_day"),
+        F.expr("CONCAT('Status: ', l_linestatus)").alias("status_note"),
+    )
+
+
+@register(
+    "scan_resume_predicate",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem WHERE l_orderkey > 30000
+    """,
+)
+def scan_resume_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 keyset-resume watermark (mysql.go:617-627): ``pk > last``.
+    Catalyst pushes the filter into the scan (parquet min/max pruning; JDBC
+    WHERE pushdown) — resume cost is proportional to the remainder, which
+    is the whole point of keyset resume at 100 TB."""
+    df = load_table(spark, sf_dir, "lineitem")
+    return df.filter(F.col("l_orderkey") > 30000).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+
+
+@register(
+    "keyset_page",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem WHERE l_orderkey > 10000
+    ORDER BY l_orderkey, l_linenumber LIMIT 1000
+    """,
+)
+def keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 keyset pagination page (``WHERE pk > ? ORDER BY pk LIMIT ?``,
+    mysql.go:617-631). Spark executes ORDER BY+LIMIT as a TakeOrdered
+    (per-partition top-k + driver merge) — no global sort shuffle."""
+    df = load_table(spark, sf_dir, "lineitem")
+    return (
+        df.filter(F.col("l_orderkey") > 10000)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(1000)
+    )
+
+
+@register(
+    "count_rows",
+    """
+    SELECT 'lineitem' AS tbl, count(*) AS cnt FROM lineitem
+    UNION ALL SELECT 'orders' AS tbl, count(*) AS cnt FROM orders
+    UNION ALL SELECT 'customer' AS tbl, count(*) AS cnt FROM customer
+    """,
+)
+def count_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 row-count pre-scan (progress denominators, mysql.go:244-249).
+    Parquet count() is metadata-only — no data read."""
+    parts = []
+    for t in ("lineitem", "orders", "customer"):
+        parts.append(
+            load_table(spark, sf_dir, t).agg(
+                F.lit(t).alias("tbl"), F.count(F.lit(1)).alias("cnt")
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+@register(
+    "watermark_bounds",
+    """
+    SELECT min(l_orderkey) AS lo, max(l_orderkey) AS hi, count(*) AS n
+    FROM lineitem
+    """,
+)
+def watermark_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-bounds probe (engine._run_chunked): one aggregate replaces the
+    reference's per-batch running MAX (mysql.go:659-661)."""
+    return load_table(spark, sf_dir, "lineitem").agg(
+        F.min("l_orderkey").alias("lo"),
+        F.max("l_orderkey").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "upsert_merge",
+    """
+    SELECT c_custkey, c_name, c_nationkey,
+           round(CASE WHEN c_custkey % 10 = 0 THEN c_acctbal * 2 ELSE c_acctbal END, 2)
+             AS c_acctbal,
+           c_mktsegment
+    FROM customer
+    """,
+)
+def upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/W2 upsert semantics as a dataflow: an update batch (every 10th
+    customer, balance doubled) merged into the base table — new rows win on
+    key clash, others pass through (ON DUPLICATE KEY UPDATE,
+    mysql.go:437-441). Implemented exactly like ParquetSink.upsert:
+    anti-join + union. The anti-join broadcasts the update batch (small
+    side) — at scale, MERGE cost ∝ update size, not table size."""
+    base = load_table(spark, sf_dir, "customer").withColumn(
+        "c_acctbal", F.round("c_acctbal", 2)
+    )
+    updates = (
+        base.filter(F.col("c_custkey") % 10 == 0)
+        .withColumn("c_acctbal", F.round(F.col("c_acctbal") * 2, 2))
+    )
+    kept = base.join(F.broadcast(updates.select("c_custkey")), "c_custkey", "left_anti")
+    return kept.unionByName(updates)
+
+
+# ---------------------------------------------------------------------------
+# Relational operators (§2.9 — absent in reference, built-in via Catalyst)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_qty,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_base_price,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_charge,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE) / count(*), 4) AS avg_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE) / count(*), 4) AS avg_price,
+           round(CAST(sum(CAST(l_discount AS DECIMAL(30,10))) AS DOUBLE) / count(*), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy single aggregation. Partial (map-side)
+    aggregation means the shuffle carries only |groups|×partitions rows —
+    the plan is scan-bound at any scale. Filter + 7-column projection push
+    into the parquet scan."""
+    df = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        df.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            davg(F.col("l_quantity")).alias("avg_qty"),
+            davg(F.col("l_extendedprice")).alias("avg_price"),
+            davg(F.col("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))), 2) AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → fact join → top-k.
+    customer (filtered) and orders (filtered) broadcast against lineitem —
+    zero shuffle on the fact table until the final small aggregation; the
+    top-10 is TakeOrdered, not a global sort. At 100 TB the only big-data
+    movement is the aggregation of surviving groups."""
+    customer = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    return (
+        lineitem.join(
+            F.broadcast(orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_region_revenue",
+    """
+    SELECT n_name, CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))), 2) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name ORDER BY revenue DESC, n_name
+    """,
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join. All dimensions broadcast (region/
+    nation/supplier/customer are tiny relative to the fact); lineitem joins
+    orders — the one potentially large-large join — and AQE picks
+    broadcast when the filtered orders side fits, else sort-merge on the
+    shared key. Group-by on 25 nations is a trivial shuffle."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .join(
+            F.broadcast(customer),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@register(
+    "top_n_per_group",
+    """
+    SELECT p_brand, p_partkey, p_name, p_retailprice
+    FROM (
+      SELECT p_brand, p_partkey, p_name, p_retailprice,
+             row_number() OVER (PARTITION BY p_brand
+                                ORDER BY p_retailprice DESC, p_partkey) AS rn
+      FROM part
+    ) WHERE rn <= 3
+    """,
+)
+def top_n_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-k per group. Spark inserts a partial WindowGroupLimit
+    before the shuffle (rank-limit pushdown), so each partition forwards at
+    most k rows per group — the classic scalable top-k."""
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), "p_partkey")
+    return (
+        load_table(spark, sf_dir, "part")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("p_brand", "p_partkey", "p_name", "p_retailprice")
+    )
+
+
+@register(
+    "running_total",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,10))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_spend
+    FROM orders
+    """,
+)
+def running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregate window (ROWS frame, unique (date,key) order).
+    One hash-partition shuffle by customer; frame evaluation is streaming
+    within each partition — no buffering beyond the frame."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(30,10)")).over(w), 2)
+        .cast("double")
+        .alias("running_spend"),
+    )
+
+
+@register(
+    "rollup_aggregate",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_qty, count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (absent in reference §2.9; Catalyst Expand +
+    single aggregation — one shuffle for all grouping levels)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "cube_aggregate",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,10))), 2) AS DOUBLE) AS total, count(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            dsum(F.col("o_totalprice")).alias("total"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "set_operations",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+    INTERSECT
+    SELECT c_custkey FROM customer WHERE c_acctbal > 1000
+    UNION
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+    EXCEPT
+    SELECT c_custkey FROM customer WHERE c_acctbal < 0
+    """,
+)
+def set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT/UNION/EXCEPT with SQL's left-associative precedence.
+    Spark plans set ops as joins/aggregates — they inherit broadcast and
+    AQE treatment like any join."""
+    customer = load_table(spark, sf_dir, "customer")
+    auto = customer.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey")
+    rich = customer.filter(F.col("c_acctbal") > 1000).select("c_custkey")
+    mach = customer.filter(F.col("c_mktsegment") == "MACHINERY").select("c_custkey")
+    neg = customer.filter(F.col("c_acctbal") < 0).select("c_custkey")
+    return auto.intersect(rich).union(mach).distinct().exceptAll(neg.distinct())
+
+
+@register(
+    "anti_join_no_orders",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def anti_join_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as left_anti join; builds a hash table of distinct order
+    customers (broadcast if small, else shuffled)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "semi_join_with_orders",
+    """
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def semi_join_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@register(
+    "pivot_order_status",
+    """
+    SELECT o_orderpriority,
+           CAST(round(coalesce(sum(CAST(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END AS DECIMAL(30,10))), 0), 2) AS DOUBLE) AS status_O,
+           CAST(round(coalesce(sum(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END AS DECIMAL(30,10))), 0), 2) AS DOUBLE) AS status_F,
+           CAST(round(coalesce(sum(CAST(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END AS DECIMAL(30,10))), 0), 2) AS DOUBLE) AS status_P
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with explicit value list (one aggregation pass; listing values
+    avoids the extra distinct-scan Spark needs to discover them)."""
+    out = (
+        load_table(spark, sf_dir, "orders")
+        .withColumn("o_totalprice_dec", F.col("o_totalprice").cast("decimal(30,10)"))
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .sum("o_totalprice_dec")
+    )
+    return out.select(
+        "o_orderpriority",
+        F.round(F.coalesce(F.col("O"), F.lit(0).cast("decimal(30,10)")), 2)
+        .cast("double")
+        .alias("status_O"),
+        F.round(F.coalesce(F.col("F"), F.lit(0).cast("decimal(30,10)")), 2)
+        .cast("double")
+        .alias("status_F"),
+        F.round(F.coalesce(F.col("P"), F.lit(0).cast("decimal(30,10)")), 2)
+        .cast("double")
+        .alias("status_P"),
+    )
+
+
+@register(
+    "order_priority_distribution",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders,
+           round(100.0 * count(*) / sum(count(*)) OVER (), 4) AS pct
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def order_priority_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate + global window (share-of-total): the OVER () total is
+    computed from the 5 aggregated rows, not the base table."""
+    agg = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    w = Window.partitionBy()
+    return agg.select(
+        "o_orderpriority",
+        "n_orders",
+        F.round(100.0 * F.col("n_orders") / F.sum("n_orders").over(w), 4).alias("pct"),
+    ).orderBy("o_orderpriority")
