@@ -1,0 +1,77 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Queries are fully materialized via the noop datasource (whole plan
+executes JVM-side, nothing is collected to Python), so timings measure the
+engine, not driver serialization. One SparkSession is reused across all
+queries (BASELINE.md: startup cost must not be charged per query).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "transfer_transform",      # reference-parity scan+transform (the core op)
+    "q1_pricing_summary",      # scan-heavy aggregation
+    "q3_shipping_priority",    # selective join + top-k
+    "q5_region_revenue",       # 6-way star join
+    "running_total",           # window function
+    "events_session_30m",      # session windows
+    "asof_last_purchase",      # as-of join
+    "dedup_exact_fingerprint", # exact dedup
+    "dedup_minhash_lsh",       # near-dup candidates (LSH)
+    "text_stats",              # text analysis pass
+    "knn_bruteforce_cosine",   # similarity search
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from dbtransfer_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(app_name="dbtransfer-bench")
+    qs = entrymod.queries()
+
+    # Untimed warmup on the smoke fixture: JVM/codegen/Arrow spin-up is
+    # session startup cost, which BASELINE.md excludes from per-query time.
+    qs["q1_pricing_summary"](spark, "/root/testdata/sf0.001").write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.monotonic()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.monotonic() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall_time",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -217,6 +217,13 @@ def minhash_signatures(
             ),
         )
     )
+    # Materialize the shingle array as its own projection first: the 32
+    # permutation aggregates below then iterate one computed array value.
+    # Inlined, each aggregate would re-tokenize + re-hash the text (HOFs are
+    # interpreted, with no common-subexpression elimination across them) —
+    # measured >10× slower.
+    shingled = df.select(F.col(id_col), shingles.alias("__shingles"))
+
     def perm_min(a: int, b: int):
         # Factory (not default-arg lambda): Spark derives HOF arity from the
         # Python signature, so the lambda must take exactly (acc, x).
@@ -224,11 +231,11 @@ def minhash_signatures(
 
     sig = F.array(
         *[
-            F.aggregate(shingles, F.lit(_PRIME).cast("long"), perm_min(a, b))
+            F.aggregate("__shingles", F.lit(_PRIME).cast("long"), perm_min(a, b))
             for a, b in coeffs
         ]
     ).alias("minhash")
-    return df.select(F.col(id_col), sig)
+    return shingled.select(F.col(id_col), sig)
 
 
 def minhash_lsh_pairs(
@@ -288,7 +295,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimated Jaccard ≥ 0.5 — the scale path for near-dup dedup; the exact
     n-gram query above is its correctness anchor on small data."""
     df = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(df, "doc_id", "text")
+    # Signatures feed the band join once and the estimate join twice;
+    # persist so the (expensive, narrow) signature pass runs exactly once.
+    sigs = minhash_signatures(df, "doc_id", "text").persist()
     pairs = minhash_lsh_pairs(sigs, "doc_id")
     return (
         minhash_jaccard_estimate(sigs, pairs, "doc_id")
@@ -312,13 +321,16 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
     ⇒ similar token multisets."""
     tokens = F.split(F.col(text_col), " ", -1)
     hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    # Project token hashes once; 64 per-bit vote aggregates reuse the
+    # materialized array (same CSE reasoning as minhash_signatures).
+    hashed = df.select(F.col(id_col), hashes.alias("__th"))
 
     def vote(i: int):
         return lambda acc, h: acc + F.when(
             F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
         ).otherwise(-1)
 
-    bit_votes = [F.aggregate(hashes, F.lit(0), vote(i)) for i in range(bits)]
+    bit_votes = [F.aggregate("__th", F.lit(0), vote(i)) for i in range(bits)]
     # Assemble the signature with literal shift amounts (shiftleft requires
     # an int, not a Column); bit 63 is the sign bit → min-long literal.
     sig = F.lit(0).cast("long")
@@ -327,7 +339,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
         sig = sig.bitwiseOR(
             F.when(v > 0, F.lit(bit_val).cast("long")).otherwise(F.lit(0).cast("long"))
         )
-    return df.select(F.col(id_col), sig.alias("simhash"))
+    return hashed.select(F.col(id_col), sig.alias("simhash"))
 
 
 @register("dedup_simhash")  # no oracle
