@@ -121,9 +121,22 @@ def validate_expression(expr: str) -> None:
             raise TransformError(f"expression contains potentially dangerous keyword: {kw}")
     if ";" in expr:
         raise TransformError("expression must be a single scalar expression")
+    from pyspark.sql import SparkSession
+
+    session = SparkSession.getActiveSession()
+    if session is None:
+        # No JVM parser available (e.g. pure config validation before the
+        # session exists) — the deny-list above still applies; structural
+        # parse happens again at plan time.
+        return
     try:
-        F.expr(expr)
-    except Exception as exc:  # pyspark raises ParseException subclasses
+        # F.expr is lazy in PySpark 4 (parsed at plan time), so drive the
+        # parser explicitly: must be a single *expression*, not a statement.
+        parser = session._jsparkSession.sessionState().sqlParser()
+        parser.parseExpression(expr)
+    except AttributeError:
+        return  # Spark Connect: no JVM access; plan-time parse still applies
+    except Exception as exc:  # ParseException
         raise TransformError(f"cannot parse expression {expr!r}: {exc}") from exc
 
 

@@ -1,0 +1,106 @@
+"""Semantic tests for the custom operators (as-of join, dedup family,
+similarity) on constructed inputs with hand-checkable answers — the
+fixture-scale differential harness (tools/diffcheck.py) covers them
+against DuckDB; these pin the semantics on adversarial small cases."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbtransfer_spark.operators.asof import asof_join
+from dbtransfer_spark.operators.dedup import (
+    exact_dedup,
+    minhash_jaccard_estimate,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    simhash,
+)
+from dbtransfer_spark.operators.similarity import brute_force_topk, cosine
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 25, "b"), (1, 5, "c"), (2, 50, "d")],
+        "k int, t int, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 20, 200.0), (2, 60, 300.0)],
+        "k int, t int, v double",
+    )
+    out = asof_join(left, right, on="k", left_time="t", right_time="t", right_values=["v"])
+    got = {r["tag"]: r["asof_v"] for r in out.collect()}
+    # t=10 matches the equal-timestamp right row (ties match, like DuckDB ASOF)
+    assert got == {"a": 100.0, "b": 200.0, "c": None, "d": None}
+
+
+def test_exact_dedup_deterministic(spark):
+    df = spark.createDataFrame(
+        [(3, "x"), (1, "x"), (2, "x"), (9, "y")], "id int, key string"
+    )
+    out = exact_dedup(df, ["key"], "id").collect()
+    assert {(r["id"], r["key"]) for r in out} == {(1, "x"), (9, "y")}
+
+
+def test_minhash_estimates_jaccard(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    far = "completely different words in this sentence nothing shared at all here now"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id int, text string"
+    )
+    sigs = minhash_signatures(df, "doc_id", "text", num_hashes=64)
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "id_a int, id_b int")
+    est = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_jaccard_estimate(sigs, pairs, "doc_id").collect()
+    }
+    assert est[(1, 2)] > 0.5  # one shingle substitution → high similarity
+    assert est[(1, 3)] < 0.2
+
+
+def test_minhash_lsh_recall(spark):
+    """A near-duplicate pair must surface as an LSH candidate."""
+    base = " ".join(f"w{i}" for i in range(60))
+    near = base.replace("w59", "zz")
+    rows = [(1, base), (2, near)] + [
+        (i, " ".join(f"u{i}_{j}" for j in range(60))) for i in range(3, 40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    sigs = minhash_signatures(df, "doc_id", "text")
+    cand = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(sigs, "doc_id").collect()}
+    assert (1, 2) in cand
+
+
+def test_simhash_near_for_similar(spark):
+    base = " ".join(f"w{i}" for i in range(50))
+    near = base.replace("w49", "zz")
+    far = " ".join(f"v{i}" for i in range(50))
+    df = spark.createDataFrame([(1, base), (2, near), (3, far)], "doc_id int, text string")
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash(df, "doc_id", "text").collect()}
+    ham_near = bin(sigs[1] ^ sigs[2]).count("1")
+    ham_far = bin(sigs[1] ^ sigs[3]).count("1")
+    assert ham_near < ham_far
+    assert ham_near <= 8
+
+
+def test_brute_force_topk_exact(spark):
+    qs = spark.createDataFrame([(0, [1.0, 0.0])], "q_id int, q_vec array<float>")
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.1]),   # most similar
+            (2, [0.5, 0.5]),
+            (3, [0.0, 1.0]),   # orthogonal
+            (4, [-1.0, 0.0]),  # opposite
+        ],
+        "c_id int, c_vec array<float>",
+    )
+    out = brute_force_topk(qs, corpus, k=2).orderBy("rank").collect()
+    assert [r["c_id"] for r in out] == [1, 2]
+    assert out[0]["cos_sim"] > 0.99
+
+
+def test_cosine_expression(spark):
+    df = spark.createDataFrame([([3.0, 4.0], [3.0, 4.0])], "a array<float>, b array<float>")
+    val = df.select(cosine(F.col("a"), F.col("b")).alias("c")).collect()[0]["c"]
+    assert val == pytest.approx(1.0, abs=1e-9)

@@ -1,0 +1,278 @@
+"""Unit tests for the custom (non-Catalyst) pieces — SURVEY.md §5.4:
+transform dialect translation, upsert SQL generation, DDL generation,
+checkpoint store semantics, config defaults parity, CLI autodetect."""
+
+from __future__ import annotations
+
+import json
+import threading
+
+import pytest
+from pyspark.sql import types as T
+
+from dbtransfer_spark.checkpoint import Checkpoint, CheckpointPolicy, CheckpointStore
+from dbtransfer_spark.cli import autodetect_type
+from dbtransfer_spark.config import Config, load_config
+from dbtransfer_spark.governance import RateLimiter
+from dbtransfer_spark.sources import ddl
+from dbtransfer_spark.sources.jdbc import mysql_upsert_sql, postgres_upsert_sql, read_options
+from dbtransfer_spark.sources.mongodb import connection_uri, write_options
+from dbtransfer_spark.transforms import (
+    TransformError,
+    translate_expression,
+    translate_format_string,
+    validate_expression,
+)
+
+
+# -- transform dialect ------------------------------------------------------
+
+
+def test_translate_date_format():
+    out = translate_expression("DATE_FORMAT(create_time, '%Y-%m-%d')")
+    assert out == "DATE_FORMAT(create_time, 'yyyy-MM-dd')"
+
+
+def test_translate_format_tokens():
+    assert translate_format_string("%Y-%m-%d %H:%i:%s") == "yyyy-MM-dd HH:mm:ss"
+    assert translate_format_string("%d/%b/%Y") == "dd/MMM/yyyy"
+
+
+def test_translate_passthrough():
+    for expr in ("UPPER(name)", "price * 100", "CONCAT('Status: ', status)"):
+        assert translate_expression(expr) == expr
+
+
+def test_translate_ifnull_now():
+    assert translate_expression("IFNULL(a, 0) + 1") == "coalesce(a, 0) + 1"
+    assert translate_expression("NOW()") == "current_timestamp()"
+
+
+def test_validate_denies_ddl():
+    # postgresql.go:780-799 deny-list parity
+    for bad in ("DROP TABLE x", "1; DELETE FROM t", "TRUNCATE t", "EXECUTE f()"):
+        with pytest.raises(TransformError):
+            validate_expression(bad)
+
+
+def test_validate_rejects_non_expression(spark):
+    with pytest.raises(TransformError):
+        validate_expression("SELECT * FROM t WHERE")
+
+
+def test_validate_accepts_scalars(spark):
+    validate_expression("upper(name)")
+    validate_expression("price * 100 + coalesce(tax, 0)")
+
+
+# -- upsert SQL generation (W1/W2 parity) -----------------------------------
+
+
+def test_mysql_upsert_sql():
+    sql = mysql_upsert_sql("t", ["id", "name"], 2)
+    assert sql == (
+        "INSERT INTO `t` (`id`, `name`) VALUES (%s, %s), (%s, %s) "
+        "ON DUPLICATE KEY UPDATE `id`=VALUES(`id`), `name`=VALUES(`name`)"
+    )
+
+
+def test_postgres_upsert_sql():
+    sql = postgres_upsert_sql("t", ["id", "name"], ["id"], 2)
+    assert sql == (
+        'INSERT INTO "t" ("id", "name") VALUES ($1, $2), ($3, $4) '
+        'ON CONFLICT ("id") DO UPDATE SET "name"=EXCLUDED."name"'
+    )
+
+
+def test_postgres_upsert_all_keys_do_nothing():
+    assert postgres_upsert_sql("t", ["id"], ["id"], 1).endswith("DO NOTHING")
+
+
+# -- JDBC read options ------------------------------------------------------
+
+
+def test_read_options_partitioned_and_watermarked():
+    from dbtransfer_spark.config import DBConfig, TableMapping
+
+    cfg = DBConfig(type="mysql", hosts=["h:3306"], database="db", username="u", password="p")
+    opts = read_options(cfg, TableMapping(name="t"), "id", 0, 1000, 8, watermark=500)
+    assert opts["url"] == "jdbc:mysql://h:3306/db"
+    assert opts["dbtable"] == "(SELECT * FROM t WHERE id > 500) AS t"
+    assert opts["partitionColumn"] == "id"
+    assert opts["numPartitions"] == "8"
+
+
+# -- Mongo options ----------------------------------------------------------
+
+
+def test_mongo_uri_and_upsert_options():
+    from dbtransfer_spark.config import DBConfig, TableMapping
+
+    cfg = DBConfig(type="mongodb", hosts=["m:27017"], database="db", username="u", password="p")
+    cfg.set_defaults()
+    assert connection_uri(cfg) == "mongodb://u:p@m:27017/?authSource=admin"
+    opts = write_options(cfg, TableMapping(name="c"))
+    assert opts["operationType"] == "update"
+    assert opts["upsertDocument"] == "true"
+    assert opts["ordered"] == "false"
+
+
+# -- DDL generation (C5) ----------------------------------------------------
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("name", T.StringType()),
+        T.StructField("bal", T.DoubleType()),
+        T.StructField("tags", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+def test_mysql_ddl():
+    sql = ddl.mysql_create_table("t", SCHEMA, ["id"])
+    assert sql.startswith("CREATE TABLE IF NOT EXISTS `t`")
+    assert "`id` BIGINT NOT NULL" in sql
+    assert "`tags` JSON" in sql
+    assert "PRIMARY KEY (`id`)" in sql
+
+
+def test_postgres_ddl():
+    sql = ddl.postgres_create_table("t", SCHEMA, ["id"])
+    assert '"bal" DOUBLE PRECISION' in sql
+    assert '"tags" TEXT[]' in sql
+
+
+def test_cassandra_ddl():
+    sql = ddl.cassandra_create_table("t", SCHEMA, ["id"], ["name"], default_ttl=3600)
+    assert "PRIMARY KEY ((id), name)" in sql
+    assert "tags list<text>" in sql
+    assert "default_time_to_live = 3600" in sql
+
+
+def test_mysql_string_pk_gets_length():
+    schema = T.StructType([T.StructField("k", T.StringType())])
+    assert "VARCHAR(255)" in ddl.mysql_create_table("t", schema, ["k"])
+
+
+# -- checkpoint store (R5-R7) -----------------------------------------------
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    store = CheckpointStore(str(tmp_path))
+    assert store.load("t") is None
+    store.save("t", Checkpoint(last_key={"t": "123"}))
+    ckpt = store.load("t")
+    assert ckpt.last_key == {"t": "123"}
+    assert ckpt.last_updated  # stamped
+    assert not store.is_complete("t")
+    store.mark_complete("t")
+    assert store.is_complete("t")
+    assert store.watermark("t") == "123"
+
+
+def test_checkpoint_file_shape_matches_reference(tmp_path):
+    """File body must be the reference's JSON shape (migration.go:30-34)."""
+    store = CheckpointStore(str(tmp_path))
+    store.save("t", Checkpoint(last_key={"t": "9"}))
+    data = json.loads((tmp_path / "t.checkpoint.json").read_text())
+    assert set(data) == {"last_key", "last_updated", "complete"}
+
+
+def test_checkpoint_corrupt_file_is_fresh_start(tmp_path):
+    store = CheckpointStore(str(tmp_path))
+    (tmp_path / "t.checkpoint.json").write_text("{not json")
+    assert store.load("t") is None
+
+
+def test_checkpoint_policy_triggers():
+    pol = CheckpointPolicy(row_threshold=100, interval_s=9999)
+    assert not pol.observe(50)
+    assert pol.observe(50)  # hits row threshold
+    pol.saved()
+    assert not pol.observe(1)
+
+
+# -- rate limiter (R3) ------------------------------------------------------
+
+
+def test_rate_limiter_paces():
+    lim = RateLimiter(rows_per_sec=10_000, window_s=10)
+    slept = lim.acquire(5_000)  # half the budget of second 1
+    assert slept >= 0
+    # Pushing far past the rate must force a sleep.
+    assert lim.acquire(20_000) > 0
+
+
+def test_rate_limiter_thread_safe():
+    lim = RateLimiter(rows_per_sec=1_000_000)
+    errs = []
+
+    def hammer():
+        try:
+            for _ in range(200):
+                lim.acquire(100)
+        except Exception as exc:  # pragma: no cover
+            errs.append(exc)
+
+    threads = [threading.Thread(target=hammer) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+
+
+# -- config (R11) -----------------------------------------------------------
+
+
+def test_config_defaults_parity(tmp_path):
+    """SetDefaults semantics from config.go:49-89."""
+    p = tmp_path / "c.yaml"
+    p.write_text("source:\n  type: parquet\n  database: /x\n")
+    cfg = load_config(str(p))
+    m = cfg.migration
+    assert (m.batch_size, m.workers, m.rate_limit, m.timeout) == (1000, 4, 10000, 30)
+    assert m.checkpoint_dir == "./data/checkpoints"
+    assert (m.checkpoint_row_threshold, m.checkpoint_interval, m.checkpoint_delay) == (1000, 1, 5)
+    assert cfg.destination.hosts == ["localhost:27017"]
+    assert cfg.destination.auth_db == "admin"
+
+
+def test_config_tables_and_transforms(tmp_path):
+    p = tmp_path / "c.yaml"
+    p.write_text(
+        """
+source:
+  type: parquet
+  database: /x
+  tables:
+    - name: users
+      target_name: users_new
+      primary_key: id
+      column_transformations:
+        - source_column: name
+          expression: "UPPER(name)"
+"""
+    )
+    cfg = load_config(str(p))
+    t = cfg.source.tables[0]
+    assert t.effective_target == "users_new"
+    assert t.transform_map() == {"name": "UPPER(name)"}
+
+
+def test_autodetect_by_port():
+    # main.go:349-362
+    assert autodetect_type(["h:27017"]) == "mongodb"
+    assert autodetect_type(["h:9042"]) == "cassandra"
+    assert autodetect_type(["h:5432"]) == "postgresql"
+    assert autodetect_type(["h:3306"]) == "mysql"
+    assert autodetect_type([]) == "mysql"
+
+
+def test_config_unknown_type_rejected(spark):
+    from dbtransfer_spark.config import DBConfig
+    from dbtransfer_spark.sources.base import get_source
+
+    with pytest.raises(ValueError, match="unknown source type"):
+        get_source(spark, DBConfig(type="nosuchdb"))
