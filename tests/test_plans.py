@@ -1,0 +1,98 @@
+"""Plan-shape invariants: the scale properties each operator was designed
+around, asserted against the actual physical plan (SURVEY.md §4 — what the
+reference hand-codes, Catalyst must be *observed* doing for us)."""
+
+from __future__ import annotations
+
+import pytest
+
+from dbtransfer_spark import queries as Q
+from dbtransfer_spark.operators import dedup, similarity
+from dbtransfer_spark.plans import (
+    count_exchanges,
+    formatted_plan,
+    has_broadcast_join,
+    has_operator,
+    pushed_filters,
+    read_schema_columns,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_resume_predicate_pushed_to_scan(spark):
+    """P4 keyset resume must reach the parquet scan (min/max row-group
+    pruning), not run as a post-scan filter only."""
+    df = Q.scan_resume_predicate(spark, SF_SMOKE)
+    assert "l_orderkey" in pushed_filters(df)
+    assert "GreaterThan" in pushed_filters(df)
+
+
+def test_projection_pruned_to_selected_columns(spark):
+    """C4/column pruning: a 4-column projection over an 11-column table
+    must read exactly 4 columns from parquet."""
+    df = Q.scan_resume_predicate(spark, SF_SMOKE)
+    schemas = read_schema_columns(df)
+    assert schemas, "no parquet scan found in plan"
+    assert all(len(cols) == 4 for cols in schemas), schemas
+
+
+def test_transfer_transform_no_shuffle(spark):
+    """Transforms are narrow: the whole transfer plan must contain zero
+    shuffle exchanges at any scale."""
+    df = Q.transfer_transform(spark, SF_SMOKE)
+    assert count_exchanges(df) == 0, formatted_plan(df)
+
+
+def test_q3_broadcasts_dimensions(spark):
+    """The filtered customer⋈orders side must broadcast against lineitem —
+    no shuffle of the fact table for the join itself."""
+    df = Q.q3_shipping_priority(spark, SF_SMOKE)
+    assert has_broadcast_join(df)
+
+
+def test_q3_topk_no_global_sort(spark):
+    """ORDER BY + LIMIT must plan as TakeOrdered, not a full sort."""
+    df = Q.q3_shipping_priority(spark, SF_SMOKE)
+    assert has_operator(df, "TakeOrderedAndProject")
+
+
+def test_keyset_page_take_ordered(spark):
+    df = Q.keyset_page(spark, SF_SMOKE)
+    assert has_operator(df, "TakeOrderedAndProject")
+
+
+def test_q1_single_aggregation_shuffle(spark):
+    """Partial (map-side) aggregation: exactly one hash-partition exchange,
+    carrying only group keys × partial aggregates."""
+    df = Q.q1_pricing_summary(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert plan.count("HashAggregate") >= 2, "expected partial+final aggregation"
+    assert count_exchanges(df) <= 2, plan  # agg shuffle + final orderBy
+
+
+def test_top_n_per_group_rank_limit_pushdown(spark):
+    """rank<=k must install a WindowGroupLimit before the shuffle so each
+    partition forwards at most k rows per group."""
+    df = Q.top_n_per_group(spark, SF_SMOKE)
+    assert has_operator(df, "WindowGroupLimit")
+
+
+def test_knn_brute_force_broadcasts_queries(spark):
+    """Query set broadcasts; corpus is never shuffled for the cross join."""
+    df = similarity.knn_bruteforce_cosine(spark, SF_SMOKE)
+    assert has_broadcast_join(df)
+
+
+def test_minhash_band_join_no_cartesian(spark):
+    """LSH candidate generation must be an equi-join on (band, bucket) —
+    a cartesian/nested-loop product would be the quadratic trap."""
+    df = dedup.dedup_minhash_lsh(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_upsert_merge_broadcasts_update_keys(spark):
+    """MERGE anti-join must broadcast the (small) update key set."""
+    df = Q.upsert_merge(spark, SF_SMOKE)
+    assert has_broadcast_join(df)
