@@ -15,9 +15,19 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from dbtransfer_spark import queries as relational
-from dbtransfer_spark.operators import asof, dedup, multimodal, similarity, text, windows
+from dbtransfer_spark import sqlapi
+from dbtransfer_spark.functions import library as funclib
+from dbtransfer_spark.operators import (
+    asof,
+    dedup,
+    multimodal,
+    similarity,
+    skew,
+    text,
+    windows,
+)
 
-_MODULES = (relational, windows, asof, text, dedup, similarity, multimodal)
+_MODULES = (relational, windows, asof, text, dedup, similarity, multimodal, sqlapi, funclib, skew)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,197 @@
+"""Function-library coverage queries: string, date/time, array, exact
+percentiles, conditional expressions, and approximate sketches.
+
+Each query exercises a family of scalar/aggregate functions end-to-end
+(scan → expression → result) with a DuckDB oracle where semantics are
+exactly shared; approximate sketches (HLL, approx quantile) get rows-only
+checks plus error-bound columns the reader can eyeball.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbtransfer_spark.catalog import load_table
+
+QUERIES = {}
+ORACLE = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+@register(
+    "string_functions",
+    """
+    SELECT c_custkey,
+           upper(c_name) AS name_upper,
+           substr(c_name, 1, 8) AS name_prefix,
+           length(c_name) AS name_len,
+           replace(c_mktsegment, 'A', '_') AS seg_repl,
+           lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS key_padded,
+           split_part(c_name, '#', 2) AS name_suffix,
+           concat_ws('|', c_mktsegment, c_name) AS joined
+    FROM customer
+    """,
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family: upper/substr/length/replace/lpad/split_part/concat_ws
+    — all codegen'd, collapse into the scan projection."""
+    df = load_table(spark, sf_dir, "customer")
+    return df.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").alias("name_len"),
+        F.replace(F.col("c_mktsegment"), F.lit("A"), F.lit("_")).alias("seg_repl"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("key_padded"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("name_suffix"),
+        F.concat_ws("|", "c_mktsegment", "c_name").alias("joined"),
+    )
+
+
+@register(
+    "datetime_functions",
+    """
+    SELECT o_orderkey,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+           CAST(o_orderdate + INTERVAL 30 DAY AS TIMESTAMP) AS due_date,
+           date_diff('day', o_orderdate, TIMESTAMP '1998-12-01 00:00:00') AS days_to_ref,
+           EXTRACT(year FROM o_orderdate) AS order_year,
+           EXTRACT(month FROM o_orderdate) AS order_month_no,
+           strftime(o_orderdate, '%Y-%m') AS month_label
+    FROM orders
+    """,
+)
+def datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family: trunc, interval arithmetic, diff, extract,
+    formatting (DATE_FORMAT ↔ strftime dialect translation per
+    transforms.py)."""
+    df = load_table(spark, sf_dir, "orders")
+    return df.select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").alias("order_month"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+        F.datediff(F.lit("1998-12-01").cast("timestamp"), F.col("o_orderdate")).cast(
+            "long"
+        ).alias("days_to_ref"),
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month_no"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("month_label"),
+    )
+
+
+@register(
+    "array_functions",
+    """
+    SELECT vec_id,
+           len(embedding) AS dim,
+           round(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+           round(CAST(list_max(embedding) AS DOUBLE), 6) AS max_val,
+           round(CAST(list_min(embedding) AS DOUBLE), 6) AS min_val,
+           round(list_sum(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE))), 6)
+             AS head_sum,
+           round(CAST(list_sort(embedding)[len(embedding)] AS DOUBLE), 6) AS sorted_last
+    FROM embeddings
+    """,
+)
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family over the embedding column: size, indexing, min/max,
+    slice+aggregate, sort — the building blocks the similarity kernels
+    compose."""
+    df = load_table(spark, sf_dir, "embeddings")
+    head = F.slice("embedding", 1, 8)
+    return df.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_val"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("max_val"),
+        F.round(F.array_min("embedding").cast("double"), 6).alias("min_val"),
+        F.round(
+            F.aggregate(head, F.lit(0.0), lambda acc, x: acc + x.cast("double")), 6
+        ).alias("head_sum"),
+        F.round(
+            F.element_at(F.sort_array("embedding"), F.size("embedding")).cast("double"), 6
+        ).alias("sorted_last"),
+    )
+
+
+@register(
+    "conditional_functions",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_discount >= 0.05 THEN 'high' WHEN l_discount > 0 THEN 'low'
+                ELSE 'none' END AS discount_band,
+           coalesce(nullif(l_returnflag, 'N'), 'NONE') AS flag_or_none,
+           greatest(l_tax, l_discount) AS max_rate,
+           least(l_tax, l_discount) AS min_rate,
+           CASE WHEN l_quantity > 25 THEN l_quantity ELSE NULL END AS big_qty
+    FROM lineitem
+    """,
+)
+def conditional_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "lineitem")
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_discount") >= 0.05, "high")
+        .when(F.col("l_discount") > 0, "low")
+        .otherwise("none")
+        .alias("discount_band"),
+        F.coalesce(F.nullif("l_returnflag", F.lit("N")), F.lit("NONE")).alias(
+            "flag_or_none"
+        ),
+        F.greatest("l_tax", "l_discount").alias("max_rate"),
+        F.least("l_tax", "l_discount").alias("min_rate"),
+        F.when(F.col("l_quantity") > 25, F.col("l_quantity")).alias("big_qty"),
+    )
+
+
+@register(
+    "percentile_stats",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+           round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price,
+           round(quantile_cont(l_extendedprice, 0.75), 4) AS p75_price,
+           round(quantile_cont(l_extendedprice, 0.99), 4) AS p99_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation — Spark ``percentile`` and
+    DuckDB ``quantile_cont`` share the formula). Exact percentile is a
+    sort-based aggregate: fine per-group; the approx_sketches query is the
+    scale path."""
+    df = load_table(spark, sf_dir, "lineitem")
+    return df.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("p50_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias("p25_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.75)"), 4).alias("p75_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99_price"),
+    )
+
+
+@register("approx_sketches")  # rows-only: sketch values are impl-specific
+def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates — the 100 TB substitutes for exact distinct
+    and percentile: HLL++ (approx_count_distinct, mergeable, O(1) state)
+    and GK quantiles (approx_percentile). Emitted beside exact values so
+    the relative error is visible in the result itself."""
+    df = load_table(spark, sf_dir, "lineitem")
+    return df.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.round(F.expr("approx_percentile(l_extendedprice, 0.5, 1000)"), 2).alias(
+            "approx_p50_price"
+        ),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 2).alias("exact_p50_price"),
+    )

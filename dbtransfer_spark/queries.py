@@ -476,14 +476,21 @@ def set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
     "anti_join_no_orders",
     """
     SELECT c_custkey, c_name FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey
+        AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+    )
     """,
 )
 def anti_join_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NOT EXISTS as left_anti join; builds a hash table of distinct order
-    customers (broadcast if small, else shuffled)."""
+    """NOT EXISTS as left_anti join (customers with no *recent* orders);
+    builds a hash table of distinct recent-order customers (broadcast if
+    small, else shuffled)."""
     customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
     return customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )

@@ -137,6 +137,20 @@ def postgres_upsert_sql(table: str, columns: list[str], key_columns: list[str], 
     )
 
 
+def sqlite_upsert_sql(table: str, columns: list[str], key_columns: list[str], n_rows: int) -> str:
+    """SQLite ON CONFLICT upsert — same W2 shape with ? placeholders.
+    Exists so the foreachPartition writer machinery (connection-per-
+    partition, batching, retry, pacing) can be integration-tested against
+    a real DB-API database without external servers."""
+    col_list = ", ".join(f'"{c}"' for c in columns)
+    row = "(" + ", ".join(["?"] * len(columns)) + ")"
+    values = ", ".join([row] * n_rows)
+    conflict = ", ".join(f'"{c}"' for c in key_columns)
+    updates = ", ".join(f'"{c}"=excluded."{c}"' for c in columns if c not in key_columns)
+    action = f"DO UPDATE SET {updates}" if updates else "DO NOTHING"
+    return f'INSERT INTO "{table}" ({col_list}) VALUES {values} ON CONFLICT ({conflict}) {action}'
+
+
 def make_upsert_partition_writer(
     dialect: str,
     table: str,
@@ -171,6 +185,8 @@ def make_upsert_partition_writer(
                     return
                 if dialect == "mysql":
                     sql = mysql_upsert_sql(table, columns, len(batch))
+                elif dialect == "sqlite":
+                    sql = sqlite_upsert_sql(table, columns, key_columns, len(batch))
                 else:
                     sql = postgres_upsert_sql(table, columns, key_columns, len(batch))
                 flat = [v for row in batch for v in row]

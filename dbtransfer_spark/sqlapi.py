@@ -1,0 +1,114 @@
+"""SQL surface: the engine's second query API (SURVEY.md §7 M2).
+
+``SQLEngine`` registers every catalog table as a temp view and hands raw
+Spark SQL to Catalyst — same planner, same plans as the DataFrame surface.
+A handful of inventory queries are written against this surface (see the
+``sql_*`` entries below) to pin its behavior: subqueries (EXISTS, IN,
+scalar), grouping sets, and CTEs — categories the reference lacks entirely
+(§2.9) and Spark gives whole.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dbtransfer_spark.catalog import TABLES, register_views
+
+QUERIES = {}
+ORACLE = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+class SQLEngine:
+    """Thin SQL entry point over the registered catalog."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str, tables=TABLES):
+        self.spark = spark
+        register_views(spark, sf_dir, tables)
+
+    def sql(self, query: str) -> DataFrame:
+        return self.spark.sql(query)
+
+
+def _run(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
+    return SQLEngine(spark, sf_dir).sql(query)
+
+
+_EXISTS_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_totalprice > 300000
+)
+"""
+
+
+@register("sql_exists_subquery", _EXISTS_SQL)
+def sql_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS → Catalyst rewrites to a left-semi join (same plan
+    as the DataFrame left_semi surface)."""
+    return _run(spark, sf_dir, _EXISTS_SQL)
+
+
+_SCALAR_SQL = """
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE o_totalprice > 1.8 * (SELECT avg(o_totalprice) FROM orders)
+"""
+
+
+@register("sql_scalar_subquery", _SCALAR_SQL)
+def sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery: computed once, broadcast as a literal
+    into the filter. (avg over ints-in-double at this precision is
+    cross-engine safe; threshold comparison is strict.)"""
+    return _run(spark, sf_dir, _SCALAR_SQL)
+
+
+_IN_SQL = """
+SELECT p_partkey, p_brand FROM part
+WHERE p_partkey IN (
+  SELECT l_partkey FROM lineitem WHERE l_quantity >= 49
+)
+"""
+
+
+@register("sql_in_subquery", _IN_SQL)
+def sql_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(spark, sf_dir, _IN_SQL)
+
+
+_GROUPING_SETS_SQL = """
+SELECT l_returnflag, l_linestatus, count(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+@register("sql_grouping_sets", _GROUPING_SETS_SQL)
+def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(spark, sf_dir, _GROUPING_SETS_SQL)
+
+
+_CTE_SQL = """
+WITH seg AS (
+  SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 0
+), cnt AS (
+  SELECT c_mktsegment, count(*) AS n_customers FROM seg GROUP BY c_mktsegment
+)
+SELECT c_mktsegment, n_customers FROM cnt WHERE n_customers > 10
+"""
+
+
+@register("sql_cte_pipeline", _CTE_SQL)
+def sql_cte_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(spark, sf_dir, _CTE_SQL)

@@ -1,0 +1,114 @@
+"""Integration test of the DB-API upsert writer machinery against a real
+database (SQLite — stdlib, no server): connection-per-partition, multi-row
+batched upsert statements, idempotent replay, update-on-conflict. This is
+the same code path the MySQL/PostgreSQL sinks run (W1/W2 semantics,
+SURVEY.md §2.5); only the statement dialect differs."""
+
+from __future__ import annotations
+
+import sqlite3
+
+from dbtransfer_spark.sources.jdbc import make_upsert_partition_writer, sqlite_upsert_sql
+
+
+def _connect_factory(path: str):
+    def connect():
+        conn = sqlite3.connect(path, timeout=30)
+        conn.execute("PRAGMA journal_mode=WAL")
+        conn.execute("PRAGMA busy_timeout=30000")
+        return conn
+
+    return connect
+
+
+def _setup(path: str):
+    with sqlite3.connect(path) as conn:
+        conn.execute('CREATE TABLE "t" ("id" INTEGER PRIMARY KEY, "name" TEXT, "bal" REAL)')
+
+
+def test_sqlite_upsert_sql_shape():
+    sql = sqlite_upsert_sql("t", ["id", "name"], ["id"], 2)
+    assert sql == (
+        'INSERT INTO "t" ("id", "name") VALUES (?, ?), (?, ?) '
+        'ON CONFLICT ("id") DO UPDATE SET "name"=excluded."name"'
+    )
+
+
+def test_upsert_writer_end_to_end(spark, tmp_path):
+    db = str(tmp_path / "w.db")
+    _setup(db)
+    df = spark.createDataFrame(
+        [(i, f"n{i}", float(i)) for i in range(500)], "id int, name string, bal double"
+    ).coalesce(2)
+
+    writer = make_upsert_partition_writer(
+        "sqlite", "t", ["id", "name", "bal"], ["id"], _connect_factory(db), batch_size=64
+    )
+    df.foreachPartition(writer)
+
+    with sqlite3.connect(db) as conn:
+        assert conn.execute('SELECT count(*), sum("bal") FROM "t"').fetchone() == (
+            500,
+            sum(range(500)),
+        )
+
+    # Replay the identical frame (task-retry analog): no duplicates.
+    df.foreachPartition(writer)
+    # Conflicting update batch: values replaced, count unchanged.
+    updates = spark.createDataFrame(
+        [(i, "upd", -1.0) for i in range(0, 500, 5)], "id int, name string, bal double"
+    ).coalesce(1)
+    updates.foreachPartition(
+        make_upsert_partition_writer(
+            "sqlite", "t", ["id", "name", "bal"], ["id"], _connect_factory(db), batch_size=32
+        )
+    )
+    with sqlite3.connect(db) as conn:
+        n, n_upd = conn.execute(
+            "SELECT count(*), sum(CASE WHEN \"name\"='upd' THEN 1 ELSE 0 END) FROM \"t\""
+        ).fetchone()
+    assert (n, n_upd) == (500, 100)
+
+
+def test_upsert_writer_retries_transient_failure(spark, tmp_path):
+    """R2 retry semantics: first flush attempt fails (transient), the
+    retry succeeds, rows land exactly once."""
+    db = str(tmp_path / "r.db")
+    _setup(db)
+
+    class FlakyConn:
+        def __init__(self, real):
+            self.real = real
+            self.failed_once = False
+
+        def cursor(self):
+            outer = self
+
+            class Cur:
+                def execute(self, sql, params=None):
+                    if not outer.failed_once:
+                        outer.failed_once = True
+                        raise RuntimeError("transient")
+                    return outer.real.execute(sql, params or [])
+
+            return Cur()
+
+        def commit(self):
+            self.real.commit()
+
+        def rollback(self):
+            self.real.rollback()
+
+        def close(self):
+            self.real.close()
+
+    def connect():
+        return FlakyConn(sqlite3.connect(db, timeout=30))
+
+    df = spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0)], "id int, name string, bal double").coalesce(1)
+    writer = make_upsert_partition_writer(
+        "sqlite", "t", ["id", "name", "bal"], ["id"], connect, batch_size=10, retry_delay=0.01
+    )
+    df.foreachPartition(writer)
+    with sqlite3.connect(db) as conn:
+        assert conn.execute('SELECT count(*) FROM "t"').fetchone() == (2,)

@@ -104,3 +104,16 @@ def test_cosine_expression(spark):
     df = spark.createDataFrame([([3.0, 4.0], [3.0, 4.0])], "a array<float>, b array<float>")
     val = df.select(cosine(F.col("a"), F.col("b")).alias("c")).collect()[0]["c"]
     assert val == pytest.approx(1.0, abs=1e-9)
+
+
+def test_salted_join_equals_plain_join(spark):
+    from dbtransfer_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(i % 3, f"r{i}") for i in range(300)], "k int, payload string"
+    )
+    small = spark.createDataFrame([(0, "a"), (1, "b"), (5, "x")], "k int, dim string")
+    salted = salted_join(big, small, on="k", salt_factor=4)
+    plain = big.join(small, "k")
+    assert salted.count() == plain.count() == 200
+    assert salted.exceptAll(plain).count() == 0

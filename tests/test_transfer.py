@@ -143,3 +143,25 @@ def test_upsert_overwrites_by_key(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "up" / "region.parquet")).collect()
     }
     assert rows == {1: "a", 2: "B", 3: "c", 4: "d"}
+
+
+def test_concurrent_multi_table_transfer(spark, tmp_path):
+    """R1: several tables transferred concurrently through the worker pool
+    (goroutine-per-table analog, mysql.go:156-169)."""
+    tables = [
+        TableMapping(name=n, primary_key=pk)
+        for n, pk in [
+            ("region", "r_regionkey"),
+            ("nation", "n_nationkey"),
+            ("supplier", "s_suppkey"),
+            ("part", "p_partkey"),
+            ("customer", "c_custkey"),
+        ]
+    ]
+    cfg = make_config(tmp_path, tables)
+    results = TransferEngine(spark, cfg).run()
+    assert all("error" not in r for r in results.values()), results
+    for t in tables:
+        src = spark.read.parquet(f"{SF_SMOKE}/{t.name}.parquet")
+        out = spark.read.parquet(str(tmp_path / "out" / f"{t.name}.parquet"))
+        assert out.count() == src.count()
