@@ -165,3 +165,11 @@ def test_concurrent_multi_table_transfer(spark, tmp_path):
         src = spark.read.parquet(f"{SF_SMOKE}/{t.name}.parquet")
         out = spark.read.parquet(str(tmp_path / "out" / f"{t.name}.parquet"))
         assert out.count() == src.count()
+
+
+def test_missing_source_table_errors(spark, tmp_path):
+    """S7 existence probe: missing source table is a per-table error, not a
+    crash of the whole run."""
+    cfg = make_config(tmp_path, [TableMapping(name="nope", primary_key="x")])
+    results = TransferEngine(spark, cfg).run()
+    assert "does not exist" in results["nope"]["error"]

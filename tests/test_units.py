@@ -276,3 +276,11 @@ def test_config_unknown_type_rejected(spark):
 
     with pytest.raises(ValueError, match="unknown source type"):
         get_source(spark, DBConfig(type="nosuchdb"))
+
+
+def test_cassandra_ttl_projection():
+    """S5: TTL read beside every non-key scalar column (cassandra.go:531-575)."""
+    from dbtransfer_spark.sources.cassandra import ttl_projection
+
+    proj = ttl_projection(["id", "a", "b"], ["id"])
+    assert proj == ["id", "a", "b", "ttl(a) AS ttl_a", "ttl(b) AS ttl_b"]
