@@ -61,6 +61,48 @@ def _nanos_timestamp_columns(path: str) -> list[str]:
         return []
 
 
+def optimize_layout(
+    spark: SparkSession,
+    sf_dir: str,
+    cache_dir: str,
+    names: tuple[str, ...] = TABLES,
+    target_partitions: int | None = None,
+    min_bytes: int = 1 << 20,
+) -> str:
+    """Rewrite tables into a scan-parallel layout (N row groups ≈ N cores).
+
+    The driver-generated fixtures are single-row-group files: one row group
+    = one scan task, so a 32-core session reads 600k rows serially. This is
+    the local-scale version of the table-maintenance/compaction every
+    100 TB lake needs — file and row-group sizing IS a query-performance
+    knob (a 10 GB single file would serialize a 1000-executor cluster the
+    same way). Small tables (< ``min_bytes``) are copied as-is. Idempotent:
+    skips tables already cached. ns-timestamps are normalized to µs by the
+    load path, so cached tables read back identically.
+    """
+    import shutil
+
+    n_parts = target_partitions or _default_parallelism()
+    os.makedirs(cache_dir, exist_ok=True)
+    for name in names:
+        src = os.path.join(sf_dir, f"{name}.parquet")
+        dst = os.path.join(cache_dir, f"{name}.parquet")
+        if os.path.exists(dst):
+            continue
+        if os.path.getsize(src) < min_bytes:
+            os.makedirs(dst, exist_ok=True)
+            shutil.copy(src, os.path.join(dst, "part-0.parquet"))
+            continue
+        df = load_table(spark, sf_dir, name)
+        df.repartition(n_parts).write.mode("overwrite").parquet(dst)
+    return cache_dir
+
+
+def _default_parallelism() -> int:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    return max(1, int(cpus)) if cpus else (os.cpu_count() or 4)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     ns_cols = _nanos_timestamp_columns(path)
