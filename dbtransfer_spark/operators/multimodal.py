@@ -123,7 +123,7 @@ def documents_as_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_payload_stats",
     """
     SELECT media_type, count(*) AS n_items,
-           sum(n_bytes) AS total_bytes,
+           CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
            count(DISTINCT checksum) AS n_distinct_payloads
     FROM (
       SELECT doc_id,
@@ -145,10 +145,47 @@ def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_features_fake")  # no oracle: stubbed decode
+@register(
+    "multimodal_features_fake",
+    # The deterministic fake decoder is pure arithmetic over payload bytes,
+    # so DuckDB can replay it exactly (fixture text is pure ASCII, so
+    # ascii(char) == utf-8 byte value; verified in tests).
+    """
+    WITH hashed AS (
+      SELECT doc_id, text,
+             list_sum(list_transform(range(1, least(64, length(text)) + 1),
+                                     i -> ascii(text[i]))) AS h
+      FROM documents
+    )
+    SELECT doc_id,
+           ['image','audio','video'][(doc_id % 3 + 1)] AS media_type,
+           CAST(16 + h % 32 AS INTEGER) AS width,
+           CAST(16 + (h // 32) % 32 AS INTEGER) AS height,
+           CAST(1 + h % 4 AS INTEGER) AS n_frames,
+           list_aggregate(
+             list_transform(range(1, least(8, length(text)) + 1),
+                            i -> printf('%.4f', (ascii(text[i]) % 17) / 17.0)),
+             'string_agg', ',') AS feature_csv
+    FROM hashed
+    """,
+)
 def multimodal_features_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end mapInPandas feature extraction with the deterministic
     fake decoder — proves schema/batching/partitioning; swap the decoder
-    for a real one without touching the Spark plumbing."""
+    for a real one without touching the Spark plumbing.
+
+    The declared query stringifies the feature vector (the harness
+    canonicalizer sorts cells and cannot order list values); library
+    callers use extract_features() directly and keep array<float>."""
     media = documents_as_media(spark, sf_dir)
-    return extract_features(media, fake=True)
+    feats = extract_features(media, fake=True)
+    return feats.select(
+        "doc_id",
+        "media_type",
+        "width",
+        "height",
+        "n_frames",
+        F.concat_ws(
+            ",", F.transform("feature", lambda x: F.format_number(x, 4))
+        ).alias("feature_csv"),
+    )

@@ -167,7 +167,7 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                   THEN 1 ELSE 0 END AS is_new
       FROM events
     )
-    SELECT user_id, sum(is_new) AS n_sessions, count(*) AS n_events
+    SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions, count(*) AS n_events
     FROM marked GROUP BY user_id
     """,
 )
@@ -177,8 +177,10 @@ def events_sessionize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (single shuffle by user)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("ts").over(w)
+    # Full-precision gap compare (microsecond timestamps): cast-to-long
+    # truncates sub-second parts, which misclassifies gaps like 1800.4s.
     is_new = F.when(
-        prev.isNull() | (F.col("ts").cast("long") - prev.cast("long") > 1800), 1
+        prev.isNull() | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES")), 1
     ).otherwise(0)
     return (
         load_table(spark, sf_dir, "events")
