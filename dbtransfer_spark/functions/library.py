@@ -180,18 +180,46 @@ def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_sketches")  # rows-only: sketch values are impl-specific
+@register(
+    "approx_sketches",
+    # Sketch values are impl-specific (HLL++ registers, GK compaction), so
+    # the oracle checks the *tolerance contract* instead: exact values must
+    # match, and the sketch-vs-exact relative error flags must be true
+    # (HLL++ default rsd = 5%; approx_percentile accuracy 1000 on ~15k rows
+    # per group is rank-exact to ±0.1%, well inside 1% of value here).
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS parts_within_5pct,
+           CAST(round(quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.5) * 2, 0)
+                AS BIGINT) AS p50_price_halfcents,
+           TRUE AS p50_within_1pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates — the 100 TB substitutes for exact distinct
     and percentile: HLL++ (approx_count_distinct, mergeable, O(1) state)
-    and GK quantiles (approx_percentile). Emitted beside exact values so
-    the relative error is visible in the result itself."""
+    and GK quantiles (approx_percentile). Emitted beside exact values with
+    relative-error flags; the oracle hash-verifies the exact columns and
+    that each sketch lands inside its documented tolerance."""
     df = load_table(spark, sf_dir, "lineitem")
+    exact_parts = F.countDistinct("l_partkey")
+    approx_parts = F.approx_count_distinct("l_partkey")
+    exact_p50 = F.expr("percentile(l_extendedprice, 0.5)")
+    approx_p50 = F.expr("approx_percentile(l_extendedprice, 0.5, 1000)")
+    # The exact median is reported in half-cents: the interpolated midpoint
+    # of two integer cent values, doubled, is an exact integer — immune to
+    # the engine-specific FP interpolation that makes round(median, 2)
+    # differ at half-cent ties.
+    exact_p50_halfcents = F.expr(
+        "CAST(round(percentile(CAST(round(l_extendedprice * 100) AS BIGINT), 0.5) * 2) AS BIGINT)"
+    )
     return df.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
-        F.round(F.expr("approx_percentile(l_extendedprice, 0.5, 1000)"), 2).alias(
-            "approx_p50_price"
-        ),
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 2).alias("exact_p50_price"),
+        exact_parts.alias("exact_parts"),
+        (
+            F.abs(approx_parts - exact_parts) / exact_parts <= 0.05
+        ).alias("parts_within_5pct"),
+        exact_p50_halfcents.alias("p50_price_halfcents"),
+        (F.abs(approx_p50 - exact_p50) / exact_p50 <= 0.01).alias("p50_within_1pct"),
     )

@@ -16,7 +16,7 @@ Scale design notes (the whole point of these at 100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dbtransfer_spark.catalog import load_table
@@ -147,7 +147,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = load_table(spark, sf_dir, "documents")
     words = F.split("text", " ", -1)
     n = F.size(words)
-    idx = F.sequence(F.lit(0), F.greatest(n - 3, F.lit(-1)))
+    # Guard: sequence(0, -1) yields [0, -1] (step inferred -1), not empty —
+    # a <3-word doc would reach slice(words, 0, 3), which always errors.
+    idx = F.when(n >= 3, F.sequence(F.lit(0), n - 3)).otherwise(
+        F.array().cast("array<int>")
+    )
     shingled = (
         df.select(
             "doc_id",
@@ -181,29 +185,56 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# MinHash + LSH banding (no exact SQL oracle: hash-function specific)
+# MinHash + LSH banding
 # ---------------------------------------------------------------------------
 
 # Largest prime < 2^32; permutation hashes h_i(x) = (a_i*x + b_i) mod p with
 # a < 2^30, x < 2^32, so a*x + b < 2^63 — no signed-64 overflow JVM-side.
 _PRIME = 4294967291
 
+# Rolling-polynomial coefficients for combining consecutive word hashes
+# into a shingle hash (index [:shingle_len]).
+_POLY = [8191, 131, 1, 31, 127, 8209, 524287]
 
-def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 32, shingle_len: int = 3, seed: int = 42
-) -> DataFrame:
-    """Per-doc MinHash signature as array<bigint>.
 
-    Shingles → xxhash64 → for each of ``num_hashes`` affine permutations
-    keep the min — all inside built-in higher-order functions
-    (transform/aggregate), entirely JVM-side, no UDF. Narrow op: scales
-    embarrassingly."""
+def _minhash_coeffs(num_hashes: int, seed: int) -> list[tuple[int, int]]:
     import random
 
     rnd = random.Random(seed)
-    coeffs = [
+    return [
         (rnd.randrange(1, 1 << 30), rnd.randrange(0, 1 << 31)) for _ in range(num_hashes)
     ]
+
+
+def _word_hash_fast(w) -> Column:
+    """xxhash64-based word hash (JVM-native, fastest; engine-specific)."""
+    return F.pmod(F.xxhash64(w), F.lit(_PRIME))
+
+
+def _word_hash_portable(w) -> Column:
+    """md5-based word hash, bit-identical in any engine that has md5 —
+    first 15 hex digits (60 bits, < 2^63) parsed as an integer, mod PRIME.
+    ~2× the cost of xxhash64; used by the oracle-checked declared query."""
+    return F.pmod(F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long"), F.lit(_PRIME))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    shingle_len: int = 3,
+    seed: int = 42,
+    portable_hash: bool = False,
+) -> DataFrame:
+    """Per-doc MinHash signature as array<bigint>.
+
+    Shingles → word hash → for each of ``num_hashes`` affine permutations
+    keep the min — all inside built-in higher-order functions
+    (transform/aggregate), entirely JVM-side, no UDF. Narrow op: scales
+    embarrassingly. ``portable_hash`` swaps xxhash64 for an md5-derived
+    word hash replayable in other engines (differential testing)."""
+    coeffs = _minhash_coeffs(num_hashes, seed)
 
     # Shingle hashing is arithmetic over per-word hashes, NOT
     # xxhash64(concat_ws(slice(words, i, k))): hashing each word once and
@@ -213,11 +244,12 @@ def minhash_signatures(
     # Word hashes are mod-reduced below 2^32 first so coefficient products
     # stay under 2^63 (ANSI overflow).
     words = F.split(F.col(text_col), " ", -1)
-    word_hashes = F.transform(words, lambda w: F.pmod(F.xxhash64(w), F.lit(_PRIME)))
+    word_hash = _word_hash_portable if portable_hash else _word_hash_fast
+    word_hashes = F.transform(words, word_hash)
     hashed = df.select(F.col(id_col), word_hashes.alias("__wh"))
-    if shingle_len > 7:
+    if shingle_len > len(_POLY):
         raise ValueError("shingle_len > 7 not supported by the rolling-polynomial hash")
-    poly = [8191, 131, 1, 31, 127, 8209, 524287][:shingle_len]
+    poly = _POLY[:shingle_len]
     shingle_at = lambda i: F.pmod(
         sum(
             (F.element_at("__wh", i + j + 1) * F.lit(c)) if c != 1 else F.element_at("__wh", i + j + 1)
@@ -225,12 +257,13 @@ def minhash_signatures(
         ),
         F.lit(_PRIME),
     )
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size("__wh") - shingle_len, F.lit(-1))),
-            shingle_at,
-        )
+    # Guard: sequence(0, -1) is [0, -1] (inferred step -1), not empty; a doc
+    # shorter than shingle_len would hit element_at(__wh, 0) (always errors).
+    n = F.size("__wh")
+    idx = F.when(n >= shingle_len, F.sequence(F.lit(0), n - shingle_len)).otherwise(
+        F.array().cast("array<int>")
     )
+    shingles = F.array_distinct(F.transform(idx, shingle_at))
     # Materialize the shingle array as its own projection first: the 32
     # permutation aggregates below then iterate one computed array value.
     # Inlined, each aggregate would re-hash the text (HOFs are interpreted,
@@ -257,8 +290,11 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """LSH banding: split each signature into ``bands`` bands of
     ``rows_per_band`` values; docs sharing any band land in the same bucket
-    → candidate pair. Pair generation is a self-join on (band, bucket-hash),
-    deduplicated; cost ∝ bucket collision counts, never |docs|²."""
+    → candidate pair. Pair generation is a self-join on (band, band-slice),
+    deduplicated; cost ∝ bucket collision counts, never |docs|². The join
+    key is the band slice itself (array<bigint> equality), not an
+    engine-specific hash of it — cross-engine reproducible and only
+    ~3×8 bytes wider on the shuffle wire."""
     banded = sigs.select(
         F.col(id_col),
         F.explode(
@@ -266,7 +302,7 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.hash(F.slice("minhash", i * rows_per_band + 1, rows_per_band)).alias(
+                        F.slice("minhash", i * rows_per_band + 1, rows_per_band).alias(
                             "bucket"
                         ),
                     )
@@ -303,15 +339,74 @@ def minhash_jaccard_estimate(sigs: DataFrame, pairs: DataFrame, id_col: str) -> 
     )
 
 
-@register("dedup_minhash_lsh")  # no oracle: permutation-hash specific
+def _minhash_oracle(num_hashes: int = 32, shingle_len: int = 3, seed: int = 42,
+                    bands: int = 8, rows_per_band: int = 4) -> str:
+    """DuckDB replay of the full MinHash+LSH pipeline with the portable
+    (md5-derived) word hash: identical word hashes → identical rolling-poly
+    shingles → identical permutation minima → identical band buckets →
+    identical candidate pairs and Jaccard estimates."""
+    coeffs = _minhash_coeffs(num_hashes, seed)
+    coeff_lit = "[" + ",".join(f"[{a},{b}]" for a, b in coeffs) + "]"
+    poly = _POLY[:shingle_len]
+    shingle_expr = " + ".join(
+        f"wh[i+{j+1}]*{c}" if c != 1 else f"wh[i+{j+1}]" for j, c in enumerate(poly)
+    )
+    return f"""
+    WITH wh AS (
+      SELECT doc_id,
+             list_transform(string_split(text, ' '),
+               w -> CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % {_PRIME}) AS wh
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([({shingle_expr}) % {_PRIME}
+                            FOR i IN range(0, greatest(len(wh) - {shingle_len - 1}, 0))]) AS shingles
+      FROM wh
+    ), sig AS (
+      SELECT doc_id,
+             list_transform({coeff_lit},
+               c -> coalesce(list_min(list_transform(shingles,
+                              s -> (s*c[1] + c[2]) % {_PRIME})), {_PRIME})) AS mh
+      FROM sh
+    ), banded AS (
+      SELECT doc_id, band, mh[band*{rows_per_band}+1 : band*{rows_per_band}+{rows_per_band}] AS bucket, mh
+      FROM sig CROSS JOIN (SELECT unnest(range(0, {bands})) AS band) bands
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.mh AS mh_a, b.mh AS mh_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, round(est, 4) AS est_jaccard FROM (
+      SELECT doc_a, doc_b,
+             list_sum(list_transform(range(1, {num_hashes + 1}),
+               i -> CASE WHEN mh_a[i] = mh_b[i] THEN 1 ELSE 0 END)) / {num_hashes}.0 AS est
+      FROM pairs
+    ) WHERE est >= 0.5
+    """
+
+
+@register("dedup_minhash_lsh", _minhash_oracle())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32 perms) + LSH(8 bands × 4 rows) candidate pairs with
     estimated Jaccard ≥ 0.5 — the scale path for near-dup dedup; the exact
-    n-gram query above is its correctness anchor on small data."""
+    n-gram query above is its correctness anchor on small data. Uses the
+    portable md5 word hash so DuckDB replays the whole pipeline
+    bit-for-bit; bench times the xxhash64 fast path via
+    dedup_minhash_lsh_fast (identical plan shape, different scalar hash)."""
+    return _minhash_lsh_impl(spark, sf_dir, portable_hash=True)
+
+
+def dedup_minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xxhash64 variant: the production/bench path (hash quality equal,
+    ~2× cheaper word hashing; not cross-engine replayable)."""
+    return _minhash_lsh_impl(spark, sf_dir, portable_hash=False)
+
+
+def _minhash_lsh_impl(spark: SparkSession, sf_dir: str, portable_hash: bool) -> DataFrame:
     df = load_table(spark, sf_dir, "documents")
     # Signatures feed the band join once and the estimate join twice;
     # persist so the (expensive, narrow) signature pass runs exactly once.
-    sigs = minhash_signatures(df, "doc_id", "text").persist()
+    sigs = minhash_signatures(df, "doc_id", "text", portable_hash=portable_hash).persist()
     pairs = minhash_lsh_pairs(sigs, "doc_id")
     return (
         minhash_jaccard_estimate(sigs, pairs, "doc_id")
@@ -325,17 +420,27 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# SimHash (no oracle: bit-manipulation specific)
+# SimHash
 # ---------------------------------------------------------------------------
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
-    """64-bit SimHash over word tokens: per-bit majority vote of token
-    hashes, via higher-order functions (no UDF). Hamming-close signatures
-    ⇒ similar token multisets."""
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 64, portable_hash: bool = False
+) -> DataFrame:
+    """SimHash over word tokens: per-bit majority vote of token hashes,
+    via higher-order functions (no UDF). Hamming-close signatures ⇒
+    similar token multisets. Fast path hashes tokens with xxhash64
+    (64 independent bits); the portable path uses the md5-derived 60-bit
+    hash (use bits=60) so other engines replay signatures exactly."""
     tokens = F.split(F.col(text_col), " ", -1)
-    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
-    # Project token hashes once; 64 per-bit vote aggregates reuse the
+    if portable_hash:
+        if bits > 60:
+            raise ValueError("portable simhash caps at 60 bits (15 hex digits of md5)")
+        token_hash = lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+    else:
+        token_hash = lambda t: F.xxhash64(t)
+    hashes = F.transform(tokens, token_hash)
+    # Project token hashes once; the per-bit vote aggregates reuse the
     # materialized array (same CSE reasoning as minhash_signatures).
     hashed = df.select(F.col(id_col), hashes.alias("__th"))
 
@@ -356,14 +461,59 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
     return hashed.select(F.col(id_col), sig.alias("simhash"))
 
 
-@register("dedup_simhash")  # no oracle
+def _simhash_oracle(bits: int = 60, chunks: int = 4, max_hamming: int = 8) -> str:
+    """DuckDB replay of the portable 60-bit SimHash: per-bit majority votes
+    over md5-derived token hashes, 4 × 15-bit chunk bucketing, exact
+    Hamming filter — identical signatures, identical pairs."""
+    chunk_bits = bits // chunks
+    mask = (1 << chunk_bits) - 1
+    votes = " + ".join(
+        f"CASE WHEN sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+        f"THEN {1 << i} ELSE 0 END"
+        for i in range(bits)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, CAST(('0x' || substr(md5(t.tok), 1, 15)) AS BIGINT) AS h
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t
+    ), sig AS (
+      SELECT doc_id, ({votes}) AS simhash FROM tok GROUP BY doc_id
+    ), chunked AS (
+      SELECT doc_id, simhash, chunk, (simhash >> (chunk * {chunk_bits})) & {mask} AS val
+      FROM sig CROSS JOIN (SELECT unnest(range(0, {chunks})) AS chunk) c
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM chunked a JOIN chunked b
+      ON a.chunk = b.chunk AND a.val = b.val AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
+@register("dedup_simhash", _simhash_oracle())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidates: signatures bucketed by 4 × 16-bit
-    chunks (any equal chunk → candidate; guarantees recall for Hamming
-    distance ≤ 3), then exact Hamming filter ≤ 8. Same
-    band-bucket-join shape as MinHash-LSH — no all-pairs."""
+    """SimHash near-dup candidates: 60-bit portable signatures bucketed by
+    4 × 15-bit chunks (any equal chunk → candidate; guarantees recall for
+    Hamming distance ≤ 3), then exact Hamming filter ≤ 8. Same
+    band-bucket-join shape as MinHash-LSH — no all-pairs. Uses the
+    md5-derived token hash so DuckDB replays signatures exactly;
+    dedup_simhash_fast is the xxhash64/64-bit production variant."""
+    return _simhash_impl(spark, sf_dir, bits=60, portable_hash=True)
+
+
+def dedup_simhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit xxhash64 variant (production/bench path)."""
+    return _simhash_impl(spark, sf_dir, bits=64, portable_hash=False)
+
+
+def _simhash_impl(
+    spark: SparkSession, sf_dir: str, bits: int, portable_hash: bool,
+    n_chunks: int = 4, max_hamming: int = 8,
+) -> DataFrame:
+    chunk_bits = bits // n_chunks
+    mask = (1 << chunk_bits) - 1
     df = load_table(spark, sf_dir, "documents")
-    sigs = simhash(df, "doc_id", "text")
+    sigs = simhash(df, "doc_id", "text", bits=bits, portable_hash=portable_hash)
     chunks = sigs.select(
         "doc_id",
         "simhash",
@@ -372,11 +522,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(i).alias("chunk"),
-                        F.shiftright("simhash", i * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright("simhash", i * chunk_bits)
+                        .bitwiseAND(F.lit(mask))
                         .alias("val"),
                     )
-                    for i in range(4)
+                    for i in range(n_chunks)
                 ]
             )
         ).alias("c"),
@@ -397,5 +547,5 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             hamming.alias("hamming"),
         )
         .distinct()
-        .filter(F.col("hamming") <= 8)
+        .filter(F.col("hamming") <= max_hamming)
     )

@@ -175,16 +175,22 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _hyperplanes(bits: int, dim: int, seed: int) -> list[list[float]]:
+    """Deterministic pseudo-random Gaussian hyperplanes — shared between
+    the Spark signature pass and the DuckDB oracle (same literals)."""
+    import random
+
+    rnd = random.Random(seed)
+    return [[rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
+
+
 def hyperplane_signatures(
     df: DataFrame, id_col: str, vec_col: str, bits: int = 16, dim: int = 64, seed: int = 42
 ) -> DataFrame:
     """Random-hyperplane (sign) LSH: bit i = sign(v · rᵢ). Deterministic
     pseudo-random planes derived from ``seed`` driver-side. cos(θ) close ⇒
     signatures Hamming-close (SimHash for vectors)."""
-    import random
-
-    rnd = random.Random(seed)
-    planes = [[rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
+    planes = _hyperplanes(bits, dim, seed)
     sig = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
         proj = F.aggregate(
@@ -202,7 +208,52 @@ def hyperplane_signatures(
     return df.select(F.col(id_col), F.col(vec_col), sig.alias("sig"))
 
 
-@register("knn_lsh_cosine")  # no oracle: approximate + seed-specific
+def _knn_lsh_oracle(
+    bits: int = 16, dim: int = 64, seed: int = 42, bands: int = 4,
+    band_bits: int = 4, k: int = 5, n_queries: int = 10,
+) -> str:
+    """DuckDB replay of the hyperplane-LSH kNN: the seed-derived plane
+    constants are embedded as literal arrays (full-precision repr →
+    bit-identical doubles), so signatures, band buckets, candidates and
+    the exact cosine re-rank all match the Spark path."""
+    planes = _hyperplanes(bits, dim, seed)
+    mask = (1 << band_bits) - 1
+    sig_terms = " + ".join(
+        "CASE WHEN list_inner_product(v, ["
+        + ",".join(repr(c) for c in plane)
+        + f"]) > 0 THEN {1 << i} ELSE 0 END"
+        for i, plane in enumerate(planes)
+    )
+    return f"""
+    WITH ve AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), sig AS (
+      SELECT vec_id, v, ({sig_terms}) AS sig FROM ve
+    ), banded AS (
+      SELECT vec_id, v, band, (sig >> (band * {band_bits})) & {mask} AS val
+      FROM sig CROSS JOIN (SELECT unnest(range(0, {bands})) AS band) b
+    ), cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                      q.v AS qv, c.v AS cv
+      FROM banded q JOIN banded c ON q.band = c.band AND q.val = c.val
+      WHERE q.vec_id < {n_queries} AND q.vec_id <> c.vec_id
+    ), scored AS (
+      SELECT query_id, neighbor_id,
+             list_inner_product(qv, cv)
+               / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv)))
+               AS cos_raw
+      FROM cand
+    )
+    SELECT query_id, neighbor_id, round(cos_raw, 4) AS cos_sim, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_raw DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@register("knn_lsh_cosine", _knn_lsh_oracle())
 def knn_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5: 16-bit hyperplane signatures, candidates = pairs
     sharing any of 4 × 4-bit bands (multi-probe analog), exact cosine

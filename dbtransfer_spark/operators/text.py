@@ -171,7 +171,7 @@ def lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# -- language ID (pandas UDF; no SQL oracle — rows-only check) --------------
+# -- language ID (pandas UDF with an exact SQL replay oracle) ---------------
 
 _STOPWORDS: dict[str, frozenset[str]] = {
     "en": frozenset("the a of and to in is it that for on with as at by".split()),
@@ -180,6 +180,39 @@ _STOPWORDS: dict[str, frozenset[str]] = {
     "de": frozenset("der die das und ist von den ein eine mit für auf des".split()),
     "zh": frozenset("的 了 是 在 我 有 和 就 不 人 都 一 一个 上".split()),
 }
+
+
+def _langid_oracle() -> str:
+    """DuckDB replay of langid_udf: per-language stopword hit counts, then
+    the same first-strictly-greater argmax the Python loop performs
+    (iteration order en,es,fr,de,zh; 'und' when every count is zero).
+    ``\\S+`` tokenization == Python str.split() (splits on whitespace runs,
+    drops empties)."""
+    langs = list(_STOPWORDS)  # dict order == UDF iteration order
+    hit_cols = []
+    for lang in langs:
+        in_list = ",".join(f"'{w}'" for w in sorted(_STOPWORDS[lang]))
+        hit_cols.append(
+            f"coalesce(len(list_filter(w, t -> t IN ({in_list}))), 0) AS {lang}_hits"
+        )
+    # first-wins argmax: lang k beats all later langs on >=, earlier on >
+    all_zero = " AND ".join(f"{l}_hits = 0" for l in langs)
+    branches = []
+    for i, lang in enumerate(langs[:-1]):
+        later = " AND ".join(f"{lang}_hits >= {m}_hits" for m in langs[i + 1 :])
+        branches.append(f"WHEN {later} THEN '{lang}'")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS w FROM documents
+    ), hits AS (
+      SELECT doc_id, {", ".join(hit_cols)} FROM toks
+    )
+    SELECT doc_id,
+           CASE WHEN {all_zero} THEN 'und'
+                {" ".join(branches)}
+                ELSE '{langs[-1]}' END AS predicted_lang
+    FROM hits
+    """
 
 
 @pandas_udf(T.StringType())
@@ -204,7 +237,7 @@ def langid_udf(texts: pd.Series) -> pd.Series:
     return texts.map(classify)
 
 
-@register("lang_id_predict")  # no oracle: heuristic is not SQL-expressible
+@register("lang_id_predict", _langid_oracle())
 def lang_id_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = load_table(spark, sf_dir, "documents")
     return df.select("doc_id", langid_udf(F.col("text")).alias("predicted_lang"))

@@ -72,6 +72,34 @@ def test_minhash_lsh_recall(spark):
     assert (1, 2) in cand
 
 
+def test_minhash_short_and_empty_docs(spark):
+    """Docs shorter than the shingle length must not crash the signature
+    pass (sequence(0,-1) yields [0,-1], whose index 0/-1 breaks element_at
+    and slice) — they get the empty-shingle sentinel signature instead."""
+    df = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, "two words"), (4, "now three words"),
+         (5, "a healthy document with plenty of words to shingle")],
+        "doc_id int, text string",
+    )
+    sigs = {r["doc_id"]: r["minhash"] for r in minhash_signatures(df, "doc_id", "text").collect()}
+    assert len(sigs) == 5
+    # < 3 words → no shingles → all-PRIME sentinel signature
+    assert len(set(sigs[1])) == 1 and sigs[1] == sigs[2] == sigs[3]
+    assert len(set(sigs[4])) > 1
+    # the ngram-jaccard shingle path shares the guard: same inputs, no crash
+    from pyspark.sql import functions as F
+
+    words = F.split("text", " ", -1)
+    n = F.size(words)
+    idx = F.when(n >= 3, F.sequence(F.lit(0), n - 3)).otherwise(F.array().cast("array<int>"))
+    shingles = df.select(
+        F.explode(
+            F.array_distinct(F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, 3))))
+        ).alias("sh")
+    ).collect()
+    assert all(len(r["sh"].split(" ")) == 3 for r in shingles)
+
+
 def test_simhash_near_for_similar(spark):
     base = " ".join(f"w{i}" for i in range(50))
     near = base.replace("w49", "zz")
