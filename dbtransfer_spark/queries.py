@@ -32,6 +32,36 @@ QUERIES: dict[str, QueryFn] = {}
 ORACLE: dict[str, str] = {}
 
 
+def _parse_bytes(s: str) -> int:
+    s = s.strip().lower()
+    for suffix, mult in (("tb", 1 << 40), ("gb", 1 << 30), ("mb", 1 << 20),
+                         ("kb", 1 << 10), ("b", 1)):
+        if s.endswith(suffix):
+            return int(float(s[: -len(suffix)])) * mult
+    return int(s)
+
+
+def broadcast_if_small(df: DataFrame, threshold: int | None = None) -> DataFrame:
+    """Broadcast-hint ``df`` only when Catalyst's own size estimate for its
+    optimized plan fits under the auto-broadcast threshold.
+
+    An unconditional ``F.broadcast`` on an input that grows with the data
+    (an update batch, a filtered fact) is correct at test scale and an OOM
+    at 100×: the hint overrides Spark's size checks. Gating on the plan
+    statistics keeps the fast plan when the side is genuinely small and
+    degrades to shuffle join (or AQE's runtime broadcast) when it isn't."""
+    if threshold is None:
+        conf = df.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+        threshold = _parse_bytes(conf)
+        if threshold < 0:  # -1 disables auto-broadcast → never hint
+            return df
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return df
+    return F.broadcast(df) if size <= threshold else df
+
+
 
 def dsum(col, scale: int = 2):
     """Order-independent sum of doubles: exact DECIMAL(30,10) accumulation
@@ -196,8 +226,10 @@ def upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer, balance doubled) merged into the base table — new rows win on
     key clash, others pass through (ON DUPLICATE KEY UPDATE,
     mysql.go:437-441). Implemented exactly like ParquetSink.upsert:
-    anti-join + union. The anti-join broadcasts the update batch (small
-    side) — at scale, MERGE cost ∝ update size, not table size."""
+    anti-join + union. The update-key side is broadcast only when
+    Catalyst's size estimate says it fits (broadcast_if_small): an update
+    batch scales with the table, so pinning the hint would OOM executors
+    at 100× — gated, MERGE degrades gracefully to a shuffled anti-join."""
     base = load_table(spark, sf_dir, "customer").withColumn(
         "c_acctbal", F.round("c_acctbal", 2)
     )
@@ -205,7 +237,9 @@ def upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.filter(F.col("c_custkey") % 10 == 0)
         .withColumn("c_acctbal", F.round(F.col("c_acctbal") * 2, 2))
     )
-    kept = base.join(F.broadcast(updates.select("c_custkey")), "c_custkey", "left_anti")
+    kept = base.join(
+        broadcast_if_small(updates.select("c_custkey")), "c_custkey", "left_anti"
+    )
     return kept.unionByName(updates)
 
 
@@ -273,10 +307,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective dim filter → fact join → top-k.
-    customer (filtered) and orders (filtered) broadcast against lineitem —
-    zero shuffle on the fact table until the final small aggregation; the
-    top-10 is TakeOrdered, not a global sort. At 100 TB the only big-data
-    movement is the aggregation of surviving groups."""
+    Only the filtered customer dim (1/5 of customers — the selective,
+    slow-growing side) gets a broadcast hint; orders⋈customer is left to
+    the optimizer. The date filter keeps ~97% of orders, so pinning a
+    broadcast on orders⋈customer would push billions of rows to every
+    executor at 100 TB — AQE converts lineitem⋈orders to broadcast at
+    runtime when (and only when) the joined side actually fits. The top-10
+    is TakeOrdered, not a global sort."""
     customer = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -288,7 +325,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         lineitem.join(
-            F.broadcast(orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)),
+            orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -318,11 +355,13 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: 6-way star join. All dimensions broadcast (region/
-    nation/supplier/customer are tiny relative to the fact); lineitem joins
-    orders — the one potentially large-large join — and AQE picks
-    broadcast when the filtered orders side fits, else sort-merge on the
-    shared key. Group-by on 25 nations is a trivial shuffle."""
+    """TPC-H Q5 shape: 6-way star join. Only the fixed-size dims
+    (region: 5 rows, nation: 25 rows) carry broadcast hints — supplier and
+    customer grow linearly with SF, so their joins are left to the
+    optimizer (AQE broadcasts them at runtime while they fit, sort-merge
+    beyond that). lineitem⋈orders is the one guaranteed large-large join:
+    sort-merge on the shared key. Group-by on 25 nations is a trivial
+    shuffle."""
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = load_table(spark, sf_dir, "nation")
     customer = load_table(spark, sf_dir, "customer")
@@ -334,11 +373,9 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier = load_table(spark, sf_dir, "supplier")
     return (
         lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(
-            F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey")
-        )
-        .join(
-            F.broadcast(customer),
+            customer,
             (F.col("o_custkey") == F.col("c_custkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )

@@ -44,10 +44,24 @@ def test_transfer_transform_no_shuffle(spark):
 
 
 def test_q3_broadcasts_dimensions(spark):
-    """The filtered customer⋈orders side must broadcast against lineitem —
-    no shuffle of the fact table for the join itself."""
+    """The filtered customer dim must broadcast into orders; the
+    orders⋈customer side must NOT carry a pinned broadcast hint (it grows
+    with SF — at test scale the optimizer may still choose broadcast via
+    size estimates/AQE, which is exactly the desired behavior)."""
     df = Q.q3_shipping_priority(spark, SF_SMOKE)
     assert has_broadcast_join(df)
+    # the logical plan must contain at most one explicit hint: customer
+    logical = df._jdf.queryExecution().logical().toString()
+    assert logical.count("ResolvedHint (strategy=broadcast)") <= 1, logical
+
+
+def test_q5_no_hint_on_scaling_dims(spark):
+    """Only fixed-size dims (region, nation) carry explicit broadcast
+    hints; supplier/customer are optimizer-decided."""
+    df = Q.q5_region_revenue(spark, SF_SMOKE)
+    logical = df._jdf.queryExecution().logical().toString()
+    assert logical.count("ResolvedHint (strategy=broadcast)") == 2, logical
+    assert has_broadcast_join(df)  # region/nation still broadcast physically
 
 
 def test_q3_topk_no_global_sort(spark):
@@ -93,6 +107,18 @@ def test_minhash_band_join_no_cartesian(spark):
 
 
 def test_upsert_merge_broadcasts_update_keys(spark):
-    """MERGE anti-join must broadcast the (small) update key set."""
+    """MERGE anti-join broadcasts the update key set while it is small
+    (size-gated via Catalyst stats), and never pins the hint when the
+    estimate exceeds the threshold."""
     df = Q.upsert_merge(spark, SF_SMOKE)
     assert has_broadcast_join(df)
+
+
+def test_broadcast_if_small_gates_on_size(spark):
+    """broadcast_if_small must hint under the threshold and pass the
+    DataFrame through unhinted above it."""
+    df = spark.range(1000)
+    small = Q.broadcast_if_small(df, threshold=1 << 30)
+    big = Q.broadcast_if_small(df, threshold=1)
+    assert "Hint broadcast" in small._jdf.queryExecution().logical().toString()
+    assert "Hint" not in big._jdf.queryExecution().logical().toString()
