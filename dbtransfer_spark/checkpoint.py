@@ -1,10 +1,11 @@
 """Checkpoint store: resumable-transfer state, reference-compatible shape.
 
 File format matches the reference exactly (/root/reference/internal/
-migration/migration.go:30-34): ``{"last_key": {<table>: <value>},
+migration/migration.go:30-34): ``{"last_key": {<pk_column>: <value>},
 "last_updated": <RFC3339>, "complete": bool}``, one JSON file per table
-named ``<table>.checkpoint.json`` (mysql.go:534-538), written atomically via
-tmp-file + fsync + rename (mysql.go:553-575).
+named ``<engine>_<table>.checkpoint`` (mysql.go:550), written atomically
+via tmp-file + fsync + rename (mysql.go:553-575). A checkpoint written by
+the reference tool is found and resumed from, and vice versa.
 
 Trigger policy (mysql.go:332-355 / config.go:71-79): persist when rows
 since last save ≥ ``row_threshold`` OR elapsed ≥ ``interval`` seconds, and
@@ -54,13 +55,14 @@ class Checkpoint:
 
 
 class CheckpointStore:
-    def __init__(self, checkpoint_dir: str):
+    def __init__(self, checkpoint_dir: str, engine: str = "parquet"):
         self.dir = checkpoint_dir
+        self.engine = engine or "parquet"
         os.makedirs(self.dir, exist_ok=True)
 
     def _path(self, table: str) -> str:
-        # mysql.go:534-538 naming
-        return os.path.join(self.dir, f"{table}.checkpoint.json")
+        # mysql.go:550 naming: <engine>_<table>.checkpoint
+        return os.path.join(self.dir, f"{self.engine}_{table}.checkpoint")
 
     def load(self, table: str) -> Checkpoint | None:
         """mysql.go:509-531: missing file → no checkpoint (fresh start)."""
@@ -96,11 +98,13 @@ class CheckpointStore:
         ckpt = self.load(table)
         return ckpt is not None and ckpt.complete
 
-    def watermark(self, table: str) -> str | None:
+    def watermark(self, table: str, key: str) -> str | None:
+        """Last transferred value for ``key`` — the primary-key column, as
+        the reference stores it (mysql.go:539 keys last_key by PK name)."""
         ckpt = self.load(table)
         if ckpt is None:
             return None
-        return ckpt.last_key.get(table)
+        return ckpt.last_key.get(key)
 
 
 class CheckpointPolicy:

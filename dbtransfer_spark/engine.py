@@ -40,7 +40,7 @@ from dbtransfer_spark.checkpoint import Checkpoint, CheckpointStore
 from dbtransfer_spark.config import Config, TableMapping
 from dbtransfer_spark.governance import MigrationStats, RateLimiter
 from dbtransfer_spark.sources.base import get_sink, get_source
-from dbtransfer_spark.transforms import apply_transforms, translate_expression
+from dbtransfer_spark.transforms import apply_transforms
 
 
 class TransferEngine:
@@ -54,7 +54,9 @@ class TransferEngine:
         self.config = config
         self.source = get_source(spark, config.source)
         self.sink = get_sink(spark, config.destination)
-        self.store = CheckpointStore(config.migration.checkpoint_dir)
+        self.store = CheckpointStore(
+            config.migration.checkpoint_dir, engine=config.source.type
+        )
         self.stats = MigrationStats()
         self.limiter = RateLimiter(config.migration.rate_limit)
         # None → single-shot (scale default); set for fine-grained resume.
@@ -100,19 +102,28 @@ class TransferEngine:
         df = self.source.read(table)
         self.sink.ensure_schema(df, table)  # C5/W5
 
-        watermark = self.store.watermark(name)
         pk = key_columns[0] if key_columns else None
+        # Reference keys last_key by the PK column name (mysql.go:539).
+        watermark = self.store.watermark(name, pk) if pk else None
         if watermark is not None and pk is not None:
             # P4-P6 resume predicate; Catalyst pushes into the scan.
             df = df.filter(F.col(pk) > F.lit(_coerce(df, pk, watermark)))
 
-        transforms = {
-            c: translate_expression(e) for c, e in table.transform_map().items()
-        }
-        df = apply_transforms(df, transforms)
+        # Raw expressions go straight to apply_transforms, which translates
+        # exactly once (compile_transform). A pre-translation pass here
+        # would double-translate — translate_expression is not idempotent
+        # for DATE_FORMAT patterns (re-quoting every letter of the already-
+        # Spark format string).
+        df = apply_transforms(df, table.transform_map())
 
         if self.chunk_rows and pk is not None and _is_integral(df, pk):
             rows = self._run_chunked(df, table, pk, key_columns)
+            if self.stop_event.is_set():
+                # Graceful shutdown mid-table (mysql.go:357-367): the
+                # reference persists the watermark with complete=false and
+                # returns ctx.Err(); marking complete here would make the
+                # next run skip the untransferred remainder.
+                return {"rows": rows, "resumed_from": watermark, "interrupted": True}
         else:
             rows = self.sink.upsert(df, table, key_columns)
             if rows >= 0:
@@ -149,7 +160,7 @@ class TransferEngine:
             self.stats.add_processed(name, rows)
             self.limiter.acquire(rows)  # R3
             ckpt = self.store.load(name) or Checkpoint()
-            ckpt.last_key[name] = str(end)
+            ckpt.last_key[pk] = str(end)  # keyed by PK column (mysql.go:539)
             self.store.save(name, ckpt)  # R5/R7
         return total
 

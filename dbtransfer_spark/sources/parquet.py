@@ -63,21 +63,35 @@ class ParquetSink(Sink):
         os.makedirs(self.cfg.database, exist_ok=True)
         n_new = df.count()
         if not os.path.exists(target):
-            df.write.mode("overwrite").parquet(target)
+            writer = df.write.mode("overwrite")
+            if self.partition_by:
+                writer = writer.partitionBy(*self.partition_by)
+            writer.parquet(target)
             return n_new
         existing = self.spark.read.parquet(target)
         if self.partition_by:
-            # Rewrite only affected partitions (dynamic overwrite).
+            # Rewrite only affected partitions (dynamic overwrite). The
+            # merged batch is staged to a scratch dir first: Spark's file
+            # sink refuses to overwrite a path that one of its own inputs
+            # is lazily reading from ('Cannot overwrite a path that is
+            # also being read from'), so the dynamic-overwrite pass reads
+            # the staged copy, never `target` itself.
             parts = df.select(*self.partition_by).distinct()
             affected = existing.join(F.broadcast(parts), self.partition_by, "left_semi")
             kept = affected.join(df.select(*key_columns), key_columns, "left_anti")
             merged = kept.unionByName(df)
-            (
-                merged.write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy(*self.partition_by)
-                .parquet(target)
-            )
+            tmp = f"{target}.__staging_{uuid.uuid4().hex[:8]}"
+            merged.write.mode("overwrite").parquet(tmp)
+            try:
+                (
+                    self.spark.read.parquet(tmp)
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy(*self.partition_by)
+                    .parquet(target)
+                )
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
             return n_new
         kept = existing.join(df.select(*key_columns), key_columns, "left_anti")
         merged = kept.unionByName(df)

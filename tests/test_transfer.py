@@ -102,7 +102,7 @@ def test_resume_from_watermark(spark, tmp_path):
     # checkpoint watermark at cut.
     partial = src.filter(F.col("s_suppkey") <= cut).withColumn("s_name", F.lit("STALE"))
     partial.write.parquet(str(tmp_path / "out" / "supplier.parquet"))
-    store.save("supplier", Checkpoint(last_key={"supplier": str(cut)}))
+    store.save("supplier", Checkpoint(last_key={"s_suppkey": str(cut)}))
 
     TransferEngine(spark, cfg).run()
     out = spark.read.parquet(str(tmp_path / "out" / "supplier.parquet"))
@@ -145,6 +145,36 @@ def test_upsert_overwrites_by_key(spark, tmp_path):
     assert rows == {1: "a", 2: "B", 3: "c", 4: "d"}
 
 
+def test_partitioned_upsert_rewrites_only_affected_partitions(spark, tmp_path):
+    """partition_by upsert: dynamic partition overwrite must merge by key
+    inside touched partitions and leave untouched partitions' files alone
+    (and not trip Spark's overwrite-while-reading guard)."""
+    import os
+
+    from dbtransfer_spark.sources.parquet import ParquetSink
+
+    dest = DBConfig(type="parquet", database=str(tmp_path / "up"))
+    sink = ParquetSink(spark, dest, partition_by=["p"])
+    t = TableMapping(name="events")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30)], "k int, p string, v int"
+    )
+    sink.upsert(base, t, ["k"])
+    target = str(tmp_path / "up" / "events.parquet")
+    b_files_before = sorted(os.listdir(os.path.join(target, "p=b")))
+
+    update = spark.createDataFrame([(2, "a", 99), (4, "c", 40)], "k int, p string, v int")
+    sink.upsert(update, t, ["k"])
+
+    rows = {
+        r["k"]: (r["p"], r["v"]) for r in spark.read.parquet(target).collect()
+    }
+    assert rows == {1: ("a", 10), 2: ("a", 99), 3: ("b", 30), 4: ("c", 40)}
+    # untouched partition p=b still has its original files
+    assert sorted(os.listdir(os.path.join(target, "p=b"))) == b_files_before
+    assert not [d for d in os.listdir(str(tmp_path / "up")) if "__staging" in d]
+
+
 def test_concurrent_multi_table_transfer(spark, tmp_path):
     """R1: several tables transferred concurrently through the worker pool
     (goroutine-per-table analog, mysql.go:156-169)."""
@@ -165,6 +195,59 @@ def test_concurrent_multi_table_transfer(spark, tmp_path):
         src = spark.read.parquet(f"{SF_SMOKE}/{t.name}.parquet")
         out = spark.read.parquet(str(tmp_path / "out" / f"{t.name}.parquet"))
         assert out.count() == src.count()
+
+
+def test_date_format_transform_end_to_end(spark, tmp_path):
+    """The reference's documented DATE_FORMAT example (configs/config.yaml)
+    must survive the engine path intact — a second translation pass would
+    quote every letter of the already-translated pattern and emit literal
+    'yyyy'-style garbage instead of formatted dates."""
+    tables = [
+        TableMapping(
+            name="orders",
+            primary_key="o_orderkey",
+            column_transformations=[
+                ColumnTransformation("o_comment", "DATE_FORMAT(o_orderdate, '%Y-%m-%d')"),
+            ],
+        )
+    ]
+    cfg = make_config(tmp_path, tables)
+    results = TransferEngine(spark, cfg).run()
+    assert "error" not in results["orders"], results["orders"]
+    out = spark.read.parquet(str(tmp_path / "out" / "orders.parquet"))
+    src = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    expect = src.select(
+        "o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("e")
+    )
+    bad = (
+        out.alias("o")
+        .join(expect.alias("x"), "o_orderkey")
+        .filter(F.col("o.o_comment") != F.col("x.e"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_interrupted_transfer_not_marked_complete(spark, tmp_path):
+    """R10: a graceful shutdown mid-table must leave the checkpoint
+    resumable (complete=false), not mark the table done — otherwise the
+    next run silently skips the untransferred remainder (mysql.go:357-367
+    saves the watermark and returns ctx.Err())."""
+    tables = [TableMapping(name="orders", primary_key="o_orderkey")]
+    cfg = make_config(tmp_path, tables)
+    engine = TransferEngine(spark, cfg, chunk_rows=400)
+    engine.shutdown()  # stop before any chunk: all rows remain untransferred
+    results = engine.run()
+    assert results["orders"].get("interrupted") is True
+    store = CheckpointStore(cfg.migration.checkpoint_dir)
+    assert not store.is_complete("orders")
+    # a fresh run (no stop signal) finishes the table
+    results2 = TransferEngine(spark, cfg, chunk_rows=400).run()
+    assert "error" not in results2["orders"]
+    src = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    out = spark.read.parquet(str(tmp_path / "out" / "orders.parquet"))
+    assert out.count() == src.count()
+    assert store.is_complete("orders")
 
 
 def test_missing_source_table_errors(spark, tmp_path):

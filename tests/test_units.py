@@ -159,29 +159,40 @@ def test_mysql_string_pk_gets_length():
 
 
 def test_checkpoint_roundtrip(tmp_path):
-    store = CheckpointStore(str(tmp_path))
+    store = CheckpointStore(str(tmp_path), engine="mysql")
     assert store.load("t") is None
-    store.save("t", Checkpoint(last_key={"t": "123"}))
+    store.save("t", Checkpoint(last_key={"id": "123"}))
     ckpt = store.load("t")
-    assert ckpt.last_key == {"t": "123"}
+    assert ckpt.last_key == {"id": "123"}
     assert ckpt.last_updated  # stamped
     assert not store.is_complete("t")
     store.mark_complete("t")
     assert store.is_complete("t")
-    assert store.watermark("t") == "123"
+    assert store.watermark("t", "id") == "123"
 
 
-def test_checkpoint_file_shape_matches_reference(tmp_path):
-    """File body must be the reference's JSON shape (migration.go:30-34)."""
-    store = CheckpointStore(str(tmp_path))
-    store.save("t", Checkpoint(last_key={"t": "9"}))
-    data = json.loads((tmp_path / "t.checkpoint.json").read_text())
+def test_checkpoint_file_matches_reference(tmp_path):
+    """File name and body must match the reference exactly so checkpoints
+    interoperate: <engine>_<table>.checkpoint (mysql.go:550), JSON keys
+    last_key/last_updated/complete with last_key keyed by the PK column
+    (mysql.go:539)."""
+    store = CheckpointStore(str(tmp_path), engine="mysql")
+    store.save("users", Checkpoint(last_key={"id": "9"}))
+    data = json.loads((tmp_path / "mysql_users.checkpoint").read_text())
     assert set(data) == {"last_key", "last_updated", "complete"}
+    assert data["last_key"] == {"id": "9"}
+    # a checkpoint the reference wrote is found and resumed from
+    (tmp_path / "mysql_orders.checkpoint").write_text(
+        '{"last_key": {"order_id": "500"}, '
+        '"last_updated": "2025-03-04T00:00:00Z", "complete": false}'
+    )
+    assert store.watermark("orders", "order_id") == "500"
+    assert not store.is_complete("orders")
 
 
 def test_checkpoint_corrupt_file_is_fresh_start(tmp_path):
-    store = CheckpointStore(str(tmp_path))
-    (tmp_path / "t.checkpoint.json").write_text("{not json")
+    store = CheckpointStore(str(tmp_path), engine="mysql")
+    (tmp_path / "mysql_t.checkpoint").write_text("{not json")
     assert store.load("t") is None
 
 
