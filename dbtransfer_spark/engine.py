@@ -125,6 +125,11 @@ class TransferEngine:
                 # next run skip the untransferred remainder.
                 return {"rows": rows, "resumed_from": watermark, "interrupted": True}
         else:
+            # S6 row-count pre-scan (mysql.go:243-249) doubling as R9
+            # resume-progress recompute (postgresql.go:312-337): df is
+            # already filtered to pk > watermark, so this total is exactly
+            # the remaining-row denominator the reference computes.
+            self.stats.init_table(name, df.count())
             rows = self.sink.upsert(df, table, key_columns)
             if rows >= 0:
                 self.stats.add_processed(name, rows)

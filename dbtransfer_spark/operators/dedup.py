@@ -286,26 +286,31 @@ def minhash_signatures(
 
 
 def minhash_lsh_pairs(
-    sigs: DataFrame, id_col: str, bands: int = 8, rows_per_band: int = 4
+    sigs: DataFrame,
+    id_col: str,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    hashed_buckets: bool = False,
 ) -> DataFrame:
     """LSH banding: split each signature into ``bands`` bands of
     ``rows_per_band`` values; docs sharing any band land in the same bucket
-    → candidate pair. Pair generation is a self-join on (band, band-slice),
-    deduplicated; cost ∝ bucket collision counts, never |docs|². The join
-    key is the band slice itself (array<bigint> equality), not an
-    engine-specific hash of it — cross-engine reproducible and only
-    ~3×8 bytes wider on the shuffle wire."""
+    → candidate pair. Pair generation is a self-join on (band, bucket),
+    deduplicated; cost ∝ bucket collision counts, never |docs|². The
+    bucket key is the band slice itself (array<bigint> equality —
+    cross-engine reproducible, what the DuckDB oracle replays) or, with
+    ``hashed_buckets``, a 32-bit murmur hash of it (narrower shuffle key;
+    engine-specific, so the production/bench fast path only)."""
+
+    def bucket(i: int):
+        sl = F.slice("minhash", i * rows_per_band + 1, rows_per_band)
+        return F.hash(sl) if hashed_buckets else sl
+
     banded = sigs.select(
         F.col(id_col),
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.slice("minhash", i * rows_per_band + 1, rows_per_band).alias(
-                            "bucket"
-                        ),
-                    )
+                    F.struct(F.lit(i).alias("band"), bucket(i).alias("bucket"))
                     for i in range(bands)
                 ]
             )
@@ -407,7 +412,7 @@ def _minhash_lsh_impl(spark: SparkSession, sf_dir: str, portable_hash: bool) -> 
     # Signatures feed the band join once and the estimate join twice;
     # persist so the (expensive, narrow) signature pass runs exactly once.
     sigs = minhash_signatures(df, "doc_id", "text", portable_hash=portable_hash).persist()
-    pairs = minhash_lsh_pairs(sigs, "doc_id")
+    pairs = minhash_lsh_pairs(sigs, "doc_id", hashed_buckets=not portable_hash)
     return (
         minhash_jaccard_estimate(sigs, pairs, "doc_id")
         .filter(F.col("est_jaccard") >= 0.5)

@@ -161,6 +161,7 @@ def make_upsert_partition_writer(
     max_retries: int = 3,
     retry_delay: float = 5.0,
     rows_per_sec: int | None = None,
+    row_counter: Any | None = None,
 ) -> Callable[[Iterator[Row]], None]:
     """Build the ``foreachPartition`` upsert function.
 
@@ -169,11 +170,14 @@ def make_upsert_partition_writer(
     (mysql.go:448-498: max 3 retries, fixed delay), and paces itself to
     ``rows_per_sec`` — the distributed approximation of the reference's
     global limiter (R3, migration.go:211-268): global cap ≈ per-partition
-    cap × numPartitions, sized by the caller.
+    cap × numPartitions, sized by the caller. ``row_counter`` (a Spark
+    accumulator) receives per-partition written-row counts so the driver
+    can report totals without a second job (mysql.go:319-322 always counts).
     """
 
     def write_partition(rows: Iterator[Row]) -> None:
         conn = connect()
+        written = 0
         try:
             cur = conn.cursor()
             batch: list[tuple] = []
@@ -181,6 +185,7 @@ def make_upsert_partition_writer(
             window_rows = 0
 
             def flush() -> None:
+                nonlocal written
                 if not batch:
                     return
                 if dialect == "mysql":
@@ -195,6 +200,7 @@ def make_upsert_partition_writer(
                     try:
                         cur.execute(sql, flat)
                         conn.commit()
+                        written += len(batch)
                         return
                     except Exception:
                         attempt += 1
@@ -217,6 +223,8 @@ def make_upsert_partition_writer(
             flush()
         finally:
             conn.close()
+            if row_counter is not None:
+                row_counter.add(written)
 
     return write_partition
 
@@ -317,6 +325,11 @@ class JDBCSink(Sink):
         per_part_rate = (
             max(1, self.rows_per_sec // n_parts) if self.rows_per_sec else None
         )
+        # Rows written are counted by an accumulator filled from the write
+        # tasks themselves — no extra COUNT(*) job, and the engine's
+        # stats/rate governance engage in single-shot mode
+        # (mysql.go:319-322 always counts rows).
+        acc = self.spark.sparkContext.accumulator(0)
         writer = make_upsert_partition_writer(
             dialect,
             table.effective_target,
@@ -325,6 +338,7 @@ class JDBCSink(Sink):
             self.connect,
             batch_size=self.batch_size,
             rows_per_sec=per_part_rate,
+            row_counter=acc,
         )
         df.foreachPartition(writer)
-        return -1  # rows written == df.count(); avoid an extra job here
+        return int(acc.value)

@@ -41,10 +41,15 @@ def test_upsert_writer_end_to_end(spark, tmp_path):
         [(i, f"n{i}", float(i)) for i in range(500)], "id int, name string, bal double"
     ).coalesce(2)
 
+    acc = spark.sparkContext.accumulator(0)
     writer = make_upsert_partition_writer(
-        "sqlite", "t", ["id", "name", "bal"], ["id"], _connect_factory(db), batch_size=64
+        "sqlite", "t", ["id", "name", "bal"], ["id"], _connect_factory(db),
+        batch_size=64, row_counter=acc,
     )
     df.foreachPartition(writer)
+    # R8/mysql.go:319-322: rows written are counted from the write tasks
+    # themselves (no second job), so stats/rate governance can engage.
+    assert acc.value == 500
 
     with sqlite3.connect(db) as conn:
         assert conn.execute('SELECT count(*), sum("bal") FROM "t"').fetchone() == (

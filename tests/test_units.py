@@ -295,3 +295,65 @@ def test_cassandra_ttl_projection():
 
     proj = ttl_projection(["id", "a", "b"], ["id"])
     assert proj == ["id", "a", "b", "ttl(a) AS ttl_a", "ttl(b) AS ttl_b"]
+
+
+class FakeCQLSession:
+    """In-memory stand-in for a cassandra-driver Session: canned result
+    rows per system_schema table, and a log of executed DDL."""
+
+    def __init__(self, results: dict[str, list[dict]] | None = None):
+        self.results = results or {}
+        self.executed: list[str] = []
+
+    def execute(self, statement: str, parameters: tuple = ()):
+        for key, rows in self.results.items():
+            if key in statement:
+                return rows
+        self.executed.append(statement)
+        return []
+
+
+def test_cassandra_udt_udf_migration_end_to_end():
+    """C6/C7 (cassandra.go:293-443): discovery → emission, exercised
+    end-to-end against an injectable fake session. Asserts: non-basic
+    column types (frozen<> unwrapped) select which UDTs migrate; index
+    expressions select which UDFs migrate (builtins excluded); types are
+    created strictly before functions; unused definitions are skipped;
+    statements use IF NOT EXISTS / OR REPLACE."""
+    from dbtransfer_spark.sources.cassandra import migrate_dependencies
+
+    source = FakeCQLSession(
+        {
+            "system_schema.columns": [
+                {"table_name": "t", "column_name": "id", "type": "bigint"},
+                {"table_name": "t", "column_name": "addr", "type": "frozen<address>"},
+                {"table_name": "t", "column_name": "tags", "type": "list<text>"},
+            ],
+            "system_schema.indexes": [
+                {"options": {"expression": "my_func(col) AND token(pk)"}},
+                {"options": None},
+            ],
+            "system_schema.types": [
+                {"type_name": "address", "field_names": ["street", "zip"],
+                 "field_types": ["text", "int"]},
+                {"type_name": "unused_type", "field_names": ["x"],
+                 "field_types": ["int"]},
+            ],
+            "system_schema.functions": [
+                {"function_name": "my_func", "argument_types": ["text"],
+                 "return_type": "int", "language": "java",
+                 "body": "return 1;", "called_on_null_input": True},
+                {"function_name": "unused_func", "argument_types": [],
+                 "return_type": "int", "language": "java",
+                 "body": "return 0;", "called_on_null_input": False},
+            ],
+        }
+    )
+    dest = FakeCQLSession()
+    executed = migrate_dependencies(source, dest, "src_ks", "dst_ks")
+    assert executed == dest.executed
+    assert executed == [
+        "CREATE TYPE IF NOT EXISTS dst_ks.address (street text, zip int)",
+        "CREATE OR REPLACE FUNCTION dst_ks.my_func (text) RETURNS int "
+        "LANGUAGE java RETURNS NULL ON NULL INPUT AS $$return 1;$$",
+    ]
