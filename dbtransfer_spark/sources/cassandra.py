@@ -209,12 +209,55 @@ def migrate_dependencies(
     return executed
 
 
-def ttl_projection(columns: list[str], key_columns: list[str]) -> list[str]:
+def _is_collection(cql_type: str) -> bool:
+    # cassandra.go:629-633 collection detection.
+    return any(t in cql_type for t in ("list<", "map<", "set<"))
+
+
+def ttl_projection(
+    columns: list[str],
+    key_columns: list[str],
+    column_types: dict[str, str] | None = None,
+) -> list[str]:
     """S5: select list preserving per-cell TTLs beside values
-    (cassandra.go:531-575) — TTL readable only for non-key scalar cells."""
+    (cassandra.go:531-575) — TTL readable only for non-key, non-collection
+    cells (collections have per-element TTLs CQL won't surface)."""
+    types = column_types or {}
     proj = list(columns)
-    proj.extend(f"ttl({c}) AS ttl_{c}" for c in columns if c not in key_columns)
+    proj.extend(
+        f"ttl({c}) AS ttl_{c}"
+        for c in columns
+        if c not in key_columns and not _is_collection(types.get(c, ""))
+    )
     return proj
+
+
+def build_token_where(
+    column_types: dict[str, str],
+    partition_keys: list[str],
+    last_key: dict[str, str],
+) -> str:
+    """P6 resume predicate (cassandra.go:1066-1142): ``token(pk...) >=
+    token(last...)`` with type-aware literal quoting — text/varchar/ascii
+    quoted, blob as ``0x…``, everything else raw. ``partition_keys`` must
+    already be position-sorted (cassandra.go:1103-1111); any missing
+    partition-key value disables resume (returns "", cassandra.go:1129-1131),
+    falling back to an idempotent full re-run."""
+    if not partition_keys or not last_key:
+        return ""
+    literals: list[str] = []
+    for key in partition_keys:
+        if key not in last_key:
+            return ""
+        val = last_key[key]
+        ctype = column_types.get(key, "")
+        if ctype in ("text", "varchar", "ascii"):
+            literals.append(f"'{val}'")
+        elif ctype == "blob":
+            literals.append(f"0x{val}")
+        else:
+            literals.append(val)
+    return f"token({', '.join(partition_keys)}) >= token({', '.join(literals)})"
 
 
 class CassandraSource(Source):
@@ -245,3 +288,147 @@ class CassandraSink(Sink):
             .save()
         )
         return -1
+
+
+# ---------------------------------------------------------------------------
+# S4/S5/W4/P6 runtime path: driver-side paged copy (cassandra.go:453-898)
+# ---------------------------------------------------------------------------
+
+
+class CQLBatchSession(Protocol):
+    """Session surface for the copy loop's destination: single statements
+    plus unlogged batches of bound (statement, params) pairs."""
+
+    def execute(self, statement: str, parameters: tuple = ()) -> Any: ...
+
+    def execute_batch(self, statements: list[tuple[str, tuple]]) -> Any: ...
+
+
+def execute_batch_with_retry(
+    dest: CQLBatchSession,
+    batch: list[tuple[str, tuple]],
+    max_retries: int = 3,
+    retry_delay: float = 5.0,
+    sleep=None,
+) -> None:
+    """executeBatchWithRetry (cassandra.go:887-898): fixed-delay retries,
+    raise after ``max_retries`` failures. Safe because CQL INSERT is an
+    upsert — replays are idempotent."""
+    import time as _time
+
+    sleep = sleep or _time.sleep
+    last_err: Exception | None = None
+    for _ in range(max_retries):
+        try:
+            dest.execute_batch(batch)
+            return
+        except Exception as exc:  # noqa: BLE001 — retry any driver error
+            last_err = exc
+            sleep(retry_delay)
+    raise RuntimeError(f"batch write failed after {max_retries} retries") from last_err
+
+
+def copy_data(
+    source: CQLSession,
+    dest: CQLBatchSession,
+    *,
+    source_keyspace: str,
+    source_name: str,
+    target_name: str,
+    columns: list[tuple[str, str]],
+    partition_keys: list[str],
+    key_columns: list[str],
+    store,
+    stats=None,
+    batch_size: int = 1000,
+    max_retries: int = 3,
+    retry_delay: float = 5.0,
+    rate_limiter=None,
+    sleep=None,
+) -> dict[str, Any]:
+    """copyData (cassandra.go:453-898), driver-side, against injectable
+    sessions. Lifecycle parity:
+
+    - checkpoint skip-complete first (cassandra.go:237-244);
+    - TTL-aware projection over non-key scalar columns (531-575);
+    - resume via ``token(pk) >= token(last)`` WHERE (585-592 + 1066-1142);
+    - paged scan batched into unlogged batches of ``INSERT ... [USING
+      TTL ?]`` — CQL INSERT is an upsert (645-843); the row TTL is the
+      first non-key scalar column's remaining TTL, the reference's own
+      single-TTL-per-row approximation (678-691, SURVEY §7 hard-part #3);
+    - partition-key values (blob hexed) tracked as the checkpoint key
+      (800-830), saved per flushed batch — the driver-loop equivalent of
+      the reference's 1 s background ticker (705-723), strictly more
+      consistent because every saved watermark is post-commit;
+    - retrying batch flush (887-898), final ``complete=true`` (871-884).
+
+    ``columns`` is an ordered ``(name, cql_type)`` list (from
+    system_schema.columns); ``partition_keys`` position-sorted; rows from
+    ``source.execute`` are dicts keyed by the projection aliases
+    (column names + ``ttl_<col>``).
+    """
+    from dbtransfer_spark.checkpoint import Checkpoint
+
+    if store.is_complete(source_name):
+        return {"skipped": True, "reason": "checkpoint complete"}
+
+    names = [c for c, _ in columns]
+    types = dict(columns)
+    proj = ttl_projection(names, key_columns, types)
+    query = f"SELECT {', '.join(proj)} FROM {source_keyspace}.{source_name}"
+
+    ckpt = store.load(source_name)
+    resumed_from = None
+    if ckpt is not None and ckpt.last_key and not ckpt.complete:
+        where = build_token_where(types, partition_keys, ckpt.last_key)
+        if where:
+            query += f" WHERE {where}"
+            resumed_from = dict(ckpt.last_key)
+
+    ttl_cols = [
+        c for c in names if c not in key_columns and not _is_collection(types[c])
+    ]
+    insert = (
+        f"INSERT INTO {target_name} ({', '.join(names)}) "
+        f"VALUES ({', '.join('?' for _ in names)})"
+    )
+    if ttl_cols:
+        insert += " USING TTL ?"
+
+    batch: list[tuple[str, tuple]] = []
+    last_key: dict[str, str] = dict(ckpt.last_key) if ckpt else {}
+    migrated = 0
+
+    def flush() -> None:
+        nonlocal migrated
+        if not batch:
+            return
+        execute_batch_with_retry(
+            dest, list(batch), max_retries=max_retries,
+            retry_delay=retry_delay, sleep=sleep,
+        )
+        migrated += len(batch)
+        if stats is not None:
+            stats.add_processed(source_name, len(batch))
+        if rate_limiter is not None:
+            rate_limiter.acquire(len(batch))
+        if last_key:
+            store.save(source_name, Checkpoint(last_key=dict(last_key), complete=False))
+        batch.clear()
+
+    for row in source.execute(query):
+        params = [row[c] for c in names]
+        if ttl_cols:
+            # cassandra.go:691: one TTL per row — the first eligible
+            # column's remaining TTL (0/None → no expiry).
+            params.append(row.get(f"ttl_{ttl_cols[0]}") or 0)
+        for pk in partition_keys:
+            v = row[pk]
+            last_key[pk] = v.hex() if isinstance(v, (bytes, bytearray)) else str(v)
+        batch.append((insert, tuple(params)))
+        if len(batch) >= batch_size:
+            flush()
+    flush()
+
+    store.mark_complete(source_name, last_key or None)
+    return {"rows": migrated, "resumed_from": resumed_from}

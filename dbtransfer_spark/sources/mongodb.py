@@ -21,9 +21,14 @@ are pure and unit-tested, reads/writes require the jar at runtime.
 
 from __future__ import annotations
 
+import time
+from typing import Any, Callable, Iterable, Protocol
+
 from pyspark.sql import DataFrame
 
+from dbtransfer_spark.checkpoint import Checkpoint, CheckpointStore
 from dbtransfer_spark.config import DBConfig, TableMapping
+from dbtransfer_spark.governance import MigrationStats, RateLimiter
 from dbtransfer_spark.sources.base import Sink, Source
 
 FORMAT = "mongodb"
@@ -61,6 +66,134 @@ def write_options(cfg: DBConfig, table: TableMapping, ordered: bool = False) -> 
         "ordered": "true" if ordered else "false",  # unordered = parallel server-side
         "maxBatchSize": "512",
     }
+
+
+# ---------------------------------------------------------------------------
+# S3/P5/W3/R9 runtime path: driver-side cursor migration (mongodb.go:221-431)
+# ---------------------------------------------------------------------------
+#
+# The Spark-connector path above is the scale route (partitioned reads,
+# parallel writes). This loop is the reference's own single-cursor batch
+# migration, re-expressed against a minimal injectable collection surface so
+# the full lifecycle — checkpoint skip, count, resume filter, cursor
+# batching, unordered bulk upsert with retries, per-batch checkpoint, final
+# complete marker — is executable and tested without a server (the pattern
+# of tests/test_jdbc_writer.py). Useful in production for small collections
+# where a Spark job is overkill, and as the behavioral spec the connector
+# path must match.
+
+
+class MongoCollectionAPI(Protocol):
+    """Minimal pymongo-Collection-shaped surface (duck-typed)."""
+
+    def count_documents(self, filter: dict) -> int: ...
+
+    def find(
+        self, filter: dict, batch_size: int = 1000, no_cursor_timeout: bool = True
+    ) -> Iterable[dict]: ...
+
+    def bulk_write(self, models: list[dict], ordered: bool = False) -> Any: ...
+
+
+def upsert_models(batch: list[dict]) -> list[dict]:
+    """W3 (mongodb.go:398-412): one upserting UpdateOne model per doc,
+    filtered on ``_id``, ``$set``-ing the whole document."""
+    return [
+        {"filter": {"_id": doc["_id"]}, "update": {"$set": doc}, "upsert": True}
+        for doc in batch
+    ]
+
+
+def bulk_upsert_with_retry(
+    coll: MongoCollectionAPI,
+    batch: list[dict],
+    max_retries: int = 3,
+    retry_delay: float = 5.0,
+    sleep: Callable[[float], None] = time.sleep,
+) -> None:
+    """insertBatch (mongodb.go:390-431): unordered BulkWrite, fixed-delay
+    retry, raise after ``max_retries`` failures."""
+    if not batch:
+        return
+    attempt = 0
+    while True:
+        try:
+            coll.bulk_write(upsert_models(batch), ordered=False)
+            return
+        except Exception:
+            attempt += 1
+            if attempt > max_retries:
+                raise
+            sleep(retry_delay)
+
+
+def migrate_collection(
+    source: MongoCollectionAPI,
+    dest: MongoCollectionAPI,
+    name: str,
+    store: CheckpointStore,
+    stats: MigrationStats | None = None,
+    batch_size: int = 1000,
+    max_retries: int = 3,
+    retry_delay: float = 5.0,
+    rate_limiter: RateLimiter | None = None,
+    parse_id: Callable[[str], Any] = str,
+    sleep: Callable[[float], None] = time.sleep,
+) -> dict[str, Any]:
+    """migrateCollection (mongodb.go:221-431), driver-side.
+
+    Lifecycle parity: checkpoint skip-complete (236-242) → total count
+    (245-248) → resume filter ``{_id: {$gt: last}}`` with remaining-count
+    progress rebase (264-293, the Mongo R9) → batched cursor scan
+    (313-335) → unordered bulk upsert with retry (390-431) → per-batch
+    stats/rate-limit/checkpoint (340-360) → final batch + ``complete=true``
+    marker (363-382). ``parse_id`` converts the checkpointed string back to
+    the native ``_id`` type (ObjectIDFromHex in the reference, 308-311).
+    """
+    if store.is_complete(name):
+        return {"skipped": True, "reason": "checkpoint complete"}
+
+    total = source.count_documents({})
+    last = store.watermark(name, "_id")
+    if last is not None:
+        filt: dict = {"_id": {"$gt": parse_id(last)}}
+        remaining = source.count_documents(filt)
+    else:
+        filt = {}
+        remaining = total
+    if stats is not None:
+        # mongodb.go:286-291: progress denominator is remaining docs.
+        stats.init_table(name, remaining)
+
+    migrated = 0
+    batch: list[dict] = []
+    last_id: str | None = last
+
+    def flush() -> None:
+        nonlocal migrated, last_id
+        if not batch:
+            return
+        bulk_upsert_with_retry(
+            dest, batch, max_retries=max_retries, retry_delay=retry_delay, sleep=sleep
+        )
+        migrated += len(batch)
+        if stats is not None:
+            stats.add_processed(name, len(batch))
+        if rate_limiter is not None:
+            rate_limiter.acquire(len(batch))
+        if last_id is not None:
+            store.save(name, Checkpoint(last_key={"_id": last_id}, complete=False))
+        batch.clear()
+
+    for doc in source.find(filt, batch_size=batch_size, no_cursor_timeout=True):
+        batch.append(doc)
+        last_id = str(doc["_id"])
+        if len(batch) >= batch_size:
+            flush()
+    flush()
+
+    store.mark_complete(name, {"_id": last_id} if last_id is not None else None)
+    return {"rows": migrated, "resumed_from": last}
 
 
 class MongoSource(Source):

@@ -117,3 +117,18 @@ def test_upsert_writer_retries_transient_failure(spark, tmp_path):
     df.foreachPartition(writer)
     with sqlite3.connect(db) as conn:
         assert conn.execute('SELECT count(*) FROM "t"').fetchone() == (2,)
+
+
+def test_detect_primary_key_dbapi_sqlite(tmp_path):
+    """C1/C2 machinery (header-resolved columns, key ordering) exercised
+    end-to-end through a real DB-API connection — composite key comes back
+    in declaration order, non-pk tables come back empty."""
+    from dbtransfer_spark.sources.jdbc import detect_primary_key_dbapi
+
+    db = str(tmp_path / "pk.db")
+    with sqlite3.connect(db) as conn:
+        conn.execute("CREATE TABLE comp (a int, b int, c text, PRIMARY KEY (b, a))")
+        conn.execute("CREATE TABLE nopk (x int)")
+
+    assert detect_primary_key_dbapi(_connect_factory(db), "sqlite", "comp") == ["b", "a"]
+    assert detect_primary_key_dbapi(_connect_factory(db), "sqlite", "nopk") == []

@@ -1,0 +1,326 @@
+"""End-to-end tests for the driver-side Mongo/Cassandra runtime paths
+(S3/P5/W3 mongodb.go:221-431; S4/S5/W4/P6 cassandra.go:453-898) against
+injectable in-memory fakes — the pattern of tests/test_jdbc_writer.py's
+SQLite-backed writer: the full lifecycle (checkpoint skip, resume
+predicate, batched scan, retrying bulk upsert, per-batch checkpoint,
+complete marker) executes for real; only the wire protocol is faked.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from dbtransfer_spark.checkpoint import Checkpoint, CheckpointStore
+from dbtransfer_spark.governance import MigrationStats
+from dbtransfer_spark.sources.cassandra import (
+    build_token_where,
+    copy_data,
+    execute_batch_with_retry,
+    ttl_projection,
+)
+from dbtransfer_spark.sources.mongodb import migrate_collection, upsert_models
+
+
+# ---------------------------------------------------------------------------
+# Mongo fakes
+# ---------------------------------------------------------------------------
+
+
+class FakeMongoCollection:
+    """pymongo-Collection-shaped in-memory store with injectable failures."""
+
+    def __init__(self, docs: list[dict] | None = None, fail_times: int = 0):
+        self.docs = {d["_id"]: dict(d) for d in (docs or [])}
+        self.fail_times = fail_times
+        self.bulk_calls = 0
+        self.find_filters: list[dict] = []
+
+    def _match(self, filter: dict) -> list[dict]:
+        if not filter:
+            return list(self.docs.values())
+        gt = filter["_id"]["$gt"]
+        return [d for d in self.docs.values() if d["_id"] > gt]
+
+    def count_documents(self, filter: dict) -> int:
+        return len(self._match(filter))
+
+    def find(self, filter: dict, batch_size: int = 1000, no_cursor_timeout: bool = True):
+        self.find_filters.append(filter)
+        return iter(sorted(self._match(filter), key=lambda d: d["_id"]))
+
+    def bulk_write(self, models: list[dict], ordered: bool = False):
+        self.bulk_calls += 1
+        if self.fail_times > 0:
+            self.fail_times -= 1
+            raise RuntimeError("transient network error")
+        assert ordered is False  # mongodb.go:411 unordered bulk
+        for m in models:
+            assert m["upsert"] is True
+            self.docs[m["filter"]["_id"]] = dict(m["update"]["$set"])
+
+
+def _mongo_docs(n: int) -> list[dict]:
+    return [{"_id": i, "name": f"doc{i}", "v": i * 10} for i in range(1, n + 1)]
+
+
+def test_mongo_migrate_full_then_skip(tmp_path):
+    source = FakeMongoCollection(_mongo_docs(2500))
+    dest = FakeMongoCollection()
+    store = CheckpointStore(str(tmp_path), engine="mongodb")
+    stats = MigrationStats()
+
+    res = migrate_collection(
+        source, dest, "users", store, stats, batch_size=1000, parse_id=int
+    )
+    assert res == {"rows": 2500, "resumed_from": None}
+    assert dest.docs == source.docs
+    # 2500 docs / batch 1000 → 3 bulk writes (mongodb.go:338-343 + 363-368).
+    assert dest.bulk_calls == 3
+    assert store.is_complete("users")
+    snap = stats.snapshot()["users"]
+    assert (snap["processed"], snap["total"]) == (2500, 2500)
+
+    # Idempotent rerun: skip-complete (mongodb.go:239-242).
+    assert migrate_collection(source, dest, "users", store, parse_id=int) == {
+        "skipped": True,
+        "reason": "checkpoint complete",
+    }
+
+
+def test_mongo_migrate_resume_rebases_progress(tmp_path):
+    source = FakeMongoCollection(_mongo_docs(2000))
+    dest = FakeMongoCollection()
+    store = CheckpointStore(str(tmp_path), engine="mongodb")
+    stats = MigrationStats()
+    # Interrupted previous run checkpointed at _id=1500, not complete.
+    store.save("users", Checkpoint(last_key={"_id": "1500"}, complete=False))
+
+    res = migrate_collection(
+        source, dest, "users", store, stats, batch_size=200, parse_id=int
+    )
+    assert res == {"rows": 500, "resumed_from": "1500"}
+    # P5: resume filter {_id: {$gt: parsed}} (mongodb.go:264-269).
+    assert source.find_filters == [{"_id": {"$gt": 1500}}]
+    assert sorted(dest.docs) == list(range(1501, 2001))
+    # R9 (mongodb.go:286-291): denominator rebased to remaining docs.
+    assert stats.snapshot()["users"]["total"] == 500
+    assert store.is_complete("users")
+
+
+def test_mongo_bulk_retry_and_upsert_overwrite(tmp_path):
+    source = FakeMongoCollection(_mongo_docs(10))
+    # Dest already holds a stale version of doc 3 and fails twice.
+    dest = FakeMongoCollection([{"_id": 3, "name": "stale", "v": -1}], fail_times=2)
+    store = CheckpointStore(str(tmp_path), engine="mongodb")
+
+    res = migrate_collection(
+        source, dest, "users", store, batch_size=1000,
+        retry_delay=0.0, sleep=lambda _s: None, parse_id=int,
+    )
+    assert res["rows"] == 10
+    assert dest.bulk_calls == 3  # 2 failures + 1 success
+    assert dest.docs[3] == {"_id": 3, "name": "doc3", "v": 30}
+
+
+def test_mongo_bulk_retry_exhaustion_raises(tmp_path):
+    source = FakeMongoCollection(_mongo_docs(5))
+    dest = FakeMongoCollection(fail_times=10)
+    store = CheckpointStore(str(tmp_path), engine="mongodb")
+    with pytest.raises(RuntimeError):
+        migrate_collection(
+            source, dest, "users", store, max_retries=3,
+            retry_delay=0.0, sleep=lambda _s: None, parse_id=int,
+        )
+    # Not marked complete → next run resumes, doesn't skip.
+    assert not store.is_complete("users")
+
+
+def test_mongo_upsert_models_shape():
+    models = upsert_models([{"_id": 7, "a": 1}])
+    assert models == [
+        {"filter": {"_id": 7}, "update": {"$set": {"_id": 7, "a": 1}}, "upsert": True}
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Cassandra fakes
+# ---------------------------------------------------------------------------
+
+
+class FakeCQLSource:
+    """Returns canned rows for the data SELECT; records queries so tests
+    can assert the resume WHERE clause."""
+
+    def __init__(self, rows: list[dict]):
+        self.rows = rows
+        self.queries: list[str] = []
+
+    def execute(self, statement: str, parameters: tuple = ()):
+        self.queries.append(statement)
+        if "WHERE token(" in statement:
+            # Emulate server-side token filtering for the int-pk fixtures:
+            # token order == value order in these tests.
+            import re
+
+            m = re.search(r">= token\((\d+)\)", statement)
+            if m:
+                lo = int(m.group(1))
+                return [r for r in self.rows if r["id"] >= lo]
+        return list(self.rows)
+
+
+class FakeCQLDest:
+    def __init__(self, fail_times: int = 0):
+        self.fail_times = fail_times
+        self.batches: list[list[tuple[str, tuple]]] = []
+        self.rows: dict = {}
+
+    def execute(self, statement: str, parameters: tuple = ()):
+        return []
+
+    def execute_batch(self, statements: list[tuple[str, tuple]]):
+        if self.fail_times > 0:
+            self.fail_times -= 1
+            raise RuntimeError("write timeout")
+        self.batches.append(statements)
+        for _stmt, params in statements:
+            self.rows[params[0]] = params
+
+
+def _cass_rows(n: int) -> list[dict]:
+    return [
+        {"id": i, "name": f"n{i}", "ttl_name": 100 + i, "tags": [f"t{i}"]}
+        for i in range(1, n + 1)
+    ]
+
+
+_CASS_COLUMNS = [("id", "bigint"), ("name", "text"), ("tags", "list<text>")]
+
+
+def test_cassandra_copy_full_with_ttl(tmp_path):
+    source = FakeCQLSource(_cass_rows(250))
+    dest = FakeCQLDest()
+    store = CheckpointStore(str(tmp_path), engine="cassandra")
+    stats = MigrationStats()
+
+    res = copy_data(
+        source, dest,
+        source_keyspace="src", source_name="t", target_name="t2",
+        columns=_CASS_COLUMNS, partition_keys=["id"], key_columns=["id"],
+        store=store, stats=stats, batch_size=100,
+    )
+    assert res == {"rows": 250, "resumed_from": None}
+    # S5: TTL projected for non-key scalars only (collections excluded).
+    assert source.queries[0].startswith(
+        "SELECT id, name, tags, ttl(name) AS ttl_name FROM src.t"
+    )
+    assert len(dest.batches) == 3  # 100+100+50
+    stmt, params = dest.batches[0][0]
+    # W4: INSERT-as-upsert with the reference's single-row TTL
+    # approximation (cassandra.go:678-691) from the first eligible column.
+    assert stmt == "INSERT INTO t2 (id, name, tags) VALUES (?, ?, ?) USING TTL ?"
+    assert params == (1, "n1", ["t1"], 101)
+    assert store.is_complete("t")
+    assert stats.snapshot()["t"]["processed"] == 250
+
+
+def test_cassandra_copy_resume_token_where(tmp_path):
+    source = FakeCQLSource(_cass_rows(200))
+    dest = FakeCQLDest()
+    store = CheckpointStore(str(tmp_path), engine="cassandra")
+    store.save("t", Checkpoint(last_key={"id": "151"}, complete=False))
+
+    res = copy_data(
+        source, dest,
+        source_keyspace="src", source_name="t", target_name="t2",
+        columns=_CASS_COLUMNS, partition_keys=["id"], key_columns=["id"],
+        store=store, batch_size=100,
+    )
+    # P6 (cassandra.go:585-592): token-WHERE resume from the checkpoint.
+    assert source.queries[0].endswith("WHERE token(id) >= token(151)")
+    assert res["resumed_from"] == {"id": "151"}
+    assert res["rows"] == 50
+    assert sorted(dest.rows) == list(range(151, 201))
+
+
+def test_cassandra_copy_skip_complete_and_retry(tmp_path):
+    store = CheckpointStore(str(tmp_path), engine="cassandra")
+    store.mark_complete("t")
+    res = copy_data(
+        FakeCQLSource([]), FakeCQLDest(),
+        source_keyspace="src", source_name="t", target_name="t2",
+        columns=_CASS_COLUMNS, partition_keys=["id"], key_columns=["id"],
+        store=store,
+    )
+    assert res == {"skipped": True, "reason": "checkpoint complete"}
+
+    # Retry path (cassandra.go:887-898): transient failures absorbed.
+    dest = FakeCQLDest(fail_times=2)
+    res = copy_data(
+        FakeCQLSource(_cass_rows(5)), dest,
+        source_keyspace="src", source_name="u", target_name="u2",
+        columns=_CASS_COLUMNS, partition_keys=["id"], key_columns=["id"],
+        store=store, retry_delay=0.0, sleep=lambda _s: None,
+    )
+    assert res["rows"] == 5 and len(dest.batches) == 1
+
+    # Exhaustion raises and leaves the table resumable.
+    dest = FakeCQLDest(fail_times=99)
+    with pytest.raises(RuntimeError):
+        copy_data(
+            FakeCQLSource(_cass_rows(5)), dest,
+            source_keyspace="src", source_name="v", target_name="v2",
+            columns=_CASS_COLUMNS, partition_keys=["id"], key_columns=["id"],
+            store=store, max_retries=2, retry_delay=0.0, sleep=lambda _s: None,
+        )
+    assert not store.is_complete("v")
+
+
+def test_cassandra_blob_partition_key_hexed(tmp_path):
+    source = FakeCQLSource(
+        [{"id": b"\xde\xad", "name": "x", "ttl_name": 0, "tags": []}]
+    )
+    dest = FakeCQLDest()
+    store = CheckpointStore(str(tmp_path), engine="cassandra")
+    copy_data(
+        source, dest,
+        source_keyspace="src", source_name="b", target_name="b2",
+        columns=[("id", "blob"), ("name", "text"), ("tags", "list<text>")],
+        partition_keys=["id"], key_columns=["id"], store=store,
+    )
+    # cassandra.go:810-812: blob partition keys checkpoint as hex.
+    assert store.load("b").last_key == {"id": "dead"}
+
+
+# ---------------------------------------------------------------------------
+# Unit coverage: token-WHERE builder + TTL projection + batch retry
+# ---------------------------------------------------------------------------
+
+
+def test_build_token_where_quoting():
+    types = {"a": "text", "b": "blob", "c": "bigint"}
+    # cassandra.go:1119-1127: text quoted, blob 0x-prefixed, numeric raw.
+    assert (
+        build_token_where(types, ["a", "b", "c"], {"a": "x", "b": "ff", "c": "9"})
+        == "token(a, b, c) >= token('x', 0xff, 9)"
+    )
+    # Missing any partition-key value → no resume (cassandra.go:1129-1131).
+    assert build_token_where(types, ["a", "b"], {"a": "x"}) == ""
+    assert build_token_where(types, [], {}) == ""
+
+
+def test_ttl_projection_excludes_collections():
+    proj = ttl_projection(
+        ["id", "name", "tags"],
+        ["id"],
+        {"id": "bigint", "name": "text", "tags": "list<text>"},
+    )
+    assert proj == ["id", "name", "tags", "ttl(name) AS ttl_name"]
+
+
+def test_execute_batch_with_retry_succeeds_after_failures():
+    dest = FakeCQLDest(fail_times=2)
+    execute_batch_with_retry(
+        dest, [("INSERT", (1,))], max_retries=3, retry_delay=0.0, sleep=lambda _s: None
+    )
+    assert len(dest.batches) == 1
