@@ -28,7 +28,8 @@ HEADLINE = [
     "dedup_exact_fingerprint", # exact dedup
     "dedup_minhash_lsh_fast",  # near-dup candidates (LSH; xxhash64 prod path)
     "text_stats",              # text analysis pass
-    "knn_bruteforce_cosine",   # similarity search
+    "knn_bruteforce_cosine",   # similarity search (exact baseline)
+    "knn_ivf_cosine",          # similarity search (IVF scale path)
 ]
 
 

@@ -185,11 +185,19 @@ def _hyperplanes(bits: int, dim: int, seed: int) -> list[list[float]]:
 
 
 def hyperplane_signatures(
-    df: DataFrame, id_col: str, vec_col: str, bits: int = 16, dim: int = 64, seed: int = 42
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    bits: int = 16,
+    dim: int = 64,
+    seed: int = 42,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Random-hyperplane (sign) LSH: bit i = sign(v · rᵢ). Deterministic
     pseudo-random planes derived from ``seed`` driver-side. cos(θ) close ⇒
-    signatures Hamming-close (SimHash for vectors)."""
+    signatures Hamming-close (SimHash for vectors). ``keep_cols`` ride
+    along so downstream candidate joins don't need a second pass over the
+    (SF-scaling) input."""
     planes = _hyperplanes(bits, dim, seed)
     sig = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
@@ -205,7 +213,8 @@ def hyperplane_signatures(
         sig = sig.bitwiseOR(
             F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
         )
-    return df.select(F.col(id_col), F.col(vec_col), sig.alias("sig"))
+    extra = [F.col(c) for c in (keep_cols or [])]
+    return df.select(F.col(id_col), F.col(vec_col), *extra, sig.alias("sig"))
 
 
 def _knn_lsh_oracle(
@@ -299,6 +308,232 @@ def knn_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
         .select("query_id", "neighbor_id", F.round("cos_sim_raw", 4).alias("cos_sim"), "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF: coarse quantizer → inverted lists → nprobe probe → exact re-rank
+# ---------------------------------------------------------------------------
+
+
+def ivf_centroids(emb: DataFrame, vec_col: str, label_col: str) -> DataFrame:
+    """Coarse-quantizer training: per-list centroid = dimension-wise mean.
+    Sums go through DECIMAL(30,10) so the result is order-independent and
+    bit-identical across engines (float addition is not associative; a
+    Spark partial-agg tree and DuckDB's sequential sum would otherwise
+    drift in the last ulp). One posexplode shuffle of |rows|·dim narrow
+    rows — at 100 TB this is the k-means-assignment-shaped pass every IVF
+    build pays, and it partitions on (label, pos) with no skew."""
+    pe = emb.select(label_col, F.posexplode(vec_col).alias("pos", "x"))
+    per_dim = pe.groupBy(label_col, "pos").agg(
+        (F.sum(F.col("x").cast("decimal(30,10)")).cast("double") / F.count(F.lit(1))).alias("c")
+    )
+    return per_dim.groupBy(label_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s.getField("c")
+        ).alias("centroid")
+    )
+
+
+def _ivf_oracle(nprobe: int = 3, k: int = 5, n_queries: int = 10, dim: int = 64) -> str:
+    """DuckDB replay of the IVF search: identical centroid math
+    (decimal-exact means), identical assignment/probe/re-rank tie-breaks."""
+    return f"""
+    WITH pe AS (
+      SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+             unnest(embedding) AS x
+      FROM embeddings
+    ), per_dim AS (
+      SELECT label, pos,
+             CAST(sum(CAST(x AS DECIMAL(30,10))) AS DOUBLE) / count(*) AS c
+      FROM pe GROUP BY label, pos
+    ), cent AS (
+      SELECT label AS list_id, list(c ORDER BY pos) AS centroid
+      FROM per_dim GROUP BY label
+    ), ve AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), scored_cent AS (
+      SELECT ve.vec_id, ve.v, cent.list_id,
+             list_inner_product(ve.v, cent.centroid)
+               / (sqrt(list_inner_product(ve.v, ve.v))
+                * sqrt(list_inner_product(cent.centroid, cent.centroid))) AS cos_c
+      FROM ve CROSS JOIN cent
+    ), assigned AS (
+      SELECT vec_id, v, list_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cos_c DESC, list_id) AS rn
+        FROM scored_cent
+      ) WHERE rn = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, v AS qv, list_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cos_c DESC, list_id) AS rn
+        FROM scored_cent WHERE vec_id < {n_queries}
+      ) WHERE rn <= {nprobe}
+    ), cand AS (
+      SELECT DISTINCT p.query_id, p.qv, a.vec_id AS neighbor_id, a.v AS cv
+      FROM probes p JOIN assigned a ON a.list_id = p.list_id
+      WHERE a.vec_id <> p.query_id
+    ), scored AS (
+      SELECT query_id, neighbor_id,
+             list_inner_product(qv, cv)
+               / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv)))
+               AS cos_raw
+      FROM cand
+    )
+    SELECT query_id, neighbor_id, round(cos_raw, 4) AS cos_sim, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_raw DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@register("knn_ivf_cosine", _ivf_oracle())
+def knn_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5: train a coarse quantizer (per-label
+    decimal-exact mean centroids), assign every vector to its nearest
+    list, probe the ``nprobe=3`` nearest lists per query, exact cosine
+    re-rank inside the probed lists only.
+
+    100 TB shape: the centroid table is O(n_lists·dim) — constant in SF —
+    so both the assignment crossJoin and the probe join broadcast a
+    fixed-size side; the only SF-scaling shuffles are the posexplode
+    centroid build and the final candidates exchange, each linear and
+    skew-free. Search cost drops from |Q|·|N| to |Q|·(nprobe/n_lists)·|N|."""
+    nprobe, k, n_queries = 3, 5, 10
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    centroids = ivf_centroids(emb, "embedding", "label").select(
+        F.col("label").alias("list_id"), "centroid"
+    )
+    # Fixed-size side (n_lists rows regardless of SF) — broadcast is the
+    # correct plan at any scale.
+    scored_cent = vecs.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "v",
+        "list_id",
+        cosine(F.col("v"), F.col("centroid")).alias("cos_c"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), "list_id")
+    ranked = scored_cent.withColumn("rn", F.row_number().over(w_assign))
+    assigned = ranked.filter(F.col("rn") == 1).select("vec_id", "v", "list_id")
+    probes = (
+        ranked.filter((F.col("vec_id") < n_queries) & (F.col("rn") <= nprobe))
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "list_id")
+    )
+    candidates = (
+        assigned.join(F.broadcast(probes), "list_id")  # |Q|·nprobe rows: fixed-size
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "qv", F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
+        .distinct()
+    )
+    scored = candidates.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("qv"), F.col("cv")).alias("cos_raw"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos_raw", 4).alias("cos_sim"), "rank")
+    )
+
+
+def _neardup_lsh_oracle(
+    bits: int = 16, dim: int = 64, seed: int = 42, bands: int = 4,
+    band_bits: int = 4, threshold: float = 0.4,
+) -> str:
+    """DuckDB replay of the LSH-bucketed near-dup pass (literal planes,
+    same banding, same exact-cosine confirm)."""
+    planes = _hyperplanes(bits, dim, seed)
+    mask = (1 << band_bits) - 1
+    sig_terms = " + ".join(
+        "CASE WHEN list_inner_product(v, ["
+        + ",".join(repr(c) for c in plane)
+        + f"]) > 0 THEN {1 << i} ELSE 0 END"
+        for i, plane in enumerate(planes)
+    )
+    return f"""
+    WITH ve AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), sig AS (
+      SELECT vec_id, label, v, ({sig_terms}) AS sig FROM ve
+    ), banded AS (
+      SELECT vec_id, label, v, band, (sig >> (band * {band_bits})) & {mask} AS val
+      FROM sig CROSS JOIN (SELECT unnest(range(0, {bands})) AS band) b
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+                      a.v AS va, b.v AS vb, a.label AS la, b.label AS lb
+      FROM banded a JOIN banded b ON a.band = b.band AND a.val = b.val
+      WHERE a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b,
+           round(list_inner_product(va, vb)
+             / (sqrt(list_inner_product(va, va)) * sqrt(list_inner_product(vb, vb))),
+             4) AS cos_sim,
+           (la = lb) AS same_label
+    FROM cand
+    WHERE list_inner_product(va, vb)
+            / (sqrt(list_inner_product(va, va)) * sqrt(list_inner_product(vb, vb)))
+          >= {threshold}
+    """
+
+
+@register("embedding_neardup_lsh", _neardup_lsh_oracle())
+def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup at scale: candidates from the hyperplane band
+    join (cost ∝ bucket collisions, never |N|²), exact cosine ≥ 0.4
+    confirm on candidates only. The production-scale counterpart of the
+    exact ``embedding_neardup_pairs`` anchor — same output schema, recall
+    traded for a linear-in-collisions plan; bands/bits are the recall
+    knobs. Labels ride through the signature pass (keep_cols) so no second
+    scan of the SF-scaling input is needed."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sigs = hyperplane_signatures(emb, "vec_id", "embedding", keep_cols=["label"])
+
+    def banded(prefix: str) -> DataFrame:
+        return sigs.select(
+            F.col("vec_id").alias(f"id_{prefix}"),
+            F.col("embedding").alias(f"v{prefix}"),
+            F.col("label").alias(f"l{prefix}"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band"),
+                            F.shiftright("sig", i * 4).bitwiseAND(F.lit(0xF)).alias("val"),
+                        )
+                        for i in range(4)
+                    ]
+                )
+            ).alias("bb"),
+        ).select(f"id_{prefix}", f"v{prefix}", f"l{prefix}", "bb.band", "bb.val")
+
+    cand = (
+        banded("a")
+        .join(banded("b"), ["band", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "va", "vb", "la", "lb")
+        .distinct()
+    )
+    sim = cosine(F.col("va"), F.col("vb"))
+    return (
+        cand.withColumn("cos_raw", sim)
+        .filter(F.col("cos_raw") >= 0.4)
+        .select(
+            "id_a",
+            "id_b",
+            F.round("cos_raw", 4).alias("cos_sim"),
+            (F.col("la") == F.col("lb")).alias("same_label"),
+        )
     )
 
 

@@ -122,3 +122,24 @@ def test_broadcast_if_small_gates_on_size(spark):
     big = Q.broadcast_if_small(df, threshold=1)
     assert "Hint broadcast" in small._jdf.queryExecution().logical().toString()
     assert "Hint" not in big._jdf.queryExecution().logical().toString()
+
+
+def test_embedding_neardup_lsh_no_cartesian(spark):
+    """The scale path's candidate generation must stay an equi-join on
+    (band, val) — never a cartesian/nested-loop pair product."""
+    df = similarity.embedding_neardup_lsh(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_knn_ivf_broadcasts_fixed_sides_only(spark):
+    """IVF assignment/probe joins broadcast only fixed-size sides (the
+    centroid table and the |Q|·nprobe probe set); the SF-scaling corpus is
+    never the broadcast input, so the plan survives a 100× scale-up."""
+    df = similarity.knn_ivf_cosine(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert has_broadcast_join(df)
+    assert "CartesianProduct" not in plan.replace("BroadcastNestedLoopJoin Cross", "")
+    # The only nested-loop product is the corpus × 10-row-centroid
+    # crossJoin, whose broadcast side is constant in SF.
