@@ -119,6 +119,163 @@ def documents_as_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("checksum", T.StringType()),
+    ]
+)
+
+
+def fake_resize(payload: bytes, w: int, h: int) -> bytes:
+    """Deterministic resize stand-in: stride-sample the payload down to at
+    most w*h bytes (a real kernel would be PIL ``Image.resize``; the
+    byte-level contract — smaller payload, new checksum, target dims — is
+    what the Spark plumbing must preserve)."""
+    n = len(payload)
+    if n == 0:
+        return b""
+    stride = max(1, n // (w * h))
+    return payload[::stride][: w * h]
+
+
+def resize_media(df: DataFrame, w: int = 32, h: int = 32, fake: bool = True) -> DataFrame:
+    """mapInPandas resize pass: payload in, strided payload out with
+    refreshed byte-count/checksum metadata. Streams Arrow batches, so
+    executor memory is bounded by maxRecordsPerBatch regardless of payload
+    size — the shape a real PIL/ffmpeg kernel drops into."""
+    if not fake:
+        raise NotImplementedError(
+            "real resize requires image libs not present in this container"
+        )
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [fake_resize(p, w, h) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "width": w,
+                    "height": h,
+                    "n_bytes": [len(r) for r in resized],
+                    "checksum": [hashlib.md5(r).hexdigest() for r in resized],
+                }
+            )
+
+    return df.mapInPandas(run, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_bytes", T.LongType()),
+        T.StructField("frame_checksum", T.StringType()),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, every: int = 2, fake: bool = True) -> DataFrame:
+    """Frame sampling for video payloads: split the payload into
+    ``n_frames`` equal chunks (frame count from the deterministic decoder)
+    and keep every ``every``-th frame — one output row per sampled frame,
+    the 1→N mapInPandas shape a real ffmpeg keyframe sampler has."""
+    if not fake:
+        raise NotImplementedError(
+            "real frame sampling requires ffmpeg, not present in this container"
+        )
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "frame_idx": [], "frame_bytes": [], "frame_checksum": []
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                meta = decode_media(payload, "video", fake=True)
+                chunk = len(payload) // meta["n_frames"]
+                for i in range(0, meta["n_frames"], every):
+                    frame = payload[i * chunk : (i + 1) * chunk]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_bytes"].append(len(frame))
+                    out["frame_checksum"].append(hashlib.md5(frame).hexdigest())
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, FRAME_SCHEMA)
+
+
+@register(
+    "multimodal_resize",
+    # Replays fake_resize byte-for-byte: stride-sampled characters of the
+    # (pure-ASCII) fixture text, md5 of the reconstruction.
+    """
+    WITH src AS (
+      SELECT doc_id,
+             ['image','audio','video'][(doc_id % 3 + 1)] AS media_type,
+             text, length(text) AS n
+      FROM documents
+    ), strided AS (
+      SELECT doc_id, media_type, n,
+             CASE WHEN n = 0 THEN '' ELSE
+               list_aggregate(
+                 list_transform(
+                   range(1, n + 1, greatest(1, n // 1024)),
+                   i -> text[i]),
+                 'string_agg', '')[:1024]
+             END AS resized
+      FROM src
+    )
+    SELECT doc_id, media_type,
+           CAST(32 AS INTEGER) AS width, CAST(32 AS INTEGER) AS height,
+           CAST(length(resized) AS BIGINT) AS n_bytes,
+           md5(resized) AS checksum
+    FROM strided
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize pass over the media table (32×32 fake kernel), metadata
+    refreshed in the same Arrow-batched stream."""
+    return resize_media(documents_as_media(spark, sf_dir), w=32, h=32)
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+    WITH hashed AS (
+      SELECT doc_id, text, length(text) AS n,
+             list_sum(list_transform(range(1, least(64, length(text)) + 1),
+                                     i -> ascii(text[i]))) AS h
+      FROM documents
+    ), meta AS (
+      SELECT doc_id, text, n, CAST(1 + h % 4 AS INTEGER) AS n_frames
+      FROM hashed
+    )
+    SELECT doc_id,
+           CAST(frame_idx AS INTEGER) AS frame_idx,
+           CAST(length(frame) AS BIGINT) AS frame_bytes,
+           md5(frame) AS frame_checksum
+    FROM (
+      SELECT doc_id, unnest(range(0, n_frames, 2)) AS frame_idx,
+             n // n_frames AS chunk, text
+      FROM meta
+    ) f
+    CROSS JOIN LATERAL (SELECT substr(text, frame_idx * chunk + 1, chunk) AS frame) s
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every-2nd-frame sampling over video-typed payloads — the 1→N
+    mapInPandas shape (one input row fans out to its sampled frames)."""
+    media = documents_as_media(spark, sf_dir)
+    return sample_frames(media, every=2)
+
+
 @register(
     "multimodal_payload_stats",
     """

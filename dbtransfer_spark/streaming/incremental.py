@@ -145,6 +145,45 @@ def sessionized_stream(
     )
 
 
+def stateful_user_totals(
+    spark: SparkSession, source_dir: str, watermark: str = "2 hours"
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    lifetime totals (event count + value sum) carried across micro-batches
+    in explicit group state — the escape hatch for aggregations session/
+    tumbling windows can't express (the reference has no analog; this is
+    the Spark-native form of a hand-rolled per-key accumulator loop).
+
+    Each trigger emits the group's refreshed totals (update mode). State
+    is one fixed-width tuple per user — O(distinct keys), watermark-bounded
+    input, no growth with stream length — the 100 TB-safe shape.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    output_schema = "user_id long, n_events long, total_value double"
+    state_schema = "n_events long, total_value double"
+
+    def update(key, pdfs, state: GroupState):
+        n, tot = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            tot += float(pdf["value"].sum())
+        state.update((n, tot))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [tot]}
+        )
+
+    return (
+        read_event_stream(spark, source_dir)
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, output_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
 def run_stream_to_memory(
     spark: SparkSession, stream_df: DataFrame, query_name: str, output_mode: str = "complete"
 ) -> DataFrame:

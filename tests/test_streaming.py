@@ -78,3 +78,38 @@ def test_sessionized_stream_matches_batch(spark, events_dir):
     batch = batch_windows.events_session_30m(spark, SF_SMOKE)
     assert streamed.count() == batch.count()
     assert streamed.exceptAll(batch).count() == 0
+
+
+def test_stateful_user_totals_matches_batch(spark, events_dir):
+    """applyInPandasWithState carries per-user state across micro-batches;
+    after draining, each user's latest emitted totals must equal the batch
+    groupBy aggregate over the same files."""
+    from dbtransfer_spark.streaming.incremental import stateful_user_totals
+
+    streamed = run_stream_to_memory(
+        spark,
+        stateful_user_totals(spark, events_dir),
+        "stateful_totals_test",
+        output_mode="update",
+    )
+    # Update mode emits one row per user per trigger; the final state is
+    # the row with that user's max n_events.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    final = (
+        streamed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "total_value")
+    )
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+    )
+    f = {r["user_id"]: r for r in final.collect()}
+    b = {r["user_id"]: r for r in batch.collect()}
+    assert set(f) == set(b)
+    for uid in b:
+        assert f[uid]["n_events"] == b[uid]["n_events"]
+        assert f[uid]["total_value"] == pytest.approx(b[uid]["total_value"], rel=1e-9)
