@@ -84,6 +84,34 @@ def write_options(
 
 
 # ---------------------------------------------------------------------------
+# C3: key detection over an injectable session (cassandra.go:493-528)
+# ---------------------------------------------------------------------------
+
+
+def detect_keys(
+    session: "CQLSession", keyspace: str, table: str
+) -> tuple[list[str], list[str]]:
+    """C3 (cassandra.go:493-528 + 1093-1111): read system_schema.columns
+    kinds and return ``(partition_keys, clustering_keys)``, each sorted by
+    position. Raises if the table declares no keys, like the reference."""
+    partition: list[tuple[int, str]] = []
+    clustering: list[tuple[int, str]] = []
+    for row in session.execute(
+        "SELECT column_name, kind, position FROM system_schema.columns "
+        "WHERE keyspace_name = %s AND table_name = %s",
+        (keyspace, table),
+    ):
+        d = row if isinstance(row, dict) else row._asdict()
+        if d["kind"] == "partition_key":
+            partition.append((d["position"], d["column_name"]))
+        elif d["kind"] == "clustering":
+            clustering.append((d["position"], d["column_name"]))
+    if not partition and not clustering:
+        raise RuntimeError(f"table {table} has no primary key")
+    return [c for _, c in sorted(partition)], [c for _, c in sorted(clustering)]
+
+
+# ---------------------------------------------------------------------------
 # C6/C7: UDT + UDF dependency migration (cassandra.go:293-443)
 # ---------------------------------------------------------------------------
 

@@ -324,3 +324,34 @@ def test_execute_batch_with_retry_succeeds_after_failures():
         dest, [("INSERT", (1,))], max_retries=3, retry_delay=0.0, sleep=lambda _s: None
     )
     assert len(dest.batches) == 1
+
+
+def test_cassandra_detect_keys_sorted_by_position():
+    """C3 (cassandra.go:493-528): partition/clustering keys from
+    system_schema kinds, each position-sorted; keyless tables error."""
+    from dbtransfer_spark.sources.cassandra import detect_keys
+
+    session = FakeCQLSourceRows(
+        [
+            {"column_name": "c2", "kind": "clustering", "position": 1},
+            {"column_name": "p2", "kind": "partition_key", "position": 1},
+            {"column_name": "p1", "kind": "partition_key", "position": 0},
+            {"column_name": "c1", "kind": "clustering", "position": 0},
+            {"column_name": "v", "kind": "regular", "position": -1},
+        ]
+    )
+    assert detect_keys(session, "ks", "t") == (["p1", "p2"], ["c1", "c2"])
+
+    with pytest.raises(RuntimeError):
+        detect_keys(
+            FakeCQLSourceRows([{"column_name": "v", "kind": "regular", "position": -1}]),
+            "ks", "t",
+        )
+
+
+class FakeCQLSourceRows:
+    def __init__(self, rows):
+        self.rows = rows
+
+    def execute(self, statement: str, parameters: tuple = ()):
+        return list(self.rows)
