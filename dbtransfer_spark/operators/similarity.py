@@ -420,7 +420,15 @@ def knn_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         cosine(F.col("v"), F.col("centroid")).alias("cos_c"),
     )
     w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), "list_id")
-    ranked = scored_cent.withColumn("rn", F.row_number().over(w_assign))
+    # Both consumers (assignment, probes) come from the same ranked pass;
+    # without a persist Spark recomputes the scan + crossJoin + window per
+    # branch (no ReusedExchange across the differing filters). rn <= nprobe
+    # keeps the cached set to |N|·nprobe narrow rows.
+    ranked = (
+        scored_cent.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") <= nprobe)
+        .persist()
+    )
     assigned = ranked.filter(F.col("rn") == 1).select("vec_id", "v", "list_id")
     probes = (
         ranked.filter((F.col("vec_id") < n_queries) & (F.col("rn") <= nprobe))
