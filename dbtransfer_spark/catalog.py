@@ -103,6 +103,40 @@ def _default_parallelism() -> int:
     return max(1, int(cpus)) if cpus else (os.cpu_count() or 4)
 
 
+def create_bucketed_tables(
+    spark: SparkSession,
+    sf_dir: str,
+    specs: dict[str, tuple[list[str], int]],
+    prefix: str = "bkt",
+) -> dict[str, str]:
+    """Write tables bucketed (+ sorted) on their join keys as managed
+    tables, so every future equi-join between co-bucketed tables runs
+    shuffle-free (Spark matches bucket specs and drops both Exchanges —
+    and with sortBy, both Sorts).
+
+    This is the 100 TB co-location strategy for *repeated* joins: pay one
+    shuffle at ingest, then every orders⋈lineitem-style join reads
+    co-located buckets. Bucket count is a layout decision — at 100 TB pick
+    buckets so each is a few hundred MB; locally the default 8 keeps file
+    counts sane. Idempotent per (name, keys, buckets) via overwrite.
+
+    Returns {source_table: bucketed_table_name}.
+    """
+    out: dict[str, str] = {}
+    for name, (keys, n_buckets) in specs.items():
+        tbl = f"{prefix}_{name}"
+        (
+            load_table(spark, sf_dir, name)
+            .write.mode("overwrite")
+            .bucketBy(n_buckets, *keys)
+            .sortBy(*keys)
+            .format("parquet")
+            .saveAsTable(tbl)
+        )
+        out[name] = tbl
+    return out
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     ns_cols = _nanos_timestamp_columns(path)

@@ -143,3 +143,35 @@ def test_knn_ivf_broadcasts_fixed_sides_only(spark):
     assert "CartesianProduct" not in plan.replace("BroadcastNestedLoopJoin Cross", "")
     # The only nested-loop product is the corpus × 10-row-centroid
     # crossJoin, whose broadcast side is constant in SF.
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Co-bucketed + sorted tables join with zero Exchange and zero Sort:
+    the pay-one-shuffle-at-ingest layout for repeated 100 TB joins."""
+    from pyspark.sql import functions as F
+
+    from dbtransfer_spark.catalog import create_bucketed_tables
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        names = create_bucketed_tables(
+            spark,
+            SF_SMOKE,
+            {"orders": (["o_orderkey"], 8), "lineitem": (["l_orderkey"], 8)},
+        )
+        joined = spark.table(names["orders"]).join(
+            spark.table(names["lineitem"]),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        plan = formatted_plan(joined)
+        assert "SortMergeJoin" in plan
+        assert count_exchanges(joined) == 0
+        # Bucket-local sort order satisfies the SMJ requirement too.
+        assert "Sort [" not in plan.split("SortMergeJoin")[0]
+        n = joined.count()
+        assert n == spark.table(names["lineitem"]).count()  # FK join
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for t in ("bkt_orders", "bkt_lineitem"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
