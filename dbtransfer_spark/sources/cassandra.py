@@ -112,6 +112,53 @@ def detect_keys(
 
 
 # ---------------------------------------------------------------------------
+# C5: CQL DDL reconstruction from the source catalog (cassandra.go:900-980)
+# ---------------------------------------------------------------------------
+
+
+def get_table_schema(session: "CQLSession", keyspace: str, table: str) -> str:
+    """Reconstruct ``CREATE TABLE IF NOT EXISTS`` from system_schema —
+    columns with source CQL types, ``PRIMARY KEY ((partition...),
+    clustering...)``, and ``default_time_to_live`` when set
+    (cassandra.go:900-980). Key columns are position-sorted (the reference
+    relies on catalog row order, which is alphabetical — position is the
+    actual declared key order)."""
+    columns: list[str] = []
+    partition: list[tuple[int, str]] = []
+    clustering: list[tuple[int, str]] = []
+    for row in session.execute(
+        "SELECT column_name, type, kind, position FROM system_schema.columns "
+        "WHERE keyspace_name = %s AND table_name = %s",
+        (keyspace, table),
+    ):
+        d = row if isinstance(row, dict) else row._asdict()
+        columns.append(f"{d['column_name']} {d['type']}")
+        if d["kind"] == "partition_key":
+            partition.append((d["position"], d["column_name"]))
+        elif d["kind"] == "clustering":
+            clustering.append((d["position"], d["column_name"]))
+    if not columns:
+        raise RuntimeError(f"no table schema found for table {table}")
+
+    default_ttl = 0
+    for row in session.execute(
+        "SELECT default_time_to_live FROM system_schema.tables "
+        "WHERE keyspace_name = %s AND table_name = %s",
+        (keyspace, table),
+    ):
+        d = row if isinstance(row, dict) else row._asdict()
+        default_ttl = d.get("default_time_to_live") or 0
+
+    body = ",\n    ".join(columns)
+    if partition:
+        pk = ", ".join(c for _, c in sorted(partition))
+        cl = ", ".join(c for _, c in sorted(clustering))
+        body += f",\n    PRIMARY KEY (({pk}){', ' + cl if cl else ''})"
+    ttl = f" WITH default_time_to_live = {default_ttl}" if default_ttl > 0 else ""
+    return f"CREATE TABLE IF NOT EXISTS {table} (\n    {body}\n){ttl}"
+
+
+# ---------------------------------------------------------------------------
 # C6/C7: UDT + UDF dependency migration (cassandra.go:293-443)
 # ---------------------------------------------------------------------------
 
@@ -460,3 +507,74 @@ def copy_data(
 
     store.mark_complete(source_name, last_key or None)
     return {"rows": migrated, "resumed_from": resumed_from}
+
+
+def table_exists(session: "CQLSession", keyspace: str, table: str) -> bool:
+    """S7 existence probe (cassandra.go:246-262)."""
+    rows = session.execute(
+        "SELECT table_name FROM system_schema.tables "
+        "WHERE keyspace_name = %s AND table_name = %s",
+        (keyspace, table),
+    )
+    return bool(list(rows))
+
+
+def migrate_table(
+    source: CQLSession,
+    dest: CQLBatchSession,
+    *,
+    source_keyspace: str,
+    dest_keyspace: str,
+    source_name: str,
+    target_name: str | None = None,
+    store,
+    stats=None,
+    batch_size: int = 1000,
+    max_retries: int = 3,
+    retry_delay: float = 5.0,
+    rate_limiter=None,
+    sleep=None,
+) -> dict[str, Any]:
+    """Full migrateTable orchestration (cassandra.go:236-291): checkpoint
+    skip → existence probe → UDT/UDF dependency migration → DDL clone on
+    the destination (source name swapped for target, cassandra.go:276) →
+    catalog-driven column/key discovery → ``copy_data``."""
+    target = target_name or source_name
+
+    if store.is_complete(source_name):  # checkpoint first (237-244)
+        return {"skipped": True, "reason": "checkpoint complete"}
+    if not table_exists(source, source_keyspace, source_name):
+        raise RuntimeError(f"source table {source_name} does not exist")
+
+    migrate_dependencies(source, dest, source_keyspace, dest_keyspace)
+
+    ddl = get_table_schema(source, source_keyspace, source_name)
+    dest.execute(ddl.replace(source_name, target, 1))  # cassandra.go:274-288
+
+    columns: list[tuple[str, str]] = []
+    for row in source.execute(
+        "SELECT column_name, type FROM system_schema.columns "
+        "WHERE keyspace_name = %s AND table_name = %s",
+        (source_keyspace, source_name),
+    ):
+        d = row if isinstance(row, dict) else row._asdict()
+        columns.append((d["column_name"], d["type"]))
+    partition_keys, clustering_keys = detect_keys(source, source_keyspace, source_name)
+
+    return copy_data(
+        source,
+        dest,
+        source_keyspace=source_keyspace,
+        source_name=source_name,
+        target_name=target,
+        columns=columns,
+        partition_keys=partition_keys,
+        key_columns=partition_keys + clustering_keys,
+        store=store,
+        stats=stats,
+        batch_size=batch_size,
+        max_retries=max_retries,
+        retry_delay=retry_delay,
+        rate_limiter=rate_limiter,
+        sleep=sleep,
+    )

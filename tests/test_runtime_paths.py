@@ -355,3 +355,101 @@ class FakeCQLSourceRows:
 
     def execute(self, statement: str, parameters: tuple = ()):
         return list(self.rows)
+
+
+class FakeCatalogSession:
+    """Source session answering the catalog queries migrate_table issues
+    (prefix-matched) and the data SELECT (fallback)."""
+
+    def __init__(self, catalog: dict[str, list[dict]], data_rows: list[dict]):
+        self.catalog = catalog
+        self.data_rows = data_rows
+        self.queries: list[str] = []
+
+    def execute(self, statement: str, parameters: tuple = ()):
+        self.queries.append(statement)
+        for prefix, rows in self.catalog.items():
+            if statement.startswith(prefix):
+                return list(rows)
+        return list(self.data_rows)
+
+
+class RecordingCQLDest(FakeCQLDest):
+    def __init__(self):
+        super().__init__()
+        self.ddl: list[str] = []
+
+    def execute(self, statement: str, parameters: tuple = ()):
+        self.ddl.append(statement)
+        return []
+
+
+def test_cassandra_migrate_table_end_to_end(tmp_path):
+    """migrateTable orchestration (cassandra.go:236-291): existence probe →
+    dependency migration (UDT referenced by a column) → DDL clone with the
+    target name, reconstructed PRIMARY KEY and default TTL → full copy."""
+    from dbtransfer_spark.sources.cassandra import migrate_table
+
+    catalog = {
+        "SELECT table_name FROM system_schema.tables": [{"table_name": "src_t"}],
+        "SELECT default_time_to_live FROM system_schema.tables": [
+            {"default_time_to_live": 86400}
+        ],
+        # keyspace-wide scan used by migrate_dependencies
+        "SELECT table_name, column_name, type FROM system_schema.columns": [
+            {"table_name": "src_t", "column_name": "id", "type": "bigint"},
+            {"table_name": "src_t", "column_name": "addr", "type": "frozen<address>"},
+        ],
+        # per-table scans: schema reconstruction / column list / key kinds
+        "SELECT column_name, type, kind, position FROM system_schema.columns": [
+            {"column_name": "id", "type": "bigint", "kind": "partition_key", "position": 0},
+            {"column_name": "seq", "type": "int", "kind": "clustering", "position": 0},
+            {"column_name": "addr", "type": "frozen<address>", "kind": "regular", "position": -1},
+        ],
+        "SELECT column_name, type FROM system_schema.columns": [
+            {"column_name": "id", "type": "bigint"},
+            {"column_name": "seq", "type": "int"},
+            {"column_name": "addr", "type": "frozen<address>"},
+        ],
+        "SELECT column_name, kind, position FROM system_schema.columns": [
+            {"column_name": "id", "kind": "partition_key", "position": 0},
+            {"column_name": "seq", "kind": "clustering", "position": 0},
+            {"column_name": "addr", "kind": "regular", "position": -1},
+        ],
+        "SELECT options FROM system_schema.indexes": [],
+        "SELECT type_name, field_names, field_types FROM system_schema.types": [
+            {"type_name": "address", "field_names": ["street"], "field_types": ["text"]},
+        ],
+        "SELECT function_name": [],
+    }
+    data = [
+        {"id": i, "seq": 1, "addr": {"street": f"s{i}"}, "ttl_addr": 50 + i}
+        for i in range(1, 6)
+    ]
+    source = FakeCatalogSession(catalog, data)
+    dest = RecordingCQLDest()
+    store = CheckpointStore(str(tmp_path), engine="cassandra")
+
+    res = migrate_table(
+        source, dest,
+        source_keyspace="src_ks", dest_keyspace="dst_ks",
+        source_name="src_t", target_name="dst_t",
+        store=store, batch_size=2,
+    )
+    assert res == {"rows": 5, "resumed_from": None}
+    # Dependencies strictly before DDL; DDL carries target name, key
+    # structure, and the default TTL (cassandra.go:270-288 + 900-980).
+    assert dest.ddl[0] == "CREATE TYPE IF NOT EXISTS dst_ks.address (street text)"
+    assert dest.ddl[1] == (
+        "CREATE TABLE IF NOT EXISTS dst_t (\n"
+        "    id bigint,\n    seq int,\n    addr frozen<address>,\n"
+        "    PRIMARY KEY ((id), seq)\n"
+        ") WITH default_time_to_live = 86400"
+    )
+    # Copy: TTL projected for the regular scalar-ish column only (addr is
+    # frozen<>, not a collection → TTL-eligible like the reference).
+    stmt, params = dest.batches[0][0]
+    assert stmt == "INSERT INTO dst_t (id, seq, addr) VALUES (?, ?, ?) USING TTL ?"
+    assert params == (1, 1, {"street": "s1"}, 51)
+    assert len(dest.batches) == 3  # 2+2+1
+    assert store.is_complete("src_t")
