@@ -145,6 +145,38 @@ def read_options(
     return opts
 
 
+def transform_pushdown_subquery(
+    table: str,
+    columns: list[str],
+    transforms: dict[str, str],
+    watermark_pk: str | None = None,
+    watermark: int | None = None,
+) -> str:
+    """P1 true-pushdown mode: embed the configured transform expressions —
+    written in the *source* dialect, exactly as the reference forwards them
+    (mysql.go:599-618: ``SELECT <expr> AS col, ...``) — into a JDBC
+    subquery, so the source database evaluates them and only transformed
+    rows cross the wire. The default engine path instead translates to
+    Spark SQL and lets Catalyst evaluate (portable); this builder is the
+    opt-in parity/efficiency mode for sources where reducing transfer
+    width matters more than dialect portability. Composes with the keyset
+    resume predicate (P4)."""
+    from dbtransfer_spark.transforms import validate_expression
+
+    parts = []
+    for col in columns:
+        expr = transforms.get(col)
+        if expr is None:
+            parts.append(col)
+        else:
+            validate_expression(expr)
+            parts.append(f"{expr} AS {col}")
+    q = f"SELECT {', '.join(parts)} FROM {table}"
+    if watermark_pk and watermark is not None:
+        q += f" WHERE {watermark_pk} > {watermark}"
+    return f"({q}) AS t"
+
+
 # ---------------------------------------------------------------------------
 # Upsert statement generation (pure functions; W1/W2 parity).
 # ---------------------------------------------------------------------------
@@ -273,6 +305,13 @@ def make_upsert_partition_writer(
 
 
 class JDBCSource(Source):
+    def __init__(self, spark, cfg, pushdown_transforms: bool = False):
+        super().__init__(spark, cfg)
+        # P1 parity mode: evaluate transforms inside the source database
+        # (reference behavior) instead of in Catalyst. The engine skips its
+        # own apply_transforms for tables read this way.
+        self.pushdown_transforms = pushdown_transforms
+
     def read(self, table: TableMapping) -> DataFrame:
         pk_cols = self.detect_primary_key(table)
         pk = pk_cols[0] if pk_cols else None
@@ -303,6 +342,16 @@ class JDBCSource(Source):
             upper,
             num_partitions=int(self.spark.conf.get("spark.sql.shuffle.partitions", "32")),
         )
+        transforms = table.transform_map()
+        if self.pushdown_transforms and transforms:
+            df_probe = (
+                self.spark.read.format("jdbc")
+                .options(**{**opts, "dbtable": table.name})
+                .load()
+            )
+            opts["dbtable"] = transform_pushdown_subquery(
+                table.name, df_probe.columns, transforms
+            )
         return self.spark.read.format("jdbc").options(**opts).load()
 
     def detect_primary_key(self, table: TableMapping) -> list[str]:

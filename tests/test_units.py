@@ -357,3 +357,39 @@ def test_cassandra_udt_udf_migration_end_to_end():
         "CREATE OR REPLACE FUNCTION dst_ks.my_func (text) RETURNS int "
         "LANGUAGE java RETURNS NULL ON NULL INPUT AS $$return 1;$$",
     ]
+
+
+def test_transform_pushdown_subquery():
+    """P1 pushdown mode: source-dialect expressions embedded in the JDBC
+    subquery (mysql.go:599-618 SELECT-list shape), composed with the P4
+    keyset resume predicate; dangerous expressions rejected."""
+    import sqlite3
+
+    from dbtransfer_spark.sources.jdbc import transform_pushdown_subquery
+    from dbtransfer_spark.transforms import TransformError
+
+    sub = transform_pushdown_subquery(
+        "users",
+        ["id", "name", "bal"],
+        {"name": "UPPER(name)", "bal": "bal * 100"},
+        watermark_pk="id",
+        watermark=5,
+    )
+    assert sub == (
+        "(SELECT id, UPPER(name) AS name, bal * 100 AS bal "
+        "FROM users WHERE id > 5) AS t"
+    )
+
+    # The emitted text is a valid derived table: run it on a real engine.
+    with sqlite3.connect(":memory:") as conn:
+        conn.execute("CREATE TABLE users (id int, name text, bal real)")
+        conn.executemany(
+            "INSERT INTO users VALUES (?, ?, ?)",
+            [(i, f"n{i}", i * 1.0) for i in range(1, 11)],
+        )
+        rows = conn.execute(f"SELECT * FROM {sub} ORDER BY id").fetchall()
+    assert rows[0] == (6, "N6", 600.0)
+    assert len(rows) == 5
+
+    with pytest.raises(TransformError):
+        transform_pushdown_subquery("t", ["a"], {"a": "1; DROP TABLE t"})
