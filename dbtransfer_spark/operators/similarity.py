@@ -355,10 +355,11 @@ def _ivf_oracle(nprobe: int = 3, k: int = 5, n_queries: int = 10, dim: int = 64)
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings
     ), scored_cent AS (
+      -- Ranking score: cosine scaled by the per-vector constant norm(v)
+      -- (order-identical per vec_id, one aggregate pass cheaper).
       SELECT ve.vec_id, ve.v, cent.list_id,
              list_inner_product(ve.v, cent.centroid)
-               / (sqrt(list_inner_product(ve.v, ve.v))
-                * sqrt(list_inner_product(cent.centroid, cent.centroid))) AS cos_c
+               / sqrt(list_inner_product(cent.centroid, cent.centroid)) AS cos_c
       FROM ve CROSS JOIN cent
     ), assigned AS (
       SELECT vec_id, v, list_id FROM (
@@ -413,11 +414,15 @@ def knn_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Fixed-size side (n_lists rows regardless of SF) — broadcast is the
     # correct plan at any scale.
+    # Ranking-only score: cosine × norm(v) — norm(v) is constant within a
+    # vec_id partition, so argmax/top-nprobe are unchanged and one
+    # aggregate fold per (vector, centroid) pair is saved. The oracle uses
+    # the identical formula, keeping float comparisons bit-equal.
     scored_cent = vecs.crossJoin(F.broadcast(centroids)).select(
         "vec_id",
         "v",
         "list_id",
-        cosine(F.col("v"), F.col("centroid")).alias("cos_c"),
+        (dot(F.col("v"), F.col("centroid")) / norm(F.col("centroid"))).alias("cos_c"),
     )
     w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), "list_id")
     # Both consumers (assignment, probes) come from the same ranked pass;
