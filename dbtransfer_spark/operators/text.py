@@ -4,8 +4,8 @@ All hot-path metrics are built-in JVM expressions (length/split/regexp_*)
 — no Python in the data path, so they codegen into the scan stage and scale
 linearly. Language ID is the one genuinely heuristic operator: implemented
 as a vectorized pandas UDF (Arrow batches) scoring language-specific
-stopword hit-rates; its oracle is omitted (rows-only check) because the
-heuristic is not ANSI-SQL-expressible.
+stopword hit-rates; its oracle replays the same stopword-argmax in SQL
+(list_filter + greatest over the literal stopword sets).
 """
 
 from __future__ import annotations
@@ -142,6 +142,86 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return load_table(spark, sf_dir, "documents").select(
         "doc_id", F.md5(norm).alias("fingerprint")
+    )
+
+
+@register(
+    "corpus_curation",
+    r"""
+    WITH scored AS (
+      SELECT doc_id, lang, text,
+             length(text) AS n_chars,
+             len(string_split(text, ' ')) AS n_tokens,
+             CASE WHEN len(string_split(text, ' ')) = 0 THEN 0.0
+                  ELSE CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                       / len(string_split(text, ' ')) END AS mwl,
+             md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                     ' +', ' ', 'g'))) AS fingerprint
+      FROM documents
+    ), quality AS (
+      SELECT * FROM scored
+      WHERE n_chars >= 20 AND n_tokens >= 5 AND mwl BETWEEN 2.0 AND 12.0
+    ), deduped AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+        FROM quality
+      ) WHERE rn = 1
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(CAST(sum(CAST(mwl AS DECIMAL(30,10))) AS DOUBLE) / count(*), 4)
+             AS avg_word_len
+    FROM deduped GROUP BY lang
+    """,
+)
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation pipeline a training-data run executes, as
+    one declarative plan: quality gating (length/token/word-length
+    filters) → exact near-dup removal on the normalized fingerprint
+    (deterministic keep-min) → per-language corpus stats.
+
+    Composition is the point: every stage is the already-verified operator
+    (text_quality, doc_fingerprint, exact-dedup window) fused by Catalyst
+    into scan → filter → one fingerprint shuffle → one lang shuffle, with
+    WindowGroupLimit pushing the keep-min below the exchange. No Python in
+    the plan; at 100 TB the only wide stages are the two key shuffles."""
+    df = load_table(spark, sf_dir, "documents")
+    tokens = F.split("text", " ", -1)
+    n_tokens = F.size(tokens)
+    mwl = F.when(n_tokens == 0, F.lit(0.0)).otherwise(
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double") / n_tokens
+    )
+    fingerprint = F.md5(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
+            )
+        )
+    )
+    scored = df.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        mwl.alias("mwl"),
+        fingerprint.alias("fingerprint"),
+    )
+    quality = scored.filter(
+        (F.col("n_chars") >= 20) & (F.col("n_tokens") >= 5) & F.col("mwl").between(2.0, 12.0)
+    )
+    from pyspark.sql import Window
+
+    keep = Window.partitionBy("fingerprint").orderBy("doc_id")
+    deduped = (
+        quality.withColumn("rn", F.row_number().over(keep)).filter(F.col("rn") == 1)
+    )
+    return deduped.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.round(
+            F.sum(F.col("mwl").cast("decimal(30,10)")).cast("double") / F.count(F.lit(1)), 4
+        ).alias("avg_word_len"),
     )
 
 
