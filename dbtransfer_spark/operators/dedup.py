@@ -135,40 +135,78 @@ def dedup_exact_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-3-gram Jaccard similarity join, threshold 0.5.
+    """Word-3-gram Jaccard similarity join, threshold 0.5 (see
+    ``ngram_jaccard_pairs``). The declared query runs uncapped so the
+    oracle is an exact replay; production corpora set ``max_doc_freq``."""
+    df = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(df, "doc_id", "text")
 
-    Implementation is the inverted-index pattern: explode distinct shingles,
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_len: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Inverted-index n-gram Jaccard join: explode distinct shingles,
     self-join on shingle (pairs only where they co-occur), count
     intersections, compute |A∪B| from per-doc shingle counts. No all-pairs
-    product; shuffle is bounded by shingle frequency. At 100 TB you'd add
-    a document-frequency cap (drop shingles in >X docs — stopword-gram
-    suppression) to bound the hottest buckets; the MinHash variant below
-    replaces the exact intersection count entirely."""
-    df = load_table(spark, sf_dir, "documents")
-    words = F.split("text", " ", -1)
+    product; shuffle is bounded by shingle frequency.
+
+    ``max_doc_freq`` is the 100 TB knob: drop shingles appearing in more
+    than that many documents (stopword-gram suppression) before the
+    self-join, bounding the hottest inverted-index buckets — the join cost
+    is Σ df(s)² over shingles s, so one ubiquitous shingle otherwise
+    re-creates the quadratic blowup. Union sizes stay pre-cap, so surviving
+    pairs get a conservative (under-)estimate of their true Jaccard; pairs
+    whose overlap is exclusively hot shingles may be missed (the standard
+    recall trade; MinHash below replaces exact counting entirely).
+    """
+    words = F.split(text_col, " ", -1)
     n = F.size(words)
     # Guard: sequence(0, -1) yields [0, -1] (step inferred -1), not empty —
-    # a <3-word doc would reach slice(words, 0, 3), which always errors.
-    idx = F.when(n >= 3, F.sequence(F.lit(0), n - 3)).otherwise(
+    # a doc shorter than the shingle length would reach slice(words, 0, k),
+    # which always errors.
+    idx = F.when(n >= shingle_len, F.sequence(F.lit(0), n - shingle_len)).otherwise(
         F.array().cast("array<int>")
     )
     shingled = (
         df.select(
-            "doc_id",
+            F.col(id_col),
             F.explode(
                 F.array_distinct(
-                    F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, 3)))
+                    F.transform(
+                        idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, shingle_len))
+                    )
                 )
             ).alias("shingle"),
         )
         .filter(F.col("shingle") != "")
     )
-    sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    if max_doc_freq is not None:
+        hot = (
+            shingled.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("shingle")
+        )
+        # Hot-shingle set is tiny by construction (only ubiquitous grams
+        # exceed the cap) — broadcast anti-join strips them scan-side.
+        shingled = shingled.join(F.broadcast(hot), "shingle", "left_anti")
     a = shingled.alias("a")
     b = shingled.alias("b")
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     sa = sizes.alias("sa")
@@ -176,10 +214,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("n_common").cast("double") / (
         F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")
     )
+    # sizes scales with the corpus — no pinned broadcast (AQE converts to
+    # broadcast at runtime when the aggregated side actually fits).
     return (
-        inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
-        .filter(jac >= 0.5)
+        inter.join(sa, F.col("doc_a") == F.col(f"sa.{id_col}"))
+        .join(sb, F.col("doc_b") == F.col(f"sb.{id_col}"))
+        .filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
 

@@ -145,3 +145,49 @@ def test_salted_join_equals_plain_join(spark):
     plain = big.join(small, "k")
     assert salted.count() == plain.count() == 200
     assert salted.exceptAll(plain).count() == 0
+
+
+def test_ngram_doc_freq_cap(spark):
+    """max_doc_freq strips ubiquitous shingles before the inverted-index
+    self-join: pairs that only co-occur on hot grams disappear, a
+    generous cap reproduces the exact result, and surviving scores never
+    overestimate the uncapped Jaccard."""
+    from dbtransfer_spark.operators.dedup import ngram_jaccard_pairs
+
+    hot = "the quick brown"  # present in every doc → df = 4
+    docs = spark.createDataFrame(
+        [
+            (1, f"{hot} fox jumps over lazy dogs today"),
+            (2, f"{hot} fox jumps over lazy dogs today"),   # true dup of 1
+            (3, f"{hot} cat sleeps on warm mats quietly"),
+            (4, f"{hot} bird sings in green trees loudly"),
+        ],
+        "doc_id long, text string",
+    )
+    uncapped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.0).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.0, max_doc_freq=3
+        ).collect()
+    }
+    # All pairs co-occur somewhere uncapped (shared hot prefix)…
+    assert (3, 4) in uncapped
+    # …but (3,4) overlaps ONLY on hot shingles → gone under the cap.
+    assert (3, 4) not in capped
+    # The true duplicate pair survives, scored conservatively.
+    assert (1, 2) in capped
+    assert capped[(1, 2)] <= uncapped[(1, 2)] == 1.0
+    for pair, score in capped.items():
+        assert score <= uncapped[pair]
+    # Cap above every doc-frequency == exact result.
+    loose = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.0, max_doc_freq=100
+        ).collect()
+    }
+    assert loose == uncapped

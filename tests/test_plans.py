@@ -175,3 +175,36 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         for t in ("bkt_orders", "bkt_lineitem"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+# Queries whose plan legitimately contains a nested-loop product:
+# - crossJoin against a side CONSTANT in SF (probe-query set, 10-row
+#   centroid table): knn_bruteforce_cosine, knn_ivf_cosine;
+# - embedding_neardup_pairs: the documented O(n²) exactness anchor (its
+#   id_a < id_b join is non-equi by definition); the production-scale
+#   route is embedding_neardup_lsh, which this sweep holds to equi-joins.
+# Everything else must be equi-join only.
+_FIXED_SIDE_CROSSJOINS = {
+    "knn_bruteforce_cosine",
+    "knn_ivf_cosine",
+    "embedding_neardup_pairs",
+}
+
+
+def test_no_query_has_unbounded_cartesian(spark):
+    """Sweep every declared query: no CartesianProduct anywhere, and
+    nested-loop joins only in the whitelisted fixed-broadcast-side cases —
+    the 'no quadratic trap at 100 TB' invariant, enforced globally."""
+    import __spark_entry__ as entry
+
+    offenders = []
+    for name, fn in entry.queries().items():
+        plan = formatted_plan(fn(spark, SF_SMOKE))
+        if "CartesianProduct" in plan:
+            offenders.append((name, "CartesianProduct"))
+        if (
+            "BroadcastNestedLoopJoin" in plan
+            and name not in _FIXED_SIDE_CROSSJOINS
+        ):
+            offenders.append((name, "BroadcastNestedLoopJoin"))
+    assert offenders == []
