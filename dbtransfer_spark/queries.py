@@ -307,9 +307,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective dim filter → fact join → top-k.
-    Only the filtered customer dim (1/5 of customers — the selective,
-    slow-growing side) gets a broadcast hint; orders⋈customer is left to
-    the optimizer. The date filter keeps ~97% of orders, so pinning a
+    The filtered customer dim (1/5 of customers) broadcasts only while
+    Catalyst's size estimate says it fits — customer still grows with SF,
+    so even this side is gated, not pinned; orders⋈customer is left to the
+    optimizer. The date filter keeps ~97% of orders, so pinning a
     broadcast on orders⋈customer would push billions of rows to every
     executor at 100 TB — AQE converts lineitem⋈orders to broadcast at
     runtime when (and only when) the joined side actually fits. The top-10
@@ -325,7 +326,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         lineitem.join(
-            orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey),
+            orders.join(
+                broadcast_if_small(customer), orders.o_custkey == customer.c_custkey
+            ),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
