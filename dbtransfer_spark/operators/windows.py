@@ -188,3 +188,81 @@ def events_sessionize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.sum("is_new").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
     )
+
+
+@register(
+    "events_funnel",
+    """
+    WITH v AS (
+      SELECT user_id, min(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT stage, n_users,
+           round(CAST(n_users AS DOUBLE)
+                 / lag(n_users) OVER (ORDER BY ord), 4) AS pct_of_prev
+    FROM (
+      SELECT 1 AS ord, 'view' AS stage, (SELECT count(*) FROM v) AS n_users
+      UNION ALL SELECT 2, 'click_after_view', (SELECT count(*) FROM c)
+      UNION ALL SELECT 3, 'purchase_after_click', (SELECT count(*) FROM p)
+    ) ORDER BY ord
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: first 'view' → first later 'click' →
+    first later 'purchase' per user, with per-stage user counts and
+    conversion vs the previous stage.
+
+    Scale shape: each stage is a per-user aggregate joined to the previous
+    stage's per-user watermark — every join side is already user-keyed and
+    aggregated (≤ one row per user), so the three shuffles share the same
+    key and AQE coalesces/broadcasts the shrinking stage outputs. No
+    collect_list of raw events per user, so a power user with millions of
+    events costs O(their events) scan, O(1) state."""
+    events = load_table(spark, sf_dir, "events")
+
+    def first_after(event_type: str, prev: DataFrame | None) -> DataFrame:
+        df = events.filter(F.col("event_type") == event_type)
+        if prev is not None:
+            df = df.join(prev, "user_id").filter(F.col("ts") > F.col("t")).drop("t")
+        return df.groupBy("user_id").agg(F.min("ts").alias("t"))
+
+    v = first_after("view", None)
+    c = first_after("click", v)
+    p = first_after("purchase", c)
+
+    stages = (
+        v.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(1).alias("ord"), F.lit("view").alias("stage"), "n_users"
+        )
+        .unionByName(
+            c.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(2).alias("ord"), F.lit("click_after_view").alias("stage"), "n_users"
+            )
+        )
+        .unionByName(
+            p.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(3).alias("ord"),
+                F.lit("purchase_after_click").alias("stage"),
+                "n_users",
+            )
+        )
+    )
+    w = Window.orderBy("ord")
+    return (
+        stages.withColumn(
+            "pct_of_prev",
+            F.round(
+                F.col("n_users").cast("double") / F.lag("n_users").over(w), 4
+            ),
+        )
+        .orderBy("ord")
+        .select("stage", "n_users", "pct_of_prev")
+    )
