@@ -69,16 +69,20 @@ def optimize_layout(
     target_partitions: int | None = None,
     min_bytes: int = 1 << 20,
 ) -> str:
-    """Rewrite tables into a scan-parallel layout (N row groups ≈ N cores).
+    """Rewrite tables into a scan-parallel, key-clustered layout
+    (N row groups ≈ N cores, each covering a disjoint PK range).
 
     The driver-generated fixtures are single-row-group files: one row group
     = one scan task, so a 32-core session reads 600k rows serially. This is
     the local-scale version of the table-maintenance/compaction every
     100 TB lake needs — file and row-group sizing IS a query-performance
     knob (a 10 GB single file would serialize a 1000-executor cluster the
-    same way). Small tables (< ``min_bytes``) are copied as-is. Idempotent:
-    skips tables already cached. ns-timestamps are normalized to µs by the
-    load path, so cached tables read back identically.
+    same way). Range-partitioning + sorting on the primary key makes every
+    file's parquet min/max stats tight, so keyset predicates (resume
+    watermarks, PK range chunks) skip whole files/row groups instead of
+    scanning everything. Small tables (< ``min_bytes``) are copied as-is.
+    Idempotent: skips tables already cached. ns-timestamps are normalized
+    to µs by the load path, so cached tables read back identically.
     """
     import shutil
 
@@ -94,7 +98,12 @@ def optimize_layout(
             shutil.copy(src, os.path.join(dst, "part-0.parquet"))
             continue
         df = load_table(spark, sf_dir, name)
-        df.repartition(n_parts).write.mode("overwrite").parquet(dst)
+        keys = [F.col(k) for k in PRIMARY_KEYS.get(name, ())]
+        if keys:
+            df = df.repartitionByRange(n_parts, *keys).sortWithinPartitions(*keys)
+        else:
+            df = df.repartition(n_parts)
+        df.write.mode("overwrite").parquet(dst)
     return cache_dir
 
 
