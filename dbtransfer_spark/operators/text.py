@@ -226,6 +226,101 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stratified_sample",
+    r"""
+    WITH keyed AS (
+      SELECT doc_id, lang, source,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 100 AS bucket
+      FROM documents
+    )
+    SELECT source, count(*) AS n_sampled
+    FROM keyed
+    WHERE bucket < CASE WHEN source IN ('src0','src1','src2') THEN 80 ELSE 20 END
+    GROUP BY source
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-source keep rates (80% for
+    preferred sources, 20% for the rest) decided by a content-derived
+    hash bucket, not ``rand()`` — so the sample is reproducible across
+    runs, task retries, and engines (md5 is bit-identical everywhere;
+    xxhash64/rand are not). This is how a 100 TB corpus is re-weighted by
+    source quality without materializing per-source splits: one narrow
+    scan-side filter, no shuffle before the final stats."""
+    df = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+            "long"
+        ),
+        F.lit(100),
+    )
+    rate = F.when(F.col("source").isin("src0", "src1", "src2"), 80).otherwise(20)
+    return (
+        df.withColumn("bucket", bucket)
+        .filter(F.col("bucket") < rate)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+
+
+@register(
+    "pack_sequences",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, doc_id % 8 AS shard,
+             len(string_split(text, ' ')) AS n_tok
+      FROM documents
+    ), packed AS (
+      SELECT shard, doc_id, n_tok,
+             CAST(floor(CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) - n_tok AS DOUBLE)
+                        / 2048) AS BIGINT) AS bin_id
+      FROM toks
+    )
+    SELECT shard, bin_id, count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens
+    FROM packed GROUP BY shard, bin_id
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing planner for pre-training batches: documents are
+    sharded (doc_id % 8 — in production, the file/partition id), then
+    packed into ~2048-token bins by running token count within each shard
+    (bin = cumulative tokens before the doc ÷ budget — deterministic,
+    order-based, straddling docs spill into the next bin).
+
+    Scale shape: one window cumsum per shard partition — embarrassingly
+    parallel across shards, no global coordination, exactly how packing
+    runs over a 100 TB corpus (each worker packs its own shard). All
+    JVM-side expressions; the bin assignment replays bit-identically in
+    SQL."""
+    from pyspark.sql import Window
+
+    df = load_table(spark, sf_dir, "documents")
+    toks = df.select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("shard"),
+        F.size(F.split("text", " ", -1)).alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.withColumn(
+        "bin_id",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")).cast("double") / 2048).cast(
+            "long"
+        ),
+    )
+    return packed.groupBy("shard", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+    )
+
+
+@register(
     "lang_stats",
     """
     SELECT lang, count(*) AS n_docs,
