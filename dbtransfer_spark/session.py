@@ -53,6 +53,11 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # R1: concurrent per-table jobs share the cluster fairly — the
+        # engine tags each table's jobs with a scheduler pool, which is
+        # only honored under FAIR mode (default FIFO would serialize a
+        # long table scan ahead of every other table's work).
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config(
             "spark.sql.shuffle.partitions",
