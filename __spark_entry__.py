@@ -3,9 +3,11 @@
 ``entry(spark)`` — flagship query (TPC-H Q1 shape) at sf0.001.
 ``queries()`` — every implemented operator from SURVEY.md §2 + §2.10,
   assembled from the package's per-module registries.
-``oracle_sql()`` — matching DuckDB oracles (omitted only for operators
-  whose semantics are hash-seed-specific or heuristic: MinHash/SimHash/
-  hyperplane-LSH, pandas-UDF language ID, stubbed multimodal decode).
+``oracle_sql()`` — a matching DuckDB oracle for every declared query
+  (seed-specific operators replay via cross-engine hashes / literal
+  constants: md5 word hashes for MinHash/SimHash, literal hyperplanes for
+  LSH, SQL stopword-argmax for language ID, byte-exact fake kernels for
+  the multimodal stubs).
 """
 
 from __future__ import annotations
