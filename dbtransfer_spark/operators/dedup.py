@@ -594,3 +594,105 @@ def _simhash_impl(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering: candidate pairs → connected components
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame, src: str, dst: str, max_iter: int = 20
+) -> DataFrame:
+    """Label propagation to a fixpoint: every vertex ends with the minimum
+    vertex id reachable in its component — the canonical-representative
+    assignment that turns pairwise near-dup matches into dedup groups.
+
+    Iterative DataFrame algorithm (the one class Catalyst can't express in
+    a single plan): each round joins current labels across edges, takes
+    the per-vertex min of own and neighbor labels, and stops when a round
+    changes nothing. Each round's result is persisted and the previous
+    round unpersisted — constant lineage depth, so round N's plan doesn't
+    re-execute rounds 1..N-1 (the classic iterative-Spark trap).
+    Converges in O(component diameter) rounds; near-dup components are
+    shallow (diameter ≲ 10) even on 100 TB corpora, and every round is one
+    shuffle on vertex id."""
+    sym = edges.select(
+        F.col(src).alias("e_src"), F.col(dst).alias("e_dst")
+    ).unionByName(edges.select(F.col(dst).alias("e_src"), F.col(src).alias("e_dst")))
+    labels = (
+        sym.select(F.col("e_src").alias("id")).distinct().withColumn("label", F.col("id"))
+    ).persist()
+    labels.count()
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.e_src == labels.id)
+            .groupBy("e_dst")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.e_dst, "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+@register(
+    "dedup_clusters",
+    r"""
+    WITH RECURSIVE shingled AS (
+      SELECT doc_id, unnest(list_distinct([
+               array_to_string(words[i:i+2], ' ')
+               FOR i IN range(1, greatest(len(words) - 2, 0) + 1)
+             ])) AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM shingled GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM shingled a JOIN shingled b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+    ), edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ), reach AS (
+      SELECT DISTINCT src AS node, src AS lab FROM edges
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup groups: n-gram Jaccard pairs (≥ 0.5) → connected
+    components → each clustered doc labeled with its component's minimum
+    doc_id (the canonical survivor a dedup pass would keep). The oracle
+    computes the same components with a recursive CTE — the SQL-engine
+    formulation of the same fixpoint."""
+    df = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(df, "doc_id", "text")
+    labels = connected_components(pairs, "doc_a", "doc_b")
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").cast("bigint").alias("cluster_id")
+    )

@@ -191,3 +191,18 @@ def test_ngram_doc_freq_cap(spark):
         ).collect()
     }
     assert loose == uncapped
+
+
+def test_connected_components_chain_and_convergence(spark):
+    """A 4-vertex chain (needs >1 propagation round), a separate pair, and
+    determinism: every vertex labels with its component's min id."""
+    from dbtransfer_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "src long, dst long"
+    )
+    got = {
+        r["id"]: r["label"]
+        for r in connected_components(edges, "src", "dst").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
