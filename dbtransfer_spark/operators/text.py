@@ -321,6 +321,67 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tfidf_top_terms",
+    r"""
+    WITH postings AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+            FROM documents)
+      WHERE term <> '' AND length(term) >= 3
+      GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, count(*) AS df FROM postings GROUP BY term
+    ), n AS (
+      SELECT count(*) AS n_docs FROM documents
+    ), scored AS (
+      SELECT p.doc_id, p.term,
+             CAST(p.tf AS DOUBLE) * n.n_docs / df.df AS score
+      FROM postings p JOIN df ON p.term = df.term CROSS JOIN n
+    )
+    SELECT doc_id, term, round(score, 4) AS score, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by tf·idf (linear idf
+    N/df — a ratio of exact integers, so scores are bit-identical across
+    engines, unlike log-based idf whose libm may differ in the last ulp).
+
+    Scale shape: postings (doc, term, tf) from one explode+groupBy, df
+    from one term-keyed aggregate, scores from a term-keyed join (both
+    sides already aggregated), top-k via per-doc window with
+    WindowGroupLimit pushdown — keyword extraction over a 100 TB corpus
+    is exactly these three shuffles."""
+    from pyspark.sql import Window
+
+    df_docs = load_table(spark, sf_dir, "documents")
+    postings = (
+        df_docs.select(
+            "doc_id", F.explode(F.split(F.lower("text"), " ", -1)).alias("term")
+        )
+        .filter((F.col("term") != "") & (F.length("term") >= 3))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    doc_freq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df_docs.count()
+    scored = postings.join(doc_freq, "term").select(
+        "doc_id",
+        "term",
+        (F.col("tf").cast("double") * F.lit(n_docs) / F.col("df")).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", F.round("score", 4).alias("score"), "rank")
+    )
+
+
+@register(
     "lang_stats",
     """
     SELECT lang, count(*) AS n_docs,
