@@ -184,6 +184,53 @@ def stateful_user_totals(
     )
 
 
+def purchases_after_view_stream(
+    spark: SparkSession, source_dir: str, within: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream interval join: each purchase matched to the views the
+    same user made in the preceding ``within`` window — the streaming
+    attribution join (which ad click led to this conversion).
+
+    Both sides carry watermarks and the join condition bounds event-time
+    distance, so Spark can expire buffered state: a view is held only
+    until the watermark passes view_ts + within, giving O(events in
+    window) state per side instead of unbounded buffering — the only
+    formulation of stream-stream joins that survives an infinite stream."""
+    views = (
+        read_event_stream(spark, source_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "2 hours")
+    )
+    purchases = (
+        read_event_stream(spark, source_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    return purchases.join(
+        views,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {within}")),
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "purchase_ts",
+        "view_id",
+        "view_ts",
+    )
+
+
 def run_stream_to_memory(
     spark: SparkSession, stream_df: DataFrame, query_name: str, output_mode: str = "complete"
 ) -> DataFrame:

@@ -113,3 +113,38 @@ def test_stateful_user_totals_matches_batch(spark, events_dir):
     for uid in b:
         assert f[uid]["n_events"] == b[uid]["n_events"]
         assert f[uid]["total_value"] == pytest.approx(b[uid]["total_value"], rel=1e-9)
+
+
+def test_stream_stream_interval_join_matches_batch(spark, events_dir):
+    """Watermarked stream-stream interval join (purchases × preceding
+    views within 1h) must equal the equivalent batch join once drained."""
+    from dbtransfer_spark.streaming.incremental import purchases_after_view_stream
+
+    streamed = run_stream_to_memory(
+        spark,
+        purchases_after_view_stream(spark, events_dir),
+        "ss_join_test",
+        output_mode="append",
+    )
+    ev = spark.read.parquet(events_dir)
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    batch = purchases.join(
+        views,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 hour")),
+    ).select(
+        F.col("p_user").alias("user_id"), "purchase_id", "purchase_ts", "view_id", "view_ts"
+    )
+    assert streamed.count() == batch.count()
+    assert streamed.count() > 0  # fixture actually exercises the join
+    assert streamed.exceptAll(batch).count() == 0
