@@ -196,6 +196,50 @@ def migrate_collection(
     return {"rows": migrated, "resumed_from": last}
 
 
+def run_migration(
+    collections: dict[str, tuple[MongoCollectionAPI, MongoCollectionAPI]],
+    store: CheckpointStore,
+    stats: MigrationStats | None = None,
+    workers: int = 4,
+    batch_size: int = 1000,
+    rate_limit: int | None = None,
+    max_retries: int = 3,
+    retry_delay: float = 5.0,
+    parse_id: Callable[[str], Any] = str,
+    sleep: Callable[[float], None] = time.sleep,
+) -> dict[str, Any]:
+    """Run() parity (mongodb.go:156-202): a ``workers``-bounded pool
+    migrates collections concurrently, every collection's error is
+    collected (one failure doesn't abort the others), and the shared
+    rate limiter caps aggregate rows/sec across all workers (the global
+    limiter of migration.go:211-268). ``collections`` maps name →
+    (source_collection, dest_collection)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    stats = stats if stats is not None else MigrationStats()
+    limiter = RateLimiter(rate_limit) if rate_limit else None
+    results: dict[str, Any] = {}
+    errors: dict[str, str] = {}
+
+    def one(name: str, pair: tuple) -> None:
+        source, dest = pair
+        try:
+            results[name] = migrate_collection(
+                source, dest, name, store, stats,
+                batch_size=batch_size, max_retries=max_retries,
+                retry_delay=retry_delay, rate_limiter=limiter,
+                parse_id=parse_id, sleep=sleep,
+            )
+        except Exception as exc:  # error collection, not propagation
+            errors[name] = str(exc)
+
+    with ThreadPoolExecutor(max_workers=max(1, workers)) as pool:
+        futures = [pool.submit(one, n, p) for n, p in collections.items()]
+        for f in futures:
+            f.result()
+    return {"tables": results, "errors": errors, "stats": stats.snapshot()}
+
+
 class MongoSource(Source):
     def read(self, table: TableMapping) -> DataFrame:
         return self.spark.read.format(FORMAT).options(**read_options(self.cfg, table)).load()

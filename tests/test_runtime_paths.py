@@ -453,3 +453,33 @@ def test_cassandra_migrate_table_end_to_end(tmp_path):
     assert params == (1, 1, {"street": "s1"}, 51)
     assert len(dest.batches) == 3  # 2+2+1
     assert store.is_complete("src_t")
+
+
+def test_mongo_run_migration_pool_and_error_isolation(tmp_path):
+    """Run() parity (mongodb.go:156-202): concurrent collections, one
+    failing collection doesn't abort the rest, errors are collected, and
+    the failed collection stays resumable."""
+    from dbtransfer_spark.sources.mongodb import run_migration
+
+    good_src = FakeMongoCollection(_mongo_docs(300))
+    good_dst = FakeMongoCollection()
+    bad_src = FakeMongoCollection(_mongo_docs(50))
+    bad_dst = FakeMongoCollection(fail_times=99)
+    store = CheckpointStore(str(tmp_path), engine="mongodb")
+
+    out = run_migration(
+        {"good": (good_src, good_dst), "bad": (bad_src, bad_dst)},
+        store,
+        workers=2,
+        batch_size=100,
+        rate_limit=1_000_000,
+        max_retries=1,
+        retry_delay=0.0,
+        parse_id=int,
+        sleep=lambda _s: None,
+    )
+    assert out["tables"]["good"]["rows"] == 300
+    assert good_dst.docs == good_src.docs
+    assert "bad" in out["errors"]
+    assert store.is_complete("good") and not store.is_complete("bad")
+    assert out["stats"]["good"]["processed"] == 300
