@@ -113,8 +113,12 @@ class TransferEngine:
         # exactly once (compile_transform). A pre-translation pass here
         # would double-translate — translate_expression is not idempotent
         # for DATE_FORMAT patterns (re-quoting every letter of the already-
-        # Spark format string).
-        df = apply_transforms(df, table.transform_map())
+        # Spark format string). When the source already pushed the
+        # transforms into its own SELECT (P1 pushdown mode,
+        # JDBCSource(pushdown_transforms=True)), applying them again here
+        # would corrupt the data (e.g. price * 100 twice) — skip.
+        if not getattr(self.source, "pushdown_transforms", False):
+            df = apply_transforms(df, table.transform_map())
 
         if self.chunk_rows and pk is not None and _is_integral(df, pk):
             rows = self._run_chunked(df, table, pk, key_columns)
@@ -126,10 +130,13 @@ class TransferEngine:
                 return {"rows": rows, "resumed_from": watermark, "interrupted": True}
         else:
             # S6 row-count pre-scan (mysql.go:243-249) doubling as R9
-            # resume-progress recompute (postgresql.go:312-337): df is
-            # already filtered to pk > watermark, so this total is exactly
-            # the remaining-row denominator the reference computes.
-            self.stats.init_table(name, df.count())
+            # resume-progress recompute (postgresql.go:312-337): the
+            # remaining-row denominator, delegated to the source so JDBC
+            # issues one server-side COUNT instead of re-running the
+            # whole partitioned read (parquet counts from footers).
+            self.stats.init_table(
+                name, self.source.count_rows(df, table, pk, watermark)
+            )
             rows = self.sink.upsert(df, table, key_columns)
             if rows >= 0:
                 self.stats.add_processed(name, rows)

@@ -428,7 +428,9 @@ def knn_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Both consumers (assignment, probes) come from the same ranked pass;
     # without a persist Spark recomputes the scan + crossJoin + window per
     # branch (no ReusedExchange across the differing filters). rn <= nprobe
-    # keeps the cached set to |N|·nprobe narrow rows.
+    # keeps the cached set to |N|·nprobe narrow rows. No explicit unpersist
+    # — the returned plan still references the cache; Spark's
+    # ContextCleaner drops it once the DataFrame is unreachable.
     ranked = (
         scored_cent.withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") <= nprobe)

@@ -33,9 +33,12 @@ ORACLE: dict[str, str] = {}
 
 
 def _parse_bytes(s: str) -> int:
+    """Spark byte-size strings: both long ('10mb') and short ('10m')
+    suffixes are accepted by Spark's own parser, so both must work here."""
     s = s.strip().lower()
     for suffix, mult in (("tb", 1 << 40), ("gb", 1 << 30), ("mb", 1 << 20),
-                         ("kb", 1 << 10), ("b", 1)):
+                         ("kb", 1 << 10), ("t", 1 << 40), ("g", 1 << 30),
+                         ("m", 1 << 20), ("k", 1 << 10), ("b", 1)):
         if s.endswith(suffix):
             return int(float(s[: -len(suffix)])) * mult
     return int(s)
@@ -52,7 +55,10 @@ def broadcast_if_small(df: DataFrame, threshold: int | None = None) -> DataFrame
     degrades to shuffle join (or AQE's runtime broadcast) when it isn't."""
     if threshold is None:
         conf = df.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
-        threshold = _parse_bytes(conf)
+        try:
+            threshold = _parse_bytes(conf)
+        except ValueError:
+            return df  # unrecognized size string → degrade to no hint
         if threshold < 0:  # -1 disables auto-broadcast → never hint
             return df
     try:

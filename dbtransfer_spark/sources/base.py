@@ -38,6 +38,16 @@ class Source(ABC):
         except Exception:
             return False
 
+    def count_rows(
+        self, df: DataFrame, table: TableMapping, pk: str | None, watermark: int | None
+    ) -> int:
+        """S6/R9 progress denominator. Default: count the (already
+        watermark-filtered) DataFrame — cheap for parquet (footer counts).
+        Connector sources should override with a server-side COUNT so the
+        pre-scan doesn't re-read the table (mysql.go:243-249 counts on the
+        server)."""
+        return df.count()
+
 
 class Sink(ABC):
     def __init__(self, spark: SparkSession, cfg: DBConfig):

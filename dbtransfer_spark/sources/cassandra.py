@@ -182,6 +182,41 @@ def is_basic_type(type_name: str) -> bool:
     return type_name in _BASIC_TYPES
 
 
+def _split_type_args(inner: str) -> list[str]:
+    """Split ``map<k, v>``-style parameter lists at top-level commas."""
+    parts, cur, depth = [], "", 0
+    for ch in inner:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append(cur)
+            cur = ""
+        else:
+            cur += ch
+    parts.append(cur)
+    return parts
+
+
+def referenced_udts(cql_type: str, known_types: set[str]) -> set[str]:
+    """All UDT names a CQL type expression references, through any nesting
+    of ``frozen<>`` / ``list<>`` / ``set<>`` / ``map<>``. (The reference
+    unwraps only one frozen<> level and skips collections entirely,
+    cassandra.go:311 + 1234-1266 — which misses ``list<frozen<udt>>``
+    columns; chasing the full structure is a strict improvement.)"""
+    t = cql_type.strip()
+    if t.startswith("frozen<") and t.endswith(">"):
+        return referenced_udts(t[7:-1], known_types)
+    for prefix in ("list<", "set<", "map<"):
+        if t.startswith(prefix) and t.endswith(">"):
+            out: set[str] = set()
+            for arg in _split_type_args(t[len(prefix) : -1]):
+                out |= referenced_udts(arg, known_types)
+            return out
+    return {t} if t in known_types else set()
+
+
 def extract_function_names(expr: str, out: set[str]) -> None:
     """cassandra.go:1205-1219: every identifier followed by '(' that is not
     a builtin is treated as a UDF reference."""
@@ -205,24 +240,48 @@ def migrate_dependencies(
     source_keyspace: str,
     dest_keyspace: str,
 ) -> list[str]:
-    """C6/C7 (cassandra.go:293-443): discover UDTs actually used by columns
-    (non-basic types, frozen<> unwrapped) and UDFs referenced by index
-    expressions, then emit ``CREATE TYPE IF NOT EXISTS`` /
-    ``CREATE OR REPLACE FUNCTION`` on the destination — types strictly
-    before functions, each at most once, unused definitions skipped.
-    Returns the executed CQL statements in order (for logging/tests)."""
-    used_types: set[str] = set()
+    """C6/C7 (cassandra.go:293-443): discover UDTs used by columns —
+    chasing nesting (``list<frozen<udt>>``) and UDT-within-UDT fields
+    transitively — and UDFs referenced by index expressions, then emit
+    ``CREATE TYPE IF NOT EXISTS`` / ``CREATE OR REPLACE FUNCTION`` on the
+    destination. Types are created in dependency order (a UDT's field
+    types strictly before it), types strictly before functions, each at
+    most once, unused definitions skipped. Returns the executed CQL
+    statements in order (for logging/tests)."""
     used_functions: set[str] = set()
 
+    # All type definitions first: needed both to recognize UDT names
+    # inside nested type expressions and to chase UDT→UDT field edges.
+    type_defs: dict[str, tuple[list[str], list[str]]] = {}
+    for row in source.execute(
+        "SELECT type_name, field_names, field_types FROM system_schema.types "
+        "WHERE keyspace_name = %s",
+        (source_keyspace,),
+    ):
+        d = row if isinstance(row, dict) else row._asdict()
+        type_defs[d["type_name"]] = (list(d["field_names"]), list(d["field_types"]))
+    known = set(type_defs)
+
+    used_types: set[str] = set()
     for row in source.execute(
         "SELECT table_name, column_name, type FROM system_schema.columns "
         "WHERE keyspace_name = %s",
         (source_keyspace,),
     ):
         col_type = row["type"] if isinstance(row, dict) else row.type
-        if not is_basic_type(col_type):
-            # frozen<type> → type (cassandra.go:311)
-            used_types.add(col_type.removeprefix("frozen<").removesuffix(">"))
+        used_types |= referenced_udts(col_type, known)
+
+    # Transitive closure over UDT fields (a used UDT whose field is
+    # another UDT pulls that one in too — the reference misses these and
+    # its CREATE TYPE fails with 'Unknown type').
+    frontier = list(used_types)
+    while frontier:
+        name = frontier.pop()
+        for ftype in type_defs[name][1]:
+            for dep in referenced_udts(ftype, known):
+                if dep not in used_types:
+                    used_types.add(dep)
+                    frontier.append(dep)
 
     for row in source.execute(
         "SELECT options FROM system_schema.indexes WHERE keyspace_name = %s",
@@ -234,24 +293,25 @@ def migrate_dependencies(
             extract_function_names(expr, used_functions)
 
     executed: list[str] = []
-
     created: set[str] = set()
-    for row in source.execute(
-        "SELECT type_name, field_names, field_types FROM system_schema.types "
-        "WHERE keyspace_name = %s",
-        (source_keyspace,),
-    ):
-        d = row if isinstance(row, dict) else row._asdict()
-        name = d["type_name"]
-        if name not in used_types or name in created:
-            continue
-        fields = ", ".join(
-            f"{n} {t}" for n, t in zip(d["field_names"], d["field_types"])
-        )
+
+    def create_type(name: str) -> None:
+        """DFS postorder: field-type dependencies created first."""
+        if name in created:
+            return
+        created.add(name)
+        field_names, field_types = type_defs[name]
+        for ftype in field_types:
+            for dep in referenced_udts(ftype, known):
+                create_type(dep)
+        fields = ", ".join(f"{n} {t}" for n, t in zip(field_names, field_types))
         stmt = f"CREATE TYPE IF NOT EXISTS {dest_keyspace}.{name} ({fields})"
         dest.execute(stmt)
         executed.append(stmt)
-        created.add(name)
+
+    # Deterministic outer order (sorted), dependency order within.
+    for name in sorted(used_types):
+        create_type(name)
 
     created_funcs: set[str] = set()
     for row in source.execute(
@@ -327,9 +387,17 @@ def build_token_where(
         val = last_key[key]
         ctype = column_types.get(key, "")
         if ctype in ("text", "varchar", "ascii"):
-            literals.append(f"'{val}'")
+            # CQL escapes a single quote by doubling it — without this, a
+            # value like O'Brien breaks the statement (and is an injection
+            # vector for crafted data). The reference interpolates raw
+            # (cassandra.go:1121); escaping is a strict improvement.
+            escaped = val.replace("'", "''")
+            literals.append(f"'{escaped}'")
         elif ctype == "blob":
             literals.append(f"0x{val}")
+        elif ctype in ("timestamp", "date", "time"):
+            # Temporal partition keys need quoted ISO literals in CQL.
+            literals.append(f"'{val}'")
         else:
             literals.append(val)
     return f"token({', '.join(partition_keys)}) >= token({', '.join(literals)})"
@@ -548,8 +616,13 @@ def migrate_table(
 
     migrate_dependencies(source, dest, source_keyspace, dest_keyspace)
 
+    # Qualify with the destination keyspace: dependencies above are created
+    # as <dest_keyspace>.<type>, so the table (and copy_data's INSERTs) must
+    # target the same keyspace — an unqualified name would resolve against
+    # the session's default keyspace, if any, and could land elsewhere.
+    qualified_target = f"{dest_keyspace}.{target}"
     ddl = get_table_schema(source, source_keyspace, source_name)
-    dest.execute(ddl.replace(source_name, target, 1))  # cassandra.go:274-288
+    dest.execute(ddl.replace(source_name, qualified_target, 1))  # cassandra.go:274-288
 
     columns: list[tuple[str, str]] = []
     for row in source.execute(
@@ -566,7 +639,7 @@ def migrate_table(
         dest,
         source_keyspace=source_keyspace,
         source_name=source_name,
-        target_name=target,
+        target_name=qualified_target,
         columns=columns,
         partition_keys=partition_keys,
         key_columns=partition_keys + clustering_keys,

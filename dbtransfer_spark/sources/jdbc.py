@@ -42,12 +42,16 @@ from dbtransfer_spark.sources.base import Sink, Source
 
 MYSQL_PK_SQL = "SHOW KEYS FROM `{table}` WHERE Key_name = 'PRIMARY'"  # mysql.go:683
 
-# postgresql.go:674-686
+# postgresql.go:674-686, plus ORDER BY the column's position in the index
+# key (indkey array) — without it composite PKs come back in attnum order
+# (declaration order), not key order, and callers would partition/watermark
+# on a non-leading key column.
 POSTGRES_PK_SQL = """\
 SELECT a.attname
 FROM pg_index i
 JOIN pg_attribute a ON a.attrelid = i.indrelid AND a.attnum = ANY(i.indkey)
 WHERE i.indrelid = '{table}'::regclass AND i.indisprimary
+ORDER BY array_position(i.indkey, a.attnum)
 """
 
 
@@ -353,6 +357,28 @@ class JDBCSource(Source):
                 table.name, df_probe.columns, transforms
             )
         return self.spark.read.format("jdbc").options(**opts).load()
+
+    def count_rows(
+        self, table_df: DataFrame, table: TableMapping, pk: str | None, watermark: int | None
+    ) -> int:
+        """S6 server-side COUNT(*) (mysql.go:243-249) — counting the Spark
+        DataFrame would re-execute the whole partitioned read just for a
+        denominator; one scalar query on the source does it for free."""
+        qualified = f"{self.cfg.schema}.{table.name}" if self.cfg.schema else table.name
+        where = f" WHERE {pk} > {watermark}" if pk and watermark is not None else ""
+        probe = (
+            self.spark.read.format("jdbc")
+            .options(
+                url=jdbc_url(self.cfg),
+                query=f"SELECT COUNT(*) AS n FROM {qualified}{where}",
+                user=self.cfg.username,
+                password=self.cfg.password,
+                driver=jdbc_driver(self.cfg),
+            )
+            .load()
+            .collect()
+        )
+        return int(probe[0]["n"]) if probe else 0
 
     def detect_primary_key(self, table: TableMapping) -> list[str]:
         if table.primary_key:

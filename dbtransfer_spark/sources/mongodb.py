@@ -89,19 +89,32 @@ class MongoCollectionAPI(Protocol):
     def count_documents(self, filter: dict) -> int: ...
 
     def find(
-        self, filter: dict, batch_size: int = 1000, no_cursor_timeout: bool = True
+        self,
+        filter: dict,
+        batch_size: int = 1000,
+        no_cursor_timeout: bool = True,
+        sort: list[tuple[str, int]] | None = None,
     ) -> Iterable[dict]: ...
 
-    def bulk_write(self, models: list[dict], ordered: bool = False) -> Any: ...
+    def bulk_write(self, models: list, ordered: bool = False) -> Any: ...
 
 
-def upsert_models(batch: list[dict]) -> list[dict]:
+def upsert_models(batch: list[dict]) -> list:
     """W3 (mongodb.go:398-412): one upserting UpdateOne model per doc,
-    filtered on ``_id``, ``$set``-ing the whole document."""
-    return [
-        {"filter": {"_id": doc["_id"]}, "update": {"$set": doc}, "upsert": True}
-        for doc in batch
-    ]
+    filtered on ``_id``, ``$set``-ing the whole document. Real pymongo
+    requires ``UpdateOne`` instances; the dict form (same fields) is the
+    fallback for injected fakes when pymongo isn't importable."""
+    try:
+        from pymongo import UpdateOne  # type: ignore[import-not-found]
+
+        return [
+            UpdateOne({"_id": doc["_id"]}, {"$set": doc}, upsert=True) for doc in batch
+        ]
+    except ImportError:
+        return [
+            {"filter": {"_id": doc["_id"]}, "update": {"$set": doc}, "upsert": True}
+            for doc in batch
+        ]
 
 
 def bulk_upsert_with_retry(
@@ -185,7 +198,14 @@ def migrate_collection(
             store.save(name, Checkpoint(last_key={"_id": last_id}, complete=False))
         batch.clear()
 
-    for doc in source.find(filt, batch_size=batch_size, no_cursor_timeout=True):
+    # Sort by _id: the checkpoint watermark is only a correct resume point
+    # if iteration is monotone in _id. (The reference iterates in natural
+    # order, mongodb.go:313-320 — a crash between checkpoints there can
+    # skip docs whose _id sorts below the watermark; the explicit sort
+    # closes that hole and costs nothing on the _id index.)
+    for doc in source.find(
+        filt, batch_size=batch_size, no_cursor_timeout=True, sort=[("_id", 1)]
+    ):
         batch.append(doc)
         last_id = str(doc["_id"])
         if len(batch) >= batch_size:

@@ -44,19 +44,39 @@ class FakeMongoCollection:
     def count_documents(self, filter: dict) -> int:
         return len(self._match(filter))
 
-    def find(self, filter: dict, batch_size: int = 1000, no_cursor_timeout: bool = True):
+    def find(
+        self,
+        filter: dict,
+        batch_size: int = 1000,
+        no_cursor_timeout: bool = True,
+        sort: list[tuple[str, int]] | None = None,
+    ):
         self.find_filters.append(filter)
-        return iter(sorted(self._match(filter), key=lambda d: d["_id"]))
+        matched = self._match(filter)
+        if sort:
+            key, direction = sort[0]
+            matched = sorted(matched, key=lambda d: d[key], reverse=direction < 0)
+        else:
+            # Natural (insertion) order, like a real collection scan —
+            # deliberately NOT _id order, so the migration loop's
+            # correctness genuinely depends on requesting the sort.
+            matched = list(reversed(matched))
+        return iter(matched)
 
-    def bulk_write(self, models: list[dict], ordered: bool = False):
+    def bulk_write(self, models: list, ordered: bool = False):
         self.bulk_calls += 1
         if self.fail_times > 0:
             self.fail_times -= 1
             raise RuntimeError("transient network error")
         assert ordered is False  # mongodb.go:411 unordered bulk
         for m in models:
-            assert m["upsert"] is True
-            self.docs[m["filter"]["_id"]] = dict(m["update"]["$set"])
+            # pymongo UpdateOne when available, dict fallback otherwise.
+            if isinstance(m, dict):
+                assert m["upsert"] is True
+                self.docs[m["filter"]["_id"]] = dict(m["update"]["$set"])
+            else:
+                doc = m._doc["u"]["$set"]
+                self.docs[m._filter["_id"]] = dict(doc)
 
 
 def _mongo_docs(n: int) -> list[dict]:
@@ -440,8 +460,10 @@ def test_cassandra_migrate_table_end_to_end(tmp_path):
     # Dependencies strictly before DDL; DDL carries target name, key
     # structure, and the default TTL (cassandra.go:270-288 + 900-980).
     assert dest.ddl[0] == "CREATE TYPE IF NOT EXISTS dst_ks.address (street text)"
+    # DDL and data writes target the destination keyspace explicitly —
+    # same keyspace the UDTs were created in.
     assert dest.ddl[1] == (
-        "CREATE TABLE IF NOT EXISTS dst_t (\n"
+        "CREATE TABLE IF NOT EXISTS dst_ks.dst_t (\n"
         "    id bigint,\n    seq int,\n    addr frozen<address>,\n"
         "    PRIMARY KEY ((id), seq)\n"
         ") WITH default_time_to_live = 86400"
@@ -449,7 +471,7 @@ def test_cassandra_migrate_table_end_to_end(tmp_path):
     # Copy: TTL projected for the regular scalar-ish column only (addr is
     # frozen<>, not a collection → TTL-eligible like the reference).
     stmt, params = dest.batches[0][0]
-    assert stmt == "INSERT INTO dst_t (id, seq, addr) VALUES (?, ?, ?) USING TTL ?"
+    assert stmt == "INSERT INTO dst_ks.dst_t (id, seq, addr) VALUES (?, ?, ?) USING TTL ?"
     assert params == (1, 1, {"street": "s1"}, 51)
     assert len(dest.batches) == 3  # 2+2+1
     assert store.is_complete("src_t")
@@ -483,3 +505,47 @@ def test_mongo_run_migration_pool_and_error_isolation(tmp_path):
     assert "bad" in out["errors"]
     assert store.is_complete("good") and not store.is_complete("bad")
     assert out["stats"]["good"]["processed"] == 300
+
+
+def test_cassandra_nested_udt_dependency_order():
+    """A column of list<frozen<address>> whose UDT has a UDT field (geo)
+    must pull in geo transitively and create it BEFORE address — the
+    reference misses both (unknown-type failures on real schemas)."""
+    from dbtransfer_spark.sources.cassandra import migrate_dependencies
+    from tests.test_units import FakeCQLSession
+
+    source = FakeCQLSession(
+        {
+            "system_schema.columns": [
+                {"table_name": "t", "column_name": "id", "type": "bigint"},
+                {"table_name": "t", "column_name": "addrs",
+                 "type": "list<frozen<address>>"},
+            ],
+            "system_schema.indexes": [],
+            "system_schema.types": [
+                {"type_name": "address", "field_names": ["street", "loc"],
+                 "field_types": ["text", "frozen<geo>"]},
+                {"type_name": "geo", "field_names": ["lat", "lon"],
+                 "field_types": ["double", "double"]},
+                {"type_name": "unused", "field_names": ["x"], "field_types": ["int"]},
+            ],
+            "system_schema.functions": [],
+        }
+    )
+    dest = FakeCQLSession()
+    executed = migrate_dependencies(source, dest, "src", "dst")
+    assert executed == [
+        "CREATE TYPE IF NOT EXISTS dst.geo (lat double, lon double)",
+        "CREATE TYPE IF NOT EXISTS dst.address (street text, loc frozen<geo>)",
+    ]
+
+
+def test_build_token_where_escapes_quotes_and_temporals():
+    from dbtransfer_spark.sources.cassandra import build_token_where
+
+    out = build_token_where(
+        {"name": "text", "day": "date"},
+        ["name", "day"],
+        {"name": "O'Brien", "day": "2024-01-02"},
+    )
+    assert out == "token(name, day) >= token('O''Brien', '2024-01-02')"

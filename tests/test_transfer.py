@@ -256,3 +256,32 @@ def test_missing_source_table_errors(spark, tmp_path):
     cfg = make_config(tmp_path, [TableMapping(name="nope", primary_key="x")])
     results = TransferEngine(spark, cfg).run()
     assert "does not exist" in results["nope"]["error"]
+
+
+def test_pushdown_source_transforms_not_applied_twice(spark, tmp_path):
+    """P1 pushdown mode: when the source declares pushdown_transforms
+    (it already evaluated the expressions in its own SELECT), the engine
+    must NOT re-apply them — doubling price*100 silently corrupts data."""
+    tables = [
+        TableMapping(
+            name="customer",
+            primary_key="c_custkey",
+            column_transformations=[
+                ColumnTransformation("c_acctbal", "c_acctbal * 100"),
+            ],
+        )
+    ]
+    cfg = make_config(tmp_path, tables)
+    engine = TransferEngine(spark, cfg)
+    # Simulate a source that pushed the transform down already (the JDBC
+    # pushdown path evaluates it server-side; parquet stands in here).
+    engine.source.pushdown_transforms = True
+    engine.run()
+
+    out = spark.read.parquet(str(tmp_path / "out" / "customer.parquet"))
+    src = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    # Engine skipped apply_transforms → values untouched (the "source"
+    # would have produced them already); crucially NOT multiplied again.
+    got = out.agg(F.sum("c_acctbal")).collect()[0][0]
+    want = src.agg(F.sum("c_acctbal")).collect()[0][0]
+    assert got == pytest.approx(want)

@@ -393,3 +393,25 @@ def test_transform_pushdown_subquery():
 
     with pytest.raises(TransformError):
         transform_pushdown_subquery("t", ["a"], {"a": "1; DROP TABLE t"})
+
+
+def test_parse_bytes_short_and_long_suffixes():
+    """Spark accepts both '10mb' and '10m' forms for byte-size confs;
+    broadcast_if_small must not crash on either (or on garbage)."""
+    from dbtransfer_spark.queries import _parse_bytes
+
+    assert _parse_bytes("10MB") == 10 * 1024 * 1024
+    assert _parse_bytes("10m") == 10 * 1024 * 1024
+    assert _parse_bytes("1g") == 1 << 30
+    assert _parse_bytes("512k") == 512 * 1024
+    assert _parse_bytes("-1") == -1
+    with pytest.raises(ValueError):
+        _parse_bytes("nonsense")
+
+
+def test_postgres_pk_sql_orders_by_index_position():
+    """Composite PKs must come back in index key order, not attnum order
+    (partition/watermark column = leading key column)."""
+    from dbtransfer_spark.sources.jdbc import POSTGRES_PK_SQL
+
+    assert "array_position(i.indkey, a.attnum)" in POSTGRES_PK_SQL
