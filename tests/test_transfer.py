@@ -285,3 +285,38 @@ def test_pushdown_source_transforms_not_applied_twice(spark, tmp_path):
     got = out.agg(F.sum("c_acctbal")).collect()[0][0]
     want = src.agg(F.sum("c_acctbal")).collect()[0][0]
     assert got == pytest.approx(want)
+
+
+def test_optimize_layout_clusters_and_is_idempotent(spark, tmp_path):
+    """Ingest re-layout: files cover disjoint PK ranges (tight parquet
+    min/max → keyset scans skip files), and a rerun touches nothing."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from dbtransfer_spark.catalog import optimize_layout
+
+    cache = str(tmp_path / "cache")
+    optimize_layout(spark, SF_SMOKE, cache, names=("lineitem",), target_partitions=4, min_bytes=0)
+    d = os.path.join(cache, "lineitem.parquet")
+    parts = sorted(
+        f for f in os.listdir(d) if f.endswith(".parquet") and not f.startswith("_")
+    )
+    ranges = []
+    for f in parts:
+        md = pq.read_metadata(os.path.join(d, f))
+        col = next(
+            i for i in range(len(md.schema))
+            if md.schema.column(i).name == "l_orderkey"
+        )
+        stats = [md.row_group(r).column(col).statistics for r in range(md.num_row_groups)]
+        ranges.append((min(s.min for s in stats), max(s.max for s in stats)))
+    ranges.sort()
+    assert len(ranges) >= 2
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint key ranges across files
+
+    # Idempotent: rerun leaves every file untouched.
+    mtimes = {f: os.path.getmtime(os.path.join(d, f)) for f in parts}
+    optimize_layout(spark, SF_SMOKE, cache, names=("lineitem",), target_partitions=4, min_bytes=0)
+    assert {f: os.path.getmtime(os.path.join(d, f)) for f in parts} == mtimes
