@@ -49,7 +49,8 @@ def main(argv: list[str] | None = None) -> int:
         print(f"dbtransfer-spark {__version__}")
         return 0
     if args.generate_template:
-        generate_template(args.template_output)
+        # -type selects the engine-specific template (main.go:60-213).
+        generate_template(args.template_output, args.engine_type or "parquet")
         print(f"template written to {args.template_output}")
         return 0
 

@@ -190,7 +190,58 @@ migration:
 """
 
 
-def generate_template(path: str) -> None:
-    """-generate-template parity (main.go:60-213)."""
+# Per-engine template throughput defaults, exactly the reference's
+# generated templates: (batch_size, workers, rate_limit).
+_TEMPLATE_DEFAULTS = {
+    "parquet": (1000, 4, 10000),
+    "mysql": (1000, 4, 10000),       # main.go:86-89
+    "postgresql": (1000, 4, 10000),  # main.go:120-123
+    "mongodb": (500, 4, 2000),       # main.go:152-155
+    "cassandra": (1000, 8, 5000),    # main.go:184-188
+}
+
+_TEMPLATE_ENDPOINT = {
+    "parquet": "  database: /root/testdata/sf0.001   # source directory\n",
+    "mysql": "  hosts: [\"localhost:3306\"]\n  username: root\n  password: password\n  database: mydb\n",
+    "postgresql": "  hosts: [\"localhost:5432\"]\n  username: postgres\n  password: password\n  database: mydb\n  schema: public\n",
+    "mongodb": "  hosts: [\"localhost:27017\"]\n  username: admin\n  password: password\n  database: mydb\n  auth_db: admin\n",
+    "cassandra": "  hosts: [\"localhost:9042\"]\n  username: cassandra\n  password: cassandra\n  keyspace: mykeyspace\n",
+}
+
+_TEMPLATE_DEST = {
+    "parquet": "  database: ./data/out    # destination directory\n",
+}
+
+
+def generate_template(path: str, db_type: str = "parquet") -> None:
+    """-generate-template parity (main.go:60-213): engine-specific source/
+    destination stanzas and the reference's per-engine throughput defaults
+    (mysql/pg 10k rows/s ÷ 4 workers, mongo 2k ÷ 4, cassandra 5k ÷ 8)."""
+    t = (db_type or "parquet").lower()
+    if t not in _TEMPLATE_DEFAULTS:
+        raise ValueError(f"unknown template type: {db_type}")
+    if t == "parquet":
+        with open(path, "w") as fh:
+            fh.write(TEMPLATE)
+        return
+    batch, workers, rate = _TEMPLATE_DEFAULTS[t]
+    endpoint = _TEMPLATE_ENDPOINT[t]
+    dest_endpoint = _TEMPLATE_DEST.get(t, endpoint)
+    tables = (
+        "  tables:\n"
+        "    - name: mytable\n"
+        "      target_name: mytable\n"
+        "      primary_key: id\n"
+        "      column_transformations:\n"
+        "        - source_column: name\n"
+        "          expression: \"UPPER(name)\"\n"
+    )
+    body = (
+        f"source:\n  type: {t}\n{endpoint}{tables}"
+        f"destination:\n  type: {t}\n{dest_endpoint}"
+        f"migration:\n  batch_size: {batch}\n  workers: {workers}\n"
+        f"  rate_limit: {rate}\n  checkpoint_dir: ./data/checkpoints\n"
+        f"  progress_interval: 5\n"
+    )
     with open(path, "w") as fh:
-        fh.write(TEMPLATE)
+        fh.write(body)

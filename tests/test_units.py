@@ -415,3 +415,29 @@ def test_postgres_pk_sql_orders_by_index_position():
     from dbtransfer_spark.sources.jdbc import POSTGRES_PK_SQL
 
     assert "array_position(i.indkey, a.attnum)" in POSTGRES_PK_SQL
+
+
+def test_generate_template_per_engine(tmp_path):
+    """Engine-specific templates carry the reference's per-engine
+    throughput defaults (main.go:86-89, 152-155, 184-188) and parse back
+    through load_config."""
+    from dbtransfer_spark.config import generate_template, load_config
+
+    expectations = {
+        "mysql": (1000, 4, 10000),
+        "mongodb": (500, 4, 2000),
+        "cassandra": (1000, 8, 5000),
+    }
+    for engine, (batch, workers, rate) in expectations.items():
+        p = str(tmp_path / f"{engine}.yaml")
+        generate_template(p, engine)
+        cfg = load_config(p)
+        assert cfg.source.type == engine
+        assert (
+            cfg.migration.batch_size,
+            cfg.migration.workers,
+            cfg.migration.rate_limit,
+        ) == (batch, workers, rate)
+
+    with pytest.raises(ValueError):
+        generate_template(str(tmp_path / "x.yaml"), "oracle")
