@@ -234,3 +234,14 @@ def test_date_partitioned_layout_prunes_partitions(spark, tmp_path):
     n_days = events.select("event_date").distinct().count()
     assert n_days > 1  # pruning is meaningful on this fixture
     assert df.count() == events.filter(F.to_date("ts") == F.lit(one_day)).count()
+
+
+def test_q6_all_predicates_pushed(spark):
+    """Q6's four predicates must all reach the parquet scan and the read
+    schema must be exactly the four referenced columns."""
+    df = Q.q6_forecast_revenue(spark, SF_SMOKE)
+    pushed = pushed_filters(df)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, pushed
+    schemas = read_schema_columns(df)
+    assert schemas and all(len(cols) == 4 for cols in schemas), schemas
