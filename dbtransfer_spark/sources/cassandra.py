@@ -162,24 +162,10 @@ def get_table_schema(session: "CQLSession", keyspace: str, table: str) -> str:
 # C6/C7: UDT + UDF dependency migration (cassandra.go:293-443)
 # ---------------------------------------------------------------------------
 
-# cassandra.go:1234-1266 whitelist, kept verbatim.
-_BASIC_TYPES = frozenset(
-    "ascii bigint blob boolean counter date decimal double float inet int "
-    "smallint text time timestamp timeuuid tinyint uuid varchar varint".split()
-)
-
 # cassandra.go:1222-1229
 _BUILTIN_FUNCTIONS = frozenset(("token", "now", "uuid", "ttl"))
 
 _FUNC_CALL_RE = re.compile(r"(\w+)\s*\(")  # cassandra.go:1207
-
-
-def is_basic_type(type_name: str) -> bool:
-    """cassandra.go:1234-1266: scalar whitelist; collections count as basic
-    (their element UDTs are not chased — reference parity)."""
-    if type_name.startswith(("list<", "set<", "map<")):
-        return True
-    return type_name in _BASIC_TYPES
 
 
 def _split_type_args(inner: str) -> list[str]:
@@ -201,14 +187,15 @@ def _split_type_args(inner: str) -> list[str]:
 
 def referenced_udts(cql_type: str, known_types: set[str]) -> set[str]:
     """All UDT names a CQL type expression references, through any nesting
-    of ``frozen<>`` / ``list<>`` / ``set<>`` / ``map<>``. (The reference
-    unwraps only one frozen<> level and skips collections entirely,
-    cassandra.go:311 + 1234-1266 — which misses ``list<frozen<udt>>``
-    columns; chasing the full structure is a strict improvement.)"""
+    of ``frozen<>`` / ``list<>`` / ``set<>`` / ``map<>`` / ``tuple<>``.
+    (The reference unwraps only one frozen<> level and skips collections
+    entirely, cassandra.go:311 + 1234-1266 — which misses
+    ``list<frozen<udt>>`` columns; chasing the full structure is a strict
+    improvement.)"""
     t = cql_type.strip()
     if t.startswith("frozen<") and t.endswith(">"):
         return referenced_udts(t[7:-1], known_types)
-    for prefix in ("list<", "set<", "map<"):
+    for prefix in ("list<", "set<", "map<", "tuple<"):
         if t.startswith(prefix) and t.endswith(">"):
             out: set[str] = set()
             for arg in _split_type_args(t[len(prefix) : -1]):
@@ -396,7 +383,10 @@ def build_token_where(
         elif ctype == "blob":
             literals.append(f"0x{val}")
         elif ctype in ("timestamp", "date", "time"):
-            # Temporal partition keys need quoted ISO literals in CQL.
+            # Temporal partition keys need quoted ISO literals in CQL, and
+            # CQL's parser accepts at most millisecond fractions — Python
+            # str(datetime) emits 6-digit microseconds, so truncate.
+            val = re.sub(r"(\.\d{3})\d+", r"\1", val)
             literals.append(f"'{val}'")
         else:
             literals.append(val)

@@ -365,7 +365,17 @@ class JDBCSource(Source):
         DataFrame would re-execute the whole partitioned read just for a
         denominator; one scalar query on the source does it for free."""
         qualified = f"{self.cfg.schema}.{table.name}" if self.cfg.schema else table.name
-        where = f" WHERE {pk} > {watermark}" if pk and watermark is not None else ""
+        where = ""
+        if pk and watermark is not None:
+            # Only numeric watermarks are interpolated (keyset PKs are
+            # integral here); anything else falls back to counting the
+            # already-filtered DataFrame — never splice a raw string into
+            # SQL (invalid for varchar/timestamp PKs, and an injection
+            # vector for crafted checkpoint contents).
+            try:
+                where = f" WHERE {pk} > {int(str(watermark))}"
+            except ValueError:
+                return table_df.count()
         probe = (
             self.spark.read.format("jdbc")
             .options(

@@ -99,22 +99,26 @@ class MongoCollectionAPI(Protocol):
     def bulk_write(self, models: list, ordered: bool = False) -> Any: ...
 
 
+try:
+    from pymongo import UpdateOne as _UpdateOne  # type: ignore[import-not-found]
+except ImportError:  # failed imports aren't cached — probe once, not per batch
+    _UpdateOne = None
+
+
 def upsert_models(batch: list[dict]) -> list:
     """W3 (mongodb.go:398-412): one upserting UpdateOne model per doc,
     filtered on ``_id``, ``$set``-ing the whole document. Real pymongo
     requires ``UpdateOne`` instances; the dict form (same fields) is the
     fallback for injected fakes when pymongo isn't importable."""
-    try:
-        from pymongo import UpdateOne  # type: ignore[import-not-found]
-
+    if _UpdateOne is not None:
         return [
-            UpdateOne({"_id": doc["_id"]}, {"$set": doc}, upsert=True) for doc in batch
-        ]
-    except ImportError:
-        return [
-            {"filter": {"_id": doc["_id"]}, "update": {"$set": doc}, "upsert": True}
+            _UpdateOne({"_id": doc["_id"]}, {"$set": doc}, upsert=True)
             for doc in batch
         ]
+    return [
+        {"filter": {"_id": doc["_id"]}, "update": {"$set": doc}, "upsert": True}
+        for doc in batch
+    ]
 
 
 def bulk_upsert_with_retry(

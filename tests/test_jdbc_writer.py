@@ -132,3 +132,21 @@ def test_detect_primary_key_dbapi_sqlite(tmp_path):
 
     assert detect_primary_key_dbapi(_connect_factory(db), "sqlite", "comp") == ["b", "a"]
     assert detect_primary_key_dbapi(_connect_factory(db), "sqlite", "nopk") == []
+
+
+def test_count_rows_nonnumeric_watermark_falls_back_to_df_count():
+    # A checkpoint written by the reference tool can hold a varchar/timestamp
+    # PK watermark; count_rows must not splice it into SQL (invalid literal +
+    # injection vector) — it counts the already-filtered DataFrame instead.
+    from types import SimpleNamespace
+
+    from dbtransfer_spark.sources.jdbc import JDBCSource
+
+    class FakeDF:
+        def count(self):
+            return 42
+
+    src = SimpleNamespace(cfg=SimpleNamespace(schema=None), spark=None)
+    table = SimpleNamespace(name="t")
+    n = JDBCSource.count_rows(src, FakeDF(), table, "code", "ABC123")
+    assert n == 42

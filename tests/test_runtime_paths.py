@@ -549,3 +549,26 @@ def test_build_token_where_escapes_quotes_and_temporals():
         {"name": "O'Brien", "day": "2024-01-02"},
     )
     assert out == "token(name, day) >= token('O''Brien', '2024-01-02')"
+
+
+def test_build_token_where_truncates_temporal_to_millis():
+    # CQL timestamp/time literals accept at most .SSS fractions; the
+    # checkpoint stores str(datetime) with 6-digit microseconds.
+    from dbtransfer_spark.sources.cassandra import build_token_where
+
+    out = build_token_where(
+        {"ts": "timestamp"},
+        ["ts"],
+        {"ts": "2024-01-02 03:04:05.123000"},
+    )
+    assert out == "token(ts) >= token('2024-01-02 03:04:05.123')"
+
+
+def test_referenced_udts_chases_tuple_nesting():
+    from dbtransfer_spark.sources.cassandra import referenced_udts
+
+    known = {"geo", "address"}
+    assert referenced_udts("tuple<int, frozen<geo>>", known) == {"geo"}
+    assert referenced_udts(
+        "map<text, frozen<tuple<address, list<geo>>>>", known
+    ) == {"geo", "address"}
