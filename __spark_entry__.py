@@ -17,7 +17,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from dbtransfer_spark import queries as relational
-from dbtransfer_spark import sqlapi
+from dbtransfer_spark import sqlapi, tpch
 from dbtransfer_spark.functions import library as funclib
 from dbtransfer_spark.operators import (
     asof,
@@ -29,7 +29,19 @@ from dbtransfer_spark.operators import (
     windows,
 )
 
-_MODULES = (relational, windows, asof, text, dedup, similarity, multimodal, sqlapi, funclib, skew)
+_MODULES = (
+    relational,
+    tpch,
+    windows,
+    asof,
+    text,
+    dedup,
+    similarity,
+    multimodal,
+    sqlapi,
+    funclib,
+    skew,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:

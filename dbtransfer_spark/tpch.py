@@ -1,0 +1,458 @@
+"""Extended TPC-H-derived query suite (SURVEY.md §2.9 breadth).
+
+The reference engine has no query surface at all (SURVEY.md §2.9 — verified
+absent); these queries define the analytics surface a reference user gains
+by switching. Shapes are the canonical TPC-H plans (Q4/Q7/Q10/Q13/Q14/Q18/
+Q19/Q22) adapted to the fixture schema, which omits l_commitdate,
+l_receiptdate, l_shipmode, p_container, o_comment and c_phone — each
+adaptation keeps the query's *plan shape* (the thing that matters at
+100 TB) and swaps the predicate onto columns that exist.
+
+Scale ground rules applied throughout (see SCALE.md):
+- broadcast hints only on fixed-size dims (nation/region) or behind
+  ``broadcast_if_small``'s Catalyst-stats gate;
+- large⋈large joins are left to sort-merge + AQE;
+- aggregates that feed the cross-engine hash gate go through ``dsum`` /
+  ``davg`` (exact DECIMAL(30,10) accumulation) so shuffle order can never
+  flip a digit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dbtransfer_spark.catalog import load_table
+from dbtransfer_spark.queries import broadcast_if_small, davg, dsum
+
+QUERIES = {}
+ORACLE = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+@register(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS → left-semi join → tiny aggregate.
+    (Fixture has no l_commitdate/l_receiptdate; 'late' is shipped >60 days
+    after order date — same correlated-predicate semi-join plan.)
+
+    Scale: the quarter filter prunes orders at the scan; the semi join
+    carries the *extra* non-equi predicate inside the join condition, so
+    lineitem rows are dropped during the probe rather than in a
+    post-join filter, and each order emits at most once. Aggregate output
+    is 5 rows."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        orders.join(lineitem, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q7_nation_volume",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(round(sum(CAST(volume AS DECIMAL(30,10))), 2) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_8')
+          OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_7'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by year.
+
+    Scale: the nation pair predicate is *pre-split* — each nation copy is
+    filtered to the 2 relevant rows BEFORE joining (then the cross-pair
+    disjunction drops the 2 same-nation combinations after), so supplier
+    and customer are each reduced to ~2/25 of their rows by a broadcast
+    hash join against a 2-row dim before the big lineitem⋈orders
+    sort-merge. Filtering only after a 25-nation join would carry 12×
+    more rows through the expensive joins."""
+    pair = ("NATION_7", "NATION_8")
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name").isin(*pair))
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    supplier = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key")
+    )
+    customer = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        lineitem.join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .withColumn("l_year", F.year("l_shipdate").cast("bigint"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "q10_returned_items",
+    """
+    SELECT c_custkey, c_name,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))), 2) AS DOUBLE) AS revenue,
+           c_acctbal, n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue in a
+    quarter.
+
+    Scale: returnflag prunes lineitem ~2/3 and the quarter prunes orders
+    ~12× at the scan (both in PushedFilters); the surviving fact⋈fact is
+    sort-merge on orderkey, the customer join shuffles on custkey, nation
+    broadcasts (25 rows, fixed). Top-20 is TakeOrdered — no global
+    sort."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: order-count distribution over ALL customers —
+    left outer join so zero-order customers land in the c_count=0 bucket
+    (an inner join would silently drop them; the fixture has ~9%).
+
+    Scale: one shuffle for the outer join on custkey, one partial-agg
+    shuffle per count level (≤ ~tens of distinct counts). count(o_orderkey)
+    counts non-null matches only — the standard outer-join-count idiom."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    """
+    SELECT
+      CAST(round(sum(CAST(CASE WHEN p_type = 'PROMO'
+                     THEN l_extendedprice * (1 - l_discount) ELSE 0 END
+                AS DECIMAL(30,10))), 2) AS DOUBLE) AS promo_revenue,
+      CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))), 2) AS DOUBLE) AS total_revenue,
+      round(100.0 * CAST(round(sum(CAST(CASE WHEN p_type = 'PROMO'
+                     THEN l_extendedprice * (1 - l_discount) ELSE 0 END
+                AS DECIMAL(30,10))), 2) AS DOUBLE)
+            / CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))), 2) AS DOUBLE),
+            4) AS promo_pct
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promotion revenue share for one month — a
+    conditional-sum ratio over a fact⋈dim join.
+
+    Scale: the month filter reduces lineitem ~84× at the scan; part grows
+    with SF so its broadcast is stats-gated, falling back to shuffle join
+    (AQE re-broadcasts at runtime if the filtered side fits). The ratio
+    divides the two already-rounded decimal sums as doubles — IEEE
+    division is exactly rounded, so both engines see bit-identical
+    inputs and outputs."""
+    part = load_table(spark, sf_dir, "part")
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    agg = lineitem.join(
+        broadcast_if_small(part), F.col("l_partkey") == F.col("p_partkey")
+    ).agg(
+        dsum(F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0))).alias(
+            "promo_revenue"
+        ),
+        dsum(disc).alias("total_revenue"),
+    )
+    return agg.select(
+        "promo_revenue",
+        "total_revenue",
+        F.round(
+            100.0 * F.col("promo_revenue") / F.col("total_revenue"), 4
+        ).alias("promo_pct"),
+    )
+
+
+@register(
+    "q18_large_volume_customers",
+    """
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           sum(l_quantity) AS sum_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+    )
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold —
+    aggregate-then-semi-join back to the fact.
+
+    Scale: the HAVING subquery is ONE aggregate over lineitem reused as a
+    left-semi probe; Spark shares the groupBy shuffle between the filter
+    and the final per-order aggregate when keyed identically (orderkey),
+    so the plan is two orderkey shuffles + one custkey join. Quantities
+    are integral doubles, so plain double sums are exact (< 2^53) — no
+    decimal detour needed for the cross-engine hash."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__q"))
+        .filter(F.col("__q") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(
+            big.withColumnRenamed("l_orderkey", "__big_orderkey"),
+            F.col("o_orderkey") == F.col("__big_orderkey"),
+            "left_semi",
+        )
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    """
+    SELECT CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))), 2) AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 16 AND 30
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#24' AND p_size BETWEEN 31 AND 50
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunct groups across both join
+    sides (fixture has no p_container/l_shipmode; brand×size×quantity
+    keeps the cross-side OR structure).
+
+    Scale: Catalyst factors side-local implications out of the OR —
+    part gets `p_brand IN (...) AND p_size BETWEEN 1 AND 50`, lineitem
+    gets `l_quantity BETWEEN 1 AND 30` — pushed into both scans, so the
+    join probes only candidate rows and the full disjunction re-checks
+    pairs post-join. Writing the OR *after* the join and letting the
+    optimizer derive the pushdowns is the declarative win: the same
+    query hand-split into three UNIONs would scan lineitem three
+    times."""
+    part = load_table(spark, sf_dir, "part")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(16, 30)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#24")
+            & F.col("p_size").between(31, 50)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        lineitem.join(
+            broadcast_if_small(part), F.col("l_partkey") == F.col("p_partkey")
+        )
+        .filter(cond)
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q22_dormant_customers",
+    """
+    SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+           CAST(round(sum(CAST(c_acctbal AS DECIMAL(30,10))), 2) AS DOUBLE) AS totacctbal
+    FROM customer
+    WHERE c_nationkey IN (3, 7, 13, 17, 23)
+      AND c_acctbal > (
+        SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(30,10))) AS DOUBLE) / count(*)
+        FROM customer
+        WHERE c_acctbal > 0.0 AND c_nationkey IN (3, 7, 13, 17, 23)
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '2000-08-01 00:00:00'
+      )
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no recent
+    orders, bucketed by country (fixture has no c_phone — nationkey plays
+    the country-code role — and every fixture customer has ordered at
+    least once, so dormancy is 'no order in the final year' rather than
+    'never ordered'; the anti-join shape is identical).
+
+    Scale: the scalar average is a one-row aggregate cross-joined in
+    (broadcast of 1 row — fixed size, always safe); never-ordered is a
+    left-anti join against orders on custkey. The average divides an
+    exact decimal sum (cast to double) by an exact count — IEEE division
+    makes the threshold bit-identical across engines, so the filter
+    selects identical rows with no rounding epsilon."""
+    nations = (3, 7, 13, 17, 23)
+    customer = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(*nations)
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-08-01").cast("timestamp")
+    )
+    avg_bal = (
+        customer.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(30,10)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("__avg_bal")
+        )
+    )
+    return (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg_bal"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )

@@ -188,6 +188,8 @@ _FIXED_SIDE_CROSSJOINS = {
     "knn_bruteforce_cosine",
     "knn_ivf_cosine",
     "embedding_neardup_pairs",
+    # one-row scalar-aggregate broadcast (fixed size at any SF)
+    "q22_dormant_customers",
 }
 
 
@@ -245,3 +247,48 @@ def test_q6_all_predicates_pushed(spark):
         assert col in pushed, pushed
     schemas = read_schema_columns(df)
     assert schemas and all(len(cols) == 4 for cols in schemas), schemas
+
+
+def test_q19_or_predicate_factored_into_both_scans(spark):
+    """Q19's cross-side disjunction: Catalyst must factor the side-local
+    implications out of the OR and push them into BOTH scans (brand/size
+    into part, quantity into lineitem) so the join probes candidates only."""
+    from dbtransfer_spark import tpch
+
+    df = tpch.q19_disjunctive_revenue(spark, SF_SMOKE)
+    pushed = pushed_filters(df)
+    assert "p_brand" in pushed, pushed
+    assert "l_quantity" in pushed, pushed
+
+
+def test_q7_filters_nations_before_joining(spark):
+    """Q7 must reduce supplier/customer via 2-row nation dims BEFORE the
+    lineitem⋈orders sort-merge — the nation-name predicate may not survive
+    as a post-join filter over the full join output."""
+    from dbtransfer_spark import tpch
+
+    df = tpch.q7_nation_volume(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    # both nation copies arrive pre-filtered: n_name IN (pair) sits in a
+    # scan-adjacent filter, and the only post-join residue is the
+    # cross-pair inequality.
+    assert plan.count("NATION_7") >= 2, plan
+    assert has_broadcast_join(df)
+
+
+def test_q10_q18_topk_take_ordered(spark):
+    """Top-k queries must plan as TakeOrdered, never a global sort."""
+    from dbtransfer_spark import tpch
+
+    for fn in (tpch.q10_returned_items, tpch.q18_large_volume_customers):
+        assert has_operator(fn(spark, SF_SMOKE), "TakeOrderedAndProject")
+
+
+def test_q22_only_fixed_size_broadcasts(spark):
+    """Q22's scalar-average crossJoin broadcasts exactly one row; the
+    orders anti join must not carry a pinned hint (orders grows with SF)."""
+    from dbtransfer_spark import tpch
+
+    df = tpch.q22_dormant_customers(spark, SF_SMOKE)
+    logical = df._jdf.queryExecution().logical().toString()
+    assert logical.count("ResolvedHint (strategy=broadcast)") == 1, logical
