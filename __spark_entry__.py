@@ -21,6 +21,7 @@ from dbtransfer_spark import sqlapi, tpch
 from dbtransfer_spark.functions import library as funclib
 from dbtransfer_spark.operators import (
     asof,
+    corpus_qa,
     dedup,
     multimodal,
     similarity,
@@ -38,6 +39,7 @@ _MODULES = (
     dedup,
     similarity,
     multimodal,
+    corpus_qa,
     sqlapi,
     funclib,
     skew,

@@ -1,0 +1,299 @@
+"""Corpus-QA operators for a training-data pipeline (SURVEY.md §2.10
+extension set): benchmark decontamination, PII redaction, token-length
+histograms, and Zipf vocabulary statistics.
+
+Scale design notes:
+- Contamination check is the same inverted-index band shape as
+  dedup_ngram_jaccard: shingles are exploded once per side, the pair
+  candidates come from a shingle-keyed equi-join (never all-pairs), and a
+  document-frequency cap drops degenerate shingles that appear in a large
+  fraction of the corpus — the knob that bounds worst-case join fanout at
+  100 TB exactly as in dedup.py.
+- PII redaction is pure codegen regexp_replace in the scan stage: no
+  shuffle, no UDF. Patterns are deliberately RE2-compatible so the same
+  regex means the same thing in Spark (Java regex) and the DuckDB oracle.
+- Histogram/Zipf are one partial-aggregate shuffle each; the Zipf
+  cumulative share is a window over the (tiny) aggregated term list, not
+  the base table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dbtransfer_spark.catalog import load_table
+
+QUERIES = {}
+ORACLE = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Benchmark contamination check (decontamination)
+# ---------------------------------------------------------------------------
+
+_SHINGLE_LEN = 5
+# Shingles occurring in more than this many documents are too common to
+# signal contamination (and are the join-fanout hazard at scale).
+_DF_CAP = 50
+_MIN_SHARED = 3
+
+
+@register(
+    "contamination_check",
+    rf"""
+    WITH shingled AS (
+      SELECT doc_id, source, unnest(list_distinct([
+               array_to_string(words[i:i+{_SHINGLE_LEN - 1}], ' ')
+               FOR i IN range(1, greatest(len(words) - {_SHINGLE_LEN - 1}, 0) + 1)
+             ])) AS shingle
+      FROM (SELECT doc_id, source, string_split(text, ' ') AS words
+            FROM documents)
+    ), capped AS (
+      SELECT shingle FROM shingled
+      GROUP BY shingle HAVING count(*) <= {_DF_CAP}
+    ), rare AS (
+      SELECT s.doc_id, s.source, s.shingle
+      FROM shingled s JOIN capped USING (shingle)
+    ), pairs AS (
+      SELECT t.doc_id AS train_doc, b.doc_id AS bench_doc,
+             count(*) AS shared_shingles
+      FROM rare t JOIN rare b USING (shingle)
+      WHERE t.source <> 'src0' AND b.source = 'src0'
+      GROUP BY t.doc_id, b.doc_id
+      HAVING count(*) >= {_MIN_SHARED}
+    )
+    SELECT train_doc, bench_doc, shared_shingles
+    FROM pairs
+    ORDER BY shared_shingles DESC, train_doc, bench_doc
+    LIMIT 50
+    """,
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: find training documents sharing ≥3 rare
+    5-gram shingles with any benchmark document (benchmark = source
+    'src0' here; in production, the held-out eval set).
+
+    Scale shape: explode → distinct shingles per doc (narrow after one
+    doc-keyed aggregate), document-frequency cap via one shingle-keyed
+    aggregate, then a shingle-keyed equi-join between the train and
+    bench sides — candidate volume is bounded by the DF cap, never
+    all-pairs. This is the C4/Dolma-style n-gram decontamination
+    pipeline as three shuffles."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split("text", " ", -1).alias("words")
+    )
+    n = F.size("words")
+    idx = F.when(
+        n >= _SHINGLE_LEN, F.sequence(F.lit(0), n - _SHINGLE_LEN)
+    ).otherwise(F.array().cast("array<int>"))
+    shingled = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    idx,
+                    lambda i: F.concat_ws(
+                        " ", F.slice("words", i + 1, _SHINGLE_LEN)
+                    ),
+                )
+            )
+        ).alias("shingle"),
+    )
+    capped = (
+        shingled.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= _DF_CAP)
+        .select("shingle")
+    )
+    rare = shingled.join(capped, "shingle")
+    train = rare.filter(F.col("source") != "src0").select(
+        F.col("doc_id").alias("train_doc"), "shingle"
+    )
+    bench = rare.filter(F.col("source") == "src0").select(
+        F.col("doc_id").alias("bench_doc"), "shingle"
+    )
+    return (
+        train.join(bench, "shingle")
+        .groupBy("train_doc", "bench_doc")
+        .agg(F.count(F.lit(1)).alias("shared_shingles"))
+        .filter(F.col("shared_shingles") >= _MIN_SHARED)
+        .orderBy(F.desc("shared_shingles"), "train_doc", "bench_doc")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# RE2-compatible (no backrefs/lookaround) so Spark and DuckDB agree.
+_EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+def redact_pii(df: DataFrame, col: str) -> DataFrame:
+    """Replace emails and phone numbers in ``col`` with typed placeholder
+    tokens, adding match-count columns. Pure codegen regexp ops: redaction
+    of a 100 TB corpus is a narrow map in the scan stage."""
+    emails = F.regexp_count(F.col(col), F.lit(_EMAIL_RE))
+    phones = F.regexp_count(F.col(col), F.lit(_PHONE_RE))
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col(col), _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return df.withColumns(
+        {"n_emails": emails, "n_phones": phones, f"{col}_redacted": redacted}
+    )
+
+
+@register(
+    "pii_redact",
+    rf"""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id ||
+             '@example.com or 555-' ||
+             lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+             lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(text, '{_PHONE_RE}')) AS n_phones,
+           regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_PHONE_RE}', '<PHONE>', 'g') AS text_redacted
+    FROM seeded
+    """,
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over documents. The fixture corpus contains no real
+    contact strings, so the declared query first seeds each document with
+    a deterministic synthetic email + phone derived from doc_id — the
+    redaction regexes then have genuine matches to find, and the oracle
+    checks the redacted text byte-for-byte. Library callers use
+    ``redact_pii`` directly on raw text."""
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return redact_pii(seeded, "text").select(
+        "doc_id", "n_emails", "n_phones", "text_redacted"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-length histogram
+# ---------------------------------------------------------------------------
+
+_BUCKET = 10
+
+
+@register(
+    "token_histogram",
+    f"""
+    SELECT bucket_lo, count(*) AS n_docs,
+           round(100.0 * count(*) / sum(count(*)) OVER (), 4) AS pct
+    FROM (
+      SELECT (len(string_split(text, ' ')) // {_BUCKET}) * {_BUCKET} AS bucket_lo
+      FROM documents
+    )
+    GROUP BY bucket_lo ORDER BY bucket_lo
+    """,
+)
+def token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document token-count histogram (bucket width 10) with share of
+    corpus — the first diagnostic anyone runs on a new data source.
+    One partial-agg shuffle; the OVER () total is computed from the
+    aggregated buckets, not the base table."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " ", -1))
+    agg = (
+        docs.select(
+            (F.floor(n_tokens / _BUCKET) * _BUCKET).cast("bigint").alias("bucket_lo")
+        )
+        .groupBy("bucket_lo")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    w = Window.partitionBy()
+    return agg.select(
+        "bucket_lo",
+        "n_docs",
+        F.round(100.0 * F.col("n_docs") / F.sum("n_docs").over(w), 4).alias("pct"),
+    ).orderBy("bucket_lo")
+
+
+# ---------------------------------------------------------------------------
+# Zipf vocabulary statistics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "zipf_vocab",
+    """
+    WITH tf AS (
+      SELECT term, count(*) AS freq
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents)
+      WHERE term <> ''
+      GROUP BY term
+    )
+    SELECT term, freq,
+           row_number() OVER (ORDER BY freq DESC, term) AS rank,
+           round(100.0 * sum(freq) OVER (ORDER BY freq DESC, term
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 / sum(freq) OVER (), 4) AS cum_pct
+    FROM tf
+    ORDER BY rank
+    LIMIT 30
+    """,
+)
+def zipf_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 corpus vocabulary with Zipf rank and cumulative frequency
+    share — the head-coverage diagnostic for tokenizer/vocab decisions.
+
+    Scale: one explode + term-keyed partial aggregate (the only shuffle
+    over base data); ranks and the running share are windows over the
+    aggregated vocabulary, which is orders of magnitude smaller than the
+    corpus. A single-partition window over a full 100 TB corpus would be
+    a bottleneck — over a vocabulary it is trivial."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(F.split(F.lower("text"), " ", -1)).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    order = Window.orderBy(F.desc("freq"), "term")
+    running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    total = Window.partitionBy()
+    return (
+        tf.select(
+            "term",
+            "freq",
+            F.row_number().over(order).alias("rank"),
+            F.round(
+                100.0 * F.sum("freq").over(running) / F.sum("freq").over(total), 4
+            ).alias("cum_pct"),
+        )
+        .orderBy("rank")
+        .limit(30)
+    )
