@@ -297,3 +297,46 @@ def zipf_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("rank")
         .limit(30)
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic dataset split
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dataset_split",
+    """
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+             % 100 AS bucket,
+           CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 80 THEN 'train'
+                WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by hashing the
+    stable document id (md5-derived 60-bit int mod 100 — the same
+    portable hash the dedup oracles replay, so any engine reproduces the
+    exact split).
+
+    Scale: a narrow map in the scan stage — no shuffle, no sampling
+    state, no ordering dependence; re-running on a grown corpus never
+    reassigns an existing document (the property random splits lack)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+            "long"
+        ),
+        F.lit(100),
+    )
+    return docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )

@@ -76,3 +76,32 @@ def test_contamination_check_runs_on_fixture(spark):
         assert r["train_doc"] not in bench_ids
         assert r["bench_doc"] in bench_ids
         assert r["shared_shingles"] >= corpus_qa._MIN_SHARED
+
+
+def test_dataset_split_is_deterministic_and_complete(spark):
+    """Same id → same split on every run; proportions near 80/10/10."""
+    from dbtransfer_spark.operators.corpus_qa import dataset_split
+
+    a = {r["doc_id"]: r["split"] for r in dataset_split(spark, SF_SMOKE).collect()}
+    b = {r["doc_id"]: r["split"] for r in dataset_split(spark, SF_SMOKE).collect()}
+    assert a == b
+    n = len(a)
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert set(c) <= {"train", "val", "test"}
+    assert c["train"] / n > 0.6  # hash balance sanity, not exactness
+
+
+def test_quantize_int8_bounds_and_roundtrip(spark):
+    from dbtransfer_spark.operators.similarity import quantize_int8
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "id int, v array<float>",
+    )
+    q, scale, err = quantize_int8(F.col("v"))
+    rows = {r["id"]: r for r in df.select("id", q.alias("q"), scale.alias("s"), err.alias("e")).collect()}
+    assert rows[1]["q"] == [64, -127, 32, 0]  # scale = 1/127
+    assert rows[1]["e"] <= rows[1]["s"] / 2 + 1e-12  # error bounded by half a step
+    assert rows[2]["q"] == [0, 0, 0, 0] and rows[2]["e"] == 0.0  # zero-vector guard
