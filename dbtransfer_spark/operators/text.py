@@ -393,16 +393,23 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus composition per language — the monitoring aggregate every
-    training-data pipeline runs after language ID."""
+    training-data pipeline runs after language ID. The corpus total is a
+    window over the aggregated language rows (one job, no separate
+    driver-side count action)."""
+    from pyspark.sql import Window
+
     df = load_table(spark, sf_dir, "documents")
-    total = df.count()  # tiny: one metadata-backed count
+    w = Window.partitionBy()
     return (
         df.groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.round(F.avg(F.col("n_chars").cast("double")), 2).alias("avg_chars"),
         )
-        .withColumn("share", F.round(F.col("n_docs").cast("double") / total, 4))
+        .withColumn(
+            "share",
+            F.round(F.col("n_docs").cast("double") / F.sum("n_docs").over(w), 4),
+        )
         .select("lang", "n_docs", "avg_chars", "share")
     )
 

@@ -266,3 +266,43 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ord")
         .select("stage", "n_users", "pct_of_prev")
     )
+
+
+@register(
+    "rolling_7d_user_activity",
+    """
+    SELECT event_id, user_id, ts,
+           count(*) OVER w AS n_7d,
+           CAST(round(sum(CAST("value" AS DECIMAL(30,10))) OVER w, 2) AS DOUBLE)
+             AS value_7d
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling_7d_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing-7-day activity features (event count + value
+    sum per user) — the RANGE-frame shape behind rolling engagement /
+    spend features in a training pipeline.
+
+    Scale: one shuffle on user_id; within each partition Spark evaluates
+    the range frame with a sliding accumulator (linear, not O(n²) frame
+    rescans). The frame is ordered by unix_micros — full timestamp
+    precision, no cast-to-seconds truncation — and the windowed sum goes
+    through exact DECIMAL accumulation so frame-entry order can never
+    flip a digit against the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-7 * 86400 * 1_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_7d"),
+        F.round(F.sum(F.col("value").cast("decimal(30,10)")).over(w), 2)
+        .cast("double")
+        .alias("value_7d"),
+    )
