@@ -111,6 +111,10 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("shingle"),
     )
+    # The shingle explode feeds three consumers (the DF-cap aggregate and
+    # the train/bench join sides); persist it so the expensive explode
+    # runs once instead of three times. Narrow rows: (id, source, shingle).
+    shingled = shingled.persist()
     capped = (
         shingled.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("__df"))

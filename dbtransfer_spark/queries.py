@@ -645,3 +645,34 @@ def order_priority_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         F.round(100.0 * F.col("n_orders") / F.sum("n_orders").over(w), 4).alias("pct"),
     ).orderBy("o_orderpriority")
+
+
+@register(
+    "unpivot_lineitem_metrics",
+    """
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+           l_quantity AS metric_value FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+    """,
+)
+def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (melt) of the lineitem measures — the reshape
+    every feature store / metrics pipeline needs.
+
+    Scale: Spark plans unpivot as a single-scan Expand (each input row
+    emitted k times) — a narrow op with NO shuffle and ONE pass over the
+    table, where the naive UNION ALL formulation (what the oracle runs)
+    scans the table k times. Values pass through unchanged, so no
+    decimal detour is needed for the cross-engine hash."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "metric",
+        "metric_value",
+    )

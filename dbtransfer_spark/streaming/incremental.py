@@ -231,6 +231,26 @@ def purchases_after_view_stream(
     )
 
 
+def deduped_event_stream(
+    spark: SparkSession, source_dir: str, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exact dedup on the event key with watermark-bounded
+    state: ``dropDuplicatesWithinWatermark`` keeps a key in the dedup
+    state only until the watermark passes its event time + the watermark
+    delay, so state is O(events per watermark window), not O(all keys
+    ever seen) — the formulation that survives an infinite stream (plain
+    ``dropDuplicates`` on a stream accumulates state forever).
+
+    The at-least-once upstream (file redelivery, producer retries) turns
+    into exactly-once rows downstream as long as duplicates arrive within
+    the watermark delay — the contract every ingestion pipeline needs."""
+    return (
+        read_event_stream(spark, source_dir)
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+
+
 def run_stream_to_memory(
     spark: SparkSession, stream_df: DataFrame, query_name: str, output_mode: str = "complete"
 ) -> DataFrame:

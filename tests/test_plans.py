@@ -292,3 +292,15 @@ def test_q22_only_fixed_size_broadcasts(spark):
     df = tpch.q22_dormant_customers(spark, SF_SMOKE)
     logical = df._jdf.queryExecution().logical().toString()
     assert logical.count("ResolvedHint (strategy=broadcast)") == 1, logical
+
+
+def test_unpivot_single_scan_no_shuffle(spark):
+    """Unpivot must plan as one Expand over one parquet scan — never the
+    UNION-of-k-scans formulation — with zero exchanges."""
+    df = Q.unpivot_lineitem_metrics(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "Expand" in plan, plan
+    assert "Union" not in plan, plan
+    tree = plan.split("\n\n")[0]  # simple-tree section; details repeat names
+    assert tree.count("Scan parquet") == 1, tree
+    assert count_exchanges(df) == 0

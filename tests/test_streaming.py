@@ -148,3 +148,27 @@ def test_stream_stream_interval_join_matches_batch(spark, events_dir):
     assert streamed.count() == batch.count()
     assert streamed.count() > 0  # fixture actually exercises the join
     assert streamed.exceptAll(batch).count() == 0
+
+
+def test_deduped_stream_drops_redelivered_events(spark, tmp_path):
+    """Source with every file delivered twice (at-least-once upstream):
+    the deduped stream must emit each event_id exactly once and match the
+    batch-distinct result."""
+    from dbtransfer_spark.streaming.incremental import deduped_event_stream
+
+    src_dir = str(tmp_path / "dup_src")
+    ev = load_table(spark, SF_SMOKE, "events").repartition(2)
+    ev.write.parquet(src_dir)
+    ev.write.mode("append").parquet(src_dir)  # full redelivery
+
+    streamed = run_stream_to_memory(
+        spark,
+        deduped_event_stream(spark, src_dir),
+        "dedup_stream_test",
+        output_mode="append",
+    )
+    n_events = ev.count()
+    assert spark.read.parquet(src_dir).count() == 2 * n_events  # source truly duplicated
+    assert streamed.count() == n_events
+    assert streamed.select("event_id").distinct().count() == n_events
+    assert streamed.select(*ev.columns).exceptAll(ev).count() == 0
