@@ -344,3 +344,61 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Global contiguous ordinals (shard row numbering)
+# ---------------------------------------------------------------------------
+
+
+def global_ordinal(df: DataFrame, key_col: str, n_partitions: int = 32) -> DataFrame:
+    """Assign contiguous global ordinals 1..N ordered by ``key_col``
+    WITHOUT a single-partition global window.
+
+    The naive ``row_number() OVER (ORDER BY key)`` plans as Exchange
+    SinglePartition — every row through one task, the classic 100 TB
+    bottleneck. Instead: range-repartition on the key (partition order ==
+    key order), number rows within each partition, and add per-partition
+    offsets computed from a tiny partition-count aggregate (driver-side
+    scalar probe, |partitions| rows — same pattern as the JDBC bounds
+    probe). Output is identical for any partition-boundary sampling,
+    because offsets are derived from whatever partitioning materialized."""
+    parts = df.repartitionByRange(n_partitions, F.col(key_col)).sortWithinPartitions(
+        key_col
+    )
+    withpid = parts.withColumn("__pid", F.spark_partition_id())
+    counts = sorted(
+        (r["__pid"], r["cnt"])
+        for r in withpid.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid, cnt in counts:
+        offsets[pid] = acc
+        acc += cnt
+    spark = df.sparkSession
+    offset_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "__pid int, __offset long"
+    )
+    w = Window.partitionBy("__pid").orderBy(key_col)
+    return (
+        withpid.join(F.broadcast(offset_df), "__pid")
+        .withColumn("ordinal", F.row_number().over(w) + F.col("__offset"))
+        .drop("__pid", "__offset")
+    )
+
+
+@register(
+    "doc_global_ordinal",
+    """
+    SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS ordinal
+    FROM documents
+    """,
+)
+def doc_global_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous training-shard row numbers for every document — the
+    write-side primitive for deterministic sharding/resume offsets. See
+    ``global_ordinal`` for why this is NOT a global window."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return global_ordinal(docs, "doc_id").select(
+        "doc_id", F.col("ordinal").cast("bigint").alias("ordinal")
+    )

@@ -105,3 +105,19 @@ def test_quantize_int8_bounds_and_roundtrip(spark):
     # error bounded by half a quantization step
     assert rows[1]["q_max_abs_err"] <= rows[1]["q_scale"] / 2 + 1e-12
     assert rows[2]["q_vec"] == [0, 0, 0, 0] and rows[2]["q_max_abs_err"] == 0.0
+
+
+def test_global_ordinal_contiguous_and_distributed(spark):
+    """Ordinals are exactly 1..N in key order, and the plan never funnels
+    data through a single-partition exchange (the naive global
+    row_number() OVER (ORDER BY key) would)."""
+    from dbtransfer_spark.operators.corpus_qa import global_ordinal
+
+    df = spark.range(0, 1000).select((F.col("id") * 7 % 1000).alias("k"))
+    out = global_ordinal(df, "k", n_partitions=8)
+    rows = sorted((r["k"], r["ordinal"]) for r in out.collect())
+    assert [o for _, o in rows] == list(range(1, 1001))
+    assert [k for k, _ in rows] == sorted(k for k, _ in rows)
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
