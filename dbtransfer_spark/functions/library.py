@@ -223,3 +223,48 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_p50_halfcents.alias("p50_price_halfcents"),
         (F.abs(approx_p50 - exact_p50) / exact_p50 <= 0.01).alias("p50_within_1pct"),
     )
+
+
+@register(
+    "map_functions",
+    """
+    SELECT l_orderkey, l_linenumber,
+           (CASE WHEN l_quantity > 1.0 THEN 1 ELSE 0 END
+            + CASE WHEN l_extendedprice > 1.0 THEN 1 ELSE 0 END
+            + CASE WHEN l_discount > 1.0 THEN 1 ELSE 0 END) AS n_above_one,
+           l_quantity + l_extendedprice + l_discount AS total,
+           l_quantity * 2 AS qty_doubled,
+           'qty,price,disc' AS keys_str
+    FROM lineitem
+    """,
+)
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map family: construction (map_from_arrays), higher-order filtering
+    (map_filter), value transformation (transform_values), key/value
+    extraction. The oracle recomputes every output directly from the
+    source columns, so the map round-trip is verified value-for-value —
+    including that map_from_arrays preserves entry order (the aggregate
+    over map_values must add in qty, price, disc order to be bit-equal
+    to the oracle's left-to-right sum)."""
+    df = load_table(spark, sf_dir, "lineitem")
+    m = F.map_from_arrays(
+        F.array(F.lit("qty"), F.lit("price"), F.lit("disc")),
+        F.array(
+            F.col("l_quantity").cast("double"),
+            F.col("l_extendedprice").cast("double"),
+            F.col("l_discount").cast("double"),
+        ),
+    )
+    staged = df.select("l_orderkey", "l_linenumber", m.alias("__m"))
+    return staged.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.size(F.map_filter("__m", lambda k, v: v > 1.0)).alias("n_above_one"),
+        F.aggregate(
+            F.map_values("__m"), F.lit(0.0), lambda acc, x: acc + x
+        ).alias("total"),
+        F.element_at(
+            F.transform_values("__m", lambda k, v: v * 2), F.lit("qty")
+        ).alias("qty_doubled"),
+        F.concat_ws(",", F.map_keys("__m")).alias("keys_str"),
+    )

@@ -676,3 +676,43 @@ def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         "metric_value",
     )
+
+
+@register(
+    "acctbal_deciles",
+    """
+    SELECT decile,
+           count(*) AS n_customers,
+           CAST(round(sum(CAST(c_acctbal AS DECIMAL(30,10))), 2) AS DOUBLE) AS total_bal,
+           round(min(c_acctbal), 2) AS min_bal,
+           round(max(c_acctbal), 2) AS max_bal
+    FROM (
+      SELECT c_acctbal, ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+      FROM customer
+    )
+    GROUP BY decile ORDER BY decile
+    """,
+)
+def acctbal_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-population decile bucketing (ntile) of customer balances with
+    per-bucket stats — the feature-binning primitive.
+
+    Scale note: ntile over a global ORDER BY is a single-partition window
+    — acceptable here only because the windowed input is the customer
+    dim, orders of magnitude smaller than the facts. For fact-scale
+    binning use approx quantile cutpoints (percentile_stats) or
+    global_ordinal + arithmetic instead; the tie-broken ordering
+    (c_acctbal, c_custkey) keeps bucket assignment deterministic."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (
+        cust.select("c_acctbal", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum(F.col("c_acctbal")).alias("total_bal"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        )
+        .orderBy("decile")
+    )

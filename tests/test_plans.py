@@ -304,3 +304,16 @@ def test_unpivot_single_scan_no_shuffle(spark):
     tree = plan.split("\n\n")[0]  # simple-tree section; details repeat names
     assert tree.count("Scan parquet") == 1, tree
     assert count_exchanges(df) == 0
+
+
+def test_aqe_converts_unpinned_join_to_broadcast_at_runtime(spark):
+    """The scale contract behind dropping pinned broadcast hints: when a
+    join side is actually small at runtime, AQE converts the sort-merge
+    join to broadcast on its own. Execute q3 (whose orders⋈customer side
+    carries no hint) and assert the final adaptive plan used a broadcast
+    join — proof the hint removal costs nothing at small scale while
+    preventing OOM at 100×."""
+    df = Q.q3_shipping_priority(spark, SF_SMOKE)
+    df.collect()  # materialize so AQE finalizes the plan
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in final, final
