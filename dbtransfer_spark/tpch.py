@@ -456,3 +456,206 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cntrycode")
     )
+
+
+@register(
+    "q8_market_share",
+    """
+    SELECT o_year,
+           CAST(round(sum(CAST(CASE WHEN supp_nation = 'NATION_2'
+                          THEN volume ELSE 0 END AS DECIMAL(30,10))), 2) AS DOUBLE)
+             AS nation_volume,
+           CAST(round(sum(CAST(volume AS DECIMAL(30,10))), 2) AS DOUBLE) AS total_volume,
+           round(CAST(round(sum(CAST(CASE WHEN supp_nation = 'NATION_2'
+                          THEN volume ELSE 0 END AS DECIMAL(30,10))), 2) AS DOUBLE)
+                 / CAST(round(sum(CAST(volume AS DECIMAL(30,10))), 2) AS DOUBLE), 6)
+             AS mkt_share
+    FROM (
+      SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON n1.n_nationkey = c_nationkey
+      JOIN region   ON r_regionkey = n1.n_regionkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation n2 ON n2.n_nationkey = s_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+        AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    )
+    GROUP BY o_year ORDER BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one supplier nation's share of a region's yearly
+    revenue for one part type — the widest join tree in the suite
+    (lineitem ⋈ part ⋈ orders ⋈ customer ⋈ nation ⋈ region ⋈ supplier
+    ⋈ nation again), ending in a per-year conditional-sum ratio.
+
+    Scale: nation/region are fixed-size → unconditional broadcast; the
+    region restriction reaches customers as a broadcast semi-filter on
+    nationkey, so no customer⋈nation shuffle exists. part (p_type prunes
+    5/6) and supplier grow with SF → stats-gated broadcast, sort-merge +
+    AQE otherwise. The two-year date filter prunes orders at the scan.
+    Both ratio operands are exact decimal sums rounded while decimal;
+    their IEEE double division is exactly rounded, so mkt_share is
+    bit-identical across engines."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    region_nations = nation.join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("__c_nkey"))
+    supp_nation = nation.select(
+        F.col("n_nationkey").alias("__s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        lineitem.join(
+            broadcast_if_small(part), F.col("l_partkey") == F.col("p_partkey")
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            broadcast_if_small(customer), F.col("o_custkey") == F.col("c_custkey")
+        )
+        .join(F.broadcast(region_nations), F.col("c_nationkey") == F.col("__c_nkey"))
+        .join(
+            broadcast_if_small(supplier), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("__s_nkey"))
+    )
+    agg = joined.groupBy(
+        F.year("o_orderdate").cast("int").alias("o_year")
+    ).agg(
+        dsum(
+            F.when(F.col("supp_nation") == "NATION_2", volume).otherwise(F.lit(0.0))
+        ).alias("nation_volume"),
+        dsum(volume).alias("total_volume"),
+    )
+    return agg.select(
+        "o_year",
+        "nation_volume",
+        "total_volume",
+        F.round(F.col("nation_volume") / F.col("total_volume"), 6).alias("mkt_share"),
+    ).orderBy("o_year")
+
+
+@register(
+    "q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(30,10))), 2) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the revenue view (per-supplier quarter revenue)
+    self-referenced through a scalar MAX subquery — suppliers tied at the
+    maximum all qualify.
+
+    Scale: the quarter filter prunes lineitem at the scan; the per-supplier
+    aggregate is one shuffle on l_suppkey. The scalar max is a one-row
+    aggregate of the *already-aggregated* view (|suppliers| rows), cross-
+    joined back as a broadcast of exactly one row — never a global sort.
+    Equality against the max compares two copies of the same rounded
+    decimal-sum double, so tie detection is exact on both engines."""
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    revenue = lineitem.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "total_revenue"
+        )
+    )
+    top = revenue.agg(F.max("total_revenue").alias("__max_rev"))
+    supplier = load_table(spark, sf_dir, "supplier")
+    return (
+        revenue.crossJoin(F.broadcast(top))
+        .filter(F.col("total_revenue") == F.col("__max_rev"))
+        .join(
+            broadcast_if_small(supplier),
+            F.col("supplier_no") == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    """
+    WITH lp AS (
+      SELECT l_partkey, l_quantity, l_extendedprice
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_brand = 'Brand#13' AND p_size <= 15
+    ),
+    th AS (
+      SELECT l_partkey,
+             sum(CAST(l_quantity AS DECIMAL(30,10))) AS qty_sum,
+             count(*) AS cnt
+      FROM lp GROUP BY l_partkey
+    )
+    SELECT
+      CAST(round(sum(CAST(l_extendedprice AS DECIMAL(30,10))), 2) AS DOUBLE)
+        AS total_rev,
+      round(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(30,10))), 2) AS DOUBLE)
+            / 7.0, 2) AS avg_yearly
+    FROM lp JOIN th USING (l_partkey)
+    WHERE CAST(l_quantity AS DECIMAL(30,10)) * 5 * cnt < qty_sum
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue lost to small-quantity orders — a
+    correlated scalar AVG subquery (l_quantity < 0.2 * avg per part),
+    decorrelated into a per-part aggregate joined back to the fact rows.
+    (Fixture has no p_container; brand + size bounds the part set the
+    same way.)
+
+    Scale: the brand/size filter reduces part ~40× before it ever meets
+    lineitem (stats-gated broadcast), so both the threshold aggregate and
+    the re-join run on the pruned fact subset; the per-part threshold is
+    tiny and broadcasts back. The 20%-of-average comparison is
+    cross-multiplied (5 * qty * cnt < qty_sum) in exact decimal/integer
+    arithmetic — no double division anywhere near the predicate, so both
+    engines select identical rows."""
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#13") & (F.col("p_size") <= 15)
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    lp = lineitem.join(
+        broadcast_if_small(part), F.col("l_partkey") == F.col("p_partkey")
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    th = lp.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(30,10)")).alias("qty_sum"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    small = lp.join(broadcast_if_small(th), "l_partkey").filter(
+        F.col("l_quantity").cast("decimal(30,10)") * 5 * F.col("cnt")
+        < F.col("qty_sum")
+    )
+    total = dsum(F.col("l_extendedprice")).alias("total_rev")
+    agg = small.agg(total)
+    return agg.select(
+        "total_rev", F.round(F.col("total_rev") / 7.0, 2).alias("avg_yearly")
+    )
