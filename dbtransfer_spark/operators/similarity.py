@@ -657,3 +657,143 @@ def quantize_int8(df: DataFrame, vec_col: str) -> DataFrame:
             )
         ),
     ).drop("__qv64")
+
+
+# ---------------------------------------------------------------------------
+# K-means (Lloyd) — iterative algorithm on DataFrames, fully oracle-checked
+# ---------------------------------------------------------------------------
+
+_KMEANS_K = 8
+_KMEANS_DIM = 64  # fixture embedding dimension (embeddings.parquet)
+
+# Fixed-point kmeans: every coordinate is quantized ONCE to integer
+# micro-units via floor(x * 1e6) — floor is bit-identical on both engines
+# (unlike double→decimal casts, whose tie rounding is HALF_UP in Spark but
+# HALF_EVEN in DuckDB, and embedding floats are coarse dyadics that do hit
+# exact ties). From there every distance, sum, and centroid is exact
+# integer arithmetic, so the full two-iteration trace is reproducible
+# bit-for-bit in SQL.
+
+_KMEANS_ORACLE = f"""
+    WITH pts AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS cluster, v AS c FROM pts WHERE vec_id < {_KMEANS_K}),
+    d1 AS (
+      SELECT p.vec_id, p.v, c.cluster,
+             CAST(list_sum(list_transform(range(1, {_KMEANS_DIM + 1}),
+               i -> (p.v[i] - c.c[i]) * (p.v[i] - c.c[i]))) AS BIGINT) AS dist
+      FROM pts p CROSS JOIN c0 c
+    ),
+    a1 AS (
+      SELECT vec_id, v, cluster FROM d1
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) = 1
+    ),
+    m1 AS (
+      SELECT cluster, dims.i,
+             CAST(sum(v[dims.i]) AS BIGINT) AS s, count(*) AS n
+      FROM a1 CROSS JOIN (SELECT unnest(range(1, {_KMEANS_DIM + 1})) AS i) dims
+      GROUP BY cluster, dims.i
+    ),
+    u1 AS (
+      SELECT cluster, i, (s - ((s % n + n) % n)) // n AS cq FROM m1
+    ),
+    c1 AS (SELECT cluster, list(cq ORDER BY i) AS c FROM u1 GROUP BY cluster),
+    d2 AS (
+      SELECT p.vec_id, c.cluster,
+             CAST(list_sum(list_transform(range(1, {_KMEANS_DIM + 1}),
+               i -> (p.v[i] - c.c[i]) * (p.v[i] - c.c[i]))) AS BIGINT) AS dist
+      FROM pts p CROSS JOIN c1 c
+    )
+    SELECT vec_id, cluster, dist AS dist_fp2
+    FROM d2
+    QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) = 1
+"""
+
+
+def _sqdist_fp(v, c) -> Column:
+    """Squared L2 distance in squared micro-units — pure BIGINT arithmetic
+    (terms ≤ (8·10⁶)², 64 of them: far inside long range), so the sum is
+    exact and order-independent and every argmin decision is bit-identical
+    on any engine or partitioning."""
+    terms = F.zip_with(v, c, lambda x, y: (x - y) * (x - y))
+    return F.aggregate(terms, F.lit(0).cast("long"), lambda acc, t: acc + t)
+
+
+def _kmeans_assign(points: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the k×d centroid table to
+    every executor (k·d longs — fixed size, never SF-scaling), score all
+    k candidates per point in one pass, keep the row_number()=1 row with
+    ties broken on cluster id. One shuffle (the vec_id window), k rows in,
+    1 row out per point."""
+    w = Window.partitionBy("vec_id").orderBy("dist", "cluster")
+    return (
+        points.crossJoin(F.broadcast(cents))
+        .withColumn("dist", _sqdist_fp(F.col("v"), F.col("c")))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "c")
+    )
+
+
+def _kmeans_update(assigned: DataFrame) -> DataFrame:
+    """Centroid recompute: posexplode to (cluster, dim, value), per-dim
+    integer sum + count (map-side partial aggregation applies — the
+    shuffle carries k·d partial sums per task, not rows), then the new
+    coordinate is the floor-division mean in micro-units. Floor division
+    is spelled out via the sign-safe mod identity because Spark's DIV
+    truncates toward zero while DuckDB's // floors — subtracting the
+    non-negative remainder first makes the dividend exactly divisible, so
+    both spellings agree. Empty clusters drop out, as in canonical
+    Lloyd."""
+    per_dim = (
+        assigned.select("cluster", F.posexplode("v").alias("pos", "x"))
+        .groupBy("cluster", "pos")
+        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    m = (F.col("s") % F.col("n") + F.col("n")) % F.col("n")
+    per_dim = per_dim.withColumn(
+        "cq", ((F.col("s") - m) / F.col("n")).cast("long")
+    )
+    return per_dim.groupBy("cluster").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cq"))),
+            lambda s: s.getField("cq"),
+        ).alias("c")
+    )
+
+
+@register("kmeans_lloyd", _KMEANS_ORACLE)
+def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means via Lloyd\'s algorithm, two iterations, k=8: deterministic
+    init (the first k vec_ids), assign → recompute means → reassign.
+    The demonstration that *iterative* ML algorithms run as plain
+    DataFrame programs — and, unusually, with a full cross-engine oracle:
+    fixed-point coordinates (floor(x·10⁶)) make every distance, mean, and
+    assignment decision exact integer arithmetic (see module comment
+    above _KMEANS_ORACLE), so DuckDB replays the whole trace bit-for-bit.
+
+    Scale: per iteration, one broadcast of the k×d centroid table (fixed
+    size — never grows with SF), one scan of the points, one argmin
+    window on vec_id, and a k·d-wide partial-aggregated mean shuffle.
+    Nothing driver-side between iterations — the loop just extends the
+    logical plan, so Catalyst sees one DAG; the quantized points are
+    persisted across the three passes they feed."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    points = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1000000.0).cast("long"),
+        ).alias("v"),
+    ).persist()
+    cents = points.filter(F.col("vec_id") < _KMEANS_K).select(
+        F.col("vec_id").alias("cluster"), F.col("v").alias("c")
+    )
+    assigned = _kmeans_assign(points, cents)
+    cents = _kmeans_update(assigned)
+    assigned = _kmeans_assign(points, cents)
+    return assigned.select("vec_id", "cluster", F.col("dist").alias("dist_fp2"))

@@ -190,6 +190,9 @@ _FIXED_SIDE_CROSSJOINS = {
     "embedding_neardup_pairs",
     # one-row scalar-aggregate broadcast (fixed size at any SF)
     "q22_dormant_customers",
+    "q15_top_supplier",
+    # k×d centroid-table broadcast (k=8 rows, fixed size at any SF)
+    "kmeans_lloyd",
 }
 
 
