@@ -402,3 +402,47 @@ def doc_global_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return global_ordinal(docs, "doc_id").select(
         "doc_id", F.col("ordinal").cast("bigint").alias("ordinal")
     )
+
+
+@register(
+    "source_cap_sample",
+    """
+    WITH capped AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
+             count(*) OVER (PARTITION BY source) AS source_total
+      FROM documents
+    )
+    SELECT doc_id, source, rn AS keep_rank, source_total
+    FROM capped WHERE rn <= 100
+    """,
+)
+def source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (keep the first 100 docs of each source by
+    doc_id) — the domain-quota primitive web-corpus pipelines use to stop
+    a single giant domain from dominating the training mix. Deterministic
+    keep-order (doc_id) makes the sample reproducible run-over-run.
+
+    Scale: one shuffle on source for the window; the rank filter sits
+    directly above the row_number window, so WindowGroupLimit pushdown
+    stops each task after 100 rows per source instead of ranking the
+    whole partition (a second stacked count() window would defeat that
+    pushdown — verified in the plan — so source totals come from a
+    map-side-partial groupBy joined back instead, stats-gated broadcast:
+    one aggregated row per source). A skew-heavy source distribution is
+    the expected case — that is why the cap exists."""
+    from dbtransfer_spark.queries import broadcast_if_small
+
+    docs = load_table(spark, sf_dir, "documents")
+    totals = docs.groupBy("source").agg(F.count(F.lit(1)).alias("source_total"))
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.row_number().over(w).alias("keep_rank"),
+        )
+        .filter(F.col("keep_rank") <= 100)
+        .join(broadcast_if_small(totals), "source")
+        .select("doc_id", "source", "keep_rank", "source_total")
+    )

@@ -484,3 +484,106 @@ def langid_udf(texts: pd.Series) -> pd.Series:
 def lang_id_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = load_table(spark, sf_dir, "documents")
     return df.select("doc_id", langid_udf(F.col("text")).alias("predicted_lang"))
+
+
+@register(
+    "bm25_rank",
+    """
+    WITH docs AS (
+      SELECT doc_id,
+             len(list_filter(string_split(lower(text), ' '),
+                             t -> t <> '' AND length(t) >= 3)) AS dl
+      FROM documents
+    ),
+    stats AS (
+      SELECT count(*) AS n_docs,
+             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+      FROM docs
+    ),
+    postings AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+            FROM documents)
+      WHERE term IN ('hash', 'join', 'vector')
+      GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+    scored AS (
+      SELECT p.doc_id,
+             ((CAST(s.n_docs - f.df AS DOUBLE) + 0.5) / (CAST(f.df AS DOUBLE) + 0.5))
+             * (CAST(p.tf AS DOUBLE) * 2.2)
+             / (CAST(p.tf AS DOUBLE)
+                + 1.2 * (0.25 + 0.75 * CAST(d.dl AS DOUBLE) / s.avgdl)) AS term_score
+      FROM postings p
+      JOIN df f ON p.term = f.term
+      JOIN docs d ON p.doc_id = d.doc_id
+      CROSS JOIN stats s
+    ),
+    totals AS (
+      SELECT doc_id,
+             CAST(round(sum(CAST(term_score AS DECIMAL(30,10))), 4) AS DOUBLE)
+               AS bm25
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, bm25, rank FROM (
+      SELECT *, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+      FROM totals
+    ) WHERE rank <= 20
+    """,
+)
+def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents for a fixed keyword query under BM25 scoring
+    (k1=1.2, b=0.75) with the same linear idf substitution as
+    tfidf_top_terms ((N-df+0.5)/(df+0.5), no log — a ratio of exact
+    numbers, so scores replay bit-identically in SQL; log idf is
+    monotone in the same variable, so rankings agree).
+
+    Scale shape: document lengths and the corpus aggregate (N, avgdl —
+    one row, broadcast) come from one scan; postings are pre-filtered to
+    the query terms *before* the tf aggregate, so the per-term join
+    carries only matching docs; the per-doc score sum is exact decimal;
+    the final top-20 is a rank window with WindowGroupLimit pushdown —
+    no global sort materializes."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ", -1)
+    dl_docs = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(toks, lambda t: (t != "") & (F.length(t) >= 3))
+        ).alias("dl"),
+    )
+    stats = dl_docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    postings = (
+        docs.select("doc_id", F.explode(toks).alias("term"))
+        .filter(F.col("term").isin("hash", "join", "vector"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    doc_freq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = ((F.col("n_docs") - F.col("df")).cast("double") + 0.5) / (
+        F.col("df").cast("double") + 0.5
+    )
+    tf_d = F.col("tf").cast("double")
+    den = tf_d + 1.2 * (0.25 + 0.75 * F.col("dl").cast("double") / F.col("avgdl"))
+    scored = (
+        postings.join(F.broadcast(doc_freq), "term")
+        .join(dl_docs, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", (idf * (tf_d * 2.2) / den).alias("term_score"))
+    )
+    totals = scored.groupBy("doc_id").agg(
+        F.round(F.sum(F.col("term_score").cast("decimal(30,10)")), 4)
+        .cast("double")
+        .alias("bm25")
+    )
+    w = Window.orderBy(F.desc("bm25"), "doc_id")
+    return (
+        totals.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("doc_id", "bm25", "rank")
+    )

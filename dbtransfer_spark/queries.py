@@ -716,3 +716,37 @@ def acctbal_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@register(
+    "customer_percentile_features",
+    """
+    SELECT c_custkey, c_nationkey,
+           percent_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal)
+             AS bal_pctl,
+           cume_dist() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal)
+             AS bal_cume
+    FROM customer
+    """,
+)
+def customer_percentile_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-group percentile features (percent_rank + cume_dist of each
+    customer's balance inside its nation) — the normalized-rank feature
+    transform. Values are left unrounded on purpose: both functions are
+    defined as exact integer ratios ((rank-1)/(n-1), rank/n) whose IEEE
+    division is exactly rounded, so the doubles are bit-identical across
+    engines — whereas rounding them COULD diverge (a ratio like 7/128 is
+    a dyadic with an exact '5' at the rounding digit, where Spark rounds
+    half-up and DuckDB half-even).
+
+    Scale: one shuffle on c_nationkey; percentiles within a partition are
+    computed in a single pass of the sorted run — no global ordering
+    anywhere."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal")
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        F.percent_rank().over(w).alias("bal_pctl"),
+        F.cume_dist().over(w).alias("bal_cume"),
+    )
