@@ -306,3 +306,85 @@ def rolling_7d_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("value_7d"),
     )
+
+
+@register(
+    "gap_fill_forward",
+    """
+    WITH ev AS (
+      SELECT user_id, date_trunc('day', ts) AS day, ts, event_id, "value"
+      FROM events
+    ),
+    day_close AS (
+      SELECT user_id, day, "value" AS day_close FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, day
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM ev
+      ) WHERE rn = 1
+    ),
+    bounds AS (
+      SELECT user_id, min(day) AS mn, max(day) AS mx FROM ev GROUP BY user_id
+    ),
+    spine AS (
+      SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS day
+      FROM bounds
+    )
+    SELECT s.user_id, s.day, d.day_close,
+           last_value(d.day_close IGNORE NULLS) OVER (
+             PARTITION BY s.user_id ORDER BY s.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+           (d.day_close IS NOT NULL) AS is_observed
+    FROM spine s LEFT JOIN day_close d
+      ON s.user_id = d.user_id AND s.day = d.day
+    """,
+)
+def gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-fill with forward fill (last observation carried
+    forward): per user, a continuous daily spine from first to last
+    active day, the day's closing value where one exists (latest event
+    that day, tie-broken on event_id), and LOCF for the gaps — the
+    time-series regularization primitive feature pipelines run before
+    windowed training aggregates.
+
+    Scale: the spine is generated *distributed* — sequence() explodes
+    per-user bounds (one row per user in, ~days rows out), never a
+    driver-side calendar. Three shuffles total (day-close window, bounds
+    aggregate, fill window), all keyed on user_id, so a 100 TB event log
+    gap-fills with per-user parallelism and no global ordering. Values
+    are carried, never recomputed — so the doubles hash identically on
+    any engine."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("day", "ts").alias("day"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    w_close = Window.partitionBy("user_id", "day").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    day_close = (
+        ev.withColumn("rn", F.row_number().over(w_close))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "day", F.col("value").alias("day_close"))
+    )
+    spine = (
+        ev.groupBy("user_id")
+        .agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("mn", "mx", F.expr("INTERVAL 1 DAY"))
+            ).alias("day"),
+        )
+    )
+    w_fill = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return spine.join(day_close, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        "day_close",
+        F.last("day_close", ignorenulls=True).over(w_fill).alias("filled"),
+        F.col("day_close").isNotNull().alias("is_observed"),
+    )

@@ -750,3 +750,76 @@ def customer_percentile_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("bal_pctl"),
         F.cume_dist().over(w).alias("bal_cume"),
     )
+
+
+@register(
+    "moment_stats",
+    """
+    WITH m AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             CAST(round(sum(CAST(l_quantity AS DECIMAL(30,10))), 4) AS DOUBLE) AS sx,
+             CAST(round(sum(CAST(l_extendedprice AS DECIMAL(30,10))), 4) AS DOUBLE) AS sy,
+             CAST(round(sum(CAST(l_quantity * l_quantity AS DECIMAL(30,10))), 4) AS DOUBLE) AS sxx,
+             CAST(round(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,10))), 4) AS DOUBLE) AS syy,
+             CAST(round(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(30,10))), 4) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round((CAST(n AS DOUBLE) * sxx - sx * sx)
+                 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)), 6) AS var_qty,
+           round(sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))), 6) AS stddev_qty,
+           round((CAST(n AS DOUBLE) * sxy - sx * sy)
+                 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)), 6) AS covar_qty_price,
+           round((CAST(n AS DOUBLE) * sxy - sx * sy)
+                 / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+                    * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS corr_qty_price
+    FROM m ORDER BY l_returnflag
+    """,
+)
+def moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed second-moment statistics (sample variance/stddev,
+    covariance, Pearson correlation) per return flag, computed from exact
+    decimal power sums (n, Σx, Σy, Σx², Σy², Σxy) rather than Spark's
+    built-in one-pass estimators: the built-ins use Welford-style updates
+    whose float result depends on merge order (and differs from DuckDB's
+    implementation in the last ulps), while power sums are
+    order-independent exact integers in decimal — both engines then
+    evaluate the identical closed-form double expression, giving
+    bit-equal statistics. (In a pipeline that doesn't need cross-engine
+    bit-equality, `F.stddev_samp`/`F.corr` are the one-pass built-ins.)
+
+    Scale: one partial-aggregated shuffle carrying six sums per group —
+    the same cost as any groupBy; no second pass, no centering pass. The
+    per-row squares stay inside whole-stage codegen."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity")
+    y = F.col("l_extendedprice")
+
+    def psum(col):
+        return F.round(F.sum(col.cast("decimal(30,10)")), 4).cast("double")
+
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        psum(x).alias("sx"),
+        psum(y).alias("sy"),
+        psum(x * x).alias("sxx"),
+        psum(y * y).alias("syy"),
+        psum(x * y).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    var_q = (nd * F.col("sxx") - F.col("sx") * F.col("sx")) / (nd * (nd - 1.0))
+    covar = (nd * F.col("sxy") - F.col("sx") * F.col("sy")) / (nd * (nd - 1.0))
+    corr = (nd * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(nd * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(nd * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(var_q, 6).alias("var_qty"),
+        F.round(F.sqrt(var_q), 6).alias("stddev_qty"),
+        F.round(covar, 6).alias("covar_qty_price"),
+        F.round(corr, 6).alias("corr_qty_price"),
+    ).orderBy("l_returnflag")
