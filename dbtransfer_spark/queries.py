@@ -823,3 +823,88 @@ def moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(covar, 6).alias("covar_qty_price"),
         F.round(corr, 6).alias("corr_qty_price"),
     ).orderBy("l_returnflag")
+
+
+@register(
+    "quantity_quartile_bins",
+    """
+    WITH vals AS (
+      SELECT l_quantity AS v, count(*) AS cnt FROM lineitem GROUP BY l_quantity
+    ),
+    cum AS (
+      SELECT v, cnt,
+             sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS c,
+             sum(cnt) OVER () AS n
+      FROM vals
+    ),
+    cuts AS (
+      SELECT min(CASE WHEN c >= ceil(0.25 * n) THEN v END) AS q1,
+             min(CASE WHEN c >= ceil(0.50 * n) THEN v END) AS q2,
+             min(CASE WHEN c >= ceil(0.75 * n) THEN v END) AS q3
+      FROM cum
+    )
+    SELECT bin, count(*) AS n_rows,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(30,10))), 2) AS DOUBLE)
+             AS total_price,
+           min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+    FROM (
+      SELECT l_quantity, l_extendedprice,
+             CASE WHEN l_quantity <= q1 THEN 1
+                  WHEN l_quantity <= q2 THEN 2
+                  WHEN l_quantity <= q3 THEN 3
+                  ELSE 4 END AS bin
+      FROM lineitem CROSS JOIN cuts
+    )
+    GROUP BY bin ORDER BY bin
+    """,
+)
+def quantity_quartile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-scale quantile binning — the scale path acctbal_deciles points
+    at: instead of an ntile window over the whole fact table (a global
+    sort), derive exact quartile cutpoints from the tiny (value, count)
+    aggregate — first value whose running count reaches ceil(p·n) — and
+    bin the facts with a broadcast one-row comparison. The cutpoint rule
+    is spelled out in integer arithmetic rather than percentile_disc/
+    percentile because the two engines interpolate differently.
+
+    Scale: one partial-aggregated shuffle to build the value histogram
+    (|distinct values| rows — for a discrete measure this is tiny
+    regardless of SF), windows over that aggregate only, then a
+    scan-stage CASE per fact row. The fact table is never sorted and
+    never shuffled for the binning itself."""
+    li = load_table(spark, sf_dir, "lineitem")
+    vals = li.groupBy(F.col("l_quantity").alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_run = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy()
+    cum = vals.select(
+        "v",
+        F.sum("cnt").over(w_run).alias("c"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    def cut(p, name):
+        return F.min(
+            F.when(F.col("c") >= F.ceil(F.lit(p) * F.col("n")), F.col("v"))
+        ).alias(name)
+    cuts = cum.agg(cut(0.25, "q1"), cut(0.50, "q2"), cut(0.75, "q3"))
+    binned = li.crossJoin(F.broadcast(cuts)).select(
+        "l_quantity",
+        "l_extendedprice",
+        F.when(F.col("l_quantity") <= F.col("q1"), 1)
+        .when(F.col("l_quantity") <= F.col("q2"), 2)
+        .when(F.col("l_quantity") <= F.col("q3"), 3)
+        .otherwise(4)
+        .alias("bin"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("l_extendedprice")).alias("total_price"),
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+        )
+        .orderBy("bin")
+    )

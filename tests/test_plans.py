@@ -192,6 +192,7 @@ _FIXED_SIDE_CROSSJOINS = {
     "q22_dormant_customers",
     "q15_top_supplier",
     "bm25_rank",
+    "quantity_quartile_bins",
     # k×d centroid-table broadcast (k=8 rows, fixed size at any SF)
     "kmeans_lloyd",
 }
@@ -321,3 +322,31 @@ def test_aqe_converts_unpinned_join_to_broadcast_at_runtime(spark):
     df.collect()  # materialize so AQE finalizes the plan
     final = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in final, final
+
+
+def test_kmeans_assign_uses_rank_limit_and_fixed_broadcast(spark):
+    """kmeans_lloyd's scale contract: each assignment pass broadcasts the
+    k-row centroid table (two passes -> two nested-loop joins over a
+    broadcast side that never grows with SF) and the argmin is a
+    WindowGroupLimit (rank<=1 pushdown), so a task holds k candidate rows
+    per point, never the full candidate set."""
+    from dbtransfer_spark.operators.similarity import QUERIES
+
+    plan = formatted_plan(QUERIES["kmeans_lloyd"](spark, SF_SMOKE))
+    tree = plan.split("\n\n")[0]  # simple-tree section; details repeat names
+    assert tree.count("BroadcastNestedLoopJoin") == 2, tree
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_gap_fill_windows_are_all_partitioned(spark):
+    """gap_fill_forward must never fall into a single-partition global
+    window: every window spec carries the user_id partition key (the
+    spine explode and both windows parallelize per user)."""
+    import re
+
+    from dbtransfer_spark.operators.windows import QUERIES
+
+    plan = formatted_plan(QUERIES["gap_fill_forward"](spark, SF_SMOKE))
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "user_id" in spec, spec
