@@ -34,6 +34,9 @@ HEADLINE = [
     "q18_large_volume_customers", # aggregate-then-semi-join
     "contamination_check",     # n-gram decontamination sweep
     "embedding_quantize_int8", # vector compression pass
+    "kmeans_lloyd",            # iterative clustering (2 Lloyd rounds)
+    "bm25_rank",               # keyword relevance ranking
+    "gap_fill_forward",        # time-series spine + LOCF
 ]
 
 
