@@ -30,6 +30,27 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+def epoch_micros(df: DataFrame, colname: str):
+    """Microseconds-since-epoch for a timestamp column of EITHER flavor.
+
+    Parquet files carry the events ``ts`` as TIMESTAMP_NTZ when written
+    with µs precision but as TIMESTAMP (LTZ) when it round-trips through
+    the nanos→timestamp_micros ingest path (catalog.load_table), so the
+    expression must branch on the actual column type: ``unix_micros``
+    only accepts TIMESTAMP, and NTZ→LTZ casts depend on the session
+    timezone (not timezone-stable across driver sessions). The
+    ``timestampdiff`` form is exact and timezone-independent for NTZ.
+    """
+    from pyspark.sql.types import TimestampNTZType
+
+    if isinstance(df.schema[colname].dataType, TimestampNTZType):
+        return F.expr(
+            "timestampdiff(MICROSECOND,"
+            f" TIMESTAMP_NTZ '1970-01-01 00:00:00', `{colname}`)"
+        )
+    return F.unix_micros(F.col(colname))
+
+
 @register(
     "events_tumbling_1h",
     """
@@ -287,14 +308,14 @@ def rolling_7d_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one shuffle on user_id; within each partition Spark evaluates
     the range frame with a sliding accumulator (linear, not O(n²) frame
-    rescans). The frame is ordered by unix_micros — full timestamp
+    rescans). The frame is ordered by epoch-microseconds — full timestamp
     precision, no cast-to-seconds truncation — and the windowed sum goes
     through exact DECIMAL accumulation so frame-entry order can never
     flip a digit against the oracle."""
     ev = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_micros(F.col("ts")))
+        .orderBy(epoch_micros(ev, "ts"))
         .rangeBetween(-7 * 86400 * 1_000_000, 0)
     )
     return ev.select(
