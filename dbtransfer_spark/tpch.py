@@ -659,3 +659,183 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "total_rev", F.round(F.col("total_rev") / 7.0, 2).alias("avg_yearly")
     )
+
+
+@register(
+    "q12_priority_by_returnflag",
+    """
+    SELECT l_returnflag,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_returnflag IN ('A', 'R')
+      AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q12_priority_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: fact⋈fact join + conditional (CASE) aggregation
+    into a priority-class breakdown. (Fixture has no l_shipmode /
+    l_commitdate / l_receiptdate; the two-value mode filter maps onto
+    l_returnflag IN ('A','R') and the date window onto l_shipdate — the
+    join + pivot-style conditional count plan is unchanged.)
+
+    Scale: both filters sit on lineitem's scan (pushed to parquet), so the
+    orders⋈lineitem sort-merge carries only the ~2/3 × 1-year slice;
+    aggregation output is 2 rows. No broadcast hint — orders scales with
+    SF, AQE may still pick broadcast when the filtered side fits."""
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("A", "R")
+        & (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q21_suppliers_kept_waiting",
+    """
+    SELECT s_name, numwait FROM (
+      SELECT s_name, count(*) AS numwait,
+             row_number() OVER (ORDER BY count(*) DESC, s_name) AS rn
+      FROM supplier
+      JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      JOIN orders ON o_orderkey = l1.l_orderkey
+      WHERE o_orderstatus = 'F'
+        AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey
+        )
+        AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        )
+      GROUP BY s_name
+    ) WHERE rn <= 10
+    """,
+)
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the sole-blame-supplier query — EXISTS +
+    NOT EXISTS double correlation on the same fact table, then a top-10.
+    ('Late' is l_shipdate > o_orderdate + 60 days — the fixture has no
+    l_commitdate/l_receiptdate; both correlated subqueries keep their
+    semi/anti join plan.)
+
+    Scale: the per-order supplier profile (num suppliers, num late
+    suppliers) is computed ONCE as an aggregate keyed on l_orderkey
+    instead of running two correlated probes per lineitem row — the
+    standard decorrelation: one extra shuffle over the filtered fact
+    replaces two semi/anti joins that would each re-shuffle the same
+    table. Orders filtered to 'F' at the scan; final top-10 is a
+    WindowGroupLimit (no global sort materializes)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    li = lineitem.join(
+        orders, F.col("l_orderkey") == F.col("o_orderkey")
+    ).withColumn(
+        "is_late",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .cast("int"),
+    )
+    # Per-(order, supplier) profile, then per-order supplier/late counts:
+    # EXISTS(other supplier) ⇔ n_supp > 1; NOT EXISTS(other late supplier)
+    # ⇔ this supplier is late and n_late_supp = 1.
+    per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("is_late").alias("supp_late")
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("supp_late").alias("n_late_supp"),
+    )
+    blamed = (
+        per_supp.filter(F.col("supp_late") == 1)
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+    )
+    counts = (
+        blamed.join(broadcast_if_small(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+    w = Window.orderBy(F.desc("numwait"), "s_name")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("s_name", "numwait")
+    )
+
+
+@register(
+    "q9_product_profit",
+    """
+    SELECT nation, o_year,
+           CAST(round(sum(CAST(amount AS DECIMAL(30,10))), 2) AS DOUBLE)
+             AS sum_profit
+    FROM (
+      SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             l_extendedprice * (1 - l_discount)
+               - p_retailprice * 0.1 * l_quantity AS amount
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%red%'
+    )
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-line profit by supplier nation and order
+    year — the 5-way star join. (Fixture has no partsupp: supply cost is
+    modeled as 10% of p_retailprice, keeping the
+    revenue-minus-cost-per-line expression and the join tree.)
+
+    Scale: the p_name filter prunes part BEFORE the fact join
+    (stats-gated broadcast); nation broadcasts (fixed 25 rows); supplier
+    joins AFTER lineitem is already part-pruned. lineitem⋈orders stays
+    sort-merge — both scale with SF. Aggregate output is
+    |nations × years| rows."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    nation = load_table(spark, sf_dir, "nation")
+    supplier = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * 0.1 * F.col("l_quantity")
+    return (
+        lineitem.join(broadcast_if_small(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(broadcast_if_small(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(dsum(F.col("amount")).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
