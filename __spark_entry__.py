@@ -52,38 +52,67 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The correctness driver verifies the declared queries in insertion order
-# (50 per round); rounds 1-2 verified the relational/windowing core, so
-# this round front-loads the operators that have not yet had a driver
-# hash row — dedup/similarity/multimodal/corpus-QA and the function
-# surface. Every query, first-50 or not, is verified locally against the
-# same DuckDB oracles by tools/diffcheck.py (results: CORRECTNESS_LOCAL.md).
+# (50 per round). Round-4 window policy (per round-3 VERDICT #2/#7):
+#   1. queries that have NEVER had a driver hash row (q21 — fixed this
+#      round, q9, q12) plus any query whose implementation changed this
+#      round (bm25_rank, acctbal_deciles — re-planned off global windows);
+#   2. the r1-only block (newest driver row is 3 rounds old);
+#   3. the r2-only block (2 rounds old).
+# Newly added round-4 queries are inserted at the HEAD as they land so
+# they get driver-verified in the round they ship. Every query, first-50
+# or not, is verified locally against the same DuckDB oracles by
+# tools/diffcheck.py (results: CORRECTNESS_LOCAL.md).
 _VERIFY_FIRST = (
-    "rolling_7d_user_activity",
-    "tfidf_top_terms",
-    "lang_id_predict",
+    # never driver-verified / changed this round
+    "q21_suppliers_kept_waiting",
+    "q9_product_profit",
+    "q12_priority_by_returnflag",
     "bm25_rank",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_clusters",
-    "knn_lsh_cosine",
-    "knn_ivf_cosine",
-    "embedding_neardup_lsh",
-    "embedding_quantize_int8",
-    "kmeans_lloyd",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    "multimodal_payload_stats",
-    "multimodal_features_fake",
-    "contamination_check",
-    "pii_redact",
-    "token_histogram",
-    "zipf_vocab",
-    "dataset_split",
-    "doc_global_ordinal",
-    "source_cap_sample",
-    "approx_sketches",
-    "map_functions",
-    "skew_salted_join",
+    "acctbal_deciles",
+    # r1-only block (last driver row: round 1)
+    "events_tumbling_1h",
+    "events_sliding_30m_15m",
+    "events_session_30m",
+    "events_json_extract",
+    "events_sessionize_stats",
+    "asof_last_purchase",
+    "text_stats",
+    "text_quality",
+    "doc_fingerprint",
+    "lang_stats",
+    "dedup_exact_fingerprint",
+    "dedup_exact_events",
+    "dedup_ngram_jaccard",
+    "knn_bruteforce_cosine",
+    "embedding_neardup_pairs",
+    "embedding_centroids",
+    "sql_exists_subquery",
+    "sql_scalar_subquery",
+    "sql_in_subquery",
+    "sql_grouping_sets",
+    "sql_cte_pipeline",
+    "string_functions",
+    "datetime_functions",
+    "array_functions",
+    "conditional_functions",
+    "percentile_stats",
+    # r2-only block (last driver row: round 2)
+    "q4_order_priority",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q22_dormant_customers",
+    "events_funnel",
+    "gap_fill_forward",
+    "corpus_curation",
+    "stratified_sample",
+    "pack_sequences",
 )
 
 

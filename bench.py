@@ -85,16 +85,19 @@ def main() -> int:
     ingest_sec = time.monotonic() - t_ing
     sf_dir_run = cache_dir
 
-    # Each query is timed twice and the BEST run is reported (both runs are
-    # disclosed under "runs"). Rationale: this VM shows bursty multi-second
-    # CPU-steal spikes (the same plan measured 1.5s and 63s back-to-back
-    # with identical code/data/cache), so a single sample measures the
-    # host's mood, not the engine; min-of-2 is the standard steady-state
-    # estimator under asymmetric external noise.
+    # Each query is timed N=3 times (fixed; not env-tunable, so the
+    # headline number can't be improved just by raising the run count)
+    # and the MEDIAN run is reported, all raw samples disclosed under
+    # "runs". Rationale: this VM shows bursty multi-second CPU-steal
+    # spikes (the same plan measured 1.5s and 63s back-to-back with
+    # identical code/data/cache); the median is robust to a single
+    # steal-inflated sample without the biased-low behavior of min-of-N.
+    import statistics
+
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
     total = 0.0
-    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    n_runs = 3
     for name in HEADLINE:
         fn = qs[name]
         runs = []
@@ -103,10 +106,10 @@ def main() -> int:
             df = fn(spark, sf_dir_run)
             df.write.format("noop").mode("overwrite").save()
             runs.append(round(time.monotonic() - t0, 3))
-        best = min(runs)
-        timings[name] = best
+        med = round(statistics.median(runs), 3)
+        timings[name] = med
         all_runs[name] = runs
-        total += best
+        total += med
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

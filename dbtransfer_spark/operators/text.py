@@ -542,8 +542,9 @@ def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     one row, broadcast) come from one scan; postings are pre-filtered to
     the query terms *before* the tf aggregate, so the per-term join
     carries only matching docs; the per-doc score sum is exact decimal;
-    the final top-20 is a rank window with WindowGroupLimit pushdown —
-    no global sort materializes."""
+    the final top-20 is orderBy+limit → TakeOrderedAndProject, with
+    rank computed over the already-limited 20 rows — no unbounded
+    single-partition window anywhere."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
@@ -581,9 +582,13 @@ def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("bm25")
     )
+    # Top-20 via orderBy+limit → TakeOrderedAndProject (distributed
+    # per-partition top-k + driver merge). The rank column is then a
+    # window over the ALREADY-LIMITED 20 rows — bounded at k regardless
+    # of corpus size, unlike ranking the full matching set through one
+    # partition (the scale bug this replaces).
     w = Window.orderBy(F.desc("bm25"), "doc_id")
-    return (
-        totals.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 20)
-        .select("doc_id", "bm25", "rank")
+    top = totals.orderBy(F.desc("bm25"), "doc_id").limit(20)
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id", "bm25", "rank"
     )

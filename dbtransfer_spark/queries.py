@@ -694,20 +694,57 @@ def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def acctbal_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equal-population decile bucketing (ntile) of customer balances with
-    per-bucket stats — the feature-binning primitive.
+    """Equal-population decile bucketing of customer balances with
+    per-bucket stats — the feature-binning primitive, reproducing
+    ntile(10) OVER (ORDER BY c_acctbal, c_custkey) EXACTLY without ever
+    sorting the table through one partition.
 
-    Scale note: ntile over a global ORDER BY is a single-partition window
-    — acceptable here only because the windowed input is the customer
-    dim, orders of magnitude smaller than the facts. For fact-scale
-    binning use approx quantile cutpoints (percentile_stats) or
-    global_ordinal + arithmetic instead; the tie-broken ordering
-    (c_acctbal, c_custkey) keeps bucket assignment deterministic."""
+    Distributed ntile: each row's global rank decomposes as
+    (count of rows with smaller value) + (row_number among its ties by
+    c_custkey). The first term comes from a cumulative value histogram —
+    |distinct balances| rows, bounded by the VALUE DOMAIN (~1.1M for a
+    2-decimal balance range), not by SF — broadcast to the scan; the
+    second is a window PARTITIONED by balance (scale-safe). The bucket
+    is then pure arithmetic on the rank: with n rows, r0 = n mod 10
+    buckets of size q+1 = n div 10 + 1 come first, the rest size q —
+    identical to ntile's definition, so hashes match the ntile oracle.
+
+    Scale: one domain-bounded histogram shuffle + one partitioned
+    window + a broadcast join evaluated in the scan stage. The customer
+    table itself is never globally sorted (the old plan pushed the whole
+    dim through a single ntile task — 15M rows through one task at
+    sf100)."""
     cust = load_table(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
+    vals = cust.groupBy(F.col("c_acctbal").alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    # Running count over the (value, count) histogram: input is bounded
+    # by the balance domain, the same accepted shape as
+    # quantity_quartile_bins' cutpoint derivation.
+    w_run = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    hist = vals.select(
+        "v",
+        (F.sum("cnt").over(w_run) - F.col("cnt")).alias("prior"),
+        F.sum("cnt").over(Window.partitionBy()).alias("n"),
+    )
+    w_tie = Window.partitionBy("c_acctbal").orderBy("c_custkey")
+    ranked = (
+        cust.join(F.broadcast(hist), cust["c_acctbal"] == hist["v"])
+        .withColumn("r", F.col("prior") + F.row_number().over(w_tie))
+        .withColumn("qq", F.expr("n div 10"))
+        .withColumn("r0", F.expr("n % 10"))
+        .withColumn(
+            "decile",
+            F.expr(
+                "CASE WHEN r <= r0 * (qq + 1) THEN (r + qq) div (qq + 1) "
+                "ELSE r0 + (r - r0 * (qq + 1) + qq - 1) div qq END"
+            ).cast("int"),
+        )
+    )
     return (
-        cust.select("c_acctbal", F.ntile(10).over(w).alias("decile"))
-        .groupBy("decile")
+        ranked.groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
             dsum(F.col("c_acctbal")).alias("total_bal"),

@@ -93,7 +93,11 @@ def detect_primary_key_dbapi(
         if dialect == "sqlite":
             pk_rows = [r for r in rows if col(r, "pk") > 0]
             return [col(r, "name") for r in sorted(pk_rows, key=lambda r: col(r, "pk"))]
-        return [r[0] for r in rows]
+        # postgresql (postgresql.go:672-692): rows arrive in index-key
+        # order via the ORDER BY; resolve the attname column by header
+        # name, same defensive treatment as the MySQL branch, so drivers
+        # that add columns (or a SELECT-list change) can't misalign it.
+        return [col(r, "attname") for r in rows]
     finally:
         conn.close()
 

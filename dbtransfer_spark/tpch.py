@@ -761,7 +761,11 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     # EXISTS(other supplier) ⇔ n_supp > 1; NOT EXISTS(other late supplier)
     # ⇔ this supplier is late and n_late_supp = 1.
     per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
-        F.max("is_late").alias("supp_late")
+        F.max("is_late").alias("supp_late"),
+        # Q21's count(*) unit is the qualifying l1 LINEITEM ROW, not the
+        # (order, supplier) pair — a supplier can ship several late lines
+        # in one order and each counts (reference semantics; TPC-H spec).
+        F.sum("is_late").alias("n_late_rows"),
     )
     per_order = per_supp.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("n_supp"),
@@ -775,13 +779,15 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = (
         blamed.join(broadcast_if_small(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("n_late_rows").alias("numwait"))
     )
-    w = Window.orderBy(F.desc("numwait"), "s_name")
-    return (
-        counts.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 10)
-        .select("s_name", "numwait")
+    # Top-10 via orderBy+limit → TakeOrderedAndProject: a distributed
+    # per-partition top-k + driver merge, not a single-partition
+    # row_number window (which would funnel every supplier through one
+    # task at scale). Tie-break on s_name matches the oracle's
+    # row_number ordering deterministically.
+    return counts.orderBy(F.desc("numwait"), "s_name").limit(10).select(
+        "s_name", "numwait"
     )
 
 

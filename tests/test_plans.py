@@ -289,6 +289,35 @@ def test_q10_q18_topk_take_ordered(spark):
         assert has_operator(fn(spark, SF_SMOKE), "TakeOrderedAndProject")
 
 
+def test_q21_bm25_topk_take_ordered(spark):
+    """Round-3 ADVICE: q21's top-10 and bm25's top-20 must plan as
+    TakeOrderedAndProject (distributed per-partition top-k + driver
+    merge), never an unpartitioned row_number window over the full
+    supplier/doc aggregate."""
+    from dbtransfer_spark import tpch
+    from dbtransfer_spark.operators import text
+
+    assert has_operator(
+        tpch.q21_suppliers_kept_waiting(spark, SF_SMOKE), "TakeOrderedAndProject"
+    )
+    assert has_operator(text.bm25_rank(spark, SF_SMOKE), "TakeOrderedAndProject")
+
+
+def test_acctbal_deciles_no_global_dim_sort(spark):
+    """acctbal_deciles must not push the customer dim through a global
+    ntile window. The only row-level window allowed is the tie-break
+    row_number PARTITIONED by c_acctbal; unpartitioned windows may touch
+    only the domain-bounded value histogram (post-aggregate), the same
+    accepted shape as quantity_quartile_bins."""
+    df = Q.acctbal_deciles(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "ntile" not in plan.lower(), plan
+    rn_lines = [ln for ln in plan.splitlines() if "row_number()" in ln]
+    assert rn_lines, plan
+    for ln in rn_lines:
+        assert "windowspecdefinition(c_acctbal" in ln, ln
+
+
 def test_q22_only_fixed_size_broadcasts(spark):
     """Q22's scalar-average crossJoin broadcasts exactly one row; the
     orders anti join must not carry a pinned hint (orders grows with SF)."""

@@ -122,6 +122,216 @@ def lineitem_sample(spark, tmp_path_factory):
     return path
 
 
+# ---------------------------------------------------------------------------
+# Decorrelation differential property (round-3 VERDICT item 8): the
+# decorrelated TPC-H plans (q4/q17/q21/q22) vs LITERAL correlated-subquery
+# SQL run by DuckDB on randomized micro-fixtures. Round 3's only wrong
+# answer (q21 counting (order,supplier) pairs instead of late lineitem
+# rows) came from exactly this rewrite class; the generator concentrates
+# mass on the failure surface — multiple lineitem rows per (order,
+# supplier), ship dates straddling the +60-day blame boundary, dangling
+# order keys, dormancy dates straddling the q22 cutoff.
+# ---------------------------------------------------------------------------
+
+import tempfile
+from datetime import datetime, timedelta
+
+_BASE = datetime(1996, 7, 15)
+_PRIORITIES = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+
+@st.composite
+def _micro_fixture(draw):
+    n_orders = draw(st.integers(min_value=1, max_value=10))
+    o_dates = []
+    for _ in range(n_orders):
+        d = _BASE + timedelta(days=draw(st.integers(-30, 90)))
+        if draw(st.booleans()):  # dormancy straddle for q22's date cutoff
+            d += timedelta(days=1500)
+        o_dates.append(d)
+    orders = {
+        "o_orderkey": list(range(n_orders)),
+        "o_custkey": [draw(st.integers(0, 5)) for _ in range(n_orders)],
+        "o_orderstatus": [draw(st.sampled_from("FO")) for _ in range(n_orders)],
+        "o_totalprice": [100.0] * n_orders,
+        "o_orderdate": o_dates,
+        "o_orderpriority": [
+            draw(st.sampled_from(_PRIORITIES)) for _ in range(n_orders)
+        ],
+    }
+    n_li = draw(st.integers(min_value=0, max_value=30))
+    l_orderkey = [draw(st.integers(0, n_orders)) for _ in range(n_li)]
+    lineitem = {
+        "l_orderkey": l_orderkey,
+        "l_partkey": [draw(st.integers(0, 4)) for _ in range(n_li)],
+        "l_suppkey": [draw(st.integers(0, 3)) for _ in range(n_li)],
+        "l_linenumber": list(range(n_li)),
+        "l_quantity": [float(draw(st.integers(1, 50))) for _ in range(n_li)],
+        "l_extendedprice": [
+            draw(st.integers(100, 100000)) / 100.0 for _ in range(n_li)
+        ],
+        "l_discount": [0.05] * n_li,
+        "l_tax": [0.02] * n_li,
+        "l_returnflag": ["N"] * n_li,
+        "l_linestatus": ["O"] * n_li,
+        # clustered around the order date + 60-day blame boundary
+        "l_shipdate": [
+            (orders["o_orderdate"][k] if k < n_orders else _BASE)
+            + timedelta(days=draw(st.integers(55, 66)))
+            for k in l_orderkey
+        ],
+    }
+    n_cust = 6
+    customer = {
+        "c_custkey": list(range(n_cust)),
+        "c_name": [f"c{i}" for i in range(n_cust)],
+        "c_nationkey": [draw(st.sampled_from([3, 7, 13, 1])) for _ in range(n_cust)],
+        "c_acctbal": [draw(st.integers(-10000, 100000)) / 100.0 for _ in range(n_cust)],
+        "c_mktsegment": ["SEG"] * n_cust,
+    }
+    supplier = {
+        "s_suppkey": [0, 1, 2, 3],
+        "s_name": ["s0", "s1", "s2", "s3"],
+        "s_nationkey": [0, 1, 2, 3],
+        "s_acctbal": [0.0] * 4,
+    }
+    part = {
+        "p_partkey": list(range(5)),
+        "p_name": [f"p{i}" for i in range(5)],
+        "p_brand": [
+            draw(st.sampled_from(["Brand#13", "Brand#2"])) for _ in range(5)
+        ],
+        "p_type": ["t"] * 5,
+        "p_size": [draw(st.integers(5, 25)) for _ in range(5)],
+        "p_retailprice": [10.0] * 5,
+    }
+    return {
+        "orders": orders,
+        "lineitem": lineitem,
+        "customer": customer,
+        "supplier": supplier,
+        "part": part,
+    }
+
+
+# Declared column types matching the real fixture parquet schemas — value
+# inference would misread empty draws (0 lineitem rows → every column
+# int64).
+_MICRO_TYPES = {
+    "int32": {"l_linenumber", "c_nationkey", "s_nationkey", "p_size"},
+    "ts": {"o_orderdate", "l_shipdate"},
+    "double": {
+        "o_totalprice", "l_quantity", "l_extendedprice", "l_discount",
+        "l_tax", "c_acctbal", "s_acctbal", "p_retailprice",
+    },
+    "string": {
+        "o_orderstatus", "o_orderpriority", "l_returnflag", "l_linestatus",
+        "c_name", "c_mktsegment", "s_name", "p_name", "p_brand", "p_type",
+    },
+}
+
+
+def _write_micro_fixture(tables: dict) -> str:
+    import pyarrow as pa
+    import pyarrow.parquet as paq
+
+    tmp = tempfile.mkdtemp(prefix="decorr_")
+    for name, cols in tables.items():
+        fields = []
+        for cname in cols:
+            if cname in _MICRO_TYPES["int32"]:
+                typ = pa.int32()
+            elif cname in _MICRO_TYPES["ts"]:
+                typ = pa.timestamp("us")
+            elif cname in _MICRO_TYPES["double"]:
+                typ = pa.float64()
+            elif cname in _MICRO_TYPES["string"]:
+                typ = pa.string()
+            else:
+                typ = pa.int64()
+            fields.append(pa.field(cname, typ))
+        arrays = [
+            pa.array(vals, type=f.type) for vals, f in zip(cols.values(), fields)
+        ]
+        paq.write_table(
+            pa.Table.from_arrays(arrays, schema=pa.schema(fields)),
+            f"{tmp}/{name}.parquet",
+        )
+    return tmp
+
+
+# Literal correlated Q17 (the registered oracle is itself decorrelated, so
+# it can't catch a shared rewrite mistake; this form keeps the correlated
+# scalar subqueries — exact cross-multiplied arithmetic, no double
+# division near the predicate).
+_Q17_CORRELATED = """
+SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(30,10))), 2) AS DOUBLE)
+         AS total_rev,
+       round(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(30,10))), 2) AS DOUBLE)
+             / 7.0, 2) AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#13' AND p_size <= 15
+  AND CAST(l_quantity AS DECIMAL(30,10)) * 5 *
+      (SELECT count(*) FROM lineitem l2
+        WHERE l2.l_partkey = lineitem.l_partkey)
+    < (SELECT sum(CAST(l2.l_quantity AS DECIMAL(30,10))) FROM lineitem l2
+        WHERE l2.l_partkey = lineitem.l_partkey)
+"""
+
+
+def _correlated_sql(qname: str) -> str:
+    from dbtransfer_spark import tpch
+
+    # q4/q21/q22's registered oracles ARE the literal correlated forms.
+    return _Q17_CORRELATED if qname == "q17_small_quantity_revenue" else tpch.ORACLE[qname]
+
+
+def _assert_rows_equal(got: list[tuple], want: list[tuple], ctx: str) -> None:
+    assert len(got) == len(want), f"{ctx}: {len(got)} vs {len(want)} rows"
+    key = lambda r: tuple("∅" if v is None else str(v) for v in r)  # noqa: E731
+    for g, w in zip(sorted(got, key=key), sorted(want, key=key)):
+        for gv, wv in zip(g, w):
+            if isinstance(wv, float) and gv is not None:
+                assert gv == pytest.approx(wv, rel=1e-9, abs=1e-8), (ctx, g, w)
+            else:
+                assert gv == wv, (ctx, g, w)
+
+
+@pytest.mark.parametrize(
+    "qname",
+    [
+        "q4_order_priority",
+        "q17_small_quantity_revenue",
+        "q21_suppliers_kept_waiting",
+        "q22_dormant_customers",
+    ],
+)
+@given(tables=_micro_fixture())
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_decorrelated_tpch_matches_correlated_sql(spark, qname, tables):
+    import shutil
+
+    from dbtransfer_spark import tpch
+
+    tmp = _write_micro_fixture(tables)
+    try:
+        got = [tuple(r) for r in tpch.QUERIES[qname](spark, tmp).collect()]
+        con = duckdb.connect()
+        for name in tables:
+            con.execute(
+                f"CREATE VIEW {name} AS SELECT * FROM '{tmp}/{name}.parquet'"
+            )
+        want = con.execute(_correlated_sql(qname)).fetchall()
+        con.close()
+        _assert_rows_equal(got, want, qname)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 @given(expr=_EXPRS)
 @settings(
     max_examples=25,
