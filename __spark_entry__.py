@@ -63,6 +63,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # or not, is verified locally against the same DuckDB oracles by
 # tools/diffcheck.py (results: CORRECTNESS_LOCAL.md).
 _VERIFY_FIRST = (
+    # new round-4 queries
+    "q2_min_cost_supplier",
+    "q11_important_part_value",
+    "q16_supplier_part_counts",
+    "q20_heavy_share_suppliers",
     # never driver-verified / changed this round
     "q21_suppliers_kept_waiting",
     "q9_product_profit",

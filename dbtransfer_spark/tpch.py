@@ -792,6 +792,266 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q2_min_cost_supplier",
+    """
+    WITH cost AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             min(l_extendedprice / l_quantity) AS cost
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, cost
+    FROM part, supplier, cost, nation, region
+    WHERE p_partkey = partkey AND s_suppkey = suppkey
+      AND p_size = 15
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'EUROPE'
+      AND cost = (
+        SELECT min(c2.cost)
+        FROM cost c2, supplier s2, nation n2, region r2
+        WHERE c2.partkey = p_partkey AND s2.s_suppkey = c2.suppkey
+          AND s2.s_nationkey = n2.n_nationkey
+          AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: the min-cost-supplier query — a correlated scalar
+    MIN subquery over the same derived table, decorrelated into a
+    per-part minimum joined back on equality. (Fixture has no partsupp;
+    unit cost is min(l_extendedprice/l_quantity) per (part, supplier)
+    observed in lineitem — double division is IEEE-exact-rounded, so both
+    engines derive bit-identical costs and the equality filter selects
+    identical rows.)
+
+    Scale: the size filter prunes part before anything joins (stats-gated
+    broadcast); region→nation→supplier is a fixed-size broadcast chain;
+    the per-(part,supplier) cost aggregate is one shuffle over lineitem;
+    the per-part MIN is an aggregate over the already-pruned cost rows
+    and broadcasts back. The ordering has a unique tie-break key
+    (s_name, p_partkey) — deterministic without a limit."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nation = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    supplier = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    cost = (
+        lineitem.join(
+            broadcast_if_small(part.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost"))
+    )
+    eur_cost = cost.join(
+        broadcast_if_small(
+            supplier.select("s_suppkey", "s_name", "s_acctbal", "n_name")
+        ),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+    )
+    min_cost = eur_cost.groupBy(F.col("l_partkey").alias("mk")).agg(
+        F.min("cost").alias("min_cost")
+    )
+    return (
+        eur_cost.join(
+            broadcast_if_small(min_cost),
+            (F.col("l_partkey") == F.col("mk"))
+            & (F.col("cost") == F.col("min_cost")),
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("l_partkey").alias("p_partkey"),
+            "cost",
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+    )
+
+
+@register(
+    "q11_important_part_value",
+    """
+    WITH li_n AS (
+      SELECT l_partkey, l_extendedprice * (1 - l_discount) AS val
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON n_nationkey = s_nationkey
+      WHERE n_name = 'NATION_7'
+    )
+    SELECT l_partkey,
+           CAST(round(sum(CAST(val AS DECIMAL(30,10))), 2) AS DOUBLE)
+             AS part_value
+    FROM li_n
+    GROUP BY l_partkey
+    HAVING CAST(round(sum(CAST(val AS DECIMAL(30,10))), 2) AS DOUBLE) > (
+      SELECT CAST(round(sum(CAST(val AS DECIMAL(30,10))), 2) AS DOUBLE) * 0.001
+      FROM li_n
+    )
+    ORDER BY part_value DESC, l_partkey
+    """,
+)
+def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts representing a significant share of one
+    nation's traded value — a scalar subquery inside HAVING, decorrelated
+    into a one-row total broadcast against the per-part aggregate.
+    (Fixture has no partsupp; 'value' is discounted revenue from that
+    nation's suppliers.)
+
+    Scale: nation filter reduces supplier via a fixed-size broadcast
+    chain, then lineitem is semi-reduced by the ~|suppliers|/25 set
+    before its one aggregation shuffle; the HAVING threshold is a 1-row
+    crossJoin broadcast (fixed size at any SF). Both sides of the
+    comparison are exact-decimal sums rounded then cast — identical
+    doubles in both engines, so the > never straddles an epsilon."""
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_7"
+    )
+    supplier = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    val = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    li_n = lineitem.join(
+        broadcast_if_small(supplier.select("s_suppkey")),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+    ).select("l_partkey", val.alias("val"))
+    per_part = li_n.groupBy("l_partkey").agg(dsum(F.col("val")).alias("part_value"))
+    total = li_n.agg((dsum(F.col("val")) * 0.001).alias("__threshold"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("__threshold"))
+        .select("l_partkey", "part_value")
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+@register(
+    "q16_supplier_part_counts",
+    """
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+      AND p_size IN (5, 15, 25, 35, 45)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many suppliers can serve each (brand, type,
+    size) bucket, excluding a deny-list via NOT IN — an anti join plus a
+    COUNT(DISTINCT) aggregate. (Fixture has no ps_suppkey/p_container;
+    'can serve' is evidenced by lineitem shipments, and the complaint
+    deny-list is suppliers with negative balance. s_suppkey is
+    non-nullable, so NOT IN ≡ left-anti join with no tri-valued-logic
+    hazard.)
+
+    Scale: part predicates prune at the scan and the pruned dim
+    broadcasts; the deny-list is a tiny broadcast anti join evaluated
+    during the fact scan; COUNT(DISTINCT suppkey) plans as the standard
+    two-phase expand/aggregate — one shuffle keyed on the group, no
+    global distinct."""
+    part_f = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(5, 15, 25, 35, 45)
+    )
+    complaints = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.join(
+            broadcast_if_small(part_f), F.col("l_partkey") == F.col("p_partkey")
+        )
+        .join(
+            broadcast_if_small(complaints),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "q20_heavy_share_suppliers",
+    """
+    SELECT s_name, s_acctbal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    WHERE r_name = 'ASIA'
+      AND s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_partkey IN (
+          SELECT p_partkey FROM part WHERE p_name LIKE '%bolt%')
+        GROUP BY l_partkey, l_suppkey
+        HAVING sum(CAST(l_quantity AS DECIMAL(30,10))) * 5 > (
+          SELECT sum(CAST(l2.l_quantity AS DECIMAL(30,10)))
+          FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey))
+    ORDER BY s_name
+    """,
+)
+def q20_heavy_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers holding an outsized share of a part
+    family's flow — nested IN subqueries with a correlated scalar
+    aggregate in HAVING. (Fixture has no partsupp/availqty; 'outsized'
+    is shipping >20% of a bolt-part's total quantity.) Decorrelation:
+    the per-(part, supplier) and per-part quantity aggregates come from
+    ONE shuffle each over the name-pruned fact slice, the share test is
+    cross-multiplied in exact decimal (×5, no division), and the
+    qualifying supplier set semi-joins into the region-filtered dim.
+
+    Scale: part prunes by name before the fact join; per-part totals are
+    |parts| rows and broadcast back; the final semi join keys on
+    s_suppkey. No correlated per-row probes anywhere — each subquery
+    level became one partial-aggregated shuffle."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    supplier = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    bolt_parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains("bolt"))
+        .select("p_partkey")
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    li_bolt = lineitem.join(
+        broadcast_if_small(bolt_parts), F.col("l_partkey") == F.col("p_partkey")
+    )
+    per_ps = li_bolt.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(30,10)")).alias("supp_qty")
+    )
+    per_p = per_ps.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("supp_qty").alias("total_qty")
+    )
+    heavy = (
+        per_ps.join(broadcast_if_small(per_p), F.col("l_partkey") == F.col("pk"))
+        .filter(F.col("supp_qty") * 5 > F.col("total_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supplier.join(heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+@register(
     "q9_product_profit",
     """
     SELECT nation, o_year,

@@ -192,18 +192,32 @@ def _micro_fixture(draw):
     supplier = {
         "s_suppkey": [0, 1, 2, 3],
         "s_name": ["s0", "s1", "s2", "s3"],
-        "s_nationkey": [0, 1, 2, 3],
-        "s_acctbal": [0.0] * 4,
+        "s_nationkey": [draw(st.integers(0, 7)) for _ in range(4)],
+        # some negative balances so q16's NOT IN deny-list is non-empty
+        "s_acctbal": [draw(st.integers(-5000, 5000)) / 100.0 for _ in range(4)],
     }
     part = {
         "p_partkey": list(range(5)),
-        "p_name": [f"p{i}" for i in range(5)],
+        # '%bolt%' matches a subset so q20's name prune is exercised
+        "p_name": [
+            draw(st.sampled_from(["red bolt", "blue widget"])) for _ in range(5)
+        ],
         "p_brand": [
             draw(st.sampled_from(["Brand#13", "Brand#2"])) for _ in range(5)
         ],
-        "p_type": ["t"] * 5,
-        "p_size": [draw(st.integers(5, 25)) for _ in range(5)],
+        "p_type": [draw(st.sampled_from(["t", "PROMO"])) for _ in range(5)],
+        # concentrates on q2's p_size = 15 and q16's IN (5,15,25,...)
+        "p_size": [draw(st.sampled_from([5, 15, 20])) for _ in range(5)],
         "p_retailprice": [10.0] * 5,
+    }
+    nation = {
+        "n_nationkey": list(range(8)),
+        "n_name": [f"NATION_{i}" for i in range(8)],
+        "n_regionkey": [i % 5 for i in range(8)],
+    }
+    region = {
+        "r_regionkey": list(range(5)),
+        "r_name": ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"],
     }
     return {
         "orders": orders,
@@ -211,6 +225,8 @@ def _micro_fixture(draw):
         "customer": customer,
         "supplier": supplier,
         "part": part,
+        "nation": nation,
+        "region": region,
     }
 
 
@@ -218,7 +234,10 @@ def _micro_fixture(draw):
 # inference would misread empty draws (0 lineitem rows → every column
 # int64).
 _MICRO_TYPES = {
-    "int32": {"l_linenumber", "c_nationkey", "s_nationkey", "p_size"},
+    "int32": {
+        "l_linenumber", "c_nationkey", "s_nationkey", "p_size",
+        "n_nationkey", "n_regionkey", "r_regionkey",
+    },
     "ts": {"o_orderdate", "l_shipdate"},
     "double": {
         "o_totalprice", "l_quantity", "l_extendedprice", "l_discount",
@@ -227,6 +246,7 @@ _MICRO_TYPES = {
     "string": {
         "o_orderstatus", "o_orderpriority", "l_returnflag", "l_linestatus",
         "c_name", "c_mktsegment", "s_name", "p_name", "p_brand", "p_type",
+        "n_name", "r_name",
     },
 }
 
@@ -300,8 +320,12 @@ def _assert_rows_equal(got: list[tuple], want: list[tuple], ctx: str) -> None:
 @pytest.mark.parametrize(
     "qname",
     [
+        "q2_min_cost_supplier",
         "q4_order_priority",
+        "q11_important_part_value",
+        "q16_supplier_part_counts",
         "q17_small_quantity_revenue",
+        "q20_heavy_share_suppliers",
         "q21_suppliers_kept_waiting",
         "q22_dormant_customers",
     ],
