@@ -64,6 +64,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # tools/diffcheck.py (results: CORRECTNESS_LOCAL.md).
 _VERIFY_FIRST = (
     # new round-4 queries
+    "gopher_quality_filter",
+    "domain_mix_rebalance",
     "q2_min_cost_supplier",
     "q11_important_part_value",
     "q16_supplier_part_counts",

@@ -446,3 +446,228 @@ def source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(broadcast_if_small(totals), "source")
         .select("doc_id", "source", "keep_rank", "source_total")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition/quality filter
+# ---------------------------------------------------------------------------
+
+_GQ_MIN_WORDS = 30
+_GQ_TOP2_MAX = 0.0625
+_GQ_DUP3_MAX = 0.02
+_GQ_MWL_MIN, _GQ_MWL_MAX = 3.9, 4.8
+
+
+@register(
+    "gopher_quality_filter",
+    f"""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS t,
+             len(string_split(text, ' ')) AS n_words,
+             length(replace(text, ' ', '')) AS charsum
+      FROM documents
+    ),
+    g2 AS (
+      SELECT doc_id, t[i.i] || ' ' || t[i.i + 1] AS g, count(*) AS c
+      FROM base, unnest(range(1, n_words)) AS i(i) GROUP BY 1, 2
+    ),
+    a2 AS (
+      SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top_2gram_frac
+      FROM g2 GROUP BY 1
+    ),
+    g3 AS (
+      SELECT doc_id,
+             t[i.i] || ' ' || t[i.i + 1] || ' ' || t[i.i + 2] AS g,
+             count(*) AS c
+      FROM base, unnest(range(1, n_words - 1)) AS i(i) GROUP BY 1, 2
+    ),
+    a3 AS (
+      SELECT doc_id, 1.0 - CAST(count(*) AS DOUBLE) / sum(c) AS frac_dup_3gram
+      FROM g3 GROUP BY 1
+    )
+    SELECT doc_id, n_words,
+           CAST(charsum AS DOUBLE) / n_words AS mean_word_len,
+           coalesce(top_2gram_frac, 0.0) AS top_2gram_frac,
+           coalesce(frac_dup_3gram, 0.0) AS frac_dup_3gram,
+           (n_words >= {_GQ_MIN_WORDS}
+            AND coalesce(top_2gram_frac, 0.0) <= {_GQ_TOP2_MAX}
+            AND coalesce(frac_dup_3gram, 0.0) <= {_GQ_DUP3_MAX}
+            AND CAST(charsum AS DOUBLE) / n_words
+                BETWEEN {_GQ_MWL_MIN} AND {_GQ_MWL_MAX}) AS keep
+    FROM base
+    LEFT JOIN a2 USING (doc_id)
+    LEFT JOIN a3 USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/quality rules (Rae et al. 2021, §A1.1
+    adapted to the fixture corpus): word-count floor, mean-word-length
+    band, top-2-gram share cap (boilerplate/keyword stuffing), duplicate
+    3-gram fraction cap (template repetition). Emits the per-document
+    stats plus the composite ``keep`` verdict so downstream pipelines can
+    either filter or re-weight.
+
+    Cross-engine determinism: every stat is a ratio of exact integers
+    (gram counts, word counts, char counts) evaluated with one IEEE
+    double division — bit-identical in Spark and DuckDB with NO rounding
+    step, so threshold comparisons can never straddle an epsilon.
+
+    Scale: the n-gram stats go through two partial-aggregated shuffles
+    keyed on (doc_id, gram) then doc_id — never a global window, and the
+    gram explosion is linear in corpus tokens (bounded fanout: n-1 grams
+    per n-word doc). Short docs (<2 or <3 words) drop out of the explode
+    and rejoin with coalesce(0.0) via left joins keyed on doc_id. At
+    100 TB the (doc_id, gram) aggregate is the standard inverted-index
+    shuffle every dedup stage here already pays; AQE handles the skew of
+    a pathologically long doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ", -1)
+    base = docs.select(
+        "doc_id",
+        t.alias("t"),
+        F.size(t).alias("n_words"),
+        F.length(F.expr("replace(text, ' ', '')")).alias("charsum"),
+    )
+
+    def grams(k: int):
+        parts = ", ' ', ".join(f"element_at(t, i + {j})" for j in range(k))
+        return F.explode(
+            F.when(
+                F.col("n_words") >= k,
+                F.expr(
+                    f"transform(sequence(1, n_words - {k - 1}),"
+                    f" i -> concat({parts}))"
+                ),
+            ).otherwise(F.expr("array()"))
+        )
+
+    c2 = (
+        base.select("doc_id", grams(2).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    a2 = c2.groupBy("doc_id").agg(
+        (F.max("c").cast("double") / F.sum("c")).alias("top_2gram_frac")
+    )
+    c3 = (
+        base.select("doc_id", grams(3).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    a3 = c3.groupBy("doc_id").agg(
+        (1.0 - F.count(F.lit(1)).cast("double") / F.sum("c")).alias(
+            "frac_dup_3gram"
+        )
+    )
+    mwl = F.col("charsum").cast("double") / F.col("n_words")
+    top2 = F.coalesce(F.col("top_2gram_frac"), F.lit(0.0))
+    dup3 = F.coalesce(F.col("frac_dup_3gram"), F.lit(0.0))
+    return (
+        base.join(a2, "doc_id", "left")
+        .join(a3, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            mwl.alias("mean_word_len"),
+            top2.alias("top_2gram_frac"),
+            dup3.alias("frac_dup_3gram"),
+            (
+                (F.col("n_words") >= _GQ_MIN_WORDS)
+                & (top2 <= _GQ_TOP2_MAX)
+                & (dup3 <= _GQ_DUP3_MAX)
+                & mwl.between(_GQ_MWL_MIN, _GQ_MWL_MAX)
+            ).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Domain-mix rebalancing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "domain_mix_rebalance",
+    """
+    WITH counts AS (
+      SELECT source, count(*) AS n_before FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(n_before) AS total, count(*) AS n_sources FROM counts),
+    plan AS (
+      SELECT source, n_before,
+             total // n_sources AS n_target,
+             least(1000000,
+                   (total // n_sources) * 1000000 // n_before) AS rate_ppm
+      FROM counts, tot
+    ),
+    kept AS (
+      SELECT d.source, count(*) AS n_kept
+      FROM documents d JOIN plan USING (source)
+      WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                 AS BIGINT) % 1000000 < rate_ppm
+      GROUP BY d.source
+    )
+    SELECT source, n_before, n_target, coalesce(n_kept, 0) AS n_kept
+    FROM plan LEFT JOIN kept USING (source)
+    ORDER BY source
+    """,
+)
+def domain_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebalance the corpus toward a uniform domain mix: compute each
+    source's share, derive a per-source keep rate toward the equal-share
+    target, and subsample deterministically by a stable md5-derived
+    document hash (same 60-bit idiom as dataset_split — the sample is
+    reproducible run-over-run AND portable across engines; no rand()).
+    Emits the per-source plan (before count, target, actually kept) —
+    the audit artifact a mix-rebalance job publishes.
+
+    Keep rates are pure integer arithmetic in parts-per-million (no
+    float division anywhere), so both engines select the exact same
+    document set.
+
+    Scale: one partial-aggregated shuffle for source counts (|sources|
+    rows), a one-row total broadcast, the per-source plan broadcasts
+    back into the scan-stage filter (stats-gated), and the kept-count
+    aggregate is a second |sources|-row shuffle. The full corpus is
+    never sorted or windowed; skewed source sizes are exactly the
+    motivating case."""
+    from dbtransfer_spark.queries import broadcast_if_small
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_before"))
+    tot = counts.agg(
+        F.sum("n_before").alias("total"), F.count(F.lit(1)).alias("n_sources")
+    )
+    mix_plan = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_before",
+        F.expr("total div n_sources").alias("n_target"),
+        F.least(
+            F.lit(1000000),
+            F.expr("(total div n_sources) * 1000000 div n_before"),
+        ).alias("rate_ppm"),
+    )
+    doc_hash = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        % 1000000
+    )
+    kept = (
+        docs.join(broadcast_if_small(mix_plan), "source")
+        .filter(doc_hash < F.col("rate_ppm"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        mix_plan.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_before",
+            "n_target",
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        )
+        .orderBy("source")
+    )
