@@ -24,6 +24,7 @@ from dbtransfer_spark.operators import (
     corpus_qa,
     dedup,
     multimodal,
+    rangejoin,
     similarity,
     skew,
     text,
@@ -35,6 +36,7 @@ _MODULES = (
     tpch,
     windows,
     asof,
+    rangejoin,
     text,
     dedup,
     similarity,
@@ -66,6 +68,8 @@ _VERIFY_FIRST = (
     # new round-4 queries
     "gopher_quality_filter",
     "domain_mix_rebalance",
+    "range_join_binned",
+    "incremental_daily_rollup",
     "q2_min_cost_supplier",
     "q11_important_part_value",
     "q16_supplier_part_counts",

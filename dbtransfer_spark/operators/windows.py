@@ -409,3 +409,53 @@ def gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("day_close", ignorenulls=True).over(w_fill).alias("filled"),
         F.col("day_close").isNotNull().alias("is_observed"),
     )
+
+
+@register(
+    "incremental_daily_rollup",
+    """
+    SELECT user_id,
+           CAST(date_trunc('month', ts) AS TIMESTAMP) AS month,
+           count(*) AS n_events,
+           CAST(round(sum(CAST("value" AS DECIMAL(30,10))), 2) AS DOUBLE)
+             AS total_value,
+           round(CAST(sum(CAST("value" AS DECIMAL(30,10))) AS DOUBLE)
+                 / count(*), 4) AS avg_value
+    FROM events
+    GROUP BY user_id, month
+    ORDER BY user_id, month
+    """,
+)
+def incremental_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance: monthly per-user totals assembled by
+    MERGING daily partial aggregates (count, exact-decimal sum) instead
+    of re-aggregating raw events — the incremental-pipeline pattern where
+    each day's partition is aggregated once on arrival and history is
+    never rescanned. The oracle aggregates the raw table directly, so the
+    green hash *proves* partial-merge associativity: merged partials ≡
+    full recompute, to the digit (counts are integers; sums are exact
+    DECIMAL(30,10) — associative by construction, unlike double sums;
+    avg is derived post-merge, never averaged-of-averages).
+
+    Scale: the daily pre-aggregation is the map-side combine of a
+    year-scale backfill — the merge shuffle carries |users × days| rows,
+    not |events|; a steady-state pipeline shuffles only the new day."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(30,10)")).alias("s"),
+    )
+    merged = daily.groupBy(
+        "user_id", F.date_trunc("month", "day").alias("month")
+    ).agg(F.sum("n").alias("n_events"), F.sum("s").alias("s"))
+    return merged.select(
+        "user_id",
+        "month",
+        "n_events",
+        F.round(F.col("s"), 2).cast("double").alias("total_value"),
+        F.round(F.col("s").cast("double") / F.col("n_events"), 4).alias(
+            "avg_value"
+        ),
+    ).orderBy("user_id", "month")
