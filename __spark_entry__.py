@@ -70,6 +70,8 @@ _VERIFY_FIRST = (
     "domain_mix_rebalance",
     "range_join_binned",
     "incremental_daily_rollup",
+    "fuzzy_name_pairs",
+    "full_outer_reconciliation",
     "q2_min_cost_supplier",
     "q11_important_part_value",
     "q16_supplier_part_counts",

@@ -696,3 +696,54 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").cast("bigint").alias("cluster_id")
     )
+
+
+@register(
+    "fuzzy_name_pairs",
+    """
+    WITH names AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS dist
+    FROM names a JOIN names b
+      ON split_part(a.p_name, ' ', 2) = split_part(b.p_name, ' ', 2)
+     AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    ORDER BY name_a, name_b
+    """,
+)
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching over the part-name DICTIONARY: close
+    levenshtein pairs ('red widget' ↔ 'hot widget') found inside blocks
+    keyed on the head noun — the blocked edit-distance join record-linkage
+    pipelines use for typo/variant canonicalization. Both engines ship
+    the same classic Wagner-Fischer levenshtein, so distances replay
+    exactly.
+
+    Scale: fuzzy-match the distinct-VALUE dictionary, never the rows —
+    the dictionary is bounded by the value domain, not SF, and the
+    blocking key turns the quadratic all-pairs into per-block
+    comparisons (the n-gram/LSH analogue for short strings). Applying
+    the resulting canonical mapping back to fact rows is a broadcast
+    map-join. The inequality a.name < b.name halves the candidate set
+    and dedupes (a,b)/(b,a)."""
+    part = load_table(spark, sf_dir, "part")
+    names = part.select("p_name").distinct()
+    a = names.select(
+        F.col("p_name").alias("name_a"),
+        F.expr("split_part(p_name, ' ', 2)").alias("block_a"),
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"),
+        F.expr("split_part(p_name, ' ', 2)").alias("block_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("block_a") == F.col("block_b"))
+            & (F.col("name_a") < F.col("name_b")),
+        )
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= 3)
+        .select("name_a", "name_b", "dist")
+        .orderBy("name_a", "name_b")
+    )

@@ -945,3 +945,58 @@ def quantity_quartile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@register(
+    "full_outer_reconciliation",
+    """
+    WITH a AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE year(o_orderdate) = 1997),
+         b AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE year(o_orderdate) = 1998)
+    SELECT coalesce(a.o_custkey, b.o_custkey) AS custkey,
+           a.o_custkey IS NOT NULL AS in_1997,
+           b.o_custkey IS NOT NULL AS in_1998,
+           CASE WHEN a.o_custkey IS NULL THEN 'added'
+                WHEN b.o_custkey IS NULL THEN 'churned'
+                ELSE 'retained' END AS status
+    FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+    ORDER BY custkey
+    """,
+)
+def full_outer_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation via FULL OUTER join — the CDC/diff
+    primitive (which keys appeared, disappeared, persisted between two
+    dataset versions), here over the 1997-vs-1998 active-customer sets.
+    Completes the §2.9 join-type surface (inner/left/semi/anti/asof/
+    salted are covered elsewhere; this is the full-outer case with both
+    null sides exercised).
+
+    Scale: each year's distinct-key set is one partial-aggregated
+    shuffle over the pruned year slice; the full outer join shuffles on
+    the SAME key, so AQE coalesces; classification is a scan-stage CASE
+    over null flags. No side is assumed small — full outer cannot
+    broadcast, and none is hinted."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def year_keys(y: int, alias: str) -> DataFrame:
+        return (
+            orders.filter(F.year("o_orderdate") == y)
+            .select(F.col("o_custkey").alias(alias))
+            .distinct()
+        )
+
+    a, b = year_keys(1997, "ka"), year_keys(1998, "kb")
+    return (
+        a.join(b, F.col("ka") == F.col("kb"), "full_outer")
+        .select(
+            F.coalesce("ka", "kb").alias("custkey"),
+            F.col("ka").isNotNull().alias("in_1997"),
+            F.col("kb").isNotNull().alias("in_1998"),
+            F.when(F.col("ka").isNull(), "added")
+            .when(F.col("kb").isNull(), "churned")
+            .otherwise("retained")
+            .alias("status"),
+        )
+        .orderBy("custkey")
+    )
