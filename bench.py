@@ -37,6 +37,8 @@ HEADLINE = [
     "kmeans_lloyd",            # iterative clustering (2 Lloyd rounds)
     "bm25_rank",               # keyword relevance ranking
     "gap_fill_forward",        # time-series spine + LOCF
+    "gopher_quality_filter",   # n-gram repetition/quality rules (round 4)
+    "range_join_binned",       # binned no-equi-key interval join (round 4)
 ]
 
 
