@@ -72,6 +72,8 @@ _VERIFY_FIRST = (
     "incremental_daily_rollup",
     "fuzzy_name_pairs",
     "full_outer_reconciliation",
+    "bitwise_functions",
+    "regex_functions",
     "q2_min_cost_supplier",
     "q11_important_part_value",
     "q16_supplier_part_counts",

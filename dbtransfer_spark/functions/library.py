@@ -268,3 +268,62 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("qty_doubled"),
         F.concat_ws(",", F.map_keys("__m")).alias("keys_str"),
     )
+
+
+@register(
+    "bitwise_functions",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_orderkey & 255 AS key_and,
+           l_orderkey | 4096 AS key_or,
+           xor(l_orderkey, l_linenumber) AS key_xor,
+           l_orderkey << 2 AS key_shl,
+           l_orderkey >> 3 AS key_shr,
+           bit_count(l_orderkey) AS key_bits
+    FROM lineitem
+    """,
+)
+def bitwise_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family (and/or/xor/shifts/popcount) — the primitives the
+    SimHash/LSH operators build on, exposed as first-class transforms.
+    Pure codegen in the scan projection; integer semantics are identical
+    across engines (two's-complement 64-bit)."""
+    df = load_table(spark, sf_dir, "lineitem")
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr("l_orderkey & 255").alias("key_and"),
+        F.expr("l_orderkey | 4096").alias("key_or"),
+        F.expr("l_orderkey ^ l_linenumber").alias("key_xor"),
+        F.shiftleft(F.col("l_orderkey"), 2).alias("key_shl"),
+        F.shiftright(F.col("l_orderkey"), 3).alias("key_shr"),
+        F.bit_count(F.col("l_orderkey")).alias("key_bits"),
+    )
+
+
+@register(
+    "regex_functions",
+    """
+    SELECT c_custkey,
+           regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+           regexp_replace(c_name, '0', 'x', 'g') AS zeros_replaced,
+           regexp_matches(c_name, '^Customer#') AS is_customer,
+           len(regexp_extract_all(c_name, '0')) AS n_zeros
+    FROM customer
+    """,
+)
+def regex_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex family: extract, global replace, match test, occurrence
+    count. Patterns are kept RE2-compatible (no backrefs/lookahead) so
+    Java regex (Spark) and RE2 (DuckDB) agree — the same constraint the
+    PII redactor documents. Note DuckDB's regexp_replace needs the 'g'
+    flag to match Spark's replace-all semantics (the oracle carries it).
+    All codegen, scan-stage."""
+    df = load_table(spark, sf_dir, "customer")
+    return df.select(
+        "c_custkey",
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("digits"),
+        F.regexp_replace("c_name", "0", "x").alias("zeros_replaced"),
+        F.col("c_name").rlike("^Customer#").alias("is_customer"),
+        F.expr("regexp_count(c_name, '0')").alias("n_zeros"),
+    )

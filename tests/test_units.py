@@ -441,3 +441,45 @@ def test_generate_template_per_engine(tmp_path):
 
     with pytest.raises(ValueError):
         generate_template(str(tmp_path / "x.yaml"), "oracle")
+
+
+def test_hll_sketch_merge_equals_direct(spark):
+    """Mergeable HLL sketches — the 100 TB distinct-count rollup pattern:
+    per-day sketches unioned into a month must estimate EXACTLY what a
+    direct sketch over the whole month estimates (sketch union is
+    lossless over HLL registers), so daily sketches can be stored and
+    history never rescanned. Same merge-don't-recompute discipline the
+    incremental_daily_rollup query proves for sums/counts."""
+    from pyspark.sql import functions as F
+
+    from dbtransfer_spark.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    events = load_table(spark, SF_SMOKE, "events")
+    daily = events.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = (
+        daily.groupBy(F.date_trunc("month", "day").alias("month"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .orderBy("month")
+        .collect()
+    )
+    direct = (
+        events.groupBy(F.date_trunc("month", "ts").alias("month"))
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"))
+        .orderBy("month")
+        .collect()
+    )
+    assert [r["month"] for r in merged] == [r["month"] for r in direct]
+    assert [r["est"] for r in merged] == [r["est"] for r in direct]
+    exact = (
+        events.groupBy(F.date_trunc("month", "ts").alias("month"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .orderBy("month")
+        .collect()
+    )
+    # and the estimate honors HLL's documented error envelope (rsd ~2%
+    # at default lgConfigK=12; allow 5% slack)
+    for m, e in zip(merged, exact):
+        assert abs(m["est"] - e["n"]) <= max(5, 0.05 * e["n"])
