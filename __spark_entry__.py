@@ -74,6 +74,7 @@ _VERIFY_FIRST = (
     "full_outer_reconciliation",
     "bitwise_functions",
     "regex_functions",
+    "scd2_merge",
     "q2_min_cost_supplier",
     "q11_important_part_value",
     "q16_supplier_part_counts",

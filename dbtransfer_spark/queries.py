@@ -1000,3 +1000,76 @@ def full_outer_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey")
     )
+
+
+@register(
+    "scd2_merge",
+    """
+    WITH updates AS (
+      SELECT c_custkey, round(c_acctbal + 100.0, 2) AS new_bal
+      FROM customer WHERE c_custkey % 7 = 0
+    )
+    SELECT c_custkey, c_acctbal, version, is_current FROM (
+      SELECT c.c_custkey, c.c_acctbal, 1 AS version, FALSE AS is_current
+      FROM customer c JOIN updates u ON c.c_custkey = u.c_custkey
+      UNION ALL
+      SELECT c.c_custkey, u.new_bal AS c_acctbal, 2 AS version,
+             TRUE AS is_current
+      FROM customer c JOIN updates u ON c.c_custkey = u.c_custkey
+      UNION ALL
+      SELECT c.c_custkey, c.c_acctbal, 1 AS version, TRUE AS is_current
+      FROM customer c ANTI JOIN updates u ON c.c_custkey = u.c_custkey
+    )
+    ORDER BY c_custkey, version
+    """,
+)
+def scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 merge: apply an update batch to a
+    dimension while KEEPING history — updated keys close their old row
+    (is_current=false) and append a new version; untouched keys pass
+    through. The historized counterpart of the reference's
+    overwrite-upsert (W1/W2: mysql.go:417-445, postgresql.go:725-777),
+    which this engine already mirrors in `upsert_merge`. The update
+    batch is derived deterministically (keys ≡ 0 mod 7, balance +100)
+    so the oracle replays it.
+
+    Scale: three equi joins on the dimension key (semi/inner/anti), all
+    sharing one shuffle partitioning that AQE reuses; no windows, no
+    global sorts (the ORDER BY is presentation-only and the driver sorts
+    rows before hashing anyway). The update side is `broadcast_if_small`
+    — a real CDC batch is small; a backfill degrades to shuffle join."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    updates = (
+        cust.filter(F.col("c_custkey") % 7 == 0)
+        .select(
+            F.col("c_custkey").alias("u_key"),
+            F.round(F.col("c_acctbal") + 100.0, 2).alias("new_bal"),
+        )
+    )
+    u = broadcast_if_small(updates)
+    closed = (
+        cust.join(u, F.col("c_custkey") == F.col("u_key"), "left_semi")
+        .select(
+            "c_custkey",
+            "c_acctbal",
+            F.lit(1).alias("version"),
+            F.lit(False).alias("is_current"),
+        )
+    )
+    fresh = cust.join(u, F.col("c_custkey") == F.col("u_key")).select(
+        "c_custkey",
+        F.col("new_bal").alias("c_acctbal"),
+        F.lit(2).alias("version"),
+        F.lit(True).alias("is_current"),
+    )
+    untouched = cust.join(
+        u, F.col("c_custkey") == F.col("u_key"), "left_anti"
+    ).select(
+        "c_custkey",
+        "c_acctbal",
+        F.lit(1).alias("version"),
+        F.lit(True).alias("is_current"),
+    )
+    return closed.unionAll(fresh).unionAll(untouched).orderBy(
+        "c_custkey", "version"
+    )
