@@ -75,6 +75,8 @@ _VERIFY_FIRST = (
     "bitwise_functions",
     "regex_functions",
     "scd2_merge",
+    "value_histogram",
+    "winsorize_prices",
     "q2_min_cost_supplier",
     "q11_important_part_value",
     "q16_supplier_part_counts",

@@ -1073,3 +1073,117 @@ def scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return closed.unionAll(fresh).unionAll(untouched).orderBy(
         "c_custkey", "version"
     )
+
+
+@register(
+    "value_histogram",
+    """
+    SELECT CASE WHEN l_extendedprice < 0.0 THEN 0
+                WHEN l_extendedprice >= 120000.0 THEN 25
+                ELSE CAST(floor(l_extendedprice / 5000.0) AS BIGINT) + 1
+           END AS bucket,
+           count(*) AS n_rows,
+           round(min(l_extendedprice), 2) AS lo,
+           round(max(l_extendedprice), 2) AS hi
+    FROM lineitem
+    GROUP BY bucket ORDER BY bucket
+    """,
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of a fact measure via width_bucket — the
+    distribution-profiling pass every ingest/QA pipeline runs. DuckDB
+    has no width_bucket, so the oracle replays it as floor arithmetic
+    with the same edges (width 5000 over [0, 120000], 0/25 under/over-
+    flow); cent-valued prices sit ≥2e-6 bucket-widths from any edge, so
+    IEEE rounding can never flip an assignment between the two forms.
+
+    Scale: single scan + one partial-aggregated shuffle carrying ≤26
+    bucket rows (24 + under/overflow); the fact table is never sorted.
+    This is the cheap profiling pass whose output sizes the cutpoint
+    strategies (quantity_quartile_bins, acctbal_deciles) at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.width_bucket(
+                F.col("l_extendedprice"), F.lit(0.0), F.lit(120000.0), F.lit(24)
+            ).alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.min("l_extendedprice"), 2).alias("lo"),
+            F.round(F.max("l_extendedprice"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "winsorize_prices",
+    """
+    WITH cuts AS (
+      SELECT l_returnflag AS flag,
+             quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.05)
+               AS p05c,
+             quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.95)
+               AS p95c
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           count(*) AS n_rows,
+           sum(CASE WHEN l_extendedprice * 100 < p05c THEN 1 ELSE 0 END)
+             AS n_clipped_lo,
+           sum(CASE WHEN l_extendedprice * 100 > p95c THEN 1 ELSE 0 END)
+             AS n_clipped_hi,
+           CAST(round(sum(CAST(
+             greatest(least(l_extendedprice * 100, p95c), p05c) / 100.0
+             AS DECIMAL(30,10))), 2) AS DOUBLE) AS winsorized_total
+    FROM lineitem JOIN cuts ON l_returnflag = flag
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def winsorize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (clip to per-group p05/p95) — the outlier-taming
+    feature transform. Percentiles are computed over integer CENTS
+    (exact interpolation arithmetic on integers — the same
+    half-cent-exact trick as approx_sketches), so cutpoints and clip
+    decisions replay identically in both engines; the clipped sum goes
+    through exact decimal.
+
+    Scale: one sort-based percentile aggregate per group over the cents
+    column (|groups| rows out), broadcast of the tiny cutpoint table
+    back onto the scan (stats-gated), then one partial-aggregated
+    shuffle for the final per-group stats. The fact table is scanned
+    twice but never globally sorted."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+    cuts = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.expr(
+            "percentile(CAST(round(l_extendedprice * 100) AS BIGINT), 0.05)"
+        ).alias("p05c"),
+        F.expr(
+            "percentile(CAST(round(l_extendedprice * 100) AS BIGINT), 0.95)"
+        ).alias("p95c"),
+    )
+    clipped = (
+        li.join(broadcast_if_small(cuts), F.col("l_returnflag") == F.col("flag"))
+        .withColumn("c100", F.col("l_extendedprice") * 100)
+        .withColumn(
+            "wins",
+            F.greatest(F.least(F.col("c100"), F.col("p95c")), F.col("p05c"))
+            / 100.0,
+        )
+    )
+    return (
+        clipped.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("c100") < F.col("p05c"), 1).otherwise(0)).alias(
+                "n_clipped_lo"
+            ),
+            F.sum(F.when(F.col("c100") > F.col("p95c"), 1).otherwise(0)).alias(
+                "n_clipped_hi"
+            ),
+            dsum(F.col("wins")).alias("winsorized_total"),
+        )
+        .orderBy("l_returnflag")
+    )
