@@ -77,6 +77,7 @@ _VERIFY_FIRST = (
     "scd2_merge",
     "value_histogram",
     "winsorize_prices",
+    "fk_integrity_audit",
     "q2_min_cost_supplier",
     "q11_important_part_value",
     "q16_supplier_part_counts",

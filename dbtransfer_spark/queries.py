@@ -1187,3 +1187,90 @@ def winsorize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "fk_integrity_audit",
+    """
+    SELECT 'lineitem->orders' AS relation,
+           (SELECT count(*) FROM lineitem) AS n_child,
+           (SELECT count(*) FROM lineitem l ANTI JOIN orders o
+             ON l.l_orderkey = o.o_orderkey) AS n_orphans
+    UNION ALL
+    SELECT 'lineitem->part',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l ANTI JOIN part p
+             ON l.l_partkey = p.p_partkey)
+    UNION ALL
+    SELECT 'lineitem->supplier',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l ANTI JOIN supplier s
+             ON l.l_suppkey = s.s_suppkey)
+    UNION ALL
+    SELECT 'orders->customer',
+           (SELECT count(*) FROM orders),
+           (SELECT count(*) FROM orders o ANTI JOIN customer c
+             ON o.o_custkey = c.c_custkey)
+    UNION ALL
+    SELECT 'customer->nation',
+           (SELECT count(*) FROM customer),
+           (SELECT count(*) FROM customer c ANTI JOIN nation n
+             ON c.c_nationkey = n.n_nationkey)
+    UNION ALL
+    SELECT 'supplier->nation',
+           (SELECT count(*) FROM supplier),
+           (SELECT count(*) FROM supplier s ANTI JOIN nation n
+             ON s.s_nationkey = n.n_nationkey)
+    UNION ALL
+    SELECT 'nation->region',
+           (SELECT count(*) FROM nation),
+           (SELECT count(*) FROM nation n ANTI JOIN region r
+             ON n.n_regionkey = r.r_regionkey)
+    ORDER BY relation
+    """,
+)
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across every foreign-key edge of the
+    star schema: child row count + orphan count (children whose parent
+    key is missing) per relation — the post-transfer validation a
+    migration tool should ship (the reference only counts rows,
+    mysql.go:244-249; this extends S6 to cross-table invariants, e.g.
+    catching a partially-loaded parent table after a resume).
+
+    Scale: each relation is one anti join on its key — dimension parents
+    broadcast via the stats gate, fact⋈fact (lineitem→orders) goes
+    sort-merge; counts are metadata-cheap aggregates. Output is 7 rows
+    regardless of SF."""
+    tables = {
+        t: load_table(spark, sf_dir, t)
+        for t in (
+            "lineitem", "orders", "part", "supplier",
+            "customer", "nation", "region",
+        )
+    }
+    edges = [
+        ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    parts = []
+    for name, child, ck, parent, pk in edges:
+        c, p = tables[child], tables[parent]
+        orphans = c.join(
+            broadcast_if_small(p.select(pk)), F.col(ck) == F.col(pk), "left_anti"
+        )
+        parts.append(
+            c.agg(F.count(F.lit(1)).alias("n_child")).crossJoin(
+                orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+            ).select(
+                F.lit(name).alias("relation"), "n_child", "n_orphans"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("relation")

@@ -193,6 +193,7 @@ _FIXED_SIDE_CROSSJOINS = {
     "q15_top_supplier",
     "q11_important_part_value",
     "domain_mix_rebalance",
+    "fk_integrity_audit",
     "bm25_rank",
     "quantity_quartile_bins",
     # k×d centroid-table broadcast (k=8 rows, fixed size at any SF)
