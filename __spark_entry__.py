@@ -78,6 +78,8 @@ _VERIFY_FIRST = (
     "value_histogram",
     "winsorize_prices",
     "fk_integrity_audit",
+    "asof_next_purchase_1h",
+    "argminmax_functions",
     "q2_min_cost_supplier",
     "q11_important_part_value",
     "q16_supplier_part_counts",

@@ -327,3 +327,41 @@ def regex_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_name").rlike("^Customer#").alias("is_customer"),
         F.expr("regexp_count(c_name, '0')").alias("n_zeros"),
     )
+
+
+@register(
+    "argminmax_functions",
+    """
+    SELECT l_returnflag,
+           arg_max(l_orderkey,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) * 4294967296
+                   + l_orderkey) AS max_price_order,
+           arg_min(l_orderkey,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) * 4294967296
+                   + l_orderkey) AS min_price_order,
+           round(max(l_extendedprice), 2) AS max_price,
+           round(min(l_extendedprice), 2) AS min_price
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def argminmax_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argmax/argmin family (Spark max_by/min_by ↔ DuckDB arg_max/
+    arg_min): which order carried each group's extreme price. The
+    ordering measure is integer cents shifted left 32 bits plus the
+    order key — an exact BIGINT total order, so ties cannot make the
+    two engines return different witnesses (rows sharing measure share
+    the same l_orderkey by construction)."""
+    df = load_table(spark, sf_dir, "lineitem")
+    measure = F.expr(
+        "CAST(round(l_extendedprice * 100) AS BIGINT) * 4294967296 + l_orderkey"
+    )
+    return (
+        df.groupBy("l_returnflag")
+        .agg(
+            F.max_by(F.col("l_orderkey"), measure).alias("max_price_order"),
+            F.min_by(F.col("l_orderkey"), measure).alias("min_price_order"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        )
+        .orderBy("l_returnflag")
+    )

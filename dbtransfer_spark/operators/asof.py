@@ -121,3 +121,60 @@ def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("asof_pts_copy").alias("asof_ts"),
         F.col("asof_value").alias("asof_value"),
     )
+
+
+@register(
+    "asof_next_purchase_1h",
+    """
+    SELECT e.event_id, e.user_id, e.ts, e.event_type,
+           CASE WHEN p.ts <= e.ts + INTERVAL 1 HOUR THEN p.ts END AS next_ts,
+           CASE WHEN p.ts <= e.ts + INTERVAL 1 HOUR
+                THEN round(p."value", 2) END AS next_value
+    FROM (SELECT * FROM events WHERE event_type <> 'purchase') e
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id AND e.ts <= p.ts
+    """,
+)
+def asof_next_purchase_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join with a tolerance: for every non-purchase event,
+    the user's NEXT purchase, nulled unless it lands within 1 hour — the
+    conversion-attribution join. Implemented by running the same
+    union-merge as-of machinery on NEGATED event times (forward nearest ≡
+    backward nearest under time reversal, ties preserved), then applying
+    the tolerance as a post-filter that nulls both carried columns.
+
+    Scale: identical profile to asof_last_purchase — one shuffle by
+    user, one per-key sort, linear in |L|+|R|; the tolerance is a
+    scan-stage CASE, not a join condition, so the join never becomes a
+    range join."""
+    from dbtransfer_spark.operators.windows import epoch_micros
+
+    events = load_table(spark, sf_dir, "events")
+    left = (
+        events.filter(F.col("event_type") != "purchase")
+        .select("event_id", "user_id", "ts", "event_type")
+        .withColumn("__neg", -epoch_micros(events, "ts"))
+    )
+    right = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", F.round("value", 2).alias("value"))
+        .withColumn("__negp", -epoch_micros(events, "ts"))
+        .withColumnRenamed("ts", "p_ts")
+    )
+    out = asof_join(
+        left,
+        right.select("user_id", "__negp", "p_ts", "value"),
+        on="user_id",
+        left_time="__neg",
+        right_time="__negp",
+        right_values=["p_ts", "value"],
+    )
+    within = F.col("asof_p_ts") <= F.col("ts") + F.expr("INTERVAL 1 HOUR")
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(within, F.col("asof_p_ts")).alias("next_ts"),
+        F.when(within, F.col("asof_value")).alias("next_value"),
+    )
