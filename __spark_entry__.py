@@ -80,6 +80,8 @@ _VERIFY_FIRST = (
     "fk_integrity_audit",
     "asof_next_purchase_1h",
     "argminmax_functions",
+    "training_data_build",
+    "list_agg_functions",
     "q2_min_cost_supplier",
     "q11_important_part_value",
     "q16_supplier_part_counts",

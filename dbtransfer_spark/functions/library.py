@@ -365,3 +365,36 @@ def argminmax_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "list_agg_functions",
+    """
+    SELECT l_returnflag,
+           list_sort(list(DISTINCT l_linestatus)) AS statuses,
+           len(list(DISTINCT l_linestatus)) AS n_statuses,
+           list_sort(list(DISTINCT l_linenumber)) AS linenumbers,
+           len(list(DISTINCT l_linenumber)) AS n_linenumbers
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def list_agg_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """List-aggregation family (collect_set + sort_array ↔ DuckDB
+    list(DISTINCT) + list_sort): the distinct-values-as-array rollup.
+    Arrays are sorted before emission so collection order (shuffle-
+    dependent in both engines) can never flip the hash. Collected
+    columns are DOMAIN-BOUNDED on purpose (status flags, line numbers)
+    — collecting an unbounded key set into one array is the per-group
+    OOM anti-pattern; for those, use the top-k/window operators
+    instead."""
+    df = load_table(spark, sf_dir, "lineitem")
+    return (
+        df.groupBy("l_returnflag")
+        .agg(
+            F.sort_array(F.collect_set("l_linestatus")).alias("statuses"),
+            F.size(F.collect_set("l_linestatus")).alias("n_statuses"),
+            F.sort_array(F.collect_set("l_linenumber")).alias("linenumbers"),
+            F.size(F.collect_set("l_linenumber")).alias("n_linenumbers"),
+        )
+        .orderBy("l_returnflag")
+    )

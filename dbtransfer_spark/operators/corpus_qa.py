@@ -671,3 +671,108 @@ def domain_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end training-data build
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "training_data_build",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, source, text,
+             len(string_split(text, ' ')) AS n_words,
+             CAST(length(replace(text, ' ', '')) AS DOUBLE)
+               / len(string_split(text, ' ')) AS mwl
+      FROM documents
+    ),
+    kept AS (
+      SELECT * FROM scored
+      WHERE n_words >= {_GQ_MIN_WORDS} AND mwl BETWEEN {_GQ_MWL_MIN} AND {_GQ_MWL_MAX}
+    ),
+    deduped AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY md5(trim(regexp_replace(regexp_replace(lower(text),
+                          '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))
+          ORDER BY doc_id) AS rn
+        FROM kept
+      ) WHERE rn = 1
+    ),
+    assigned AS (
+      SELECT source, n_words,
+             CASE WHEN h % 100 < 80 THEN 'train'
+                  WHEN h % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT *, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                       AS BIGINT) AS h
+        FROM deduped
+      )
+    )
+    SELECT split, source, count(*) AS n_docs, sum(n_words) AS total_words
+    FROM assigned GROUP BY split, source ORDER BY split, source
+    """,
+)
+def training_data_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship end-to-end training-data build, ONE Spark plan:
+    quality gate (word-count floor + mean-word-length band, the scan-
+    stage subset of gopher_quality_filter) → exact near-normalized
+    fingerprint dedup (keep-min, the dedup_exact_fingerprint shape) →
+    deterministic 80/10/10 split (portable md5 hash, the dataset_split
+    shape) → per-(split, source) manifest with document and token
+    counts. This is the composition a corpus release job runs; each
+    stage is separately oracle-verified elsewhere, and this query
+    verifies the COMPOSITION end-to-end against one SQL replay.
+
+    Scale: the quality gate and split are scan-stage expressions; the
+    only wide stage is the fingerprint dedup's one key shuffle
+    (WindowGroupLimit keeps it top-1 per key); the final manifest is a
+    partial-aggregated shuffle of |splits × sources| rows."""
+    from dbtransfer_spark.operators.dedup import exact_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ", -1)
+    scored = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        F.size(toks).alias("n_words"),
+        (
+            F.length(F.expr("replace(text, ' ', '')")).cast("double")
+            / F.size(toks)
+        ).alias("mwl"),
+    )
+    kept = scored.filter(
+        (F.col("n_words") >= _GQ_MIN_WORDS)
+        & F.col("mwl").between(_GQ_MWL_MIN, _GQ_MWL_MAX)
+    )
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    deduped = exact_dedup(kept.withColumn("__fp", F.md5(norm)), ["__fp"], "doc_id")
+    h = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+        ).cast("long"),
+        F.lit(100),
+    )
+    assigned = deduped.select(
+        "source",
+        "n_words",
+        F.when(h < 80, "train").when(h < 90, "val").otherwise("test").alias(
+            "split"
+        ),
+    )
+    return (
+        assigned.groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("total_words"),
+        )
+        .orderBy("split", "source")
+    )
