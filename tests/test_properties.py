@@ -386,3 +386,52 @@ def test_transform_grammar_matches_duckdb(spark, lineitem_sample, expr):
             assert g == pytest.approx(w, rel=1e-12)
         else:
             assert g == w
+
+
+# ---------------------------------------------------------------------------
+# Binned range join ≡ naive BETWEEN join (the helper is generic; the bin
+# quantization must never add or drop a match, including intervals that
+# touch bin edges and duplicate points)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    points=st.lists(st.integers(0, 400), min_size=0, max_size=60),
+    ivs=st.lists(
+        st.tuples(st.integers(0, 400), st.integers(0, 60)),
+        min_size=0,
+        max_size=20,
+    ),
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_binned_range_join_matches_naive(spark, points, ivs):
+    from pyspark.sql import functions as F
+
+    from dbtransfer_spark.operators.rangejoin import binned_range_join
+
+    pts = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(points)], "pid int, pday long"
+    )
+    intervals = spark.createDataFrame(
+        [(i, lo, lo + span) for i, (lo, span) in enumerate(ivs)],
+        "iid int, lo_day long, hi_day long",
+    )
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in binned_range_join(
+            pts, intervals, "pday", "lo_day", "hi_day", bin_days=61
+        ).collect()
+    )
+    want = sorted(
+        (r["pid"], r["iid"])
+        for r in pts.join(
+            intervals,
+            (F.col("pday") >= F.col("lo_day"))
+            & (F.col("pday") <= F.col("hi_day")),
+        ).collect()
+    )
+    assert got == want
