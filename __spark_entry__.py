@@ -82,6 +82,7 @@ _VERIFY_FIRST = (
     "argminmax_functions",
     "training_data_build",
     "list_agg_functions",
+    "chunk_documents",
     "q2_min_cost_supplier",
     "q11_important_part_value",
     "q16_supplier_part_counts",

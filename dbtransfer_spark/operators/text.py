@@ -592,3 +592,71 @@ def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(w)).select(
         "doc_id", "bm25", "rank"
     )
+
+
+_CHUNK_SIZE = 32
+_CHUNK_STRIDE = 16
+
+
+@register(
+    "chunk_documents",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    )
+    SELECT doc_id, chunk_idx,
+           array_to_string(t[chunk_idx * {_CHUNK_STRIDE} + 1 :
+                             chunk_idx * {_CHUNK_STRIDE} + {_CHUNK_SIZE}], ' ')
+             AS chunk_text,
+           least(n - chunk_idx * {_CHUNK_STRIDE}, {_CHUNK_SIZE}) AS n_tokens
+    FROM toks, unnest(range(0, greatest((n - {_CHUNK_SIZE} + {_CHUNK_STRIDE} - 1)
+                                        // {_CHUNK_STRIDE}, 0) + 1)) AS c(chunk_idx)
+    WHERE n > 0
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (size {size}, stride {stride})
+    — the overlapping-context window op every pre-training tokenization
+    pipeline runs before packing. Chunk count per doc is
+    ceil(max(n - size, 0) / stride) + 1, so every token lands in ≥1
+    chunk and the tail is never dropped.
+
+    Implemented with built-in sequence/slice/explode — a NARROW
+    scan-stage expansion with bounded fanout (≈ n/stride chunks per
+    doc), no shuffle, no Python. A Python arrow-UDTF variant exists
+    (`chunk_udtf`) purely to exercise the §2.8 table-function machinery
+    and is parity-tested against this plan; the builtin form is the
+    production path (UDFs are the slow path — pyspark_guide).
+
+    Scale: fanout is linear in corpus tokens; the final ORDER BY is
+    presentation-only (driver sorts before hashing)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ", -1)
+    base = docs.select("doc_id", t.alias("t"), F.size(t).alias("n")).filter(
+        F.col("n") > 0
+    )
+    chunks = base.select(
+        "doc_id",
+        "t",
+        "n",
+        F.explode(F.expr(f"sequence(0, greatest(CAST(ceil((n - {_CHUNK_SIZE}) / {_CHUNK_STRIDE}.0) AS INT), 0))")).alias(
+            "chunk_idx"
+        ),
+    )
+    start = F.col("chunk_idx") * _CHUNK_STRIDE
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.concat_ws(
+            " ", F.slice(F.col("t"), start + 1, F.lit(_CHUNK_SIZE))
+        ).alias("chunk_text"),
+        F.least(F.col("n") - start, F.lit(_CHUNK_SIZE)).alias("n_tokens"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+chunk_documents.__doc__ = chunk_documents.__doc__.format(
+    size=_CHUNK_SIZE, stride=_CHUNK_STRIDE
+)

@@ -206,3 +206,48 @@ def test_connected_components_chain_and_convergence(spark):
         for r in connected_components(edges, "src", "dst").collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_chunk_udtf_matches_builtin_plan(spark):
+    """§2.8 UDTF machinery: a Python arrow UDTF re-implementation of the
+    sliding-window chunker must reproduce the builtin sequence/slice plan
+    row-for-row. The builtin form is the production path (narrow codegen
+    expansion, no Python); the UDTF exists to prove the table-function
+    surface works for shapes built-ins genuinely can't express."""
+    import math
+
+    from pyspark.sql.functions import udtf
+
+    from dbtransfer_spark.operators.text import (
+        _CHUNK_SIZE,
+        _CHUNK_STRIDE,
+        chunk_documents,
+    )
+    from tests.conftest import SF_SMOKE
+
+    @udtf(returnType="doc_id bigint, chunk_idx int, chunk_text string, n_tokens int")
+    class ChunkUDTF:
+        def eval(self, doc_id, text):
+            toks = text.split(" ")
+            n = len(toks)
+            if n == 0:
+                return
+            n_chunks = max(math.ceil((n - _CHUNK_SIZE) / _CHUNK_STRIDE), 0) + 1
+            for i in range(n_chunks):
+                piece = toks[i * _CHUNK_STRIDE : i * _CHUNK_STRIDE + _CHUNK_SIZE]
+                yield doc_id, i, " ".join(piece), len(piece)
+
+    spark.udtf.register("chunk_udtf", ChunkUDTF)
+    from dbtransfer_spark.catalog import load_table
+
+    load_table(spark, SF_SMOKE, "documents").createOrReplaceTempView("documents")
+    want = sorted(
+        tuple(r) for r in chunk_documents(spark, SF_SMOKE).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in spark.sql(
+            "SELECT c.* FROM documents d, LATERAL chunk_udtf(d.doc_id, d.text) c"
+        ).collect()
+    )
+    assert got == want
