@@ -177,3 +177,60 @@ def register_views(
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
     return dfs
+
+
+def zorder_value(ranges: dict[str, tuple[int, int]], bits: int = 16):
+    """Z-order (Morton) key: min/max-normalize each integer column to a
+    common ``bits``-wide domain, then interleave the bits — pure builtin
+    arithmetic (HOF sum over bit positions), no UDF. Rows close in
+    z-value are close in EVERY interleaved dimension, so
+    range-partitioning + sorting by z gives parquet files whose min/max
+    stats are tight in all dimensions at once — multi-column row-group
+    pruning, where a single-key sort only prunes its leading column.
+
+    The normalization step is load-bearing: interleaving RAW values
+    weights each column by its magnitude, so a 13-bit key swamps an
+    11-bit key (4× the top-bit weight) and range splits never constrain
+    the narrower column — measured exactly that way on the fixture
+    before normalizing. ``ranges`` maps column → (min, max), a 2-scalar
+    metadata probe per column."""
+    terms = []
+    k = len(ranges)
+    top = (1 << bits) - 1
+    for j, (c, (lo, hi)) in enumerate(ranges.items()):
+        span = max(hi - lo, 1)
+        norm = f"CAST((CAST(`{c}` AS DOUBLE) - {lo}) * {top} / {span} AS BIGINT)"
+        terms.append(
+            f"aggregate(sequence(0, {bits - 1}), 0L,"
+            f" (acc, i) -> acc + shiftleft(({norm} >> i) & 1, i * {k} + {j}))"
+        )
+    return F.expr(" + ".join(terms))
+
+
+def zorder_layout(
+    spark: SparkSession,
+    sf_dir: str,
+    dst: str,
+    name: str,
+    cols: list[str],
+    n_parts: int | None = None,
+) -> str:
+    """Rewrite one table into a z-ordered layout on ``cols`` (see
+    zorder_value). Same maintenance-job shape as optimize_layout, keyed
+    on the Morton value instead of the primary key."""
+    n = n_parts or _default_parallelism()
+    src = load_table(spark, sf_dir, name)
+    bounds = src.agg(
+        *[F.min(c).alias(f"lo_{c}") for c in cols],
+        *[F.max(c).alias(f"hi_{c}") for c in cols],
+    ).collect()[0]
+    ranges = {c: (bounds[f"lo_{c}"], bounds[f"hi_{c}"]) for c in cols}
+    df = src.withColumn("__z", zorder_value(ranges))
+    (
+        df.repartitionByRange(n, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(dst)
+    )
+    return dst

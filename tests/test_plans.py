@@ -382,3 +382,55 @@ def test_gap_fill_windows_are_all_partitioned(spark):
     plan = formatted_plan(QUERIES["gap_fill_forward"](spark, SF_SMOKE))
     for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
         assert "user_id" in spec, spec
+
+
+def test_zorder_layout_tightens_both_columns(spark, tmp_path):
+    """Z-order layout must yield parquet files whose min/max ranges are
+    tight in BOTH interleaved dimensions (multi-column row-group
+    pruning), where the PK-sorted layout is tight only in its leading
+    key — measured directly from the written footers."""
+    import pyarrow.parquet as pq
+
+    from dbtransfer_spark.catalog import load_table, zorder_layout
+
+    cols = ["l_orderkey", "l_partkey"]
+    zdir = str(tmp_path / "z")
+    zorder_layout(spark, SF_SMOKE, zdir, "lineitem", cols, n_parts=8)
+
+    pkdir = str(tmp_path / "pk")
+    (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .repartitionByRange(8, "l_orderkey")
+        .sortWithinPartitions("l_orderkey")
+        .write.parquet(pkdir)
+    )
+
+    def footprint(d: str, col: str) -> float:
+        """Σ per-file (max-min) / (n_files × global range): 1.0 = every
+        file spans the whole domain (no pruning), → 1/n = perfect."""
+        import glob
+
+        spans, lo, hi = [], None, None
+        for f in glob.glob(f"{d}/*.parquet"):
+            md = pq.read_metadata(f)
+            names = md.schema.names
+            i = names.index(col)
+            fmin = min(
+                md.row_group(g).column(i).statistics.min
+                for g in range(md.num_row_groups)
+            )
+            fmax = max(
+                md.row_group(g).column(i).statistics.max
+                for g in range(md.num_row_groups)
+            )
+            spans.append(fmax - fmin)
+            lo = fmin if lo is None else min(lo, fmin)
+            hi = fmax if hi is None else max(hi, fmax)
+        return sum(spans) / (len(spans) * (hi - lo))
+
+    # z-order: BOTH columns substantially tighter than "every file spans
+    # everything"; pk layout: leading key tight, second column useless.
+    assert footprint(zdir, "l_orderkey") < 0.75
+    assert footprint(zdir, "l_partkey") < 0.75
+    assert footprint(pkdir, "l_orderkey") < 0.3
+    assert footprint(pkdir, "l_partkey") > 0.9
