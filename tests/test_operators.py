@@ -251,3 +251,50 @@ def test_chunk_udtf_matches_builtin_plan(spark):
         ).collect()
     )
     assert got == want
+
+
+def test_grouped_agg_pandas_udaf_matches_builtin(spark):
+    """§2.8 UDAF machinery: a vectorized grouped-agg pandas UDF (Arrow
+    batches, one call per group) computing a 10%-trimmed mean must match
+    the same statistic computed with builtin percentile + filtered avg.
+    Builtin-first remains the rule; this proves the UDAF surface for
+    aggregations built-ins can't express."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    from dbtransfer_spark.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    from pyspark.sql.functions import PandasUDFType
+
+    # explicit functionType: `from __future__ import annotations` makes
+    # type hints strings, which defeats signature inference
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def trimmed_mean(v):
+        lo, hi = np.percentile(v, [10, 90])
+        kept = v[(v >= lo) & (v <= hi)]
+        return float(kept.mean())
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    got = {
+        r["l_returnflag"]: r["tm"]
+        for r in li.groupBy("l_returnflag")
+        .agg(trimmed_mean("l_extendedprice").alias("tm"))
+        .collect()
+    }
+    cuts = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.1)").alias("lo"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("hi"),
+    )
+    want = {
+        r["l_returnflag"]: r["tm"]
+        for r in li.join(cuts, "l_returnflag")
+        .filter(F.col("l_extendedprice").between(F.col("lo"), F.col("hi")))
+        .groupBy("l_returnflag")
+        .agg(F.avg("l_extendedprice").alias("tm"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in got:
+        assert got[k] == pytest.approx(want[k], rel=1e-9)
