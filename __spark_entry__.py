@@ -83,6 +83,7 @@ _VERIFY_FIRST = (
     "training_data_build",
     "list_agg_functions",
     "chunk_documents",
+    "pagerank_bipartite",
     "q2_min_cost_supplier",
     "q11_important_part_value",
     "q16_supplier_part_counts",

@@ -194,6 +194,7 @@ _FIXED_SIDE_CROSSJOINS = {
     "q11_important_part_value",
     "domain_mix_rebalance",
     "fk_integrity_audit",
+    "pagerank_bipartite",
     "bm25_rank",
     "quantity_quartile_bins",
     # k×d centroid-table broadcast (k=8 rows, fixed size at any SF)
