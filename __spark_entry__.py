@@ -23,6 +23,7 @@ from dbtransfer_spark.operators import (
     asof,
     corpus_qa,
     dedup,
+    graph,
     multimodal,
     rangejoin,
     similarity,
@@ -37,6 +38,7 @@ _MODULES = (
     windows,
     asof,
     rangejoin,
+    graph,
     text,
     dedup,
     similarity,
