@@ -86,6 +86,8 @@ _VERIFY_FIRST = (
     "list_agg_functions",
     "chunk_documents",
     "pagerank_bipartite",
+    "events_retention_cohorts",
+    "rfm_segmentation",
     "q2_min_cost_supplier",
     "q11_important_part_value",
     "q16_supplier_part_counts",

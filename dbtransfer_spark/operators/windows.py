@@ -459,3 +459,51 @@ def incremental_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_value"
         ),
     ).orderBy("user_id", "month")
+
+
+@register(
+    "events_retention_cohorts",
+    """
+    WITH activity AS (
+      SELECT DISTINCT user_id,
+             CAST(date_diff('day', TIMESTAMP '1970-01-01 00:00:00', ts)
+                  AS BIGINT) // 7 AS week
+      FROM events
+    ),
+    cohorts AS (
+      SELECT user_id, min(week) AS cohort_week FROM activity GROUP BY user_id
+    )
+    SELECT cohort_week,
+           week - cohort_week AS weeks_since,
+           count(*) AS n_active_users
+    FROM activity JOIN cohorts USING (user_id)
+    GROUP BY cohort_week, weeks_since
+    ORDER BY cohort_week, weeks_since
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the product-analytics staple: users
+    bucketed by first-activity week, counted in each subsequent week
+    they return. Week arithmetic is integer epoch-day division, so
+    bucket assignment is engine-exact.
+
+    Scale: the distinct (user, week) activity set is one
+    partial-aggregated shuffle over events; cohorts are a per-user MIN
+    over that (same key → AQE reuses the partitioning); the matrix
+    aggregate outputs |cohorts × weeks| rows. Joining activity back to
+    cohorts keys on user_id — no windows, no global sorts."""
+    events = load_table(spark, sf_dir, "events")
+    activity = (
+        events.select(
+            "user_id", epoch_micros(events, "ts").alias("micros")
+        )
+        .select("user_id", F.expr("micros div 86400000000 div 7").alias("week"))
+        .distinct()
+    )
+    cohorts = activity.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        activity.join(cohorts, "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("weeks_since"))
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+        .orderBy("cohort_week", "weeks_since")
+    )

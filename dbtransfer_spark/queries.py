@@ -1274,3 +1274,94 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out.orderBy("relation")
+
+
+@register(
+    "rfm_segmentation",
+    """
+    WITH per_cust AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', TIMESTAMP '1970-01-01 00:00:00',
+                            max(o_orderdate)) AS BIGINT) AS recency_day,
+             count(*) AS frequency,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS monetary_cents
+      FROM orders GROUP BY o_custkey
+    ),
+    cuts AS (
+      SELECT quantile_cont(recency_day, 1.0/3) AS r1,
+             quantile_cont(recency_day, 2.0/3) AS r2,
+             quantile_cont(frequency, 1.0/3) AS f1,
+             quantile_cont(frequency, 2.0/3) AS f2,
+             quantile_cont(monetary_cents, 1.0/3) AS m1,
+             quantile_cont(monetary_cents, 2.0/3) AS m2
+      FROM per_cust
+    )
+    SELECT r_score, f_score, m_score,
+           count(*) AS n_customers,
+           CAST(sum(monetary_cents) AS BIGINT) AS segment_cents
+    FROM (
+      SELECT monetary_cents,
+             CASE WHEN recency_day > r2 THEN 3
+                  WHEN recency_day > r1 THEN 2 ELSE 1 END AS r_score,
+             CASE WHEN frequency > f2 THEN 3
+                  WHEN frequency > f1 THEN 2 ELSE 1 END AS f_score,
+             CASE WHEN monetary_cents > m2 THEN 3
+                  WHEN monetary_cents > m1 THEN 2 ELSE 1 END AS m_score
+      FROM per_cust CROSS JOIN cuts
+    )
+    GROUP BY r_score, f_score, m_score
+    ORDER BY r_score, f_score, m_score
+    """,
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation — the
+    marketing-analytics staple: tercile scores per dimension from
+    population cutpoints, rolled up into segment sizes and value. All
+    three metrics are exact integers (epoch days, order counts, cents),
+    so the interpolated tercile cutpoints are identical doubles in both
+    engines and the strict > comparisons (integer vs cutpoint) can
+    never straddle rounding.
+
+    Scale: one per-customer aggregate shuffle; the six cutpoints are a
+    one-row broadcast (fixed size at any SF) applied in the scan stage
+    of the second pass; segment rollup outputs ≤27 rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.expr(
+            "timestampdiff(DAY, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+            " max(o_orderdate))"
+        ).alias("recency_day"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias(
+            "monetary_cents"
+        ),
+    )
+    cuts = per_cust.agg(
+        F.expr("percentile(recency_day, 1.0/3)").alias("r1"),
+        F.expr("percentile(recency_day, 2.0/3)").alias("r2"),
+        F.expr("percentile(frequency, 1.0/3)").alias("f1"),
+        F.expr("percentile(frequency, 2.0/3)").alias("f2"),
+        F.expr("percentile(monetary_cents, 1.0/3)").alias("m1"),
+        F.expr("percentile(monetary_cents, 2.0/3)").alias("m2"),
+    )
+    def score(metric, c1, c2):
+        return (
+            F.when(F.col(metric) > F.col(c2), 3)
+            .when(F.col(metric) > F.col(c1), 2)
+            .otherwise(1)
+        )
+    scored = per_cust.crossJoin(F.broadcast(cuts)).select(
+        "monetary_cents",
+        score("recency_day", "r1", "r2").alias("r_score"),
+        score("frequency", "f1", "f2").alias("f_score"),
+        score("monetary_cents", "m1", "m2").alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("monetary_cents").cast("bigint").alias("segment_cents"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )

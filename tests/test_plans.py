@@ -195,6 +195,7 @@ _FIXED_SIDE_CROSSJOINS = {
     "domain_mix_rebalance",
     "fk_integrity_audit",
     "pagerank_bipartite",
+    "rfm_segmentation",
     "bm25_rank",
     "quantity_quartile_bins",
     # k×d centroid-table broadcast (k=8 rows, fixed size at any SF)
