@@ -88,6 +88,8 @@ _VERIFY_FIRST = (
     "pagerank_bipartite",
     "events_retention_cohorts",
     "rfm_segmentation",
+    "market_basket_pairs",
+    "events_anomaly_daily",
     "q2_min_cost_supplier",
     "q11_important_part_value",
     "q16_supplier_part_counts",

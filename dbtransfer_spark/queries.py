@@ -1365,3 +1365,167 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+@register(
+    "market_basket_pairs",
+    """
+    WITH basket AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n_orders AS (SELECT count(DISTINCT l_orderkey) AS n FROM basket),
+    part_count AS (
+      SELECT l_partkey, count(*) AS cnt FROM basket GROUP BY l_partkey
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             count(*) AS together
+      FROM basket a JOIN basket b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+    )
+    SELECT part_a, part_b, together,
+           ca.cnt AS count_a, cb.cnt AS count_b,
+           CAST(together AS DOUBLE) * n / (ca.cnt * cb.cnt) AS lift
+    FROM pairs
+    JOIN part_count ca ON part_a = ca.l_partkey
+    JOIN part_count cb ON part_b = cb.l_partkey
+    CROSS JOIN n_orders
+    WHERE together >= 3
+    ORDER BY together DESC, part_a, part_b
+    """,
+)
+def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs bought in the same order,
+    with support counts and lift — the association-rule primitive.
+    Lift is one IEEE division of exact integers (together × N /
+    (cnt_a × cnt_b)) — identical doubles cross-engine, no rounding.
+
+    Scale: the self-join keys on l_orderkey, so candidate pairs are
+    quadratic only in the BASKET size (a handful of lines per order),
+    never in the table — the same bounded-fanout argument as the
+    inverted-index dedup joins; part marginals broadcast via the stats
+    gate; the support floor prunes the long tail before the final
+    sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    basket = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = basket.agg(
+        F.countDistinct("l_orderkey").alias("n")
+    )
+    part_count = basket.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    a = basket.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = basket.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("part_a") < F.col("part_b")))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("together"))
+        .filter(F.col("together") >= 3)
+    )
+    ca = part_count.select(
+        F.col("l_partkey").alias("ka"), F.col("cnt").alias("count_a")
+    )
+    cb = part_count.select(
+        F.col("l_partkey").alias("kb"), F.col("cnt").alias("count_b")
+    )
+    return (
+        pairs.join(broadcast_if_small(ca), F.col("part_a") == F.col("ka"))
+        .join(broadcast_if_small(cb), F.col("part_b") == F.col("kb"))
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "together",
+            "count_a",
+            "count_b",
+            (
+                F.col("together").cast("double")
+                * F.col("n")
+                / (F.col("count_a") * F.col("count_b"))
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("together"), "part_a", "part_b")
+    )
+
+
+@register(
+    "events_anomaly_daily",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_diff('day', TIMESTAMP '1970-01-01 00:00:00', ts)
+                  AS BIGINT) AS day,
+             count(*) AS x
+      FROM events GROUP BY event_type, day
+    ),
+    stats AS (
+      SELECT event_type, day, x,
+             count(*) OVER w AS n,
+             sum(x) OVER w AS s,
+             sum(x * x) OVER w AS q
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, day, x, n AS n_baseline,
+           (n >= 3 AND (n - 1) * (n * x - s) * (n * x - s)
+                       > 9 * n * (n * q - s * s)
+                   AND n * x > s) AS is_spike
+    FROM stats
+    ORDER BY event_type, day
+    """,
+)
+def events_anomaly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event-count spike detection: each (type, day) count is
+    compared against its trailing-7-day baseline with a z > 3 rule —
+    the streaming-telemetry anomaly primitive, run as a batch.
+
+    The z-test is cross-multiplied into PURE INTEGER arithmetic:
+    z² > 9 with sample variance (nq - s²)/(n(n-1)) becomes
+    (n-1)(nx - s)² > 9n(nq - s²), plus a sign guard (nx > s) for
+    spike-only — no division, no sqrt, no doubles anywhere, so both
+    engines flag the exact same days.
+
+    Scale: the daily aggregate is one partial-aggregated shuffle; the
+    trailing window is PARTITIONED by event_type (bounded rows per
+    partition = |days|, domain-bounded) — never a global window."""
+    events = load_table(spark, sf_dir, "events")
+    from dbtransfer_spark.operators.windows import epoch_micros
+
+    daily = (
+        events.select(
+            "event_type", epoch_micros(events, "ts").alias("micros")
+        )
+        .select("event_type", F.expr("micros div 86400000000").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    stats = daily.select(
+        "event_type",
+        "day",
+        "x",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("s"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("q"),
+    )
+    nx_s = F.col("n") * F.col("x") - F.col("s")
+    spike = (
+        (F.col("n") >= 3)
+        & ((F.col("n") - 1) * nx_s * nx_s > 9 * F.col("n") * (F.col("n") * F.col("q") - F.col("s") * F.col("s")))
+        & (F.col("n") * F.col("x") > F.col("s"))
+    )
+    return stats.select(
+        "event_type",
+        "day",
+        "x",
+        F.col("n").alias("n_baseline"),
+        spike.alias("is_spike"),
+    ).orderBy("event_type", "day")

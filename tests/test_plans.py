@@ -196,6 +196,7 @@ _FIXED_SIDE_CROSSJOINS = {
     "fk_integrity_audit",
     "pagerank_bipartite",
     "rfm_segmentation",
+    "market_basket_pairs",
     "bm25_rank",
     "quantity_quartile_bins",
     # k×d centroid-table broadcast (k=8 rows, fixed size at any SF)
