@@ -90,6 +90,7 @@ _VERIFY_FIRST = (
     "rfm_segmentation",
     "market_basket_pairs",
     "events_anomaly_daily",
+    "cdc_apply_compacted",
     "q2_min_cost_supplier",
     "q11_important_part_value",
     "q16_supplier_part_counts",

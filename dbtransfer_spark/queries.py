@@ -1529,3 +1529,68 @@ def events_anomaly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_baseline"),
         spike.alias("is_spike"),
     ).orderBy("event_type", "day")
+
+
+@register(
+    "cdc_apply_compacted",
+    """
+    WITH log AS (
+      SELECT o_custkey AS k, o_orderkey AS seq,
+             CASE WHEN o_orderkey % 5 = 0 THEN 'D' ELSE 'U' END AS op,
+             o_totalprice AS new_bal
+      FROM orders
+    ),
+    latest AS (
+      SELECT k, op, new_bal FROM (
+        SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+        FROM log
+      ) WHERE rn = 1
+    )
+    SELECT c_custkey,
+           CASE WHEN op = 'U' THEN new_bal ELSE c_acctbal END AS acctbal,
+           coalesce(op, 'K') AS last_op
+    FROM customer LEFT JOIN latest ON c_custkey = k
+    WHERE op IS NULL OR op <> 'D'
+    ORDER BY c_custkey
+    """,
+)
+def cdc_apply_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log compaction + apply — the change-data-capture batch
+    primitive: a keyed op log (update/delete events, here derived
+    deterministically from orders so the oracle replays it) is
+    compacted to the LATEST op per key by sequence number, then applied
+    to the base table: deletes drop, updates overwrite, untouched keys
+    pass through. Completes the upsert family: `upsert_merge` (type-1
+    upsert), `scd2_merge` (type-2 history), this (latest-wins with
+    deletes) — the batch core of every replication sink.
+
+    Scale: compaction is a row_number window PARTITIONED by key (the
+    WindowGroupLimit top-1 shape, scale-safe); the apply is one left
+    join on the key with a scan-stage CASE — values pass through with
+    no arithmetic, so no rounding is needed anywhere."""
+    orders = load_table(spark, sf_dir, "orders")
+    log = orders.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderkey") % 5 == 0, "D").otherwise("U").alias("op"),
+        F.col("o_totalprice").alias("new_bal"),
+    )
+    w = Window.partitionBy("k").orderBy(F.desc("seq"))
+    latest = (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("k", "op", "new_bal")
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    return (
+        cust.join(latest, F.col("c_custkey") == F.col("k"), "left")
+        .filter(F.col("op").isNull() | (F.col("op") != "D"))
+        .select(
+            "c_custkey",
+            F.when(F.col("op") == "U", F.col("new_bal"))
+            .otherwise(F.col("c_acctbal"))
+            .alias("acctbal"),
+            F.coalesce(F.col("op"), F.lit("K")).alias("last_op"),
+        )
+        .orderBy("c_custkey")
+    )
