@@ -91,6 +91,9 @@ _VERIFY_FIRST = (
     "market_basket_pairs",
     "events_anomaly_daily",
     "cdc_apply_compacted",
+    "supplier_pareto",
+    "lang_id_confusion",
+    "orders_seasonality",
     "q2_min_cost_supplier",
     "q11_important_part_value",
     "q16_supplier_part_counts",

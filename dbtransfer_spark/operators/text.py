@@ -660,3 +660,39 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 chunk_documents.__doc__ = chunk_documents.__doc__.format(
     size=_CHUNK_SIZE, stride=_CHUNK_STRIDE
 )
+
+
+def _lang_confusion_oracle() -> str:
+    """Confusion-matrix replay: the full langid oracle as a subquery,
+    joined back to the labeled lang column."""
+    return f"""
+    WITH pred AS ({_langid_oracle()})
+    SELECT d.lang AS label_lang, p.predicted_lang, count(*) AS n_docs
+    FROM documents d JOIN pred p USING (doc_id)
+    GROUP BY label_lang, predicted_lang
+    ORDER BY label_lang, predicted_lang
+    """
+
+
+@register("lang_id_confusion", _lang_confusion_oracle())
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-evaluation primitive for the language-ID operator: the
+    labeled-vs-predicted confusion matrix (label lang × predicted lang
+    × doc count). The prediction side is the SAME vectorized pandas UDF
+    the production path uses; the oracle replays the stopword-argmax in
+    SQL and aggregates identically — so a hash match verifies the UDF's
+    behavior inside a composed pipeline, not just standalone.
+
+    Scale: the UDF streams Arrow batches in the scan stage; the matrix
+    is one partial-aggregated shuffle with ≤|langs|² output rows."""
+    df = load_table(spark, sf_dir, "documents")
+    pred = df.select(
+        "doc_id",
+        F.col("lang").alias("label_lang"),
+        langid_udf(F.col("text")).alias("predicted_lang"),
+    )
+    return (
+        pred.groupBy("label_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("label_lang", "predicted_lang")
+    )

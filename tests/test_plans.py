@@ -197,6 +197,7 @@ _FIXED_SIDE_CROSSJOINS = {
     "pagerank_bipartite",
     "rfm_segmentation",
     "market_basket_pairs",
+    "supplier_pareto",
     "bm25_rank",
     "quantity_quartile_bins",
     # k×d centroid-table broadcast (k=8 rows, fixed size at any SF)
