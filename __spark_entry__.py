@@ -94,6 +94,8 @@ _VERIFY_FIRST = (
     "supplier_pareto",
     "lang_id_confusion",
     "orders_seasonality",
+    "knn_recall_eval",
+    "embedding_norm_profile",
     "q2_min_cost_supplier",
     "q11_important_part_value",
     "q16_supplier_part_counts",

@@ -797,3 +797,107 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = _kmeans_update(assigned)
     assigned = _kmeans_assign(points, cents)
     return assigned.select("vec_id", "cluster", F.col("dist").alias("dist_fp2"))
+
+
+def _recall_oracle() -> str:
+    """Composed replay: both already-verified knn oracles as CTEs, joined
+    into per-query recall."""
+    return f"""
+    WITH bf AS ({ORACLE["knn_bruteforce_cosine"]}),
+    lsh AS ({ORACLE["knn_lsh_cosine"]})
+    SELECT bf.query_id,
+           count(lsh.neighbor_id) AS n_hits,
+           count(*) AS k,
+           CAST(count(lsh.neighbor_id) AS DOUBLE) / count(*) AS recall_at_k
+    FROM bf LEFT JOIN lsh
+      ON bf.query_id = lsh.query_id AND bf.neighbor_id = lsh.neighbor_id
+    GROUP BY bf.query_id ORDER BY bf.query_id
+    """
+
+
+@register("knn_recall_eval", _recall_oracle())
+def knn_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: recall@k of the hyperplane-LSH index
+    against the brute-force exact ground truth, per query — the metric
+    that justifies (or vetoes) shipping an approximate index at scale.
+    Both sides are the exact production operators; the oracle composes
+    their two already-verified SQL replays, so the hash verifies the
+    COMPOSITION (ground truth ⋈ candidates → recall), not a
+    re-derivation.
+
+    Scale: ground truth over a FIXED probe set (|Q| constant, the
+    documented exactness-anchor scoping), LSH side banded; the recall
+    join keys on (query, neighbor) — |Q|·k rows each side. This is the
+    offline eval job pattern: sample queries, compute both, publish
+    recall."""
+    bf = QUERIES["knn_bruteforce_cosine"](spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("bf_neighbor")
+    )
+    lsh = QUERIES["knn_lsh_cosine"](spark, sf_dir).select(
+        F.col("query_id").alias("lq"), F.col("neighbor_id").alias("lsh_neighbor")
+    )
+    joined = bf.join(
+        lsh,
+        (F.col("query_id") == F.col("lq"))
+        & (F.col("bf_neighbor") == F.col("lsh_neighbor")),
+        "left",
+    )
+    return (
+        joined.groupBy("query_id")
+        .agg(
+            F.count("lsh_neighbor").alias("n_hits"),
+            F.count(F.lit(1)).alias("k"),
+            (F.count("lsh_neighbor").cast("double") / F.count(F.lit(1))).alias(
+                "recall_at_k"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
+@register(
+    "embedding_norm_profile",
+    """
+    WITH norms AS (
+      SELECT vec_id,
+             sqrt(list_inner_product(
+               list_transform(embedding, x -> CAST(x AS DOUBLE)),
+               list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS l2
+      FROM embeddings
+    )
+    SELECT CAST(floor(l2 / 0.5) AS BIGINT) AS bucket,
+           count(*) AS n_vecs,
+           min(l2) AS min_norm,
+           max(l2) AS max_norm
+    FROM norms GROUP BY bucket ORDER BY bucket
+    """,
+)
+def embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding L2-norm distribution profile — the vector-QA pass that
+    catches unnormalized/degenerate embeddings before they poison
+    cosine search (a zero-norm vector breaks cosine; wildly varying
+    norms mean dot-product ≠ cosine ranking). Norms are computed by the
+    same in-array-order dot product both engines evaluate
+    left-to-right, so the doubles (and their bucket floors) are
+    bit-identical.
+
+    Scale: a narrow HOF projection in the scan stage + one
+    partial-aggregated shuffle of ≤|buckets| rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    norms = emb.select(F.sqrt(sq).alias("l2"))
+    return (
+        norms.groupBy(
+            F.floor(F.col("l2") / 0.5).cast("bigint").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min("l2").alias("min_norm"),
+            F.max("l2").alias("max_norm"),
+        )
+        .orderBy("bucket")
+    )

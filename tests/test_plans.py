@@ -198,6 +198,7 @@ _FIXED_SIDE_CROSSJOINS = {
     "rfm_segmentation",
     "market_basket_pairs",
     "supplier_pareto",
+    "knn_recall_eval",
     "bm25_rank",
     "quantity_quartile_bins",
     # k×d centroid-table broadcast (k=8 rows, fixed size at any SF)
