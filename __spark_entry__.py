@@ -96,6 +96,8 @@ _VERIFY_FIRST = (
     "orders_seasonality",
     "knn_recall_eval",
     "embedding_norm_profile",
+    "weighted_systematic_sample",
+    "events_dwell_time",
     "q2_min_cost_supplier",
     "q11_important_part_value",
     "q16_supplier_part_counts",

@@ -776,3 +776,74 @@ def training_data_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted systematic sampling
+# ---------------------------------------------------------------------------
+
+_WSS_K = 100
+
+
+@register(
+    "weighted_systematic_sample",
+    f"""
+    WITH w AS (
+      SELECT doc_id, source, CAST(n_chars AS BIGINT) AS wt FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, wt,
+             sum(wt) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+      FROM w
+    ),
+    tot AS (SELECT sum(wt) AS total FROM w),
+    sel AS (
+      SELECT doc_id, source, wt, cum,
+             (cum - 1) // (total // {_WSS_K})
+             - (cum - wt - 1) // (total // {_WSS_K}) AS n_points
+      FROM c CROSS JOIN tot
+    )
+    SELECT doc_id, source, wt, n_points
+    FROM sel WHERE n_points > 0
+    ORDER BY doc_id
+    """,
+)
+def weighted_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional systematic sampling: lay the documents end to
+    end on a line scaled by weight (n_chars), drop ~{k} evenly spaced
+    sample points, and keep each document once per point falling in its
+    span — sampling probability exactly proportional to weight, heavy
+    docs can be drawn multiple times (n_points = its multiplicity).
+    Deterministic and engine-exact: the span positions come from an
+    EXACT integer prefix sum and point membership is pure integer
+    division — no RNG, no floats (the float route, exponential-key A-Res
+    sampling, hits libm pow() ULP differences across engines).
+
+    Scale: the running weight sum uses ``distributed_prefix_sum``
+    (range-repartition + per-partition offsets — never a global
+    single-partition window); the stride is a one-row broadcast; the
+    membership test is a scan-stage expression."""
+    from dbtransfer_spark.queries import distributed_prefix_sum
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("bigint").alias("wt")
+    )
+    cum = distributed_prefix_sum(docs, ["doc_id"], "wt")
+    tot = docs.agg(F.sum("wt").alias("total"))
+    sel = cum.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "source",
+        "wt",
+        F.expr(
+            f"(__cum - 1) div (total div {_WSS_K})"
+            f" - (__cum - wt - 1) div (total div {_WSS_K})"
+        ).alias("n_points"),
+    )
+    return sel.filter(F.col("n_points") > 0).orderBy("doc_id")
+
+
+weighted_systematic_sample.__doc__ = weighted_systematic_sample.__doc__.format(
+    k=_WSS_K
+)

@@ -507,3 +507,47 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_active_users"))
         .orderBy("cohort_week", "weeks_since")
     )
+
+
+@register(
+    "events_dwell_time",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type, ts,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_ts
+      FROM events
+    )
+    SELECT event_type,
+           count(next_ts) AS n_dwells,
+           CAST(sum(date_diff('microsecond', ts, next_ts)) AS BIGINT)
+             AS total_dwell_micros
+    FROM seq WHERE next_ts IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_dwell_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dwell time after each event (lead() to the user's next event) —
+    the engagement metric, aggregated per event type in exact integer
+    microseconds (timestamp differences are integers; no float time
+    math anywhere).
+
+    Scale: one user-partitioned window (the scale-safe kind) and one
+    ≤|event types|-row aggregate; the tie-break on event_id makes the
+    sequence — and therefore every dwell — deterministic."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type",
+        epoch_micros(events, "ts").alias("m"),
+        F.lead(epoch_micros(events, "ts")).over(w).alias("next_m"),
+    )
+    return (
+        seq.filter(F.col("next_m").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_dwells"),
+            F.sum(F.col("next_m") - F.col("m")).alias("total_dwell_micros"),
+        )
+        .orderBy("event_type")
+    )
