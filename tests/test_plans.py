@@ -199,6 +199,7 @@ _FIXED_SIDE_CROSSJOINS = {
     "market_basket_pairs",
     "supplier_pareto",
     "knn_recall_eval",
+    "weighted_systematic_sample",
     "bm25_rank",
     "quantity_quartile_bins",
     # k×d centroid-table broadcast (k=8 rows, fixed size at any SF)
