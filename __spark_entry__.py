@@ -98,6 +98,7 @@ _VERIFY_FIRST = (
     "embedding_norm_profile",
     "weighted_systematic_sample",
     "events_dwell_time",
+    "orders_backlog_daily",
     "q2_min_cost_supplier",
     "q11_important_part_value",
     "q16_supplier_part_counts",

@@ -1757,3 +1757,57 @@ def orders_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "seasonal_ratio"
         ),
     ).orderBy("month")
+
+
+@register(
+    "orders_backlog_daily",
+    """
+    WITH deltas AS (
+      SELECT CAST(date_diff('day', TIMESTAMP '1970-01-01 00:00:00',
+                            o_orderdate) AS BIGINT) AS day,
+             count(*) AS delta
+      FROM orders GROUP BY day
+      UNION ALL
+      SELECT CAST(date_diff('day', TIMESTAMP '1970-01-01 00:00:00',
+                            o_orderdate) AS BIGINT) + 30 AS day,
+             -count(*) AS delta
+      FROM orders GROUP BY day
+    ),
+    daily AS (
+      SELECT day, sum(delta) AS net FROM deltas GROUP BY day
+    )
+    SELECT day,
+           CAST(sum(net) OVER (ORDER BY day
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS open_orders
+    FROM daily ORDER BY day
+    """,
+)
+def orders_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent-interval counting — how many orders are open on each
+    day (open = within 30 days of placement), via the classic sweep:
+    +1 at start, −1 past end, running sum over the day axis. The
+    operations-analytics primitive for backlog/occupancy/concurrency.
+
+    Scale: the ±1 deltas collapse to per-day aggregates BEFORE the
+    running sum (two partial-aggregated shuffles over the facts), so
+    the cumulative window runs over |days| rows — DOMAIN-bounded, the
+    accepted histogram-window shape. Never a per-order window, never a
+    range join against the day axis. All integers."""
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.expr(
+        "timestampdiff(DAY, TIMESTAMP_NTZ '1970-01-01 00:00:00', o_orderdate)"
+    )
+    starts = orders.groupBy(day.alias("day")).agg(
+        F.count(F.lit(1)).alias("delta")
+    )
+    ends = orders.groupBy((day + 30).alias("day")).agg(
+        (-F.count(F.lit(1))).alias("delta")
+    )
+    daily = (
+        starts.unionAll(ends).groupBy("day").agg(F.sum("delta").alias("net"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        "day", F.sum("net").over(w).cast("bigint").alias("open_orders")
+    ).orderBy("day")

@@ -320,3 +320,25 @@ def test_optimize_layout_clusters_and_is_idempotent(spark, tmp_path):
     mtimes = {f: os.path.getmtime(os.path.join(d, f)) for f in parts}
     optimize_layout(spark, SF_SMOKE, cache, names=("lineitem",), target_partitions=4, min_bytes=0)
     assert {f: os.path.getmtime(os.path.join(d, f)) for f in parts} == mtimes
+
+
+def test_schema_evolution_mergeschema_read(spark, tmp_path):
+    """Lake schema evolution: after a new column appears in later
+    partitions, mergeSchema reads the union schema and back-fills nulls
+    for old files — the contract a long-lived 100 TB table depends on
+    (per-file schemas stay heterogeneous; no rewrite of history)."""
+    import pyspark.sql.functions as F
+
+    old = spark.range(5).select(F.col("id").alias("k"), F.lit("a").alias("v1"))
+    old.write.parquet(str(tmp_path / "t" / "batch=1"))
+    new = spark.range(5, 8).select(
+        F.col("id").alias("k"), F.lit("b").alias("v1"), F.lit(1.5).alias("v2")
+    )
+    new.write.parquet(str(tmp_path / "t" / "batch=2"))
+
+    df = spark.read.option("mergeSchema", "true").parquet(str(tmp_path / "t"))
+    assert set(df.columns) == {"k", "v1", "v2", "batch"}
+    rows = {r["k"]: (r["v1"], r["v2"]) for r in df.collect()}
+    assert rows[0] == ("a", None)   # old files: evolved column null-filled
+    assert rows[7] == ("b", 1.5)
+    assert df.filter(F.col("v2").isNull()).count() == 5
