@@ -435,3 +435,45 @@ def test_binned_range_join_matches_naive(spark, points, ivs):
         ).collect()
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# distributed_prefix_sum ≡ single-partition cumulative sum, for any data
+# shape and partition count (duplicate keys, zero/negative values, empty)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(0, 50), st.integers(-100, 100)),
+        min_size=0,
+        max_size=80,
+    ),
+    n_parts=st.integers(min_value=1, max_value=9),
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_distributed_prefix_sum_matches_global_cumsum(spark, vals, n_parts):
+    from pyspark.sql import functions as F
+
+    from dbtransfer_spark.queries import distributed_prefix_sum
+
+    rows = [(i, k, v) for i, (k, v) in enumerate(vals)]
+    df = spark.createDataFrame(rows, "uid long, k long, v long") if rows else (
+        spark.createDataFrame([], "uid long, k long, v long")
+    )
+    got = {
+        r["uid"]: r["__cum"]
+        for r in distributed_prefix_sum(
+            df, ["k", "uid"], "v", n_partitions=n_parts
+        ).collect()
+    }
+    # reference: plain python cumsum in (k, uid) order
+    want, acc = {}, 0
+    for uid, k, v in sorted(rows, key=lambda r: (r[1], r[0])):
+        acc += v
+        want[uid] = acc
+    assert got == want
