@@ -99,6 +99,8 @@ _VERIFY_FIRST = (
     "weighted_systematic_sample",
     "events_dwell_time",
     "orders_backlog_daily",
+    "revenue_forecast_backtest",
+    "events_hourly_heatmap",
     "q2_min_cost_supplier",
     "q11_important_part_value",
     "q16_supplier_part_counts",

@@ -1811,3 +1811,95 @@ def orders_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         "day", F.sum("net").over(w).cast("bigint").alias("open_orders")
     ).orderBy("day")
+
+
+@register(
+    "revenue_forecast_backtest",
+    """
+    WITH monthly AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY month
+    ),
+    j AS (
+      SELECT month, cents,
+             lag(cents, 12) OVER (ORDER BY month) AS forecast
+      FROM monthly
+    )
+    SELECT month, cents AS actual_cents, forecast AS forecast_cents,
+           abs(cents - forecast) AS abs_err_cents,
+           CAST(abs(cents - forecast) AS DOUBLE) / forecast AS rel_err
+    FROM j WHERE forecast IS NOT NULL
+    ORDER BY month
+    """,
+)
+def revenue_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each month's revenue as
+    the same month last year (lag 12) and report the absolute and
+    relative error — the baseline every forecasting pipeline must beat,
+    and the backtest-join pattern for evaluating any model. Errors are
+    exact integer cents; the relative error is one IEEE division.
+
+    Scale: one partial-aggregated monthly shuffle, then a lag window
+    over the |months| aggregate (domain-bounded — the accepted
+    post-aggregate window shape)."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias("cents")
+    )
+    w = Window.orderBy("month")
+    j = monthly.select(
+        "month", "cents", F.lag("cents", 12).over(w).alias("forecast")
+    ).filter(F.col("forecast").isNotNull())
+    err = F.abs(F.col("cents") - F.col("forecast"))
+    return j.select(
+        "month",
+        F.col("cents").alias("actual_cents"),
+        F.col("forecast").alias("forecast_cents"),
+        err.alias("abs_err_cents"),
+        (err.cast("double") / F.col("forecast")).alias("rel_err"),
+    ).orderBy("month")
+
+
+@register(
+    "events_hourly_heatmap",
+    """
+    WITH t AS (
+      SELECT (CAST(date_diff('day', TIMESTAMP '1970-01-01 00:00:00', ts)
+                   AS BIGINT) + 4) % 7 AS weekday,
+             CAST(date_diff('hour', date_trunc('day', ts), ts) AS BIGINT)
+               AS hour
+      FROM events
+    )
+    SELECT weekday, hour, count(*) AS n_events
+    FROM t GROUP BY weekday, hour
+    ORDER BY weekday, hour
+    """,
+)
+def events_hourly_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday × hour activity heatmap — the usage-pattern profile.
+    Weekday comes from PURE epoch-day arithmetic ((day + 4) mod 7,
+    1970-01-01 being a Thursday): Spark's dayofweek numbers Sunday=1
+    while DuckDB's dow numbers Sunday=0, so calendar functions are a
+    cross-engine trap this formulation sidesteps entirely.
+
+    Scale: scan-stage integer expressions + one partial-aggregated
+    shuffle of ≤168 output rows."""
+    events = load_table(spark, sf_dir, "events")
+    from dbtransfer_spark.operators.windows import epoch_micros
+
+    m = epoch_micros(events, "ts")
+    t = events.select(
+        ((m / F.lit(86400000000)).cast("long") + 4).alias("d"),
+        (m / F.lit(3600000000)).cast("long").alias("h"),
+    ).select(
+        (F.col("d") % 7).alias("weekday"), (F.col("h") % 24).alias("hour")
+    )
+    return (
+        t.groupBy("weekday", "hour")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("weekday", "hour")
+    )
