@@ -371,9 +371,11 @@ def argminmax_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "list_agg_functions",
     """
     SELECT l_returnflag,
-           list_sort(list(DISTINCT l_linestatus)) AS statuses,
+           array_to_string(list_sort(list(DISTINCT l_linestatus)), ',')
+             AS statuses,
            len(list(DISTINCT l_linestatus)) AS n_statuses,
-           list_sort(list(DISTINCT l_linenumber)) AS linenumbers,
+           array_to_string(list_sort(list(DISTINCT l_linenumber)), ',')
+             AS linenumbers,
            len(list(DISTINCT l_linenumber)) AS n_linenumbers
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
@@ -381,20 +383,31 @@ def argminmax_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 def list_agg_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """List-aggregation family (collect_set + sort_array ↔ DuckDB
     list(DISTINCT) + list_sort): the distinct-values-as-array rollup.
-    Arrays are sorted before emission so collection order (shuffle-
-    dependent in both engines) can never flip the hash. Collected
-    columns are DOMAIN-BOUNDED on purpose (status flags, line numbers)
-    — collecting an unbounded key set into one array is the per-group
-    OOM anti-pattern; for those, use the top-k/window operators
-    instead."""
+    Arrays are sorted THEN joined to a ','-delimited string before
+    emission — sorting so collection order (shuffle-dependent in both
+    engines) can never flip the hash, joining because raw array columns
+    are not portable through the driver's pandas canonicalization
+    (lists are unhashable; r4 verdict item #1). Collected columns are
+    DOMAIN-BOUNDED on purpose (status flags, line numbers) — collecting
+    an unbounded key set into one array is the per-group OOM
+    anti-pattern; for those, use the top-k/window operators instead."""
     df = load_table(spark, sf_dir, "lineitem")
     return (
         df.groupBy("l_returnflag")
         .agg(
-            F.sort_array(F.collect_set("l_linestatus")).alias("statuses"),
-            F.size(F.collect_set("l_linestatus")).alias("n_statuses"),
-            F.sort_array(F.collect_set("l_linenumber")).alias("linenumbers"),
-            F.size(F.collect_set("l_linenumber")).alias("n_linenumbers"),
+            F.array_join(
+                F.sort_array(F.collect_set("l_linestatus")), ","
+            ).alias("statuses"),
+            F.size(F.collect_set("l_linestatus"))
+            .cast("bigint")
+            .alias("n_statuses"),
+            F.array_join(
+                F.sort_array(F.collect_set("l_linenumber")).cast("array<string>"),
+                ",",
+            ).alias("linenumbers"),
+            F.size(F.collect_set("l_linenumber"))
+            .cast("bigint")
+            .alias("n_linenumbers"),
         )
         .orderBy("l_returnflag")
     )

@@ -597,7 +597,7 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT sum(n_before) AS total, count(*) AS n_sources FROM counts),
     plan AS (
       SELECT source, n_before,
-             total // n_sources AS n_target,
+             CAST(total // n_sources AS BIGINT) AS n_target,
              least(1000000,
                    (total // n_sources) * 1000000 // n_before) AS rate_ppm
       FROM counts, tot
@@ -712,7 +712,8 @@ def domain_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM deduped
       )
     )
-    SELECT split, source, count(*) AS n_docs, sum(n_words) AS total_words
+    SELECT split, source, count(*) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS total_words
     FROM assigned GROUP BY split, source ORDER BY split, source
     """,
 )
@@ -801,8 +802,8 @@ _WSS_K = 100
     tot AS (SELECT sum(wt) AS total FROM w),
     sel AS (
       SELECT doc_id, source, wt, cum,
-             (cum - 1) // (total // {_WSS_K})
-             - (cum - wt - 1) // (total // {_WSS_K}) AS n_points
+             CAST((cum - 1) // (total // {_WSS_K})
+             - (cum - wt - 1) // (total // {_WSS_K}) AS BIGINT) AS n_points
       FROM c CROSS JOIN tot
     )
     SELECT doc_id, source, wt, n_points

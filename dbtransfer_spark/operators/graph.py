@@ -42,14 +42,15 @@ def register(name: str, oracle: str | None = None):
       SELECT s, CAST(1000000000000 AS BIGINT) // n_s AS r FROM sdeg, ns
     ),
     part_rank AS (
-      SELECT e.p, sum(r0.r // sdeg.deg_s) AS pr
+      SELECT e.p, CAST(sum(r0.r // sdeg.deg_s) AS BIGINT) AS pr
       FROM edges e JOIN r0 ON e.s = r0.s JOIN sdeg ON e.s = sdeg.s
       GROUP BY e.p
     ),
     r1 AS (
       SELECT e.s,
-             (CAST(150000000000 AS BIGINT) // n_s)
-             + (85 * sum(part_rank.pr // pdeg.deg_p)) // 100 AS rank_e12
+             CAST((CAST(150000000000 AS BIGINT) // n_s)
+             + (85 * sum(part_rank.pr // pdeg.deg_p)) // 100
+               AS BIGINT) AS rank_e12
       FROM edges e
       JOIN part_rank ON e.p = part_rank.p
       JOIN pdeg ON e.p = pdeg.p

@@ -1130,10 +1130,10 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_returnflag,
            count(*) AS n_rows,
-           sum(CASE WHEN l_extendedprice * 100 < p05c THEN 1 ELSE 0 END)
-             AS n_clipped_lo,
-           sum(CASE WHEN l_extendedprice * 100 > p95c THEN 1 ELSE 0 END)
-             AS n_clipped_hi,
+           CAST(sum(CASE WHEN l_extendedprice * 100 < p05c THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_clipped_lo,
+           CAST(sum(CASE WHEN l_extendedprice * 100 > p95c THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_clipped_hi,
            CAST(round(sum(CAST(
              greatest(least(l_extendedprice * 100, p95c), p05c) / 100.0
              AS DECIMAL(30,10))), 2) AS DOUBLE) AS winsorized_total
@@ -1647,12 +1647,12 @@ def distributed_prefix_sum(
                AS cents
       FROM lineitem GROUP BY l_suppkey
     ),
-    tot AS (SELECT sum(cents) AS total FROM rev),
+    tot AS (SELECT CAST(sum(cents) AS BIGINT) AS total FROM rev),
     c AS (
       SELECT l_suppkey, cents,
-             sum(cents) OVER (ORDER BY cents DESC, l_suppkey
-                              ROWS BETWEEN UNBOUNDED PRECEDING
-                              AND CURRENT ROW) AS cum
+             CAST(sum(cents) OVER (ORDER BY cents DESC, l_suppkey
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS BIGINT) AS cum
       FROM rev
     )
     SELECT l_suppkey, cents AS revenue_cents, cum AS cum_cents,
