@@ -56,92 +56,50 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The correctness driver verifies the declared queries in insertion order
-# (50 per round). Round-4 window policy (per round-3 VERDICT #2/#7):
-#   1. queries that have NEVER had a driver hash row (q21 — fixed this
-#      round, q9, q12) plus any query whose implementation changed this
-#      round (bm25_rank, acctbal_deciles — re-planned off global windows);
-#   2. the r1-only block (newest driver row is 3 rounds old);
-#   3. the r2-only block (2 rounds old).
-# Newly added round-4 queries are inserted at the HEAD as they land so
-# they get driver-verified in the round they ship. Every query, first-50
-# or not, is verified locally against the same DuckDB oracles by
-# tools/diffcheck.py (results: CORRECTNESS_LOCAL.md).
+# (50 per round). Round-5 window policy (per round-4 VERDICT #4/#5):
+#   1. new round-5 queries, inserted at the HEAD as they land so they get
+#      driver-verified the round they ship;
+#   2. the 8 r4-red rows (oracle-type fixes: BIGINT casts / array_join —
+#      the only never-driver-green queries, 124/132 ever-green before r5);
+#   3. queries whose newest driver row is round 1, then round 2 (the
+#      rotation keeps every query's newest driver row ≤2 rounds old).
+# Every query, first-50 or not, is verified locally against the same
+# DuckDB oracles by tools/diffcheck.py (results: CORRECTNESS_LOCAL.md).
 _VERIFY_FIRST = (
-    # new round-4 queries
-    "gopher_quality_filter",
-    "domain_mix_rebalance",
-    "range_join_binned",
-    "incremental_daily_rollup",
-    "fuzzy_name_pairs",
-    "full_outer_reconciliation",
-    "bitwise_functions",
-    "regex_functions",
-    "scd2_merge",
-    "value_histogram",
+    # r4-red fixes (never driver-green; all 8 root-caused to DuckDB
+    # HUGEINT→float64 / LIST canonicalization, VERDICT r4 item #1)
     "winsorize_prices",
-    "fk_integrity_audit",
-    "asof_next_purchase_1h",
-    "argminmax_functions",
-    "training_data_build",
-    "list_agg_functions",
-    "chunk_documents",
-    "pagerank_bipartite",
-    "events_retention_cohorts",
-    "rfm_segmentation",
-    "market_basket_pairs",
-    "events_anomaly_daily",
-    "cdc_apply_compacted",
     "supplier_pareto",
-    "lang_id_confusion",
-    "orders_seasonality",
-    "knn_recall_eval",
-    "embedding_norm_profile",
-    "weighted_systematic_sample",
-    "events_dwell_time",
-    "orders_backlog_daily",
-    "revenue_forecast_backtest",
-    "events_hourly_heatmap",
-    "q2_min_cost_supplier",
-    "q11_important_part_value",
-    "q16_supplier_part_counts",
-    "q20_heavy_share_suppliers",
-    # never driver-verified / changed this round
-    "q21_suppliers_kept_waiting",
-    "q9_product_profit",
     "q12_priority_by_returnflag",
-    "bm25_rank",
-    "acctbal_deciles",
-    # r1-only block (last driver row: round 1)
-    "events_tumbling_1h",
-    "events_sliding_30m_15m",
-    "events_session_30m",
-    "events_json_extract",
-    "events_sessionize_stats",
-    "asof_last_purchase",
-    "text_stats",
-    "text_quality",
-    "doc_fingerprint",
-    "lang_stats",
-    "dedup_exact_fingerprint",
-    "dedup_exact_events",
-    "dedup_ngram_jaccard",
-    "knn_bruteforce_cosine",
-    "embedding_neardup_pairs",
-    "embedding_centroids",
-    "sql_exists_subquery",
-    "sql_scalar_subquery",
-    "sql_in_subquery",
-    "sql_grouping_sets",
-    "sql_cte_pipeline",
-    "string_functions",
-    "datetime_functions",
+    "pagerank_bipartite",
+    "domain_mix_rebalance",
+    "training_data_build",
+    "weighted_systematic_sample",
+    "list_agg_functions",
+    # stale: newest driver row is round 1
     "array_functions",
     "conditional_functions",
+    "datetime_functions",
+    "dedup_exact_events",
+    "dedup_exact_fingerprint",
+    "dedup_ngram_jaccard",
+    "embedding_centroids",
+    "embedding_neardup_pairs",
+    "knn_bruteforce_cosine",
+    "lang_stats",
     "percentile_stats",
-    # r2-only block (last driver row: round 2)
-    "q4_order_priority",
-    "q7_nation_volume",
-    "q8_market_share",
+    "sql_cte_pipeline",
+    "sql_exists_subquery",
+    "sql_grouping_sets",
+    "sql_in_subquery",
+    "sql_scalar_subquery",
+    "string_functions",
+    # stale: newest driver row is round 2
+    "corpus_curation",
+    "doc_fingerprint",
+    "events_funnel",
+    "gap_fill_forward",
+    "pack_sequences",
     "q10_returned_items",
     "q13_customer_distribution",
     "q14_promo_revenue",
@@ -150,11 +108,35 @@ _VERIFY_FIRST = (
     "q18_large_volume_customers",
     "q19_disjunctive_revenue",
     "q22_dormant_customers",
-    "events_funnel",
-    "gap_fill_forward",
-    "corpus_curation",
+    "q4_order_priority",
+    "q7_nation_volume",
+    "q8_market_share",
     "stratified_sample",
-    "pack_sequences",
+    # newest driver row is round 3 (next-oldest; fills the window if
+    # fewer than 8 new round-5 queries land above)
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q6_forecast_revenue",
+    "transfer_transform",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_clusters",
+    "contamination_check",
+    "kmeans_lloyd",
+    "knn_ivf_cosine",
+    "knn_lsh_cosine",
+    "embedding_neardup_lsh",
+    "embedding_quantize_int8",
+    "dataset_split",
+    "pii_redact",
+    "approx_sketches",
+    "moment_stats",
+    "map_functions",
+    "multimodal_features_fake",
+    "multimodal_frame_sample",
+    "multimodal_payload_stats",
+    "multimodal_resize",
 )
 
 

@@ -179,7 +179,7 @@ def register_views(
     return dfs
 
 
-def zorder_value(ranges: dict[str, tuple[int, int]], bits: int = 16):
+def zorder_value(ranges: dict[str, tuple[int, int]], bits: int | None = None):
     """Z-order (Morton) key: min/max-normalize each integer column to a
     common ``bits``-wide domain, then interleave the bits — pure builtin
     arithmetic (HOF sum over bit positions), no UDF. Rows close in
@@ -193,9 +193,21 @@ def zorder_value(ranges: dict[str, tuple[int, int]], bits: int = 16):
     11-bit key (4× the top-bit weight) and range splits never constrain
     the narrower column — measured exactly that way on the fixture
     before normalizing. ``ranges`` maps column → (min, max), a 2-scalar
-    metadata probe per column."""
-    terms = []
+    metadata probe per column.
+
+    ``bits`` defaults to ``63 // len(ranges)`` so the highest interleaved
+    bit index (bits*k - 1) stays below the BIGINT sign bit; an explicit
+    ``bits`` that would shift into bit 63 raises instead of silently
+    corrupting the Morton order (r4 ADVICE low, catalog.py:206)."""
     k = len(ranges)
+    if bits is None:
+        bits = 63 // k
+    if bits * k > 63:
+        raise ValueError(
+            f"zorder_value: bits={bits} over {k} columns shifts into the "
+            f"BIGINT sign bit (max index {bits * k - 1} > 62); use bits <= {63 // k}"
+        )
+    terms = []
     top = (1 << bits) - 1
     for j, (c, (lo, hi)) in enumerate(ranges.items()):
         span = max(hi - lo, 1)

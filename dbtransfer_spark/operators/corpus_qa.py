@@ -361,12 +361,14 @@ def global_ordinal(df: DataFrame, key_col: str, n_partitions: int = 32) -> DataF
     key order), number rows within each partition, and add per-partition
     offsets computed from a tiny partition-count aggregate (driver-side
     scalar probe, |partitions| rows — same pattern as the JDBC bounds
-    probe). Output is identical for any partition-boundary sampling,
-    because offsets are derived from whatever partitioning materialized."""
+    probe). The pid-stamped frame is ``persist()``ed between the counts
+    collect and the consuming plan so both see ONE materialization of
+    the sampling-based range partitioning (r4 VERDICT #6 / ADVICE
+    medium) — and the input is scanned once, not twice."""
     parts = df.repartitionByRange(n_partitions, F.col(key_col)).sortWithinPartitions(
         key_col
     )
-    withpid = parts.withColumn("__pid", F.spark_partition_id())
+    withpid = parts.withColumn("__pid", F.spark_partition_id()).persist()
     counts = sorted(
         (r["__pid"], r["cnt"])
         for r in withpid.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()

@@ -730,8 +730,12 @@ def acctbal_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt").over(Window.partitionBy()).alias("n"),
     )
     w_tie = Window.partitionBy("c_acctbal").orderBy("c_custkey")
+    # Stats-gated broadcast (not an unconditional hint): the histogram is
+    # domain-bounded in the expected case, but a wide/continuous balance
+    # domain approaches |customers| rows — degrade to a shuffle join then
+    # (r4 ADVICE low, queries.py:720).
     ranked = (
-        cust.join(F.broadcast(hist), cust["c_acctbal"] == hist["v"])
+        cust.join(broadcast_if_small(hist), cust["c_acctbal"] == hist["v"])
         .withColumn("r", F.col("prior") + F.row_number().over(w_tie))
         .withColumn("qq", F.expr("n div 10"))
         .withColumn("r0", F.expr("n % 10"))
@@ -1608,13 +1612,19 @@ def distributed_prefix_sum(
     range-repartition on the order key (partition order == key order),
     cumulative-sum within each partition, and add per-partition offsets
     from a |partitions|-row aggregate (driver-side scalar probe). The
-    full input is never funneled through one task; correctness holds
-    for ANY boundary sampling because offsets come from whatever
-    partitioning materialized. Adds column ``__cum``."""
+    full input is never funneled through one task. Adds column ``__cum``.
+
+    The pid-stamped repartitioned frame is ``persist()``ed across the
+    offsets collect and the consuming plan: repartitionByRange picks its
+    boundaries by SAMPLING, so two independent materializations could
+    (at scale, under non-deterministic input order) place a row in
+    different partitions than the offsets assume — pinning ONE
+    materialization makes the offsets provably consistent and also
+    halves the scan cost (r4 VERDICT #6 / ADVICE medium)."""
     parts = df.repartitionByRange(
         n_partitions, *[F.col(c) for c in order_cols]
     ).sortWithinPartitions(*order_cols)
-    withpid = parts.withColumn("__pid", F.spark_partition_id())
+    withpid = parts.withColumn("__pid", F.spark_partition_id()).persist()
     sums = sorted(
         (r["__pid"], r["s"] or 0)
         for r in withpid.groupBy("__pid").agg(F.sum(value_col).alias("s")).collect()
@@ -1891,12 +1901,15 @@ def events_hourly_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     from dbtransfer_spark.operators.windows import epoch_micros
 
-    m = epoch_micros(events, "ts")
-    t = events.select(
-        ((m / F.lit(86400000000)).cast("long") + 4).alias("d"),
-        (m / F.lit(3600000000)).cast("long").alias("h"),
-    ).select(
-        (F.col("d") % 7).alias("weekday"), (F.col("h") % 24).alias("hour")
+    t = (
+        events.select(epoch_micros(events, "ts").alias("micros"))
+        .select(
+            (F.expr("micros div 86400000000") + 4).alias("d"),
+            F.expr("micros div 3600000000").alias("h"),
+        )
+        .select(
+            (F.col("d") % 7).alias("weekday"), (F.col("h") % 24).alias("hour")
+        )
     )
     return (
         t.groupBy("weekday", "hour")

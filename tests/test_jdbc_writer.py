@@ -187,3 +187,136 @@ def test_count_rows_nonnumeric_watermark_falls_back_to_df_count():
     table = SimpleNamespace(name="t")
     n = JDBCSource.count_rows(src, FakeDF(), table, "code", "ABC123")
     assert n == 42
+
+
+# ---------------------------------------------------------------------------
+# MySQL writer path e2e (r4 VERDICT #7): the W1 statement path — dialect
+# "mysql", %s placeholders, ON DUPLICATE KEY UPDATE — driven end-to-end
+# through make_upsert_partition_writer against a real database. A fake
+# cursor ASSERTS the exact MySQL statement shape the writer emits (the
+# part a live server would parse), then replays the batch onto SQLite so
+# the end state is verified too — the same fake-cursor treatment the PG
+# catalog path got in r4. Mirrors mysql.go:417-445.
+# ---------------------------------------------------------------------------
+
+_MYSQL_E2E_COLS = ["id", "name", "bal"]
+_MYSQL_E2E_KEYS = ["id"]
+
+
+def _mysql_adapter_factory(db: str):
+    """Build a connect() whose adapter class is defined INSIDE the closure
+    so cloudpickle ships it by value to executors (a module-level class
+    would be pickled by reference to the unimportable test module)."""
+    cols, keys = _MYSQL_E2E_COLS, _MYSQL_E2E_KEYS
+
+    def connect():
+        import sqlite3 as _sq
+
+        class Adapter:
+            def __init__(self):
+                self.real = _sq.connect(db, timeout=30)
+
+            def cursor(self):
+                outer = self
+
+                class Cur:
+                    def execute(self, sql, params=None):
+                        from dbtransfer_spark.sources.jdbc import (
+                            mysql_upsert_sql,
+                            sqlite_upsert_sql,
+                        )
+
+                        params = params or []
+                        n_rows = len(params) // len(cols)
+                        # the writer must emit EXACTLY the W1 statement
+                        assert sql == mysql_upsert_sql("t", cols, n_rows)
+                        assert sql.count("%s") == len(params)
+                        assert "ON DUPLICATE KEY UPDATE" in sql
+                        assert "`name`=VALUES(`name`)" in sql
+                        return outer.real.execute(
+                            sqlite_upsert_sql("t", cols, keys, n_rows), params
+                        )
+
+                return Cur()
+
+            def commit(self):
+                self.real.commit()
+
+            def rollback(self):
+                self.real.rollback()
+
+            def close(self):
+                self.real.close()
+
+        return Adapter()
+
+    return connect
+
+
+def test_mysql_writer_statement_path_end_to_end(spark, tmp_path):
+    db = str(tmp_path / "m.db")
+    _setup(db)
+    connect = _mysql_adapter_factory(db)
+
+    df = spark.createDataFrame(
+        [(i, f"n{i}", float(i)) for i in range(300)],
+        "id int, name string, bal double",
+    ).coalesce(1)
+    acc = spark.sparkContext.accumulator(0)
+    writer = make_upsert_partition_writer(
+        "mysql", "t", _MYSQL_E2E_COLS, _MYSQL_E2E_KEYS, connect,
+        batch_size=128, row_counter=acc,
+    )
+    df.foreachPartition(writer)
+    assert acc.value == 300
+
+    with sqlite3.connect(db) as conn:
+        assert conn.execute('SELECT count(*) FROM "t"').fetchone() == (300,)
+
+    # idempotent replay (task-retry analog) + conflicting update batch
+    df.foreachPartition(writer)
+    upd = spark.createDataFrame(
+        [(7, "upd", -1.0)], "id int, name string, bal double"
+    ).coalesce(1)
+    upd.foreachPartition(
+        make_upsert_partition_writer(
+            "mysql", "t", _MYSQL_E2E_COLS, _MYSQL_E2E_KEYS, connect, batch_size=8
+        )
+    )
+    with sqlite3.connect(db) as conn:
+        n, name7 = conn.execute(
+            'SELECT count(*), (SELECT "name" FROM "t" WHERE "id"=7) FROM "t"'
+        ).fetchone()
+    assert (n, name7) == (300, "upd")
+
+
+# ---------------------------------------------------------------------------
+# JDBC DDL-apply e2e (r4 VERDICT #7): Sink.ensure_schema generates the
+# dialect CREATE TABLE from the DataFrame's StructType and applies it over
+# a real DB-API connection; IF NOT EXISTS makes a second apply a no-op
+# instead of an error (mysql.go:266-274 tolerance). SQLite parses both the
+# backtick-quoted MySQL DDL and the double-quoted PG DDL, so both dialect
+# branches run for real.
+# ---------------------------------------------------------------------------
+
+
+def test_jdbc_sink_ddl_apply_both_dialects(spark, tmp_path):
+    from dbtransfer_spark.config import DBConfig, TableMapping
+    from dbtransfer_spark.sources.jdbc import JDBCSink
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5, True)], "id int, name string, bal double, act boolean"
+    )
+    for dialect, quote in (("mysql", "`"), ("postgresql", '"')):
+        db = str(tmp_path / f"ddl_{dialect}.db")
+        cfg = DBConfig(type=dialect)
+        sink = JDBCSink(spark, cfg, connect=_connect_factory(db))
+        table = TableMapping(name="src", target_name="dst", primary_key="id")
+        sink.ensure_schema(df, table)
+        sink.ensure_schema(df, table)  # second apply: tolerated, not an error
+        with sqlite3.connect(db) as conn:
+            cols = conn.execute('PRAGMA table_info("dst")').fetchall()
+            names = [c[1] for c in cols]
+            assert names == ["id", "name", "bal", "act"]
+            # PK landed: id is part of the primary key
+            assert [c[1] for c in cols if c[5] > 0] == ["id"]
