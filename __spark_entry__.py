@@ -66,6 +66,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # Every query, first-50 or not, is verified locally against the same
 # DuckDB oracles by tools/diffcheck.py (results: CORRECTNESS_LOCAL.md).
 _VERIFY_FIRST = (
+    # new round-5 queries
+    "interevent_gap_stats",
+    "attribution_last_touch",
+    "events_time_rollup",
+    "bigram_pmi_top",
+    "neardup_jaccard_audit",
+    "embedding_pair_distance_histogram",
     # r4-red fixes (never driver-green; all 8 root-caused to DuckDB
     # HUGEINT→float64 / LIST canonicalization, VERDICT r4 item #1)
     "winsorize_prices",

@@ -39,6 +39,8 @@ HEADLINE = [
     "gap_fill_forward",        # time-series spine + LOCF
     "gopher_quality_filter",   # n-gram repetition/quality rules (round 4)
     "range_join_binned",       # binned no-equi-key interval join (round 4)
+    "supplier_pareto",         # distributed prefix-sum shape (round 5)
+    "training_data_build",     # multi-stage filter+dedup+split pipeline (round 5)
 ]
 
 

@@ -258,31 +258,25 @@ def _word_hash_portable(w) -> Column:
     return F.pmod(F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long"), F.lit(_PRIME))
 
 
-def minhash_signatures(
+def shingle_arrays(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    num_hashes: int = 32,
     shingle_len: int = 3,
-    seed: int = 42,
     portable_hash: bool = False,
 ) -> DataFrame:
-    """Per-doc MinHash signature as array<bigint>.
+    """Per-doc DISTINCT shingle-hash array (``__shingles``): words →
+    per-word hash → rolling-polynomial combination of each
+    ``shingle_len``-gram. The shared front half of MinHash signatures and
+    exact set-Jaccard (neardup_jaccard_audit).
 
-    Shingles → word hash → for each of ``num_hashes`` affine permutations
-    keep the min — all inside built-in higher-order functions
-    (transform/aggregate), entirely JVM-side, no UDF. Narrow op: scales
-    embarrassingly. ``portable_hash`` swaps xxhash64 for an md5-derived
-    word hash replayable in other engines (differential testing)."""
-    coeffs = _minhash_coeffs(num_hashes, seed)
-
-    # Shingle hashing is arithmetic over per-word hashes, NOT
-    # xxhash64(concat_ws(slice(words, i, k))): hashing each word once and
-    # combining consecutive word-hashes with a rolling polynomial avoids
-    # re-materializing every shingle as a string (O(words × shingle_len)
-    # string copies per doc) — measured 3.2× faster end-to-end at sf0.1.
-    # Word hashes are mod-reduced below 2^32 first so coefficient products
-    # stay under 2^63 (ANSI overflow).
+    Shingle hashing is arithmetic over per-word hashes, NOT
+    xxhash64(concat_ws(slice(words, i, k))): hashing each word once and
+    combining consecutive word-hashes with a rolling polynomial avoids
+    re-materializing every shingle as a string (O(words × shingle_len)
+    string copies per doc) — measured 3.2× faster end-to-end at sf0.1.
+    Word hashes are mod-reduced below 2^32 first so coefficient products
+    stay under 2^63 (ANSI overflow)."""
     words = F.split(F.col(text_col), " ", -1)
     word_hash = _word_hash_portable if portable_hash else _word_hash_fast
     word_hashes = F.transform(words, word_hash)
@@ -304,12 +298,44 @@ def minhash_signatures(
         F.array().cast("array<int>")
     )
     shingles = F.array_distinct(F.transform(idx, shingle_at))
+    return hashed.select(F.col(id_col), shingles.alias("__shingles"))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    shingle_len: int = 3,
+    seed: int = 42,
+    portable_hash: bool = False,
+) -> DataFrame:
+    """Per-doc MinHash signature as array<bigint>.
+
+    Shingles → word hash → for each of ``num_hashes`` affine permutations
+    keep the min — all inside built-in higher-order functions
+    (transform/aggregate), entirely JVM-side, no UDF. Narrow op: scales
+    embarrassingly. ``portable_hash`` swaps xxhash64 for an md5-derived
+    word hash replayable in other engines (differential testing)."""
     # Materialize the shingle array as its own projection first: the 32
     # permutation aggregates below then iterate one computed array value.
     # Inlined, each aggregate would re-hash the text (HOFs are interpreted,
     # with no common-subexpression elimination across them) — measured >10×
     # slower.
-    shingled = hashed.select(F.col(id_col), shingles.alias("__shingles"))
+    shingled = shingle_arrays(df, id_col, text_col, shingle_len, portable_hash)
+    return signatures_from_shingles(shingled, id_col, num_hashes=num_hashes, seed=seed)
+
+
+def signatures_from_shingles(
+    shingled: DataFrame,
+    id_col: str,
+    num_hashes: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signature from a precomputed ``__shingles`` frame — split
+    out so callers that also need the raw shingle sets (the audit query)
+    compute them once."""
+    coeffs = _minhash_coeffs(num_hashes, seed)
 
     def perm_min(a: int, b: int):
         # Factory (not default-arg lambda): Spark derives HOF arity from the
@@ -746,4 +772,104 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= 3)
         .select("name_a", "name_b", "dist")
         .orderBy("name_a", "name_b")
+    )
+
+
+def _jaccard_audit_oracle(num_hashes: int = 32, shingle_len: int = 3, seed: int = 42,
+                          bands: int = 8, rows_per_band: int = 4) -> str:
+    """DuckDB replay of the MinHash estimate AND the exact shingle-set
+    Jaccard for every LSH candidate pair (portable md5 word hash; same
+    pipeline as _minhash_oracle plus a list_intersect/union tail)."""
+    coeffs = _minhash_coeffs(num_hashes, seed)
+    coeff_lit = "[" + ",".join(f"[{a},{b}]" for a, b in coeffs) + "]"
+    poly = _POLY[:shingle_len]
+    shingle_expr = " + ".join(
+        f"wh[i+{j+1}]*{c}" if c != 1 else f"wh[i+{j+1}]" for j, c in enumerate(poly)
+    )
+    return f"""
+    WITH wh AS (
+      SELECT doc_id,
+             list_transform(string_split(text, ' '),
+               w -> CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % {_PRIME}) AS wh
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([({shingle_expr}) % {_PRIME}
+                            FOR i IN range(0, greatest(len(wh) - {shingle_len - 1}, 0))]) AS shingles
+      FROM wh
+    ), sig AS (
+      SELECT doc_id, shingles,
+             list_transform({coeff_lit},
+               c -> coalesce(list_min(list_transform(shingles,
+                              s -> (s*c[1] + c[2]) % {_PRIME})), {_PRIME})) AS mh
+      FROM sh
+    ), banded AS (
+      SELECT doc_id, band, mh[band*{rows_per_band}+1 : band*{rows_per_band}+{rows_per_band}] AS bucket,
+             mh, shingles
+      FROM sig CROSS JOIN (SELECT unnest(range(0, {bands})) AS band) bands
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.mh AS mh_a, b.mh AS mh_b,
+             a.shingles AS sh_a, b.shingles AS sh_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(est, 4) AS est_jaccard,
+           round(CAST(n_inter AS DOUBLE) / n_union, 4) AS exact_jaccard,
+           CAST(n_inter AS BIGINT) AS n_inter,
+           CAST(n_union AS BIGINT) AS n_union
+    FROM (
+      SELECT doc_a, doc_b,
+             list_sum(list_transform(range(1, {num_hashes + 1}),
+               i -> CASE WHEN mh_a[i] = mh_b[i] THEN 1 ELSE 0 END)) / {num_hashes}.0 AS est,
+             len(list_intersect(sh_a, sh_b)) AS n_inter,
+             len(list_distinct(list_concat(sh_a, sh_b))) AS n_union
+      FROM pairs
+    ) WHERE est >= 0.25 AND n_union > 0
+    ORDER BY doc_a, doc_b
+    """
+
+
+@register("neardup_jaccard_audit", _jaccard_audit_oracle())
+def neardup_jaccard_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimation-quality audit: for every LSH candidate pair,
+    the signature-agreement ESTIMATE next to the EXACT shingle-set
+    Jaccard (|A∩B| / |A∪B|) — the QA readout that tells you whether 32
+    permutations and an 8×4 banding are adequate before trusting the
+    dedup pass on a full corpus (est−exact spread wide → raise
+    num_hashes; candidates with low exact Jaccard → banding too loose).
+
+    Scale: shingle arrays are computed ONCE (shingle_arrays) and feed
+    both the signature pass and the exact-set tail; candidates come from
+    the banded equi-join (never all-pairs); the exact intersection only
+    runs on candidate pairs — at 100 TB that is the only affordable
+    place for it."""
+    docs = load_table(spark, sf_dir, "documents")
+    shingled = shingle_arrays(docs, "doc_id", "text", portable_hash=True).persist()
+    sigs = signatures_from_shingles(shingled, "doc_id")
+    pairs = minhash_lsh_pairs(sigs, "doc_id")
+    est = minhash_jaccard_estimate(sigs, pairs, "doc_id")
+    sa = shingled.select(F.col("doc_id").alias("id_a"), F.col("__shingles").alias("sh_a"))
+    sb = shingled.select(F.col("doc_id").alias("id_b"), F.col("__shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        est.filter(F.col("est_jaccard") >= 0.25)
+        .join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("n_inter", inter.cast("bigint"))
+        .withColumn("n_union", union.cast("bigint"))
+        .filter(F.col("n_union") > 0)
+        .select(
+            F.col("id_a").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
+            "est_jaccard",
+            F.round(F.col("n_inter").cast("double") / F.col("n_union"), 4).alias(
+                "exact_jaccard"
+            ),
+            "n_inter",
+            "n_union",
+        )
+        .orderBy("doc_a", "doc_b")
     )

@@ -901,3 +901,111 @@ def embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+def _pair_hist_oracle(bits: int = 16, dim: int = 64, seed: int = 42,
+                      bands: int = 2, band_bits: int = 8) -> str:
+    """DuckDB replay of the LSH-candidate cosine histogram (same literal
+    hyperplanes as _knn_lsh_oracle, pair-wise banding, floor binning)."""
+    planes = _hyperplanes(bits, dim, seed)
+    mask = (1 << band_bits) - 1
+    sig_terms = " + ".join(
+        "CASE WHEN list_inner_product(v, ["
+        + ",".join(repr(c) for c in plane)
+        + f"]) > 0 THEN {1 << i} ELSE 0 END"
+        for i, plane in enumerate(planes)
+    )
+    return f"""
+    WITH ve AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), sig AS (
+      SELECT vec_id, label, v, ({sig_terms}) AS sig FROM ve
+    ), banded AS (
+      SELECT vec_id, label, v, band, (sig >> (band * {band_bits})) & {mask} AS val
+      FROM sig CROSS JOIN (SELECT unnest(range(0, {bands})) AS band) b
+    ), pairs AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+             a.v AS va, b.v AS vb, a.label = b.label AS same_label
+      FROM banded a JOIN banded b ON a.band = b.band AND a.val = b.val
+        AND a.vec_id < b.vec_id
+    ), scored AS (
+      SELECT CAST(floor(list_inner_product(va, vb)
+               / (sqrt(list_inner_product(va, va)) * sqrt(list_inner_product(vb, vb)))
+               * 20) AS BIGINT) AS bin,
+             same_label
+      FROM pairs
+    )
+    SELECT bin,
+           count(*) AS n_pairs,
+           CAST(sum(CASE WHEN same_label THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_same_label
+    FROM scored GROUP BY bin ORDER BY bin
+    """
+
+
+@register("embedding_pair_distance_histogram", _pair_hist_oracle())
+def embedding_pair_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine-similarity histogram over LSH candidate pairs (0.05-wide
+    bins via floor(cos·20)) with a same-label purity count per bin — the
+    threshold-tuning readout for embedding near-dup: where the
+    same-label mass separates from the cross-label mass is where the
+    dedup/link threshold belongs. Runs ONLY on banded candidates (2
+    bands × 8 bits of the 16-bit hyperplane signature), never all pairs
+    — at 100 TB the histogram costs what the candidate join costs, and
+    the 41-bin output is constant-size.
+
+    Scale: one narrow signature pass, one banded equi-join (the plan
+    test's no-cartesian sweep covers it), one ≤41-row aggregate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sigs = hyperplane_signatures(emb, "vec_id", "embedding", keep_cols=["label"])
+
+    def banded(prefix: str) -> DataFrame:
+        return sigs.select(
+            F.col("vec_id").alias(f"{prefix}_id"),
+            F.col("embedding").alias(f"{prefix}_vec"),
+            F.col("label").alias(f"{prefix}_label"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band"),
+                            F.shiftright("sig", i * 8)
+                            .bitwiseAND(F.lit(0xFF))
+                            .alias("val"),
+                        )
+                        for i in range(2)
+                    ]
+                )
+            ).alias("bb"),
+        ).select(f"{prefix}_id", f"{prefix}_vec", f"{prefix}_label", "bb.band", "bb.val")
+
+    pairs = (
+        banded("a")
+        .join(banded("b"), ["band", "val"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            "a_vec",
+            "b_vec",
+            (F.col("a_label") == F.col("b_label")).alias("same_label"),
+        )
+        .distinct()
+    )
+    scored = pairs.select(
+        F.floor(cosine(F.col("a_vec"), F.col("b_vec")) * 20)
+        .cast("bigint")
+        .alias("bin"),
+        "same_label",
+    )
+    return (
+        scored.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.when(F.col("same_label"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_same_label"),
+        )
+        .orderBy("bin")
+    )

@@ -696,3 +696,107 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("label_lang", "predicted_lang")
     )
+
+
+@register(
+    "bigram_pmi_top",
+    """
+    WITH words AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+    ),
+    bigrams AS (
+      SELECT u.bg[1] AS w1, u.bg[2] AS w2
+      FROM (SELECT unnest(list_zip(ws, ws[2:])) AS bg FROM words) u
+      WHERE u.bg[1] IS NOT NULL AND u.bg[2] IS NOT NULL
+        AND u.bg[1] <> '' AND u.bg[2] <> ''
+    ),
+    uni AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS n_w
+      FROM (SELECT unnest(ws) AS w FROM words) WHERE w <> '' GROUP BY w
+    ),
+    n_uni AS (SELECT CAST(sum(n_w) AS BIGINT) AS nu FROM uni),
+    bg AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_xy
+      FROM bigrams GROUP BY w1, w2
+    ),
+    scored AS (
+      SELECT w1, w2, n_xy,
+             CAST(n_xy AS DOUBLE) * nu / (u1.n_w * u2.n_w) AS lift
+      FROM bg
+      JOIN uni u1 ON bg.w1 = u1.w
+      JOIN uni u2 ON bg.w2 = u2.w
+      CROSS JOIN n_uni
+      WHERE n_xy >= 5
+    )
+    SELECT w1, w2, n_xy, round(lift, 4) AS lift, rank FROM (
+      SELECT *, row_number() OVER (ORDER BY lift DESC, w1, w2) AS rank
+      FROM scored
+    ) WHERE rank <= 20
+    """,
+)
+def bigram_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 collocations by linear PMI lift (the phrase-mining /
+    tokenizer-merge-candidate primitive): lift = P(xy)/(P(x)P(y))
+    computed as n_xy·N / (n_x·n_y) — a ratio of exact integers in ONE
+    IEEE division, monotone in true PMI (log of it), so no libm log()
+    enters the hash (same determinism trick as tfidf_top_terms' linear
+    idf). A min-count floor (n_xy ≥ 5) keeps rare-pair noise out, the
+    standard collocation practice.
+
+    Scale: adjacent-pair explode is linear in corpus size; bigram and
+    unigram counts are partial-aggregated shuffles keyed on the gram;
+    the scoring join keys on words (both sides pre-aggregated — no
+    fact-sized join); the global top-20 is TakeOrdered (no full sort).
+    The unigram total is a one-row broadcast."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.split(F.lower("text"), " ", -1).alias("ws"))
+    bigrams = (
+        words.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1),"
+                    " i -> struct(ws[i-1] AS w1, ws[i] AS w2))"
+                )
+            ).alias("bg")
+        )
+        .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    uni = (
+        words.select(F.explode("ws").alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    n_uni = uni.agg(F.sum("n_w").alias("nu"))
+    bg = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+        .filter(F.col("n_xy") >= 5)
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_w1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_w2"))
+    scored = (
+        bg.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .select(
+            "w1",
+            "w2",
+            "n_xy",
+            (
+                F.col("n_xy").cast("double")
+                * F.col("nu")
+                / (F.col("n_w1") * F.col("n_w2"))
+            ).alias("lift"),
+        )
+    )
+    w = Window.orderBy(F.desc("lift"), "w1", "w2")
+    return (
+        scored.orderBy(F.desc("lift"), "w1", "w2")
+        .limit(20)
+        .withColumn("rank", F.row_number().over(w))
+        .select("w1", "w2", "n_xy", F.round("lift", 4).alias("lift"), "rank")
+    )

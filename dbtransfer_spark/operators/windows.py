@@ -551,3 +551,170 @@ def events_dwell_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "interevent_gap_stats",
+    """
+    WITH seq AS (
+      SELECT event_type,
+             date_diff('microsecond',
+                       lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id), ts) AS gap
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(gap) AS BIGINT) AS n_gaps,
+           quantile_cont(gap, 0.5) AS p50_gap_micros,
+           quantile_cont(gap, 0.9) AS p90_gap_micros,
+           CAST(max(gap) AS BIGINT) AS max_gap_micros
+    FROM seq WHERE gap IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def interevent_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event-time distribution per event type (the arrival-process
+    profile: burstiness, session-gap tuning input for session_window's
+    30-min threshold). The gap to the user's PREVIOUS event, keyed by the
+    later event's type, summarized by exact-integer percentiles —
+    interpolation over BIGINT microseconds is exact integer arithmetic in
+    both engines (the integer-cent idiom), so p50/p90 hash identically.
+
+    Scale: one user-partitioned window (scale-safe — no global sort),
+    then one sort-based percentile aggregate per event type (≤|types|
+    output rows). The tie-break on event_id pins the sequence."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    m = epoch_micros(events, "ts")
+    seq = events.select(
+        "event_type", (m - F.lag(m).over(w)).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    return (
+        seq.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.expr("percentile(gap, 0.5)").alias("p50_gap_micros"),
+            F.expr("percentile(gap, 0.9)").alias("p90_gap_micros"),
+            F.max("gap").alias("max_gap_micros"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "attribution_last_touch",
+    """
+    WITH touched AS (
+      SELECT event_type, "value",
+             last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS touch
+      FROM events
+    )
+    SELECT coalesce(touch, 'none') AS touch_type,
+           count(*) AS n_purchases,
+           CAST(round(sum(CAST("value" AS DECIMAL(30,10))), 2) AS DOUBLE)
+             AS attributed_value
+    FROM touched WHERE event_type = 'purchase'
+    GROUP BY touch_type ORDER BY touch_type
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the user's
+    most recent PRECEDING non-purchase event (the marketing-attribution
+    primitive). A running last(..., ignoreNulls) over the user's ordered
+    stream carries the latest touch forward; purchases with no prior
+    touch fall into 'none'. Purchase value is attributed through the
+    exact decimal-sum idiom.
+
+    Scale: one user-partitioned running window (state is one value per
+    user — the streaming twin is a trivial applyInPandasWithState) and a
+    ≤|types|-row aggregate. No self-join of the events table — the naive
+    formulation is an as-of self-join; the running window does it in one
+    pass."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    touched = events.select(
+        "event_type",
+        "value",
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        )
+        .over(w)
+        .alias("touch"),
+    )
+    return (
+        touched.filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce(F.col("touch"), F.lit("none")).alias("touch_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum(F.col("value").cast("decimal(30,10)")), 2)
+            .cast("double")
+            .alias("attributed_value"),
+        )
+        .orderBy("touch_type")
+    )
+
+
+@register(
+    "events_time_rollup",
+    """
+    WITH t AS (
+      SELECT CAST(date_diff('day', TIMESTAMP '1970-01-01 00:00:00', ts)
+                  AS BIGINT) AS d, "value"
+      FROM events
+    ), g AS (
+      SELECT (d + 3) // 7 AS week, d AS day, "value" FROM t
+    )
+    SELECT CAST(week AS BIGINT) AS week, CAST(day AS BIGINT) AS day,
+           CAST(GROUPING(week) AS BIGINT) AS g_week,
+           CAST(GROUPING(day) AS BIGINT) AS g_day,
+           count(*) AS n_events,
+           CAST(round(sum(CAST("value" AS DECIMAL(30,10))), 2) AS DOUBLE)
+             AS total_value
+    FROM g
+    GROUP BY ROLLUP (week, day)
+    ORDER BY g_week, g_day, week, day
+    """,
+)
+def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-hierarchy rollup (the hypertable continuous-aggregate shape):
+    per-day, per-week, and grand-total grains in ONE pass via ROLLUP —
+    Catalyst expands the grouping sets and partial-aggregates each grain
+    map-side, so the shuffle carries |days|+|weeks|+1 rows, not the
+    events. GROUPING() flags disambiguate the NULL grain rows exactly as
+    the oracle does. Grains are PURE epoch-day integer arithmetic
+    ((day+3) div 7 = Monday-start week, 1970-01-01 being a Thursday) —
+    calendar functions on the events LTZ timestamps would shift with the
+    session timezone (the events_retention_cohorts lesson), integers
+    cannot.
+
+    Scale: one partial-aggregated shuffle; output bounded by the
+    calendar, not the data."""
+    events = load_table(spark, sf_dir, "events")
+    t = events.select(
+        epoch_micros(events, "ts").alias("micros"), "value"
+    ).select(F.expr("micros div 86400000000").alias("day"), "value")
+    g = t.select(F.expr("(day + 3) div 7").alias("week"), "day", "value")
+    return (
+        g.rollup("week", "day")
+        .agg(
+            F.grouping("week").cast("bigint").alias("g_week"),
+            F.grouping("day").cast("bigint").alias("g_day"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(30,10)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "week", "day", "g_week", "g_day", "n_events", "total_value"
+        )
+        .orderBy("g_week", "g_day", "week", "day")
+    )

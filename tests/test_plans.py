@@ -202,6 +202,8 @@ _FIXED_SIDE_CROSSJOINS = {
     "weighted_systematic_sample",
     "bm25_rank",
     "quantity_quartile_bins",
+    # one-row unigram-total broadcast
+    "bigram_pmi_top",
     # k×d centroid-table broadcast (k=8 rows, fixed size at any SF)
     "kmeans_lloyd",
 }
