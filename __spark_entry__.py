@@ -67,6 +67,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # DuckDB oracles by tools/diffcheck.py (results: CORRECTNESS_LOCAL.md).
 _VERIFY_FIRST = (
     # new round-5 queries
+    "bpe_merge_candidates",
+    "table_profile_orders",
     "interevent_gap_stats",
     "attribution_last_touch",
     "events_time_rollup",

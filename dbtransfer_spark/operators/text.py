@@ -800,3 +800,69 @@ def bigram_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .select("w1", "w2", "n_xy", F.round("lift", 4).alias("lift"), "rank")
     )
+
+
+@register(
+    "bpe_merge_candidates",
+    """
+    WITH wordcounts AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+      WHERE w <> '' GROUP BY w
+    ),
+    pairs AS (
+      SELECT unnest([substr(w, i, 2) FOR i IN range(1, length(w))]) AS pair, n
+      FROM wordcounts WHERE length(w) >= 2
+    ),
+    agg AS (
+      SELECT pair, CAST(sum(n) AS BIGINT) AS total
+      FROM pairs GROUP BY pair
+    )
+    SELECT pair, total, rank FROM (
+      SELECT *, row_number() OVER (ORDER BY total DESC, pair) AS rank
+      FROM agg
+    ) WHERE rank <= 20
+    """,
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE merge step: corpus-weighted adjacent character-pair
+    counts, top-20 merge candidates — the tokenizer-training primitive.
+    The crucial scale trick is aggregating to DISTINCT WORDS first
+    (|vocab| rows, Zipf-bounded) and weighting each word's pairs by its
+    corpus frequency: the character-level explode then runs over the
+    vocabulary, not the corpus — the difference between O(corpus chars)
+    and O(vocab chars) per merge round is why real BPE trainers
+    pre-aggregate exactly this way.
+
+    Scale: one word-count shuffle (partial-aggregated), a vocab-sized
+    explode, one pair-keyed aggregate (≤|alphabet|² rows), TakeOrdered
+    20."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    wordcounts = (
+        docs.select(F.explode(F.split(F.lower("text"), " ", -1)).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pairs = (
+        wordcounts.filter(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w) - 1),"
+                    " i -> substr(w, i, 2))"
+                )
+            ).alias("pair"),
+            "n",
+        )
+    )
+    agg = pairs.groupBy("pair").agg(F.sum("n").alias("total"))
+    w = Window.orderBy(F.desc("total"), "pair")
+    return (
+        agg.orderBy(F.desc("total"), "pair")
+        .limit(20)
+        .withColumn("rank", F.row_number().over(w))
+        .select("pair", "total", "rank")
+    )

@@ -1916,3 +1916,88 @@ def events_hourly_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .orderBy("weekday", "hour")
     )
+
+
+@register(
+    "table_profile_orders",
+    """
+    SELECT 'o_custkey' AS col,
+           count(*) AS n_rows,
+           CAST(count(*) - count(o_custkey) AS BIGINT) AS n_null,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+           CAST(min(o_custkey) AS DOUBLE) AS min_val,
+           CAST(max(o_custkey) AS DOUBLE) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', count(*),
+           CAST(count(*) - count(o_totalprice) AS BIGINT),
+           CAST(count(DISTINCT o_totalprice) AS BIGINT),
+           round(min(o_totalprice), 2), round(max(o_totalprice), 2)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*),
+           CAST(count(*) - count(o_orderstatus) AS BIGINT),
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+           NULL, NULL
+    FROM orders
+    ORDER BY col
+    """,
+)
+def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level data profile (row count, null count, exact distinct
+    count, min/max) — the pre-migration assessment the reference's
+    row-count pre-scan (S6) grows up into, and the stats feed for the
+    broadcast/skew decisions this engine gates on. One row per profiled
+    column, numeric bounds as DOUBLE (status strings profile NULL
+    bounds, matching information_schema-style profilers).
+
+    Scale: Spark compiles the three per-column profiles into ONE scan
+    with multiple distinct aggregates (expand + two-phase agg — the
+    planner's standard rewrite); no per-column rescans. Distinct counts
+    are exact (the migration-assessment requirement); the approximate
+    twin for interactive profiling is approx_sketches."""
+    orders = load_table(spark, sf_dir, "orders")
+    prof = orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("o_custkey")).alias("null_ck"),
+        F.count_distinct("o_custkey").alias("nd_ck"),
+        F.min("o_custkey").cast("double").alias("min_ck"),
+        F.max("o_custkey").cast("double").alias("max_ck"),
+        (F.count(F.lit(1)) - F.count("o_totalprice")).alias("null_tp"),
+        F.count_distinct("o_totalprice").alias("nd_tp"),
+        F.round(F.min("o_totalprice"), 2).alias("min_tp"),
+        F.round(F.max("o_totalprice"), 2).alias("max_tp"),
+        (F.count(F.lit(1)) - F.count("o_orderstatus")).alias("null_st"),
+        F.count_distinct("o_orderstatus").alias("nd_st"),
+    )
+    rows = prof.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("o_custkey").alias("col"),
+                    F.col("n_rows").alias("n_rows"),
+                    F.col("null_ck").alias("n_null"),
+                    F.col("nd_ck").alias("n_distinct"),
+                    F.col("min_ck").alias("min_val"),
+                    F.col("max_ck").alias("max_val"),
+                ),
+                F.struct(
+                    F.lit("o_totalprice").alias("col"),
+                    F.col("n_rows").alias("n_rows"),
+                    F.col("null_tp").alias("n_null"),
+                    F.col("nd_tp").alias("n_distinct"),
+                    F.col("min_tp").alias("min_val"),
+                    F.col("max_tp").alias("max_val"),
+                ),
+                F.struct(
+                    F.lit("o_orderstatus").alias("col"),
+                    F.col("n_rows").alias("n_rows"),
+                    F.col("null_st").alias("n_null"),
+                    F.col("nd_st").alias("n_distinct"),
+                    F.lit(None).cast("double").alias("min_val"),
+                    F.lit(None).cast("double").alias("max_val"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.*")
+    return rows.orderBy("col")

@@ -184,6 +184,58 @@ def stateful_user_totals(
     )
 
 
+def last_touch_stream(
+    spark: SparkSession, source_dir: str, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming last-touch attribution: per-user state carries the most
+    recent non-purchase event type; each purchase is emitted credited to
+    it (batch twin: operators/windows.attribution_last_touch — the
+    running ignore-nulls window becomes one string of state per user).
+
+    Events are sorted by (ts, event_id) WITHIN each micro-batch before
+    the state walk, so in-order sources replay exactly; out-of-order
+    arrivals across batches get the at-arrival-time attribution (the
+    documented streaming relaxation — exact event-time ordering across
+    batches needs watermark-delayed emission, which this operator trades
+    away for immediacy). State is one short string per user.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    output_schema = "user_id long, touch_type string, value double"
+    state_schema = "touch string"
+
+    def update(key, pdfs, state: GroupState):
+        (touch,) = state.get if state.exists else (None,)
+        out_touch, out_val = [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for etype, val in zip(pdf["event_type"], pdf["value"]):
+                if etype == "purchase":
+                    out_touch.append(touch if touch is not None else "none")
+                    out_val.append(float(val))
+                else:
+                    touch = etype
+        state.update((touch,))
+        if out_touch:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(out_touch),
+                    "touch_type": out_touch,
+                    "value": out_val,
+                }
+            )
+
+    return (
+        read_event_stream(spark, source_dir)
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, output_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
 def purchases_after_view_stream(
     spark: SparkSession, source_dir: str, within: str = "1 hour"
 ) -> DataFrame:

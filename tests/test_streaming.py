@@ -172,3 +172,35 @@ def test_deduped_stream_drops_redelivered_events(spark, tmp_path):
     assert streamed.count() == n_events
     assert streamed.select("event_id").distinct().count() == n_events
     assert streamed.select(*ev.columns).exceptAll(ev).count() == 0
+
+
+def test_last_touch_stream_matches_batch(spark, events_dir):
+    """Streaming last-touch attribution (per-user state string) must
+    aggregate to the same per-touch totals as the batch window query on
+    the same events."""
+    from dbtransfer_spark.streaming.incremental import last_touch_stream
+
+    streamed = run_stream_to_memory(
+        spark,
+        last_touch_stream(spark, events_dir),
+        "last_touch_test",
+        output_mode="append",
+    )
+    agg = (
+        streamed.groupBy("touch_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum(F.col("value").cast("decimal(30,10)")), 2)
+            .cast("double")
+            .alias("attributed_value"),
+        )
+    )
+    batch = batch_windows.attribution_last_touch(spark, SF_SMOKE)
+    got = {r["touch_type"]: r for r in agg.collect()}
+    want = {r["touch_type"]: r for r in batch.collect()}
+    assert set(got) == set(want)
+    for t in want:
+        assert got[t]["n_purchases"] == want[t]["n_purchases"]
+        assert got[t]["attributed_value"] == pytest.approx(
+            want[t]["attributed_value"], abs=1e-9
+        )

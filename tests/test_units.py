@@ -483,3 +483,20 @@ def test_hll_sketch_merge_equals_direct(spark):
     # at default lgConfigK=12; allow 5% slack)
     for m, e in zip(merged, exact):
         assert abs(m["est"] - e["n"]) <= max(5, 0.05 * e["n"])
+
+
+def test_zorder_value_guards_sign_bit(spark):
+    """bits*n_cols must stay below the BIGINT sign bit (r4 ADVICE): the
+    default derives bits from the column count; an explicit overflowing
+    bits raises instead of silently corrupting the Morton order."""
+    import pytest
+
+    from dbtransfer_spark.catalog import zorder_value
+
+    ranges4 = {c: (0, 100) for c in "abcd"}
+    # default: 63 // 4 = 15 bits — builds without error
+    zorder_value(ranges4)
+    with pytest.raises(ValueError, match="sign bit"):
+        zorder_value(ranges4, bits=16)  # 16*4-1 = bit 63
+    # 2 columns at 16 bits is fine (max index 31)
+    zorder_value({c: (0, 100) for c in "ab"}, bits=16)
