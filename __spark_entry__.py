@@ -67,6 +67,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # DuckDB oracles by tools/diffcheck.py (results: CORRECTNESS_LOCAL.md).
 _VERIFY_FIRST = (
     # new round-5 queries
+    "correlation_matrix",
+    "benford_first_digit",
+    "signup_purchase_lag",
+    "event_transition_matrix",
+    "readability_ari",
+    "text_normalize_fingerprint",
+    "oov_rate",
+    "embedding_dim_stats",
     "bpe_merge_candidates",
     "table_profile_orders",
     "interevent_gap_stats",

@@ -1009,3 +1009,61 @@ def embedding_pair_distance_histogram(spark: SparkSession, sf_dir: str) -> DataF
         )
         .orderBy("bin")
     )
+
+
+@register(
+    "embedding_dim_stats",
+    f"""
+    WITH ex AS (
+      SELECT i AS dim,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5)
+                  AS BIGINT) AS micro
+      FROM embeddings
+      CROSS JOIN (SELECT unnest(range(1, {_KMEANS_DIM + 1})) AS i) dims
+    )
+    SELECT CAST(dim AS BIGINT) AS dim,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(micro) AS DOUBLE) / count(*) AS mean_micro,
+           CAST(min(micro) AS BIGINT) AS min_micro,
+           CAST(max(micro) AS BIGINT) AS max_micro,
+           CAST(count(CASE WHEN micro = 0 THEN 1 END) AS BIGINT) AS n_zero
+    FROM ex GROUP BY dim ORDER BY dim
+    """,
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension profile of the embedding column (mean/min/max/zero
+    count) — the feature-scaling and dead-dimension diagnostic run
+    before quantization or IVF training. Values are fixed-pointed to
+    exact integer micro-units with the codebase's deterministic
+    floor(x·1e6 + 0.5) (float32→double is exact; one correctly-rounded
+    multiply; round() ties differ cross-engine, floor(+0.5) never does),
+    so sums are exact BIGINTs and the mean is ONE IEEE division.
+
+    Scale: posexplode is a linear d-fold fanout fused into the scan
+    stage; the aggregate partial-combines to d=64 rows per partition
+    before the shuffle, so the exchange moves |partitions|·d tiny rows
+    regardless of corpus size. (Per-dim micro² sums would overflow
+    BIGINT at ~5e9 rows, so variance is deliberately left to the
+    DECIMAL-based correlation_matrix pattern.)"""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        (F.col("pos") + 1).cast("bigint").alias("dim"),
+        F.floor(F.col("x").cast("double") * 1000000 + 0.5)
+        .cast("bigint")
+        .alias("micro"),
+    )
+    return (
+        ex.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum("micro").cast("double") / F.count(F.lit(1))).alias(
+                "mean_micro"
+            ),
+            F.min("micro").alias("min_micro"),
+            F.max("micro").alias("max_micro"),
+            F.count(F.when(F.col("micro") == 0, 1)).alias("n_zero"),
+        )
+        .orderBy("dim")
+    )

@@ -11,7 +11,7 @@ stopword hit-rates; its oracle replays the same stopword-argmax in SQL
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
@@ -865,4 +865,190 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .withColumn("rank", F.row_number().over(w))
         .select("pair", "total", "rank")
+    )
+
+
+@register(
+    "readability_ari",
+    r"""
+    WITH f AS (
+      SELECT doc_id,
+             CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))
+                  AS BIGINT) AS n_alnum,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                  AS BIGINT) AS n_sentences
+      FROM documents WHERE length(text) > 0
+    )
+    SELECT doc_id, n_alnum, n_words, n_sentences,
+           4.71 * (CAST(n_alnum AS DOUBLE) / n_words)
+             + 0.5 * (CAST(n_words AS DOUBLE) / n_sentences)
+             - 21.43 AS ari
+    FROM f ORDER BY doc_id
+    """,
+)
+def readability_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Automated Readability Index per document — the quality-scoring
+    signal used to stratify training corpora by reading level. Counts
+    (alnum chars, words, sentence terminators) are exact integers from
+    codegen'd regex expressions; the ARI formula is evaluated with the
+    IDENTICAL expression tree on both engines (two exact-integer
+    divisions, two multiplies, two adds — all IEEE correctly rounded),
+    so the double is bit-identical with no rounding step.
+
+    Scale: pure scan-stage expressions, zero shuffles — fuses into
+    whole-stage codegen with the parquet scan."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    n_alnum = F.length(F.regexp_replace("text", "[^A-Za-z0-9]", ""))
+    n_words = F.size(F.split("text", " ", -1))
+    n_sent = F.greatest(
+        F.size(F.expr(r"regexp_extract_all(text, '[.!?]+', 0)")), F.lit(1)
+    )
+    out = docs.select(
+        "doc_id",
+        n_alnum.cast("bigint").alias("n_alnum"),
+        n_words.cast("bigint").alias("n_words"),
+        n_sent.cast("bigint").alias("n_sentences"),
+    )
+    ari = (
+        F.lit(4.71) * (F.col("n_alnum").cast("double") / F.col("n_words"))
+        + F.lit(0.5) * (F.col("n_words").cast("double") / F.col("n_sentences"))
+        - F.lit(21.43)
+    )
+    return out.select("doc_id", "n_alnum", "n_words", "n_sentences",
+                      ari.alias("ari")).orderBy("doc_id")
+
+
+@register(
+    "text_normalize_fingerprint",
+    """
+    WITH norm AS (
+      SELECT doc_id, length(text) AS n_raw,
+             trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS nt
+      FROM documents
+    )
+    SELECT doc_id, md5(nt) AS fp,
+           CAST(n_raw AS BIGINT) AS n_raw,
+           CAST(length(nt) AS BIGINT) AS n_norm,
+           CAST((n_raw - length(nt)) * 1000000 // n_raw AS BIGINT)
+             AS removed_ppm,
+           CAST(count(*) OVER (PARTITION BY md5(nt)) AS BIGINT) AS n_same_fp,
+           CAST(min(doc_id) OVER (PARTITION BY md5(nt)) AS BIGINT)
+             AS keep_doc_id
+    FROM norm ORDER BY doc_id
+    """,
+)
+def text_normalize_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-form fingerprint dedup: lowercase → strip non-alnum →
+    collapse runs of spaces → trim → md5, emitting per-document
+    normalization stats (chars removed, as exact integer ppm) plus the
+    fingerprint-group size and deterministic keeper (min doc_id within
+    the fp partition). This is the cheap exact-dup pass run before
+    MinHash in a dedup cascade — it catches boilerplate differing only
+    in case/punctuation/whitespace.
+
+    Scale: normalization + md5 are scan-stage codegen; the group stats
+    come from an fp-PARTITIONED window (the scale-safe kind — each
+    partition is one fingerprint's duplicate set), shuffling 16-byte
+    digests as keys, not document text. The md5 is the same cross-engine
+    primitive every dedup oracle here already replays."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +", " ",
+        )
+    )
+    staged = docs.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_raw"),
+        norm.alias("nt"),
+    ).select(
+        "doc_id",
+        F.md5("nt").alias("fp"),
+        "n_raw",
+        F.length("nt").cast("bigint").alias("n_norm"),
+    )
+    w = Window.partitionBy("fp")
+    return staged.select(
+        "doc_id",
+        "fp",
+        "n_raw",
+        "n_norm",
+        F.expr("(n_raw - n_norm) * 1000000 div n_raw").cast("bigint").alias(
+            "removed_ppm"
+        ),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_same_fp"),
+        F.min("doc_id").over(w).cast("bigint").alias("keep_doc_id"),
+    ).orderBy("doc_id")
+
+
+_OOV_VOCAB_K = 1000
+
+
+@register(
+    "oov_rate",
+    f"""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+      FROM documents
+    ),
+    toks AS (SELECT doc_id, w FROM words WHERE w <> ''),
+    vocab AS (
+      SELECT w FROM (
+        SELECT w, count(*) AS n FROM toks GROUP BY w
+        ORDER BY n DESC, w LIMIT {_OOV_VOCAB_K}
+      )
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(CASE WHEN v.w IS NULL THEN 1 END) AS BIGINT) AS n_oov,
+           CAST(count(CASE WHEN v.w IS NULL THEN 1 END) * 1000000
+                // count(*) AS BIGINT) AS oov_ppm
+    FROM toks LEFT JOIN vocab v USING (w)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus top-1000
+    vocabulary (count-desc, word-asc tie-break — fully deterministic).
+    The tokenizer-coverage diagnostic: docs with high OOV against the
+    candidate vocab are script/domain outliers that blow up token
+    budgets downstream.
+
+    Scale: vocab selection is a partial-aggregated word count followed
+    by TakeOrdered top-K (heap per partition, K rows to the driver —
+    never a global sort); the membership probe BROADCASTS the ≤1000-row
+    vocab to a map-side left join against the token stream, then one
+    doc_id-keyed count aggregate. The ppm share is exact BIGINT floor
+    division."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), " ", -1)).alias("w"),
+    ).filter(F.col("w") != "")
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("w"))
+        .limit(_OOV_VOCAB_K)
+        .select("w", F.lit(1).alias("_in_vocab"))
+    )
+    joined = toks.join(F.broadcast(vocab), "w", "left")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count(F.when(F.col("_in_vocab").isNull(), 1)).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.expr("n_oov * 1000000 div n_tokens").cast("bigint").alias(
+                "oov_ppm"
+            ),
+        )
+        .orderBy("doc_id")
     )

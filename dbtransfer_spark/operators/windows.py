@@ -718,3 +718,64 @@ def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("g_week", "g_day", "week", "day")
     )
+
+
+@register(
+    "event_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    counts AS (
+      SELECT prev_type, event_type AS next_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, next_type
+    )
+    SELECT prev_type, next_type, n,
+           CAST(n * 1000000 //
+                CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT)
+                AS BIGINT) AS p_ppm
+    FROM counts ORDER BY prev_type, next_type
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: lag() within each user's timeline (event_id tie-break
+    makes the sequence total-ordered and deterministic), then a
+    (prev, next) count with row-conditional probabilities as integer
+    parts-per-million — exact BIGINT floor division, no float sums.
+
+    Scale: the lag window is user-partitioned (the scale-safe kind:
+    state is one row per user per partition), the count is a
+    partial-aggregated shuffle to ≤|types|² = 25 rows, and the
+    normalizing window runs over that 25-row aggregate — domain-bounded
+    by the event-type vocabulary, not the event count."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    counts = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = F.sum("n").over(Window.partitionBy("prev_type"))
+    return (
+        counts.select(
+            "prev_type",
+            "next_type",
+            "n",
+            F.expr("n * 1000000").alias("_num"),
+            tot.alias("_tot"),
+        )
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            F.expr("_num div _tot").cast("bigint").alias("p_ppm"),
+        )
+        .orderBy("prev_type", "next_type")
+    )

@@ -2001,3 +2001,205 @@ def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p")
     ).select("p.*")
     return rows.orderBy("col")
+
+
+@register(
+    "correlation_matrix",
+    """
+    WITH c AS (
+      SELECT CAST(round(l_quantity * 100) AS DECIMAL(18,0)) AS q,
+             CAST(round(l_extendedprice * 100) AS DECIMAL(18,0)) AS p,
+             CAST(round(l_discount * 100) AS DECIMAL(18,0)) AS d,
+             CAST(round(l_tax * 100) AS DECIMAL(18,0)) AS t
+      FROM lineitem
+    ),
+    s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(q) AS DOUBLE) AS sq, CAST(sum(p) AS DOUBLE) AS sp,
+             CAST(sum(d) AS DOUBLE) AS sd, CAST(sum(t) AS DOUBLE) AS st,
+             CAST(sum(q*q) AS DOUBLE) AS sqq, CAST(sum(p*p) AS DOUBLE) AS spp,
+             CAST(sum(d*d) AS DOUBLE) AS sdd, CAST(sum(t*t) AS DOUBLE) AS stt,
+             CAST(sum(q*p) AS DOUBLE) AS sqp, CAST(sum(q*d) AS DOUBLE) AS sqd,
+             CAST(sum(q*t) AS DOUBLE) AS sqt, CAST(sum(p*d) AS DOUBLE) AS spd,
+             CAST(sum(p*t) AS DOUBLE) AS spt, CAST(sum(d*t) AS DOUBLE) AS sdt
+      FROM c
+    )
+    SELECT col_x, col_y, corr FROM (
+      SELECT 'quantity' AS col_x, 'extendedprice' AS col_y,
+             (n*sqp - sq*sp) / (sqrt(n*sqq - sq*sq) * sqrt(n*spp - sp*sp)) AS corr FROM s
+      UNION ALL SELECT 'quantity', 'discount',
+             (n*sqd - sq*sd) / (sqrt(n*sqq - sq*sq) * sqrt(n*sdd - sd*sd)) FROM s
+      UNION ALL SELECT 'quantity', 'tax',
+             (n*sqt - sq*st) / (sqrt(n*sqq - sq*sq) * sqrt(n*stt - st*st)) FROM s
+      UNION ALL SELECT 'extendedprice', 'discount',
+             (n*spd - sp*sd) / (sqrt(n*spp - sp*sp) * sqrt(n*sdd - sd*sd)) FROM s
+      UNION ALL SELECT 'extendedprice', 'tax',
+             (n*spt - sp*st) / (sqrt(n*spp - sp*sp) * sqrt(n*stt - st*st)) FROM s
+      UNION ALL SELECT 'discount', 'tax',
+             (n*sdt - sd*st) / (sqrt(n*sdd - sd*sd) * sqrt(n*stt - st*st)) FROM s
+    ) ORDER BY col_x, col_y
+    """,
+)
+def correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation of the four lineitem measures, the
+    feature-engineering profiling primitive, computed from EXACT
+    fixed-point sums: each measure becomes integer cents/basis-points
+    cast to DECIMAL(18,0), the 14 moment sums (sum x, sum x², sum x·y)
+    accumulate exactly in DECIMAL (Spark widens to DECIMAL(38,0) — no
+    int64 overflow even at 100 TB where sum(p²) ≈ 1e24), and only the
+    FINAL closed-form corr = (n·Sxy − SxSy)/(σx·σy) drops to IEEE
+    doubles — every double op (cast of an exact decimal, ×, −, /, sqrt)
+    is correctly rounded, so the result is bit-identical cross-engine
+    with no rounding step.
+
+    Scale: ONE partial-aggregated pass over the fact table (map-side
+    combine reduces each partition to a 14-value row), then a 1-row
+    projection fanned to 6 pair rows. No window, no join, no second
+    scan — this is the textbook one-pass moment-sketch shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def fx(col: str, alias: str):
+        return F.expr(f"CAST(round({col} * 100) AS DECIMAL(18,0))").alias(alias)
+
+    c = li.select(
+        fx("l_quantity", "q"), fx("l_extendedprice", "p"),
+        fx("l_discount", "d"), fx("l_tax", "t"),
+    )
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for a in "qpdt":
+        aggs.append(F.sum(F.col(a)).cast("double").alias(f"s{a}"))
+    for i, a in enumerate("qpdt"):
+        for b in "qpdt"[i:]:
+            aggs.append(
+                F.sum(F.col(a) * F.col(b)).cast("double").alias(f"s{a}{b}")
+            )
+    s = c.agg(*aggs)
+    names = {"q": "quantity", "p": "extendedprice", "d": "discount", "t": "tax"}
+    pairs = [("q", "p"), ("q", "d"), ("q", "t"), ("p", "d"), ("p", "t"), ("d", "t")]
+    stack_args = []
+    for a, b in pairs:
+        corr = (
+            f"(n*s{a}{b} - s{a}*s{b}) / "
+            f"(sqrt(n*s{a}{a} - s{a}*s{a}) * sqrt(n*s{b}{b} - s{b}*s{b}))"
+        )
+        stack_args.append(f"'{names[a]}', '{names[b]}', {corr}")
+    out = s.select(
+        F.expr(
+            f"stack({len(pairs)}, {', '.join(stack_args)}) AS (col_x, col_y, corr)"
+        )
+    )
+    return out.orderBy("col_x", "col_y")
+
+
+_BENFORD_PPM = {1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+                6: 66947, 7: 57992, 8: 51153, 9: 45757}
+_BENFORD_SQL_CASE = "CASE digit " + " ".join(
+    f"WHEN {d} THEN {p}" for d, p in _BENFORD_PPM.items()
+) + " END"
+
+
+@register(
+    "benford_first_digit",
+    f"""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders
+    ),
+    counts AS (
+      SELECT digit, CAST(count(*) AS BIGINT) AS n FROM digits GROUP BY digit
+    )
+    SELECT digit, n,
+           CAST(n * 1000000 // CAST(sum(n) OVER () AS BIGINT) AS BIGINT)
+             AS observed_ppm,
+           CAST({_BENFORD_SQL_CASE} AS BIGINT) AS benford_ppm,
+           CAST(n * 1000000 // CAST(sum(n) OVER () AS BIGINT)
+                - {_BENFORD_SQL_CASE} AS BIGINT) AS deviation_ppm
+    FROM counts ORDER BY digit
+    """,
+)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of order totals — the classic fraud/synthetic-
+    data screen. First significant digit via exact integer-cents string
+    prefix (no log10: libm log differs across engines by ULPs; the
+    Benford expectations are inlined as literal ppm constants), shares
+    as integer parts-per-million (floor division of exact BIGINTs).
+
+    Scale: one partial-aggregated shuffle to ≤9 rows; the share window
+    runs over that 9-row digit domain (domain-bounded, the accepted
+    histogram-window shape)."""
+    orders = load_table(spark, sf_dir, "orders")
+    digits = orders.select(
+        F.expr(
+            "CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)"
+            " AS STRING), 1, 1) AS BIGINT)"
+        ).alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    total = F.sum("n").over(Window.partitionBy())
+    benford = F.expr(_BENFORD_SQL_CASE)
+    return (
+        counts.select(
+            "digit",
+            "n",
+            F.expr("n * 1000000").alias("_num"),
+            total.alias("_tot"),
+        )
+        .select(
+            "digit",
+            "n",
+            F.expr("_num div _tot").cast("bigint").alias("observed_ppm"),
+            benford.cast("bigint").alias("benford_ppm"),
+            (F.expr("_num div _tot") - benford).cast("bigint").alias(
+                "deviation_ppm"
+            ),
+        )
+        .orderBy("digit")
+    )
+
+
+@register(
+    "signup_purchase_lag",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN ts END) AS s,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS p
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(date_diff('microsecond', s, p) // 86400000000 AS BIGINT)
+             AS lag_days,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM per_user
+    WHERE s IS NOT NULL AND p IS NOT NULL AND p >= s
+    GROUP BY lag_days ORDER BY lag_days
+    """,
+)
+def signup_purchase_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activation-lag histogram: days from a user's first 'signup' to
+    their first 'purchase' at-or-after it (users whose first purchase
+    precedes signup are excluded — they converted before the tracked
+    signup). The growth-analytics companion to the funnel: same
+    conditional-min trick, but binned into a cohort histogram.
+
+    Scale: ONE partial-aggregated shuffle on user_id computes both
+    conditional mins (no self-join of the events table), then a tiny
+    histogram aggregate over lag_days. All time math is exact integer
+    hours/days."""
+    from dbtransfer_spark.operators.windows import epoch_micros
+
+    events = load_table(spark, sf_dir, "events")
+    m = epoch_micros(events, "ts")
+    per_user = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", m)).alias("s"),
+        F.min(F.when(F.col("event_type") == "purchase", m)).alias("p"),
+    )
+    lag_days = F.expr("(p - s) div 86400000000").cast("bigint")
+    return (
+        per_user.filter(
+            F.col("s").isNotNull() & F.col("p").isNotNull() & (F.col("p") >= F.col("s"))
+        )
+        .groupBy(lag_days.alias("lag_days"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("lag_days")
+    )
