@@ -67,6 +67,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # DuckDB oracles by tools/diffcheck.py (results: CORRECTNESS_LOCAL.md).
 _VERIFY_FIRST = (
     # new round-5 queries
+    "gram_novelty_rate",
+    "source_length_gini",
+    "order_priority_sla",
+    "wau_mau_stickiness",
     "correlation_matrix",
     "benford_first_digit",
     "signup_purchase_lag",

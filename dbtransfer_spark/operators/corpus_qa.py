@@ -850,3 +850,60 @@ def weighted_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 weighted_systematic_sample.__doc__ = weighted_systematic_sample.__doc__.format(
     k=_WSS_K
 )
+
+
+@register(
+    "source_length_gini",
+    """
+    WITH ranked AS (
+      SELECT source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS r,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM documents
+    ),
+    sums AS (
+      SELECT source,
+             CAST(max(n) AS BIGINT) AS n_docs,
+             CAST(sum(CAST(n_chars AS DECIMAL(18,0))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(r AS DECIMAL(18,0))
+                      * CAST(n_chars AS DECIMAL(18,0))) AS DOUBLE) AS srx
+      FROM ranked GROUP BY source
+    )
+    SELECT source, n_docs,
+           (2.0 * srx - (n_docs + 1) * sx) / (n_docs * sx) AS gini
+    FROM sums ORDER BY source
+    """,
+)
+def source_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of document-length inequality within each
+    source — the corpus-balance diagnostic (a source whose token mass
+    is concentrated in a few giant docs behaves very differently under
+    per-doc sampling than its doc count suggests). Uses the rank
+    formulation G = (2·Σr·x − (n+1)·Σx)/(n·Σx) with a doc_id tie-break
+    so ranks (and therefore the statistic) are fully deterministic.
+
+    Scale: ONE source-partitioned window (scale-safe; rows per source
+    bounded by the source shard) feeding a partial-aggregated per-source
+    sum. Moment sums accumulate in DECIMAL (r·x ≈ 1e12 per row — BIGINT
+    would overflow past ~1e7 docs/source); only the final closed form
+    drops to correctly-rounded IEEE doubles, so no rounding step."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "source",
+        "n_chars",
+        F.row_number().over(w).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n"),
+    )
+    sums = ranked.groupBy("source").agg(
+        F.max("n").cast("bigint").alias("n_docs"),
+        F.sum(F.col("n_chars").cast("decimal(18,0)")).cast("double").alias("sx"),
+        F.sum(
+            F.col("r").cast("decimal(18,0)") * F.col("n_chars").cast("decimal(18,0)")
+        ).cast("double").alias("srx"),
+    )
+    gini = (F.lit(2.0) * F.col("srx") - (F.col("n_docs") + 1) * F.col("sx")) / (
+        F.col("n_docs") * F.col("sx")
+    )
+    return sums.select("source", "n_docs", gini.alias("gini")).orderBy("source")

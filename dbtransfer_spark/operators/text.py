@@ -1052,3 +1052,78 @@ def oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "gram_novelty_rate",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS ws
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, g
+      FROM (
+        SELECT doc_id,
+               unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                       FOR i IN range(1, len(ws) - 1)]) AS g
+        FROM w WHERE len(ws) >= 3
+      )
+    ),
+    firsts AS (
+      SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(count(CASE WHEN first_doc < doc_id THEN 1 END) AS BIGINT)
+             AS n_seen_before,
+           CAST((count(*) - count(CASE WHEN first_doc < doc_id THEN 1 END))
+                * 1000000 // count(*) AS BIGINT) AS novelty_ppm
+    FROM grams JOIN firsts USING (g)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def gram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of a doc's distinct word
+    3-grams whose FIRST corpus occurrence (min doc_id) is not an earlier
+    document. The incremental-dedup signal — a doc that is mostly
+    grams already contributed by earlier docs adds little to a training
+    corpus even if no single near-duplicate exists.
+
+    Scale: gram explosion is linear in tokens and immediately distinct-
+    collapsed per (doc_id, gram); the first-occurrence table is a
+    partial-aggregated min keyed on gram (the standard inverted-index
+    shuffle); the rejoin is gram-keyed equi-join followed by a doc_id
+    count. Shares are exact BIGINT floor division — no floats at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.lower(F.col("text")), " ", -1)
+    base = docs.select("doc_id", ws.alias("ws"), F.size(ws).alias("nw"))
+    g = F.expr(
+        "transform(sequence(1, nw - 2),"
+        " i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1),"
+        " ' ', element_at(ws, i + 2)))"
+    )
+    grams = (
+        base.filter(F.col("nw") >= 3)
+        .select("doc_id", F.explode(g).alias("g"))
+        .distinct()
+    )
+    firsts = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        grams.join(firsts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count(F.when(F.col("first_doc") < F.col("doc_id"), 1)).alias(
+                "n_seen_before"
+            ),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        "n_seen_before",
+        F.expr("(n_grams - n_seen_before) * 1000000 div n_grams")
+        .cast("bigint")
+        .alias("novelty_ppm"),
+    ).orderBy("doc_id")

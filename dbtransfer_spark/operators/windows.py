@@ -779,3 +779,64 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev_type", "next_type")
     )
+
+
+@register(
+    "wau_mau_stickiness",
+    """
+    WITH wk AS (
+      SELECT DISTINCT
+             date_diff('microsecond', TIMESTAMP '1970-01-01 00:00:00', ts)
+               // 604800000000 AS week,
+             user_id
+      FROM events
+    ),
+    wau AS (
+      SELECT week, CAST(count(*) AS BIGINT) AS wau FROM wk GROUP BY week
+    ),
+    mau AS (
+      SELECT week // 4 AS block,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+      FROM wk GROUP BY block
+    )
+    SELECT CAST(week AS BIGINT) AS week, wau, mau,
+           CAST(wau * 1000000 // mau AS BIGINT) AS stickiness_ppm
+    FROM wau JOIN mau ON week // 4 = block
+    ORDER BY week
+    """,
+)
+def wau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly active users, 4-week-block active users, and the WAU/MAU
+    stickiness ratio — the engagement-health metric. Weeks are pure
+    epoch-microsecond arithmetic (no calendar functions: week-numbering
+    conventions differ cross-engine); the ratio is exact BIGINT ppm.
+
+    Scale: the (week, user) de-dup is ONE partial-aggregated distinct
+    shuffle over the events (the standard count-distinct expansion);
+    WAU and the 4-week MAU both aggregate that small de-duped set, and
+    the final join is over |weeks| rows — domain-bounded both sides."""
+    events = load_table(spark, sf_dir, "events")
+    wk = (
+        events.select(epoch_micros(events, "ts").alias("m"), "user_id")
+        .select(
+            F.expr("m div 604800000000").cast("bigint").alias("week"),
+            "user_id",
+        )
+        .distinct()
+    )
+    wau = wk.groupBy("week").agg(F.count(F.lit(1)).alias("wau"))
+    mau = wk.groupBy(F.expr("week div 4").alias("block")).agg(
+        F.countDistinct("user_id").alias("mau")
+    )
+    return (
+        wau.join(mau, F.expr("week div 4") == F.col("block"))
+        .select(
+            "week",
+            "wau",
+            "mau",
+            F.expr("wau * 1000000 div mau").cast("bigint").alias(
+                "stickiness_ppm"
+            ),
+        )
+        .orderBy("week")
+    )

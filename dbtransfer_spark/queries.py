@@ -2203,3 +2203,68 @@ def signup_purchase_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("lag_days")
     )
+
+
+@register(
+    "order_priority_sla",
+    """
+    WITH first_ship AS (
+      SELECT l_orderkey, min(l_shipdate) AS first_ship
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    j AS (
+      SELECT o_orderpriority,
+             date_diff('microsecond', o_orderdate, first_ship)
+               // 86400000000 AS lag_days
+      FROM orders JOIN first_ship ON o_orderkey = l_orderkey
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(CASE WHEN lag_days <= 7 THEN 1 END) AS BIGINT)
+             AS n_within_7d,
+           CAST(count(CASE WHEN lag_days <= 7 THEN 1 END) * 1000000
+                // count(*) AS BIGINT) AS sla_ppm
+    FROM j GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def order_priority_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLA conformance by order priority: the share of orders whose FIRST
+    shipment left within 7 days of order placement — the operational
+    counterpart of TPC-H Q4 (which counts late lineitems; this measures
+    the order-level promise). Time math is exact integer microseconds
+    (never calendar date_diff, whose boundary-crossing semantics differ
+    cross-engine), shares are exact BIGINT floor division.
+
+    Scale: the min-shipdate pre-aggregate partial-combines BEFORE its
+    shuffle (one row per orderkey), the orders join is key-co-partitioned
+    on the same orderkey shuffle, and the final aggregate is ≤|priorities|
+    rows. No window, no broadcast of a big side."""
+    from dbtransfer_spark.operators.windows import epoch_micros
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    first_ship = li.groupBy("l_orderkey").agg(
+        F.min(epoch_micros(li, "l_shipdate")).alias("ship_m")
+    )
+    om = epoch_micros(orders, "o_orderdate")
+    j = orders.select("o_orderkey", "o_orderpriority", om.alias("order_m")).join(
+        first_ship, F.col("o_orderkey") == F.col("l_orderkey")
+    )
+    lag_days = F.expr("(ship_m - order_m) div 86400000000")
+    return (
+        j.select("o_orderpriority", lag_days.alias("lag_days"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count(F.when(F.col("lag_days") <= 7, 1)).alias("n_within_7d"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            "n_within_7d",
+            F.expr("n_within_7d * 1000000 div n_orders").cast("bigint").alias(
+                "sla_ppm"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -68,11 +68,15 @@ class Sink(ABC):
 
 
 def get_source(spark: SparkSession, cfg: DBConfig) -> Source:
-    from dbtransfer_spark.sources import cassandra, jdbc, mongodb, parquet
+    from dbtransfer_spark.sources import cassandra, files, jdbc, mongodb, parquet
 
     t = (cfg.type or "").lower()
     if t in ("", "parquet"):
         return parquet.ParquetSource(spark, cfg)
+    if t in ("jsonl", "json"):
+        return files.JsonlSource(spark, cfg)
+    if t == "csv":
+        return files.CsvSource(spark, cfg)
     if t in ("mysql", "postgresql", "postgres"):
         return jdbc.JDBCSource(spark, cfg)
     if t in ("mongodb", "mongo"):
@@ -83,11 +87,15 @@ def get_source(spark: SparkSession, cfg: DBConfig) -> Source:
 
 
 def get_sink(spark: SparkSession, cfg: DBConfig) -> Sink:
-    from dbtransfer_spark.sources import cassandra, jdbc, mongodb, parquet
+    from dbtransfer_spark.sources import cassandra, files, jdbc, mongodb, parquet
 
     t = (cfg.type or "").lower()
     if t in ("", "parquet"):
         return parquet.ParquetSink(spark, cfg)
+    if t in ("jsonl", "json"):
+        return files.JsonlSink(spark, cfg)
+    if t == "csv":
+        return files.CsvSink(spark, cfg)
     if t in ("mysql", "postgresql", "postgres"):
         return jdbc.JDBCSink(spark, cfg)
     if t in ("mongodb", "mongo"):
