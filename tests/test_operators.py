@@ -8,6 +8,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from tests.conftest import SF_SMOKE
 from dbtransfer_spark.operators.asof import asof_join
 from dbtransfer_spark.operators.dedup import (
     exact_dedup,
@@ -298,3 +299,75 @@ def test_grouped_agg_pandas_udaf_matches_builtin(spark):
     assert set(got) == set(want)
     for k in got:
         assert got[k] == pytest.approx(want[k], rel=1e-9)
+
+
+def test_correlation_matrix_bounds_and_selfconsistency(spark):
+    from dbtransfer_spark.queries import QUERIES
+
+    rows = QUERIES["correlation_matrix"](spark, SF_SMOKE).collect()
+    assert len(rows) == 6
+    for r in rows:
+        assert -1.0 <= r["corr"] <= 1.0, r
+    # fixture measures are drawn independently → all |corr| small
+    assert all(abs(r["corr"]) < 0.2 for r in rows)
+
+
+def test_benford_ppm_sums_to_million(spark):
+    from dbtransfer_spark.queries import QUERIES
+
+    rows = QUERIES["benford_first_digit"](spark, SF_SMOKE).collect()
+    assert {r["digit"] for r in rows} <= set(range(1, 10))
+    total_ppm = sum(r["observed_ppm"] for r in rows)
+    # floor division loses at most 1 ppm per digit
+    assert 1000000 - 9 <= total_ppm <= 1000000
+    assert sum(r["benford_ppm"] for r in rows) == 999999 + 1  # Benford table
+
+
+def test_gram_novelty_first_doc_is_fully_novel(spark):
+    from dbtransfer_spark.operators.text import QUERIES
+
+    rows = QUERIES["gram_novelty_rate"](spark, SF_SMOKE).collect()
+    first = rows[0]
+    assert first["n_seen_before"] == 0
+    assert first["novelty_ppm"] == 1000000
+    for r in rows:
+        assert 0 <= r["novelty_ppm"] <= 1000000
+        assert r["n_seen_before"] <= r["n_grams"]
+
+
+def test_source_gini_in_unit_interval(spark):
+    from dbtransfer_spark.operators.corpus_qa import QUERIES
+
+    rows = QUERIES["source_length_gini"](spark, SF_SMOKE).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert 0.0 <= r["gini"] < 1.0
+
+
+def test_transition_matrix_probabilities_normalize(spark):
+    from dbtransfer_spark.operators.windows import QUERIES
+
+    rows = QUERIES["event_transition_matrix"](spark, SF_SMOKE).collect()
+    by_prev = {}
+    for r in rows:
+        by_prev.setdefault(r["prev_type"], []).append(r)
+    for prev, rs in by_prev.items():
+        total = sum(r["p_ppm"] for r in rs)
+        assert 1000000 - len(rs) <= total <= 1000000, (prev, total)
+
+
+def test_oov_rate_vocab_covers_common_words(spark):
+    from dbtransfer_spark.operators.text import QUERIES
+
+    rows = QUERIES["oov_rate"](spark, SF_SMOKE).collect()
+    assert all(0 <= r["oov_ppm"] <= 1000000 for r in rows)
+    assert all(r["n_oov"] <= r["n_tokens"] for r in rows)
+
+
+def test_embedding_dim_stats_shape(spark):
+    from dbtransfer_spark.operators.similarity import QUERIES
+
+    rows = QUERIES["embedding_dim_stats"](spark, SF_SMOKE).collect()
+    assert len(rows) == 64
+    for r in rows:
+        assert r["min_micro"] <= r["mean_micro"] <= r["max_micro"]
