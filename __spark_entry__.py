@@ -67,6 +67,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # DuckDB oracles by tools/diffcheck.py (results: CORRECTNESS_LOCAL.md).
 _VERIFY_FIRST = (
     # new round-5 queries
+    "dedup_incremental_new_vs_corpus",
+    "session_path_topk",
+    "events_error_burst",
+    "tokenizer_fertility",
     "gram_novelty_rate",
     "source_length_gini",
     "order_priority_sla",

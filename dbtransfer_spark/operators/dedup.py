@@ -873,3 +873,125 @@ def neardup_jaccard_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+def _incremental_oracle(num_hashes: int = 32, shingle_len: int = 3,
+                        seed: int = 42, bands: int = 8,
+                        rows_per_band: int = 4) -> str:
+    """DuckDB replay of the new-vs-corpus incremental dedup: identical
+    md5 word hashes / rolling-poly shingles / permutation minima as
+    _minhash_oracle, but the banded join pairs ONLY odd (new) against
+    even (corpus) doc ids."""
+    coeffs = _minhash_coeffs(num_hashes, seed)
+    coeff_lit = "[" + ",".join(f"[{a},{b}]" for a, b in coeffs) + "]"
+    poly = _POLY[:shingle_len]
+    shingle_expr = " + ".join(
+        f"wh[i+{j+1}]*{c}" if c != 1 else f"wh[i+{j+1}]" for j, c in enumerate(poly)
+    )
+    return f"""
+    WITH wh AS (
+      SELECT doc_id,
+             list_transform(string_split(text, ' '),
+               w -> CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % {_PRIME}) AS wh
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([({shingle_expr}) % {_PRIME}
+                            FOR i IN range(0, greatest(len(wh) - {shingle_len - 1}, 0))]) AS shingles
+      FROM wh
+    ), sig AS (
+      SELECT doc_id,
+             list_transform({coeff_lit},
+               c -> coalesce(list_min(list_transform(shingles,
+                              s -> (s*c[1] + c[2]) % {_PRIME})), {_PRIME})) AS mh
+      FROM sh
+    ), banded AS (
+      SELECT doc_id, band,
+             mh[band*{rows_per_band}+1 : band*{rows_per_band}+{rows_per_band}] AS bucket,
+             mh
+      FROM sig CROSS JOIN (SELECT unnest(range(0, {bands})) AS band) bands
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS new_doc, b.doc_id AS corpus_doc,
+             a.mh AS mh_a, b.mh AS mh_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bucket = b.bucket
+      WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+    ), est AS (
+      SELECT new_doc, corpus_doc,
+             list_sum(list_transform(range(1, {num_hashes + 1}),
+               i -> CASE WHEN mh_a[i] = mh_b[i] THEN 1 ELSE 0 END))
+               / {num_hashes}.0 AS e
+      FROM pairs
+    )
+    SELECT new_doc,
+           CAST(count(*) AS BIGINT) AS n_candidates,
+           round(max(e), 4) AS best_est,
+           max(e) >= 0.5 AS is_dup
+    FROM est WHERE e >= 0.25
+    GROUP BY new_doc ORDER BY new_doc
+    """
+
+
+@register("dedup_incremental_new_vs_corpus", _incremental_oracle())
+def dedup_incremental_new_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup — the PRODUCTION shape: a new batch of
+    documents (odd doc_ids here) is checked against an existing corpus
+    (even doc_ids) without ever comparing corpus-to-corpus. For each new
+    doc with any LSH candidate: candidate count, best signature-estimate
+    Jaccard, and the ≥0.5 duplicate verdict.
+
+    This is the asymmetric join every continuously-ingesting training
+    pipeline needs: corpus signatures are computed once and persisted
+    (here recomputed from the fixture for a self-contained query); each
+    incoming batch pays |batch|·bands bucket probes against the corpus
+    index, NOT a corpus×corpus self-join — at 100 TB corpus / 1 TB batch
+    that is the difference between feasible and not. The banded
+    equi-join shape is identical to the full-dedup pass (no-cartesian
+    sweep covers it); only the join's two sides differ."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(
+        docs, "doc_id", "text", portable_hash=True
+    ).persist()
+    bands, rows_per_band = 8, 4
+
+    def banded(side: DataFrame, prefix: str) -> DataFrame:
+        return side.select(
+            F.col("doc_id").alias(f"{prefix}_id"),
+            F.col("minhash").alias(f"mh_{prefix}"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band"),
+                            F.slice(
+                                "minhash", i * rows_per_band + 1, rows_per_band
+                            ).alias("bucket"),
+                        )
+                        for i in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select(f"{prefix}_id", f"mh_{prefix}", "bb.band", "bb.bucket")
+
+    new_b = banded(sigs.filter(F.col("doc_id") % 2 == 1), "a")
+    corp_b = banded(sigs.filter(F.col("doc_id") % 2 == 0), "b")
+    pairs = (
+        new_b.join(corp_b, ["band", "bucket"])
+        .select("a_id", "b_id", "mh_a", "mh_b")
+        .distinct()
+    )
+    est = F.size(
+        F.filter(F.zip_with("mh_a", "mh_b", lambda x, y: x == y), lambda v: v)
+    ).cast("double") / F.size(F.col("mh_a"))
+    scored = pairs.select(
+        F.col("a_id").alias("new_doc"), est.alias("e")
+    ).filter(F.col("e") >= 0.25)
+    return (
+        scored.groupBy("new_doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.round(F.max("e"), 4).alias("best_est"),
+            (F.max("e") >= 0.5).alias("is_dup"),
+        )
+        .orderBy("new_doc")
+    )

@@ -1127,3 +1127,56 @@ def gram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("novelty_ppm"),
     ).orderBy("doc_id")
+
+
+@register(
+    "tokenizer_fertility",
+    r"""
+    WITH t AS (
+      SELECT lang,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT)
+               AS n_bpe,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws
+      FROM documents WHERE length(text) > 0
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(n_bpe) AS BIGINT) AS total_bpe_tokens,
+           CAST(sum(n_chars) AS DOUBLE) / sum(n_bpe) AS chars_per_token,
+           CAST(sum(n_bpe) AS DOUBLE) / sum(n_ws) AS fertility
+    FROM t GROUP BY lang ORDER BY lang
+    """,
+)
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: BPE-ish tokens per whitespace
+    word and chars per token — the budget-planning numbers (a language
+    with fertility 2.3 costs 2.3× the context window of one at 1.0 for
+    the same words). Ratios are single IEEE divisions of exact BIGINT
+    sums.
+
+    Scale: scan-stage token counting (codegen'd regex), one partial-
+    aggregated shuffle to ≤|langs| rows."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    t = docs.select(
+        "lang",
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.size(F.regexp_extract_all("text", F.lit(TOKEN_PATTERN), 0))
+        .cast("bigint")
+        .alias("n_bpe"),
+        F.size(F.split("text", " ", -1)).cast("bigint").alias("n_ws"),
+    )
+    return (
+        t.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("n_bpe").alias("total_bpe_tokens"),
+            (F.sum("n_chars").cast("double") / F.sum("n_bpe")).alias(
+                "chars_per_token"
+            ),
+            (F.sum("n_bpe").cast("double") / F.sum("n_ws")).alias("fertility"),
+        )
+        .orderBy("lang")
+    )

@@ -840,3 +840,156 @@ def wau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week")
     )
+
+
+@register(
+    "session_path_topk",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN date_diff('microsecond',
+                    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                    ts) > 1800000000
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, event_type, ts, event_id,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM seq
+    ),
+    ranked AS (
+      SELECT user_id, sess_id, event_type,
+             row_number() OVER (PARTITION BY user_id, sess_id
+                                ORDER BY ts, event_id) AS rn
+      FROM sess
+    ),
+    paths AS (
+      SELECT concat_ws('>',
+               max(CASE WHEN rn = 1 THEN event_type END),
+               max(CASE WHEN rn = 2 THEN event_type END),
+               max(CASE WHEN rn = 3 THEN event_type END)) AS path
+      FROM ranked WHERE rn <= 3 GROUP BY user_id, sess_id
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path LIMIT 10
+    """,
+)
+def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 session-opening paths (first ≤3 event types per 30-minute
+    gap session, joined with '>') — the UX-flow readout built on the
+    same lag-gap sessionization as events_sessionize_stats, composed
+    with a deterministic first-k extraction (conditional max over
+    row_number ≤ 3 — no collect_list, whose ordering is not
+    deterministic under merge) and a TakeOrdered top-10.
+
+    Scale: two user-partitioned windows (scale-safe), one
+    (user, session)-keyed aggregate, a path-keyed count partial-
+    aggregated to ≤|types|³ rows, and a 10-row TakeOrdered — no global
+    sort, no unbounded window."""
+    events = load_table(spark, sf_dir, "events")
+    m = epoch_micros(events, "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "user_id", "event_type", "ts", "event_id", m.alias("m"),
+        F.lag(m).over(w).alias("prev_m"),
+    ).select(
+        "user_id", "event_type", "ts", "event_id",
+        F.when(
+            F.col("prev_m").isNull() | (F.col("m") - F.col("prev_m") > 1800000000),
+            1,
+        ).otherwise(0).alias("new_sess"),
+    )
+    sess = seq.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("sess_id"),
+    )
+    ranked = sess.select(
+        "user_id", "sess_id", "event_type",
+        F.row_number().over(
+            Window.partitionBy("user_id", "sess_id").orderBy("ts", "event_id")
+        ).alias("rn"),
+    ).filter(F.col("rn") <= 3)
+    paths = ranked.groupBy("user_id", "sess_id").agg(
+        F.concat_ws(
+            ">",
+            F.max(F.when(F.col("rn") == 1, F.col("event_type"))),
+            F.max(F.when(F.col("rn") == 2, F.col("event_type"))),
+            F.max(F.when(F.col("rn") == 3, F.col("event_type"))),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(10)
+    )
+
+
+@register(
+    "events_error_burst",
+    """
+    WITH per_min AS (
+      SELECT event_type,
+             date_diff('microsecond', TIMESTAMP '1970-01-01 00:00:00', ts)
+               // 60000000 AS minute,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, minute
+    ),
+    windowed AS (
+      SELECT event_type, minute, n,
+             CAST(sum(n) OVER (PARTITION BY event_type ORDER BY minute
+                               RANGE BETWEEN 4 PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS n_5min
+      FROM per_min
+    )
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS peak_1min,
+           CAST(max(n_5min) AS BIGINT) AS peak_5min,
+           CAST(count(*) AS BIGINT) AS n_active_minutes
+    FROM windowed GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection per event type: peak events in any single minute
+    and in any trailing 5-minute RANGE window (value-based, so gaps in
+    the minute axis are handled correctly — a ROWS window would slide
+    over missing minutes and overcount). The alerting primitive for
+    error-rate spikes.
+
+    Scale: the per-minute aggregate partial-combines before its shuffle;
+    the range window is partitioned by event_type over per-MINUTE rows
+    (time-domain-bounded, the accepted time-series shape shared with
+    events_anomaly_daily); the final rollup is ≤|types| rows. All
+    integer minute arithmetic — no calendar functions."""
+    events = load_table(spark, sf_dir, "events")
+    m = epoch_micros(events, "ts")
+    per_min = (
+        events.select("event_type", m.alias("mm"))
+        .select("event_type", F.expr("mm div 60000000").alias("minute"))
+        .groupBy("event_type", "minute")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("minute")
+        .rangeBetween(-4, Window.currentRow)
+    )
+    windowed = per_min.select(
+        "event_type", "minute", "n", F.sum("n").over(w).alias("n_5min")
+    )
+    return (
+        windowed.groupBy("event_type")
+        .agg(
+            F.max("n").alias("peak_1min"),
+            F.max("n_5min").alias("peak_5min"),
+            F.count(F.lit(1)).alias("n_active_minutes"),
+        )
+        .orderBy("event_type")
+    )
