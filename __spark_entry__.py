@@ -67,6 +67,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # DuckDB oracles by tools/diffcheck.py (results: CORRECTNESS_LOCAL.md).
 _VERIFY_FIRST = (
     # new round-5 queries
+    "embedding_centroid_drift",
+    "neardup_degree_histogram",
     "dedup_incremental_new_vs_corpus",
     "session_path_topk",
     "events_error_burst",

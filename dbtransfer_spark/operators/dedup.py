@@ -995,3 +995,93 @@ def dedup_incremental_new_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("new_doc")
     )
+
+
+def _degree_hist_oracle(num_hashes: int = 32, shingle_len: int = 3,
+                        seed: int = 42, bands: int = 8,
+                        rows_per_band: int = 4) -> str:
+    """DuckDB replay: LSH pair graph (est ≥ 0.5) → per-doc degree →
+    degree histogram."""
+    coeffs = _minhash_coeffs(num_hashes, seed)
+    coeff_lit = "[" + ",".join(f"[{a},{b}]" for a, b in coeffs) + "]"
+    poly = _POLY[:shingle_len]
+    shingle_expr = " + ".join(
+        f"wh[i+{j+1}]*{c}" if c != 1 else f"wh[i+{j+1}]" for j, c in enumerate(poly)
+    )
+    return f"""
+    WITH wh AS (
+      SELECT doc_id,
+             list_transform(string_split(text, ' '),
+               w -> CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % {_PRIME}) AS wh
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([({shingle_expr}) % {_PRIME}
+                            FOR i IN range(0, greatest(len(wh) - {shingle_len - 1}, 0))]) AS shingles
+      FROM wh
+    ), sig AS (
+      SELECT doc_id,
+             list_transform({coeff_lit},
+               c -> coalesce(list_min(list_transform(shingles,
+                              s -> (s*c[1] + c[2]) % {_PRIME})), {_PRIME})) AS mh
+      FROM sh
+    ), banded AS (
+      SELECT doc_id, band,
+             mh[band*{rows_per_band}+1 : band*{rows_per_band}+{rows_per_band}] AS bucket,
+             mh
+      FROM sig CROSS JOIN (SELECT unnest(range(0, {bands})) AS band) bands
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.mh AS mh_a, b.mh AS mh_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ), dup_pairs AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT doc_a, doc_b,
+               list_sum(list_transform(range(1, {num_hashes + 1}),
+                 i -> CASE WHEN mh_a[i] = mh_b[i] THEN 1 ELSE 0 END))
+                 / {num_hashes}.0 AS est
+        FROM pairs
+      ) WHERE est >= 0.5
+    ), degrees AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS degree FROM (
+        SELECT doc_a AS doc_id FROM dup_pairs
+        UNION ALL SELECT doc_b FROM dup_pairs
+      ) GROUP BY doc_id
+    )
+    SELECT degree, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS example_doc
+    FROM degrees GROUP BY degree ORDER BY degree
+    """
+
+
+@register("neardup_degree_histogram", _degree_hist_oracle())
+def neardup_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the near-duplicate graph (MinHash-LSH
+    pairs with estimated Jaccard ≥ 0.5): how many documents have 1, 2,
+    … near-dup partners, with a deterministic example doc per bucket.
+    The shape diagnostic run BEFORE connected-components dedup — a heavy
+    tail here means giant template families that deserve a dedicated
+    rule rather than generic clustering (and would dominate cluster
+    diameter).
+
+    Scale: everything up to the pair list is the verified banded-join
+    pipeline; degrees are one partial-aggregated count over pair
+    endpoints; the histogram is a ≤max-degree-row aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "doc_id", "text", portable_hash=True)
+    pairs = minhash_lsh_pairs(sigs, "doc_id")
+    est = minhash_jaccard_estimate(sigs, pairs, "doc_id")
+    dup = est.filter(F.col("est_jaccard") >= 0.5)
+    endpoints = dup.select(F.col("id_a").alias("doc_id")).unionAll(
+        dup.select(F.col("id_b").alias("doc_id"))
+    )
+    degrees = endpoints.groupBy("doc_id").agg(F.count(F.lit(1)).alias("degree"))
+    return (
+        degrees.groupBy("degree")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("example_doc"),
+        )
+        .orderBy("degree")
+    )

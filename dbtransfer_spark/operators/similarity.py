@@ -1067,3 +1067,78 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+@register(
+    "embedding_centroid_drift",
+    f"""
+    WITH ex AS (
+      SELECT label, vec_id % 2 AS half, i AS dim,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5)
+                  AS BIGINT) AS micro
+      FROM embeddings
+      CROSS JOIN (SELECT unnest(range(1, {_KMEANS_DIM + 1})) AS i) dims
+    ),
+    means AS (
+      SELECT label, dim,
+             CAST(sum(CASE WHEN half = 0 THEN micro END) AS DOUBLE)
+               / count(CASE WHEN half = 0 THEN 1 END) AS mean_a,
+             CAST(sum(CASE WHEN half = 1 THEN micro END) AS DOUBLE)
+               / count(CASE WHEN half = 1 THEN 1 END) AS mean_b
+      FROM ex GROUP BY label, dim
+    )
+    SELECT label,
+           CAST(max(abs(mean_a - mean_b)) AS DOUBLE) AS max_dim_drift_micro,
+           CAST(count(CASE WHEN abs(mean_a - mean_b) > 10000 THEN 1 END)
+                AS BIGINT) AS n_drifted_dims
+    FROM means GROUP BY label ORDER BY label
+    """,
+)
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift check between two embedding snapshots (even
+    vs odd vec_ids stand in for old/new): per label, the largest
+    per-dimension centroid shift and the count of dimensions shifted by
+    more than 0.01 — the cheap pre-deploy monitor that catches encoder
+    or pipeline drift before an ANN index is rebuilt against it.
+
+    Determinism at double precision: per-dim means are single IEEE
+    divisions of exact integer micro-sums; the cross-dimension reduction
+    is max/count (ORDER-INDEPENDENT — deliberately not an L2 norm, whose
+    64-term float sum would depend on aggregation order and break
+    cross-engine hashing; max-abs is the Chebyshev drift norm).
+
+    Scale: linear d-fold explode fused into the scan, one (label, dim)
+    partial-aggregated shuffle (|labels|·d rows), one |labels|-row
+    rollup."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("pos", "x"),
+    ).select(
+        "label",
+        "half",
+        (F.col("pos") + 1).alias("dim"),
+        F.floor(F.col("x").cast("double") * 1000000 + 0.5)
+        .cast("bigint")
+        .alias("micro"),
+    )
+    means = ex.groupBy("label", "dim").agg(
+        (
+            F.sum(F.when(F.col("half") == 0, F.col("micro"))).cast("double")
+            / F.count(F.when(F.col("half") == 0, 1))
+        ).alias("mean_a"),
+        (
+            F.sum(F.when(F.col("half") == 1, F.col("micro"))).cast("double")
+            / F.count(F.when(F.col("half") == 1, 1))
+        ).alias("mean_b"),
+    )
+    diff = F.abs(F.col("mean_a") - F.col("mean_b"))
+    return (
+        means.groupBy("label")
+        .agg(
+            F.max(diff).alias("max_dim_drift_micro"),
+            F.count(F.when(diff > 10000, 1)).alias("n_drifted_dims"),
+        )
+        .orderBy("label")
+    )

@@ -477,3 +477,56 @@ def test_distributed_prefix_sum_matches_global_cumsum(spark, vals, n_parts):
         acc += v
         want[uid] = acc
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# JSONL round-trip fidelity under adversarial strings
+# ---------------------------------------------------------------------------
+
+_jsonl_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=-(2**62), max_value=2**62),
+        st.text(
+            alphabet=st.characters(
+                blacklist_categories=("Cs",),  # no lone surrogates
+                max_codepoint=0x2FFF,
+            ),
+            max_size=40,
+        ),
+    ),
+    min_size=1,
+    max_size=25,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(rows=_jsonl_rows)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_jsonl_sink_roundtrip_preserves_rows(spark, rows):
+    """Upsert-write arbitrary (id, text) rows through the JSONL sink and
+    read them back through the JSONL source path: keys, values, and
+    row count must survive newline-hostile and non-ASCII strings
+    (json.dumps escapes are the contract)."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from dbtransfer_spark.config import DBConfig, TableMapping
+    from dbtransfer_spark.sources import files as fsrc
+
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        cfg = DBConfig(type="jsonl", database=d)
+        sink = fsrc.JsonlSink(spark, cfg)
+        df = spark.createDataFrame(rows, schema)
+        sink.upsert(df, TableMapping(name="t"), ["id"])
+        src = fsrc.JsonlSource(spark, cfg)
+        back = src.read(TableMapping(name="t", primary_key="id"))
+        got = {(r["id"], r["v"]) for r in back.collect()}
+        assert got == set(rows)
