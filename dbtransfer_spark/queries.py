@@ -2268,3 +2268,195 @@ def order_priority_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "source_temperature_allocation",
+    """
+    WITH counts AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source, n_docs,
+             CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS isqrt
+      FROM counts
+    )
+    SELECT source, n_docs, isqrt AS weight,
+           CAST(1000000000 * isqrt //
+                CAST(sum(isqrt) OVER () AS BIGINT) AS BIGINT)
+             AS alloc_ppb
+    FROM w ORDER BY source
+    """,
+)
+def source_temperature_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted sampling allocation across sources
+    (α = 0.5, the multilingual-mixing rule from the XLM/mT5 line of
+    work): each source's share of the token budget ∝ √n rather than n,
+    up-weighting small sources without letting one giant crawl dominate.
+    Weights are INTEGER floor-sqrt (IEEE sqrt is correctly rounded, and
+    floor of it over exact BIGINTs < 2^52 is engine-stable — no libm pow
+    with fractional exponents, which is NOT correctly rounded), and the
+    allocation is exact BIGINT parts-per-billion.
+
+    Scale: one partial-aggregated count to |sources| rows; the
+    normalizing window runs over that domain-bounded aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = counts.select(
+        "source",
+        "n_docs",
+        F.floor(F.sqrt(F.col("n_docs").cast("double"))).cast("bigint").alias(
+            "isqrt"
+        ),
+    )
+    tot = F.sum("isqrt").over(Window.partitionBy())
+    return (
+        w.select(
+            "source",
+            "n_docs",
+            F.col("isqrt").alias("weight"),
+            F.expr("1000000000 * isqrt").alias("_num"),
+            tot.alias("_tot"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "weight",
+            F.expr("_num div _tot").cast("bigint").alias("alloc_ppb"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "user_type_diversity",
+    """
+    WITH per AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id, event_type
+    ),
+    agg AS (
+      SELECT user_id,
+             CAST(sum(n) AS BIGINT) AS n_events,
+             CAST(sum(n * n) AS BIGINT) AS sum_sq,
+             CAST(count(*) AS BIGINT) AS n_types
+      FROM per GROUP BY user_id
+    )
+    SELECT user_id, n_events, n_types,
+           CAST((n_events * n_events - sum_sq) * 1000000
+                // (n_events * n_events) AS BIGINT) AS diversity_ppm
+    FROM agg ORDER BY user_id
+    """,
+)
+def user_type_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral diversity as the Gini–Simpson index
+    1 − Σpᵢ² — the probability two random events from the user differ
+    in type. Cross-multiplied to pure integers ((N² − Σnᵢ²)·10⁶ // N²),
+    so there is no per-user float sum at all — the engagement-breadth
+    feature for segmentation, computed with zero rounding risk.
+
+    Scale: two partial-aggregated shuffles ((user, type) then user);
+    Σnᵢ² stays far under BIGINT range (nᵢ ≤ user's events; even a
+    10⁹-event user squares to 10¹⁸)."""
+    events = load_table(spark, sf_dir, "events")
+    per = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    agg = per.groupBy("user_id").agg(
+        F.sum("n").alias("n_events"),
+        F.sum(F.col("n") * F.col("n")).alias("sum_sq"),
+        F.count(F.lit(1)).alias("n_types"),
+    )
+    return agg.select(
+        "user_id",
+        "n_events",
+        "n_types",
+        F.expr(
+            "(n_events * n_events - sum_sq) * 1000000"
+            " div (n_events * n_events)"
+        )
+        .cast("bigint")
+        .alias("diversity_ppm"),
+    ).orderBy("user_id")
+
+
+@register(
+    "part_price_twap",
+    """
+    WITH seq AS (
+      SELECT l_partkey,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             date_diff('microsecond', l_shipdate,
+               lead(l_shipdate) OVER (PARTITION BY l_partkey
+                                      ORDER BY l_shipdate, l_orderkey,
+                                               l_linenumber))
+               // 86400000000 AS hold_days
+      FROM lineitem
+    ),
+    agg AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(cents AS DECIMAL(18,0)) * hold_days) AS DECIMAL(38,0))
+               AS weighted,
+             CAST(sum(hold_days) AS BIGINT) AS total_days,
+             CAST(count(*) AS BIGINT) AS n_obs
+      FROM seq WHERE hold_days IS NOT NULL AND hold_days > 0
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey, n_obs, total_days,
+           CAST(weighted AS DOUBLE) / total_days AS twap_cents
+    FROM agg WHERE total_days > 0 ORDER BY l_partkey
+    """,
+)
+def part_price_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average price per part: each observed price is
+    weighted by the exact integer days until the part's NEXT shipment
+    (lead over the part's timeline, fully tie-broken) — the financial
+    TWAP/holding-period primitive, immune to bursts of same-day trades
+    that distort a plain mean. Weighted sums accumulate in DECIMAL
+    (cents·days ≈ 1e10 per row — safe even when a part's history spans
+    10⁹ rows); the final TWAP is one IEEE division.
+
+    Scale: ONE part-partitioned window (scale-safe) and one part-keyed
+    partial aggregate — both on the same key, so AQE coalesces them
+    onto one exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    from dbtransfer_spark.operators.windows import epoch_micros
+
+    m = epoch_micros(li, "l_shipdate")
+    w = Window.partitionBy("l_partkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    seq = li.select(
+        "l_partkey",
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("cents"),
+        m.alias("m"),
+        F.lead(m).over(w).alias("next_m"),
+    ).select(
+        "l_partkey",
+        "cents",
+        F.expr("(next_m - m) div 86400000000").alias("hold_days"),
+    )
+    agg = (
+        seq.filter(F.col("hold_days").isNotNull() & (F.col("hold_days") > 0))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.col("cents").cast("decimal(18,0)") * F.col("hold_days")
+            ).alias("weighted"),
+            F.sum("hold_days").cast("bigint").alias("total_days"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+    )
+    return (
+        agg.filter(F.col("total_days") > 0)
+        .select(
+            "l_partkey",
+            "n_obs",
+            "total_days",
+            (F.col("weighted").cast("double") / F.col("total_days")).alias(
+                "twap_cents"
+            ),
+        )
+        .orderBy("l_partkey")
+    )

@@ -500,3 +500,23 @@ def test_zorder_value_guards_sign_bit(spark):
         zorder_value(ranges4, bits=16)  # 16*4-1 = bit 63
     # 2 columns at 16 bits is fine (max index 31)
     zorder_value({c: (0, 100) for c in "ab"}, bits=16)
+
+
+def test_compact_small_files_preserves_data(spark, tmp_path):
+    from dbtransfer_spark.catalog import compact_small_files
+
+    p = str(tmp_path / "frag.parquet")
+    df = spark.range(0, 10000).withColumnRenamed("id", "k")
+    df.repartition(40).write.parquet(p)
+    import os
+
+    before = len([f for f in os.listdir(p) if f.startswith("part-")])
+    assert before >= 40
+    nb, na = compact_small_files(spark, p, target_file_bytes=64 << 20)
+    assert nb == before and na < before
+    back = spark.read.parquet(p)
+    assert back.count() == 10000
+    assert back.agg({"k": "sum"}).first()[0] == sum(range(10000))
+    # idempotent: already compact → no rewrite
+    nb2, na2 = compact_small_files(spark, p, target_file_bytes=64 << 20)
+    assert nb2 == na2 == na
