@@ -442,3 +442,54 @@ def test_zorder_layout_tightens_both_columns(spark, tmp_path):
     assert footprint(zdir, "l_partkey") < 0.75
     assert footprint(pkdir, "l_orderkey") < 0.3
     assert footprint(pkdir, "l_partkey") > 0.9
+
+
+def test_oov_rate_broadcasts_vocab(spark):
+    """The ≤1000-row vocab membership probe must be a broadcast join
+    (a shuffled join would move the whole token stream twice)."""
+    from dbtransfer_spark.operators import text
+
+    df = text.QUERIES["oov_rate"](spark, SF_SMOKE)
+    assert has_broadcast_join(df)
+    plan = formatted_plan(df)
+    assert "TakeOrdered" in plan  # vocab selection: heap top-K, no global sort
+
+
+def test_incremental_dedup_is_banded_equi_join(spark):
+    """New-vs-corpus candidates must come from the (band, bucket)
+    equi-join — the asymmetric production shape, never a product."""
+    from dbtransfer_spark.operators import dedup as D
+
+    df = D.QUERIES["dedup_incremental_new_vs_corpus"](spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_session_path_topk_take_ordered(spark):
+    """Top-10 path selection must be TakeOrdered (per-partition heaps),
+    not a global sort of all paths."""
+    from dbtransfer_spark.operators import windows as W
+
+    df = W.QUERIES["session_path_topk"](spark, SF_SMOKE)
+    assert "TakeOrdered" in formatted_plan(df)
+
+
+def test_correlation_matrix_single_aggregate_no_window(spark):
+    """The moment sums must be ONE partial-aggregated pass — no window,
+    no join, no second scan of the fact table."""
+    df = Q.QUERIES["correlation_matrix"](spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "Window" not in plan
+    # one scan node (each appears once in the tree and once in details)
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    # partial + final aggregate around exactly one exchange
+    assert count_exchanges(df) == 1
+
+
+def test_event_type_user_overlap_broadcasts_size_table(spark):
+    """The ≤|types|-row size tables must broadcast onto the pair rows."""
+    from dbtransfer_spark.operators import windows as W
+
+    df = W.QUERIES["event_type_user_overlap"](spark, SF_SMOKE)
+    assert has_broadcast_join(df)
