@@ -41,6 +41,9 @@ HEADLINE = [
     "range_join_binned",       # binned no-equi-key interval join (round 4)
     "supplier_pareto",         # distributed prefix-sum shape (round 5)
     "training_data_build",     # multi-stage filter+dedup+split pipeline (round 5)
+    "gram_novelty_rate",       # first-occurrence inverted index (round 5)
+    "session_path_topk",       # sessionize + deterministic path + top-k (round 5)
+    "correlation_matrix",      # one-pass decimal moment sums (round 5)
 ]
 
 
