@@ -67,6 +67,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # DuckDB oracles by tools/diffcheck.py (results: CORRECTNESS_LOCAL.md).
 _VERIFY_FIRST = (
     # new round-5 queries
+    "unigram_freq_score",
+    "duplicate_block_ratio",
+    "shard_assignment",
     "source_temperature_allocation",
     "user_type_diversity",
     "part_price_twap",

@@ -907,3 +907,77 @@ def source_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_docs") * F.col("sx")
     )
     return sums.select("source", "n_docs", gini.alias("gini")).orderBy("source")
+
+
+_N_SHARDS = 32
+
+
+@register(
+    "shard_assignment",
+    rf"""
+    WITH assigned AS (
+      SELECT CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                  % {_N_SHARDS} AS BIGINT) AS shard,
+             n_chars
+      FROM documents
+    ),
+    per_shard AS (
+      SELECT shard,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars
+      FROM assigned GROUP BY shard
+    ),
+    total AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM per_shard)
+    SELECT shard, n_docs, total_chars,
+           CAST(n_docs * 1000000 // n_total AS BIGINT) AS docs_ppm
+    FROM per_shard, total
+    ORDER BY shard
+    """,
+)
+def shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic output-shard assignment + balance audit — the step
+    that turns a curated corpus into N equal training shards. Shard id is
+    a content-stable md5 hash of the document key (NOT monotonic ids or
+    round-robin, both of which break on re-runs and appends), so the
+    same document always lands in the same shard across incremental
+    builds. Reports per-shard doc/char totals and each shard's ppm share
+    so skew is visible before the (expensive) write.
+
+    Plan: scan-stage hash + one {n}-way partial-aggregated shuffle to
+    {n} rows, then a 1-row broadcast for the share denominator. At
+    100 TB the same expression feeds ``DataFrameWriter.partitionBy`` /
+    ``repartition(n, shard)`` directly — the audit and the layout share
+    one definition. The md5 path is the oracle-portable twin of the
+    xxhash64 production hash (same pattern as dedup's word hashes).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    shard = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+            "long"
+        ),
+        F.lit(_N_SHARDS),
+    ).cast("bigint")
+    per_shard = (
+        docs.select(shard.alias("shard"), "n_chars")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.col("n_chars").cast("decimal(18,0)")).cast("bigint").alias(
+                "total_chars"
+            ),
+        )
+    )
+    total = per_shard.agg(F.sum("n_docs").cast("bigint").alias("n_total"))
+    return (
+        per_shard.crossJoin(F.broadcast(total))
+        .select(
+            "shard",
+            "n_docs",
+            "total_chars",
+            F.expr("CAST(n_docs * 1000000 div n_total AS BIGINT)").alias("docs_ppm"),
+        )
+        .orderBy("shard")
+    )
+
+
+shard_assignment.__doc__ = shard_assignment.__doc__.format(n=_N_SHARDS)

@@ -1085,3 +1085,103 @@ def neardup_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("degree")
     )
+
+
+_BLOCK = 10  # tokens per non-overlapping block (a "paragraph" unit)
+
+
+@register(
+    "duplicate_block_ratio",
+    rf"""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS t,
+             len(string_split(text, ' ')) AS n
+      FROM documents WHERE length(text) > 0
+    ),
+    blocks AS (
+      SELECT doc_id, i.i AS block_idx,
+             md5(array_to_string(list_slice(t, i.i * {_BLOCK} + 1,
+                                            i.i * {_BLOCK} + {_BLOCK}), ' ')) AS bk
+      FROM base, UNNEST(range(n // {_BLOCK})) AS i(i)
+    ),
+    freq AS (
+      SELECT bk, CAST(count(*) AS BIGINT) AS occ FROM blocks GROUP BY bk
+    ),
+    per_doc AS (
+      SELECT b.doc_id,
+             CAST(count(*) AS BIGINT) AS n_blocks,
+             CAST(sum(CASE WHEN f.occ >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_blocks
+      FROM blocks b JOIN freq f ON b.bk = f.bk
+      GROUP BY b.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(p.n_blocks, 0) AS n_blocks,
+           coalesce(p.n_dup_blocks, 0) AS n_dup_blocks,
+           CAST(coalesce(p.n_dup_blocks, 0) * 1000000
+                // greatest(coalesce(p.n_blocks, 0), 1) AS BIGINT) AS dup_ppm,
+           (coalesce(p.n_dup_blocks, 0) * 2 <= coalesce(p.n_blocks, 0)
+            OR coalesce(p.n_blocks, 0) = 0) AS keep
+    FROM (SELECT doc_id FROM documents WHERE length(text) > 0) d
+    LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+    """,
+)
+def duplicate_block_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level (block) dedup signal, the CommonCrawl/CCNet
+    "remove documents made of duplicated paragraphs" rule: split each
+    document into non-overlapping {block}-token blocks, count global
+    occurrences of each block across the corpus, and flag documents whose
+    duplicated-block share exceeds 50%. Complements whole-doc MinHash
+    (which misses partial copies) and contamination (cross-corpus): this
+    is the *within-corpus partial-copy* detector.
+
+    Plan: narrow scan-stage block expansion (sequence/slice, fanout
+    n/{block}), md5 block keys, one block-keyed partial-aggregated count
+    shuffle, one block-keyed equi-join back, one doc-keyed re-aggregate,
+    then a left join to re-attach blockless short docs. Every shuffle is
+    keyed and linear; hot blocks (the Zipf head of boilerplate) are
+    absorbed by map-side partial aggregation, and the join fanout equals
+    the original block count. Same inverted-index scale shape as
+    contamination_check (dedup.py) — proven at the 100 TB design point.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    t = F.split("text", " ", -1)
+    base = docs.select("doc_id", t.alias("t"), F.size(t).alias("n"))
+    blocks = base.filter(F.col("n") >= _BLOCK).select(
+        "doc_id",
+        F.explode(F.expr(f"sequence(0, n div {_BLOCK} - 1)")).alias("block_idx"),
+        "t",
+    ).select(
+        "doc_id",
+        "block_idx",
+        F.md5(
+            F.concat_ws(" ", F.slice(F.col("t"), F.col("block_idx") * _BLOCK + 1, _BLOCK))
+        ).alias("bk"),
+    )
+    freq = blocks.groupBy("bk").agg(F.count(F.lit(1)).cast("bigint").alias("occ"))
+    per_doc = (
+        blocks.join(freq, "bk")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+            F.sum((F.col("occ") >= 2).cast("bigint")).cast("bigint").alias("n_dup_blocks"),
+        )
+    )
+    n_blocks = F.coalesce(F.col("n_blocks"), F.lit(0).cast("bigint"))
+    n_dup = F.coalesce(F.col("n_dup_blocks"), F.lit(0).cast("bigint"))
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_blocks.alias("n_blocks"),
+            n_dup.alias("n_dup_blocks"),
+            F.expr(
+                "CAST(coalesce(n_dup_blocks, 0) * 1000000 "
+                "div greatest(coalesce(n_blocks, 0), 1) AS BIGINT)"
+            ).alias("dup_ppm"),
+            ((n_dup * 2 <= n_blocks) | (n_blocks == 0)).alias("keep"),
+        )
+    )
+
+
+duplicate_block_ratio.__doc__ = duplicate_block_ratio.__doc__.format(block=_BLOCK)

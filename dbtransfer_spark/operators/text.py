@@ -1225,3 +1225,78 @@ def doclen_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("log2_bucket")
     )
+
+
+@register(
+    "unigram_freq_score",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      FROM documents WHERE length(text) > 0
+    ),
+    vocab AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY w
+    ),
+    total AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM vocab
+    ),
+    ppm AS (
+      SELECT w, CAST(cnt * 1000000 // n_total AS BIGINT) AS w_ppm
+      FROM vocab, total
+    ),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(p.w_ppm) AS BIGINT) AS sum_ppm
+      FROM tok t JOIN ppm p ON t.w = p.w
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_tokens,
+           CAST(sum_ppm // n_tokens AS BIGINT) AS mean_token_ppm,
+           CASE WHEN sum_ppm // n_tokens >= 20000 THEN 'common'
+                WHEN sum_ppm // n_tokens >= 5000 THEN 'mid'
+                ELSE 'rare' END AS rarity_band
+    FROM scored
+    """,
+)
+def unigram_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram-LM quality proxy: score each document by the
+    mean corpus frequency (in ppm) of its tokens — rare-token-heavy docs
+    are the usual garbage/OCR/boilerplate candidates, common-token docs
+    the fluent ones. Pure integer arithmetic (ppm floors) instead of
+    log-prob so both engines agree bit-for-bit without libm.
+
+    Plan: one token explode feeding (a) a word-keyed partial-aggregated
+    count shuffle (the vocab) and (b) a word-keyed equi-join back to the
+    occurrences, then a doc-keyed re-aggregate. All shuffles are keyed,
+    fanout linear in corpus tokens; the corpus-total is a 1-row
+    broadcast. At 100 TB the vocab join is the standard inverted-index
+    shape used by tfidf/contamination — no skew beyond natural Zipf head
+    (absorbed by partial aggregation before the shuffle).
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    tok = docs.select("doc_id", F.explode(F.split("text", " ", -1)).alias("w"))
+    vocab = tok.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").cast("bigint").alias("n_total"))
+    ppm = vocab.crossJoin(F.broadcast(total)).select(
+        "w",
+        F.expr("CAST(cnt * 1000000 div n_total AS BIGINT)").alias("w_ppm"),
+    )
+    scored = (
+        tok.join(ppm, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("w_ppm").cast("bigint").alias("sum_ppm"),
+        )
+    )
+    mean_ppm = F.expr("CAST(sum_ppm div n_tokens AS BIGINT)")
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        mean_ppm.alias("mean_token_ppm"),
+        F.when(mean_ppm >= 20000, F.lit("common"))
+        .when(mean_ppm >= 5000, F.lit("mid"))
+        .otherwise(F.lit("rare"))
+        .alias("rarity_band"),
+    )

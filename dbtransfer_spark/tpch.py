@@ -303,33 +303,33 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: orders whose total quantity exceeds a threshold —
-    aggregate-then-semi-join back to the fact.
+    aggregate-then-join back to the dimensions.
 
-    Scale: the HAVING subquery is ONE aggregate over lineitem reused as a
-    left-semi probe; Spark shares the groupBy shuffle between the filter
-    and the final per-order aggregate when keyed identically (orderkey),
-    so the plan is two orderkey shuffles + one custkey join. Quantities
-    are integral doubles, so plain double sums are exact (< 2^53) — no
-    decimal detour needed for the cross-engine hash."""
+    Scale: the reference SQL's HAVING subquery and its outer
+    ``sum(l_quantity)`` compute the SAME per-order sum, so the plan keeps
+    the aggregate's value as ``sum_qty`` instead of semi-joining and then
+    re-scanning + re-aggregating lineitem (the naive two-scan plan also
+    tempts AQE into broadcasting the full fact — measured 33 MiB / 3.2 s
+    at sf0.1). One lineitem scan, one orderkey shuffle; the filtered
+    aggregate (a few hundred rows at any SF — qty>300 is the extreme
+    tail) is materialized by its shuffle stage, so AQE's runtime stats
+    convert the orders join to broadcast exactly when it is truly small.
+    Quantities are integral doubles, so plain double sums are exact
+    (< 2^53) — no decimal detour needed for the cross-engine hash."""
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
     big = (
         lineitem.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("__q"))
-        .filter(F.col("__q") > 300)
-        .select("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
     )
     return (
-        orders.join(
-            big.withColumnRenamed("l_orderkey", "__big_orderkey"),
-            F.col("o_orderkey") == F.col("__big_orderkey"),
-            "left_semi",
-        )
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(customer, F.col("o_custkey") == F.col("c_custkey"))
-        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty"
+        )
         .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
         .limit(100)
     )
