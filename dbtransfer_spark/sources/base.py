@@ -73,6 +73,8 @@ def get_source(spark: SparkSession, cfg: DBConfig) -> Source:
     t = (cfg.type or "").lower()
     if t in ("", "parquet"):
         return parquet.ParquetSource(spark, cfg)
+    if t == "orc":
+        return parquet.OrcSource(spark, cfg)
     if t in ("jsonl", "json"):
         return files.JsonlSource(spark, cfg)
     if t == "csv":
@@ -92,6 +94,8 @@ def get_sink(spark: SparkSession, cfg: DBConfig) -> Sink:
     t = (cfg.type or "").lower()
     if t in ("", "parquet"):
         return parquet.ParquetSink(spark, cfg)
+    if t == "orc":
+        return parquet.OrcSink(spark, cfg)
     if t in ("jsonl", "json"):
         return files.JsonlSink(spark, cfg)
     if t == "csv":

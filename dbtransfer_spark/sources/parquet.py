@@ -29,11 +29,14 @@ from dbtransfer_spark.sources.base import Sink, Source
 
 
 class ParquetSource(Source):
+    FORMAT = "parquet"  # any self-describing splittable columnar format
+    EXT = "parquet"
+
     def _path(self, name: str) -> str:
-        return os.path.join(self.cfg.database, f"{name}.parquet")
+        return os.path.join(self.cfg.database, f"{name}.{self.EXT}")
 
     def read(self, table: TableMapping) -> DataFrame:
-        return self.spark.read.parquet(self._path(table.name))
+        return self.spark.read.format(self.FORMAT).load(self._path(table.name))
 
     def detect_primary_key(self, table: TableMapping) -> list[str]:
         if table.primary_key:
@@ -51,12 +54,15 @@ class ParquetSource(Source):
 
 
 class ParquetSink(Sink):
+    FORMAT = "parquet"
+    EXT = "parquet"
+
     def __init__(self, spark, cfg, partition_by: list[str] | None = None):
         super().__init__(spark, cfg)
         self.partition_by = partition_by or []
 
     def _path(self, name: str) -> str:
-        return os.path.join(self.cfg.database, f"{name}.parquet")
+        return os.path.join(self.cfg.database, f"{name}.{self.EXT}")
 
     def upsert(self, df: DataFrame, table: TableMapping, key_columns: list[str]) -> int:
         target = self._path(table.effective_target)
@@ -66,9 +72,9 @@ class ParquetSink(Sink):
             writer = df.write.mode("overwrite")
             if self.partition_by:
                 writer = writer.partitionBy(*self.partition_by)
-            writer.parquet(target)
+            writer.format(self.FORMAT).save(target)
             return n_new
-        existing = self.spark.read.parquet(target)
+        existing = self.spark.read.format(self.FORMAT).load(target)
         if self.partition_by:
             # Rewrite only affected partitions (dynamic overwrite). The
             # merged batch is staged to a scratch dir first: Spark's file
@@ -81,14 +87,15 @@ class ParquetSink(Sink):
             kept = affected.join(df.select(*key_columns), key_columns, "left_anti")
             merged = kept.unionByName(df)
             tmp = f"{target}.__staging_{uuid.uuid4().hex[:8]}"
-            merged.write.mode("overwrite").parquet(tmp)
+            merged.write.mode("overwrite").format(self.FORMAT).save(tmp)
             try:
                 (
-                    self.spark.read.parquet(tmp)
+                    self.spark.read.format(self.FORMAT).load(tmp)
                     .write.mode("overwrite")
                     .option("partitionOverwriteMode", "dynamic")
                     .partitionBy(*self.partition_by)
-                    .parquet(target)
+                    .format(self.FORMAT)
+                    .save(target)
                 )
             finally:
                 shutil.rmtree(tmp, ignore_errors=True)
@@ -97,9 +104,28 @@ class ParquetSink(Sink):
         merged = kept.unionByName(df)
         # Cannot overwrite a path while lazily reading it: stage then swap.
         tmp = f"{target}.__staging_{uuid.uuid4().hex[:8]}"
-        merged.write.mode("overwrite").parquet(tmp)
+        merged.write.mode("overwrite").format(self.FORMAT).save(tmp)
         old = f"{target}.__old_{uuid.uuid4().hex[:8]}"
         os.replace(target, old) if os.path.isfile(target) else shutil.move(target, old)
         shutil.move(tmp, target)
         shutil.rmtree(old, ignore_errors=True)
         return n_new
+
+
+class OrcSource(ParquetSource):
+    """ORC source — same self-describing columnar contract as parquet
+    (schema embedded, splittable stripes, predicate pushdown + column
+    pruning via the native Spark reader). Hive-ecosystem exports arrive
+    as ORC; the engine treats it as a first-class table directory of
+    ``<table>.orc``."""
+
+    FORMAT = "orc"
+    EXT = "orc"
+
+
+class OrcSink(ParquetSink):
+    """ORC sink with the identical idempotent merge-by-key upsert and
+    dynamic-partition-overwrite scale path as the parquet sink."""
+
+    FORMAT = "orc"
+    EXT = "orc"

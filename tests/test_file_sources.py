@@ -112,3 +112,52 @@ def test_jsonl_sink_upsert_is_idempotent_and_merges(spark, tmp_path):
         for r in spark.read.json(str(tmp_path / "dst" / "t.jsonl")).collect()
     }
     assert again == got
+
+
+def test_engine_transfers_orc_roundtrip(spark, tmp_path):
+    """ORC source → engine → ORC sink, then an overlapping second batch:
+    the merge-by-key upsert contract must hold format-independently."""
+    from dbtransfer_spark.sources.parquet import OrcSink, OrcSource
+
+    src_dir = tmp_path / "src"
+    os.makedirs(src_dir)
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    spark.createDataFrame(
+        [(i, f"n{i}", float(i)) for i in range(50)], schema
+    ).write.mode("overwrite").orc(str(src_dir / "t.orc"))
+
+    cfg = Config(
+        source=DBConfig(
+            type="orc",
+            database=str(src_dir),
+            tables=[TableMapping(name="t", primary_key="id")],
+        ),
+        destination=DBConfig(type="orc", database=str(tmp_path / "out")),
+        migration=MigrationConfig(checkpoint_dir=str(tmp_path / "ckpt")),
+    )
+    cfg.set_defaults()
+    results = TransferEngine(spark, cfg).run()
+    assert "error" not in results["t"], results["t"]
+    out = spark.read.orc(str(tmp_path / "out" / "t.orc"))
+    assert out.count() == 50
+    assert set(out.columns) == {"id", "name", "score"}
+
+    # overlapping upsert straight through the sink
+    sink = OrcSink(spark, DBConfig(type="orc", database=str(tmp_path / "out")))
+    batch = spark.createDataFrame([(1, "UPDATED", 1.0), (50, "new", 50.0)], schema)
+    sink.upsert(batch, TableMapping(name="t"), ["id"])
+    got = spark.read.orc(str(tmp_path / "out" / "t.orc"))
+    assert got.count() == 51
+    assert got.filter("id = 1").first()["name"] == "UPDATED"
+
+    # source class reads what the sink wrote
+    src = OrcSource(spark, DBConfig(type="orc", database=str(tmp_path / "out")))
+    assert src.table_exists(TableMapping(name="t"))
+    assert src.read(TableMapping(name="t")).count() == 51
+    assert src.detect_primary_key(TableMapping(name="t", primary_key="id")) == ["id"]
