@@ -67,6 +67,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # DuckDB oracles by tools/diffcheck.py (results: CORRECTNESS_LOCAL.md).
 _VERIFY_FIRST = (
     # new round-5 queries
+    "knn_label_accuracy",
+    "mad_outlier_brand_prices",
+    "negative_sampling_ring",
     "unigram_freq_score",
     "duplicate_block_ratio",
     "shard_assignment",

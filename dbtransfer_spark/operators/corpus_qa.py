@@ -981,3 +981,71 @@ def shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 shard_assignment.__doc__ = shard_assignment.__doc__.format(n=_N_SHARDS)
+
+
+_N_NEGATIVES = 3
+
+
+@register(
+    "negative_sampling_ring",
+    rf"""
+    WITH n AS (SELECT CAST(max(doc_id) + 1 AS BIGINT) AS n_docs FROM documents),
+    cand AS (
+      SELECT d.doc_id, j.j,
+             CAST(CAST(('0x' || substr(md5(d.doc_id || ':' || j.j), 1, 15)) AS BIGINT)
+                  % n.n_docs AS BIGINT) AS neg_doc_id
+      FROM documents d, n, UNNEST([1, 2, 3]) AS j(j)
+    )
+    SELECT c.doc_id, c.j, c.neg_doc_id, t.source AS neg_source
+    FROM cand c JOIN documents t ON c.neg_doc_id = t.doc_id
+    WHERE c.neg_doc_id <> c.doc_id
+    """,
+)
+def negative_sampling_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training pairs:
+    each document draws up to {k} pseudo-random partners via a
+    content-stable md5 hash ring over the id domain — no RNG state, so
+    re-runs, resumes, and incremental appends reproduce the same pairs
+    (the property Spark's ``rand()`` cannot give across retries). The
+    join back to the corpus keeps only partners that exist (sparse id
+    domains) and the self-pair filter makes {k} an upper bound.
+
+    Plan: narrow 1→{k} expansion at the scan, a 1-row broadcast for the
+    ring modulus, then ONE id-keyed equi-join against the corpus —
+    linear fanout, uniformly hashed keys (md5 output is uniform, so no
+    skew regardless of input distribution). The md5 path is the
+    oracle-portable twin of the xxhash64 production hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.agg((F.max("doc_id") + 1).cast("bigint").alias("n_docs"))
+    cand = (
+        docs.select("doc_id")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(1, {_N_NEGATIVES})")).alias("j"),
+            "n_docs",
+        )
+        .select(
+            "doc_id",
+            "j",
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws(":", F.col("doc_id"), F.col("j"))), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.col("n_docs"),
+            ).cast("bigint").alias("neg_doc_id"),
+        )
+    )
+    targets = docs.select(
+        F.col("doc_id").alias("neg_doc_id"), F.col("source").alias("neg_source")
+    )
+    return cand.join(targets, "neg_doc_id").filter(
+        F.col("neg_doc_id") != F.col("doc_id")
+    ).select("doc_id", "j", "neg_doc_id", "neg_source")
+
+
+negative_sampling_ring.__doc__ = negative_sampling_ring.__doc__.format(k=_N_NEGATIVES)

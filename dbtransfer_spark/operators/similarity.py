@@ -1142,3 +1142,119 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "knn_label_accuracy",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec, label AS true_label
+               FROM embeddings WHERE vec_id < 50),
+    scored AS (
+      SELECT q.query_id, q.true_label, e.label AS n_label,
+             list_inner_product(
+               list_transform(q.q_vec, x -> CAST(x AS DOUBLE)),
+               list_transform(e.embedding, x -> CAST(x AS DOUBLE)))
+             / (sqrt(list_inner_product(list_transform(q.q_vec, x -> CAST(x AS DOUBLE)),
+                                        list_transform(q.q_vec, x -> CAST(x AS DOUBLE))))
+              * sqrt(list_inner_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                                        list_transform(e.embedding, x -> CAST(x AS DOUBLE)))))
+               AS cos_sim,
+             e.vec_id AS neighbor_id
+      FROM embeddings e, q WHERE e.vec_id <> q.query_id
+    ),
+    topk AS (
+      SELECT query_id, true_label, n_label FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM scored
+      ) WHERE rank <= 5
+    ),
+    votes AS (
+      SELECT query_id, true_label, n_label,
+             CAST(count(*) AS BIGINT) AS n_votes
+      FROM topk GROUP BY query_id, true_label, n_label
+    ),
+    pred AS (
+      SELECT query_id, true_label, n_label AS pred_label FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY n_votes DESC, n_label) AS vr
+        FROM votes
+      ) WHERE vr = 1
+    )
+    SELECT true_label,
+           CAST(count(*) AS BIGINT) AS n_probes,
+           CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct,
+           CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS accuracy_ppm
+    FROM pred GROUP BY true_label ORDER BY true_label
+    """,
+)
+def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-classifier label agreement — the standard embedding-quality
+    eval: predict each probe's label by majority vote of its top-5
+    cosine neighbors (deterministic tie-breaks: neighbor id within the
+    rank window, smallest label among tied votes) and report per-class
+    accuracy. Low agreement = embeddings don't cluster by label = the
+    encoder (or the labels) need attention before any ANN index is
+    built on them.
+
+    Plan: the probe set is a fixed-size broadcast against the corpus
+    (same bounded cross as knn_bruteforce_cosine — never corpus×corpus),
+    then two narrow windows over ≤ k·|probes| rows and a ≤ |classes|-row
+    aggregate. At 100 TB the probe set stays O(100s) and the scan
+    dominates — linear, one pass over the embeddings."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("label").alias("true_label"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_vec"),
+        F.col("label").alias("n_label"),
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(probes))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "true_label",
+            "n_label",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    topk = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "true_label", "n_label")
+    )
+    votes = topk.groupBy("query_id", "true_label", "n_label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_votes")
+    )
+    vw = Window.partitionBy("query_id").orderBy(F.desc("n_votes"), "n_label")
+    pred = (
+        votes.withColumn("vr", F.row_number().over(vw))
+        .filter(F.col("vr") == 1)
+        .select("query_id", "true_label", F.col("n_label").alias("pred_label"))
+    )
+    correct = (F.col("pred_label") == F.col("true_label")).cast("bigint")
+    return (
+        pred.groupBy("true_label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+            F.sum(correct).cast("bigint").alias("n_correct"),
+        )
+        .select(
+            "true_label",
+            "n_probes",
+            "n_correct",
+            F.expr("CAST(n_correct * 1000000 div n_probes AS BIGINT)").alias(
+                "accuracy_ppm"
+            ),
+        )
+        .orderBy("true_label")
+    )

@@ -2460,3 +2460,101 @@ def part_price_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_partkey")
     )
+
+
+@register(
+    "mad_outlier_brand_prices",
+    """
+    WITH c AS (
+      SELECT p_brand, p_partkey,
+             CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+      FROM part
+    ),
+    ranked AS (
+      SELECT p_brand, cents,
+             row_number() OVER (PARTITION BY p_brand ORDER BY cents, p_partkey) AS rn,
+             count(*) OVER (PARTITION BY p_brand) AS n
+      FROM c
+    ),
+    med AS (
+      SELECT p_brand, cents AS median_cents FROM ranked WHERE rn = (n + 1) // 2
+    ),
+    dev AS (
+      SELECT c.p_brand, c.p_partkey, c.cents,
+             abs(c.cents - m.median_cents) AS adev, m.median_cents
+      FROM c JOIN med m ON c.p_brand = m.p_brand
+    ),
+    dranked AS (
+      SELECT p_brand, adev,
+             row_number() OVER (PARTITION BY p_brand ORDER BY adev, p_partkey) AS rn,
+             count(*) OVER (PARTITION BY p_brand) AS n
+      FROM dev
+    ),
+    mad AS (
+      SELECT p_brand, adev AS mad_cents FROM dranked WHERE rn = (n + 1) // 2
+    )
+    SELECT d.p_brand,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(max(d.median_cents) AS BIGINT) AS median_cents,
+           CAST(max(m.mad_cents) AS BIGINT) AS mad_cents,
+           CAST(sum(CASE WHEN d.adev > 3 * m.mad_cents THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers
+    FROM dev d JOIN mad m ON d.p_brand = m.p_brand
+    GROUP BY d.p_brand ORDER BY d.p_brand
+    """,
+)
+def mad_outlier_brand_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) per-brand price outlier detection — the QA
+    rule that survives the exact heavy tails that break mean/stddev
+    z-scores. Exact lower-median by window position over integer cents
+    (rank (n+1)/2), exact MAD the same way over absolute deviations,
+    outlier = deviation > 3·MAD; all integer arithmetic, bit-identical
+    across engines.
+
+    Plan: two brand-partitioned sort windows over the part table plus a
+    25-row broadcast join back — parallelism is bounded by |brands| here,
+    which is fine for a bounded dimension; for a high-cardinality or
+    skewed group key the exact positional median swaps to
+    ``percentile_approx`` (one partial-aggregated pass, no sort) and the
+    3·MAD rule is unchanged. Output is |brands| rows."""
+    part = load_table(spark, sf_dir, "part")
+    c = part.select(
+        "p_brand",
+        "p_partkey",
+        F.expr("CAST(round(p_retailprice * 100) AS BIGINT)").alias("cents"),
+    )
+    w = Window.partitionBy("p_brand").orderBy("cents", "p_partkey")
+    wn = Window.partitionBy("p_brand")
+    med = (
+        c.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .filter(F.expr("rn = (n + 1) div 2"))
+        .select("p_brand", F.col("cents").alias("median_cents"))
+    )
+    dev = c.join(F.broadcast(med), "p_brand").select(
+        "p_brand",
+        "p_partkey",
+        "cents",
+        F.abs(F.col("cents") - F.col("median_cents")).alias("adev"),
+        "median_cents",
+    )
+    dw = Window.partitionBy("p_brand").orderBy("adev", "p_partkey")
+    mad = (
+        dev.withColumn("rn", F.row_number().over(dw))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .filter(F.expr("rn = (n + 1) div 2"))
+        .select("p_brand", F.col("adev").alias("mad_cents"))
+    )
+    return (
+        dev.join(F.broadcast(mad), "p_brand")
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.max("median_cents").cast("bigint").alias("median_cents"),
+            F.max("mad_cents").cast("bigint").alias("mad_cents"),
+            F.sum(
+                (F.col("adev") > 3 * F.col("mad_cents")).cast("bigint")
+            ).cast("bigint").alias("n_outliers"),
+        )
+        .orderBy("p_brand")
+    )

@@ -371,3 +371,80 @@ def test_embedding_dim_stats_shape(spark):
     assert len(rows) == 64
     for r in rows:
         assert r["min_micro"] <= r["mean_micro"] <= r["max_micro"]
+
+
+def test_knn_label_accuracy_invariants(spark):
+    from dbtransfer_spark.operators.similarity import QUERIES
+
+    rows = QUERIES["knn_label_accuracy"](spark, SF_SMOKE).collect()
+    assert sum(r["n_probes"] for r in rows) == 50  # every probe classified once
+    for r in rows:
+        assert 0 <= r["n_correct"] <= r["n_probes"]
+        assert 0 <= r["accuracy_ppm"] <= 1_000_000
+
+def test_mad_outliers_bounded_and_nonnegative(spark):
+    from dbtransfer_spark.queries import QUERIES
+
+    rows = QUERIES["mad_outlier_brand_prices"](spark, SF_SMOKE).collect()
+    assert len(rows) == 25  # one row per brand
+    for r in rows:
+        assert r["mad_cents"] >= 0
+        assert 0 <= r["n_outliers"] <= r["n_parts"]
+        # the median itself deviates 0 ≤ 3·MAD, so never all-outliers
+        if r["n_parts"] > 1:
+            assert r["n_outliers"] < r["n_parts"], r
+
+
+def test_negative_sampling_no_self_pairs_and_bounded(spark):
+    from dbtransfer_spark.operators.corpus_qa import QUERIES
+
+    df = QUERIES["negative_sampling_ring"](spark, SF_SMOKE)
+    rows = df.collect()
+    assert all(r["doc_id"] != r["neg_doc_id"] for r in rows)
+    from collections import Counter
+
+    per_doc = Counter(r["doc_id"] for r in rows)
+    assert max(per_doc.values()) <= 3
+    # determinism: a second evaluation yields the identical pair set
+    again = {(r["doc_id"], r["j"], r["neg_doc_id"]) for r in df.collect()}
+    assert {(r["doc_id"], r["j"], r["neg_doc_id"]) for r in rows} == again
+
+
+def test_duplicate_block_ratio_bounds(spark):
+    from dbtransfer_spark.operators.dedup import QUERIES
+
+    rows = QUERIES["duplicate_block_ratio"](spark, SF_SMOKE).collect()
+    for r in rows:
+        assert 0 <= r["n_dup_blocks"] <= r["n_blocks"]
+        assert 0 <= r["dup_ppm"] <= 1_000_000
+        if r["n_blocks"] == 0:
+            assert r["keep"]
+
+
+def test_shard_assignment_covers_all_docs(spark):
+    from dbtransfer_spark.operators.corpus_qa import QUERIES
+
+    rows = QUERIES["shard_assignment"](spark, SF_SMOKE).collect()
+    assert all(0 <= r["shard"] < 32 for r in rows)
+    total_ppm = sum(r["docs_ppm"] for r in rows)
+    assert 1_000_000 - 32 <= total_ppm <= 1_000_000  # floor loses <1 ppm/shard
+    import duckdb
+
+    n_docs = duckdb.sql(
+        f"SELECT count(*) FROM '{SF_SMOKE}/documents.parquet'"
+    ).fetchone()[0]
+    assert sum(r["n_docs"] for r in rows) == n_docs
+
+
+def test_unigram_freq_score_band_consistency(spark):
+    from dbtransfer_spark.operators.text import QUERIES
+
+    rows = QUERIES["unigram_freq_score"](spark, SF_SMOKE).collect()
+    for r in rows:
+        assert 0 <= r["mean_token_ppm"] <= 1_000_000
+        band = (
+            "common" if r["mean_token_ppm"] >= 20000
+            else "mid" if r["mean_token_ppm"] >= 5000
+            else "rare"
+        )
+        assert r["rarity_band"] == band

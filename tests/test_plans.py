@@ -204,6 +204,12 @@ _FIXED_SIDE_CROSSJOINS = {
     "quantity_quartile_bins",
     # one-row unigram-total broadcast
     "bigram_pmi_top",
+    # one-row corpus-total / ring-modulus broadcasts
+    "unigram_freq_score",
+    "shard_assignment",
+    "negative_sampling_ring",
+    # fixed-size probe-set broadcast (same bound as knn_bruteforce)
+    "knn_label_accuracy",
     # k×d centroid-table broadcast (k=8 rows, fixed size at any SF)
     "kmeans_lloyd",
 }
