@@ -67,6 +67,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # DuckDB oracles by tools/diffcheck.py (results: CORRECTNESS_LOCAL.md).
 _VERIFY_FIRST = (
     # new round-5 queries
+    "vocab_coverage_curve",
+    "source_length_percentiles",
+    "join_key_skew_profile",
     "knn_label_accuracy",
     "mad_outlier_brand_prices",
     "negative_sampling_ring",

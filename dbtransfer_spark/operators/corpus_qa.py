@@ -1049,3 +1049,62 @@ def negative_sampling_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 negative_sampling_ring.__doc__ = negative_sampling_ring.__doc__.format(k=_N_NEGATIVES)
+
+
+@register(
+    "source_length_percentiles",
+    """
+    WITH ranked AS (
+      SELECT source, n_chars,
+             row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM documents
+    )
+    SELECT source,
+           CAST(max(n) AS BIGINT) AS n_docs,
+           CAST(max(CASE WHEN rn = (n * 50 + 99) // 100 THEN n_chars END) AS BIGINT) AS p50_chars,
+           CAST(max(CASE WHEN rn = (n * 90 + 99) // 100 THEN n_chars END) AS BIGINT) AS p90_chars,
+           CAST(max(CASE WHEN rn = (n * 99 + 99) // 100 THEN n_chars END) AS BIGINT) AS p99_chars
+    FROM ranked GROUP BY source ORDER BY source
+    """,
+)
+def source_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source document-length percentiles (p50/p90/p99, lower
+    percentile_disc semantics via the positional rank ceil(q·n)) — the
+    distribution report that catches a source whose scrape broke (p50
+    collapses) or started shipping concatenated pages (p99 explodes)
+    before it poisons chunking and packing budgets.
+
+    Plan: one source-partitioned sort window + a |sources|-row aggregate.
+    Parallelism is bounded by |sources|, acceptable for a bounded
+    dimension; for per-domain percentiles over millions of domains the
+    positional window swaps to percentile_approx (partial-aggregated,
+    no sort) with the same report shape. Integer rank arithmetic keeps
+    both engines bit-identical — no interpolation, no libm."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    wn = Window.partitionBy("source")
+    ranked = docs.select(
+        "source",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def at(pct: int):
+        return F.max(
+            F.when(
+                F.col("rn") == F.expr(f"(n * {pct} + 99) div 100"), F.col("n_chars")
+            )
+        ).cast("bigint")
+
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.max("n").cast("bigint").alias("n_docs"),
+            at(50).alias("p50_chars"),
+            at(90).alias("p90_chars"),
+            at(99).alias("p99_chars"),
+        )
+        .orderBy("source")
+    )

@@ -14,7 +14,7 @@ identical to the unsalted join, which the oracle asserts.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dbtransfer_spark.catalog import load_table
@@ -75,4 +75,65 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("value").cast("decimal(30,10)")), 2)
         .cast("double")
         .alias("total_value"),
+    )
+
+
+@register(
+    "join_key_skew_profile",
+    """
+    WITH k AS (
+      SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_rows
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    total AS (SELECT CAST(sum(n_rows) AS BIGINT) AS n_total,
+                     CAST(count(*) AS BIGINT) AS n_keys FROM k),
+    top AS (
+      SELECT l_orderkey, n_rows,
+             row_number() OVER (ORDER BY n_rows DESC, l_orderkey) AS rnk
+      FROM k
+    )
+    SELECT t.rnk, t.l_orderkey, t.n_rows,
+           CAST(t.n_rows * 1000000 // x.n_total AS BIGINT) AS share_ppm,
+           CAST(t.n_rows * x.n_keys * 100 // x.n_total AS BIGINT) AS x_mean_pct
+    FROM top t, total x
+    WHERE t.rnk <= 20
+    ORDER BY t.rnk
+    """,
+)
+def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic: the 20 heaviest lineitem join keys with
+    their corpus share (ppm) and multiple-of-mean — the pre-flight that
+    decides whether a shuffle join needs salting / AQE skew-split before
+    it runs (a key at >5% of rows will straggle one reducer at any
+    parallelism). This is the measurement half of the salted-join
+    operator in this module.
+
+    Plan: one partial-aggregated key-count shuffle, a TakeOrdered top-20
+    (never a full sort of the key histogram), one 1-row total broadcast.
+    Linear in the fact, output fixed at 20 rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    k = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    total = k.agg(
+        F.sum("n_rows").cast("bigint").alias("n_total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+    )
+    top = (
+        k.orderBy(F.desc("n_rows"), "l_orderkey")
+        .limit(20)
+        .withColumn(
+            "rnk", F.row_number().over(Window.orderBy(F.desc("n_rows"), "l_orderkey"))
+        )
+    )
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            "rnk",
+            "l_orderkey",
+            "n_rows",
+            F.expr("CAST(n_rows * 1000000 div n_total AS BIGINT)").alias("share_ppm"),
+            F.expr("CAST(n_rows * n_keys * 100 div n_total AS BIGINT)").alias(
+                "x_mean_pct"
+            ),
+        )
+        .orderBy("rnk")
     )

@@ -1300,3 +1300,87 @@ def unigram_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("rare"))
         .alias("rarity_band"),
     )
+
+
+_COVERAGE_CUTOFFS = (100, 1000, 10000)
+
+
+@register(
+    "vocab_coverage_curve",
+    f"""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS w
+      FROM documents WHERE length(text) > 0
+    ),
+    vocab AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY w
+    ),
+    ranked AS (
+      SELECT cnt, row_number() OVER (ORDER BY cnt DESC, w) AS rnk FROM vocab
+    ),
+    total AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total,
+                     CAST(count(*) AS BIGINT) AS n_vocab FROM vocab)
+    SELECT c.cutoff,
+           CAST(sum(CASE WHEN r.rnk <= c.cutoff THEN r.cnt ELSE 0 END) AS BIGINT)
+             AS covered_tokens,
+           max(t.n_total) AS total_tokens,
+           CAST(sum(CASE WHEN r.rnk <= c.cutoff THEN r.cnt ELSE 0 END) * 1000000
+                // max(t.n_total) AS BIGINT) AS coverage_ppm,
+           max(t.n_vocab) AS vocab_size
+    FROM ranked r, total t, UNNEST([{", ".join(str(c) for c in _COVERAGE_CUTOFFS)}]) AS c(cutoff)
+    GROUP BY c.cutoff ORDER BY c.cutoff
+    """,
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve — what share of all token occurrences
+    the top-N most frequent words cover, at N = {cutoffs}. THE sizing
+    input for tokenizer vocab budgets and OOV expectations (Zipf means
+    the curve saturates fast; a corpus where it doesn't is noisy).
+
+    Plan: one word-count shuffle (partial-aggregated), then TakeOrdered
+    of the top max(N) vocab rows to the driver-side of a broadcast —
+    NEVER a global sort of the full vocab: the ranked prefix we need is
+    bounded by the largest cutoff ({maxn} rows) regardless of corpus
+    size, and coverage sums come from one more pass over the bounded
+    prefix plus the corpus-total 1-row aggregate. Output |cutoffs| rows."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    tok = docs.select(F.explode(F.split("text", " ", -1)).alias("w"))
+    vocab = tok.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    total = vocab.agg(
+        F.sum("cnt").cast("bigint").alias("n_total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_vocab"),
+    )
+    maxn = max(_COVERAGE_CUTOFFS)
+    # TakeOrdered top-maxn prefix: bounded rows, no full-vocab sort.
+    prefix = (
+        vocab.orderBy(F.desc("cnt"), "w")
+        .limit(maxn)
+        .withColumn(
+            "rnk", F.row_number().over(Window.orderBy(F.desc("cnt"), "w"))
+        )
+    )
+    cutoffs = F.explode(
+        F.array(*[F.lit(c) for c in _COVERAGE_CUTOFFS])
+    ).alias("cutoff")
+    return (
+        prefix.crossJoin(F.broadcast(total))
+        .select("rnk", "cnt", "n_total", "n_vocab", cutoffs)
+        .groupBy("cutoff")
+        .agg(
+            F.sum(
+                F.when(F.col("rnk") <= F.col("cutoff"), F.col("cnt")).otherwise(0)
+            ).cast("bigint").alias("covered_tokens"),
+            F.max("n_total").alias("total_tokens"),
+            F.expr(
+                "CAST(sum(CASE WHEN rnk <= cutoff THEN cnt ELSE 0 END) * 1000000 "
+                "div max(n_total) AS BIGINT)"
+            ).alias("coverage_ppm"),
+            F.max("n_vocab").alias("vocab_size"),
+        )
+        .orderBy("cutoff")
+    )
+
+
+vocab_coverage_curve.__doc__ = vocab_coverage_curve.__doc__.format(
+    cutoffs=_COVERAGE_CUTOFFS, maxn=max(_COVERAGE_CUTOFFS)
+)

@@ -448,3 +448,36 @@ def test_unigram_freq_score_band_consistency(spark):
             else "rare"
         )
         assert r["rarity_band"] == band
+
+
+def test_vocab_coverage_monotone_in_cutoff(spark):
+    from dbtransfer_spark.operators.text import QUERIES
+
+    rows = QUERIES["vocab_coverage_curve"](spark, SF_SMOKE).collect()
+    assert [r["cutoff"] for r in rows] == [100, 1000, 10000]
+    cov = [r["coverage_ppm"] for r in rows]
+    assert cov == sorted(cov)  # more vocab never covers less
+    assert all(0 <= c <= 1_000_000 for c in cov)
+    # the fixture vocab is tiny → top-10000 covers everything
+    assert rows[-1]["covered_tokens"] == rows[-1]["total_tokens"]
+
+
+def test_source_length_percentiles_ordered(spark):
+    from dbtransfer_spark.operators.corpus_qa import QUERIES
+
+    rows = QUERIES["source_length_percentiles"](spark, SF_SMOKE).collect()
+    for r in rows:
+        assert r["p50_chars"] <= r["p90_chars"] <= r["p99_chars"], r
+        assert r["n_docs"] > 0
+
+
+def test_join_key_skew_profile_shape(spark):
+    from dbtransfer_spark.operators.skew import QUERIES
+
+    rows = QUERIES["join_key_skew_profile"](spark, SF_SMOKE).collect()
+    assert len(rows) == 20
+    shares = [r["n_rows"] for r in rows]
+    assert shares == sorted(shares, reverse=True)
+    assert all(r["share_ppm"] <= 1_000_000 for r in rows)
+    # TPC-H orderkeys are near-uniform (≤7 lines/order): no real skew
+    assert rows[0]["x_mean_pct"] < 500

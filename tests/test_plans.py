@@ -208,6 +208,8 @@ _FIXED_SIDE_CROSSJOINS = {
     "unigram_freq_score",
     "shard_assignment",
     "negative_sampling_ring",
+    "vocab_coverage_curve",
+    "join_key_skew_profile",
     # fixed-size probe-set broadcast (same bound as knn_bruteforce)
     "knn_label_accuracy",
     # k×d centroid-table broadcast (k=8 rows, fixed size at any SF)
