@@ -317,3 +317,33 @@ def run_stream_to_memory(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def enriched_event_stream(
+    spark: SparkSession, source_dir: str, sf_dir: str
+) -> DataFrame:
+    """Stream-static enrichment join: the event stream joined to the
+    (batch) customer dimension on user id — the canonical "decorate the
+    firehose with slowly-changing reference data" pattern. The static
+    side is planned per micro-batch, so a dimension refresh (new parquet
+    files) is picked up without restarting the query; no watermark or
+    state is needed because the static side never buffers.
+
+    Scale: Spark broadcasts the dimension when small; a 100 TB-scale
+    dimension would instead be pre-bucketed on the join key so each
+    micro-batch does a co-located join. Left join keeps events whose
+    user is not (yet) in the dimension — the late-arriving-dimension
+    reality of CDC-fed reference tables."""
+    from dbtransfer_spark.catalog import load_table
+
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_name").alias("user_name"),
+        F.col("c_mktsegment").alias("user_segment"),
+    )
+    return (
+        read_event_stream(spark, source_dir)
+        .join(dim, "user_id", "left")
+        .select("event_id", "ts", "user_id", "event_type", "value",
+                "user_name", "user_segment")
+    )

@@ -204,3 +204,30 @@ def test_last_touch_stream_matches_batch(spark, events_dir):
         assert got[t]["attributed_value"] == pytest.approx(
             want[t]["attributed_value"], abs=1e-9
         )
+
+
+def test_enriched_stream_matches_batch_join(spark, events_dir):
+    from dbtransfer_spark.streaming.incremental import enriched_event_stream
+
+    streamed = run_stream_to_memory(
+        spark,
+        enriched_event_stream(spark, events_dir, SF_SMOKE),
+        "enrich_stream_test",
+        output_mode="append",
+    )
+    dim = load_table(spark, SF_SMOKE, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_name").alias("user_name"),
+        F.col("c_mktsegment").alias("user_segment"),
+    )
+    batch = (
+        load_table(spark, SF_SMOKE, "events")
+        .join(dim, "user_id", "left")
+        .select("event_id", "ts", "user_id", "event_type", "value",
+                "user_name", "user_segment")
+    )
+    assert streamed.count() == batch.count()
+    assert streamed.exceptAll(batch).count() == 0
+    # events with no matching dimension row survive (left join)
+    n_unmatched = streamed.filter(F.col("user_name").isNull()).count()
+    assert n_unmatched == batch.filter(F.col("user_name").isNull()).count()
