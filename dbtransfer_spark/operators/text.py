@@ -1282,12 +1282,20 @@ def unigram_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "w",
         F.expr("CAST(cnt * 1000000 div n_total AS BIGINT)").alias("w_ppm"),
     )
+    # Pre-aggregate to (doc, word) counts BEFORE the vocab join: the
+    # occurrence stream is Zipf-skewed on w ("the" floods one reducer),
+    # but (doc_id, w) is near-uniform and the pre-agg shrinks the join
+    # input to distinct words per doc; the residual per-word skew on the
+    # join (≤ one row per containing doc) is AQE skew-join territory.
+    doc_words = tok.groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
     scored = (
-        tok.join(ppm, "w")
+        doc_words.join(ppm, "w")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-            F.sum("w_ppm").cast("bigint").alias("sum_ppm"),
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("c") * F.col("w_ppm")).cast("bigint").alias("sum_ppm"),
         )
     )
     mean_ppm = F.expr("CAST(sum_ppm div n_tokens AS BIGINT)")
