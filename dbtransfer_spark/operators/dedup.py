@@ -1185,3 +1185,121 @@ def duplicate_block_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 duplicate_block_ratio.__doc__ = duplicate_block_ratio.__doc__.format(block=_BLOCK)
+
+
+_CONTAIN_DF_CAP = 20     # drop blocks present in more docs (boilerplate)
+_CONTAIN_MIN_PPM = 500_000  # report pairs covering ≥50% of the smaller doc
+
+
+@register(
+    "block_containment_pairs",
+    rf"""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS t,
+             len(string_split(text, ' ')) AS n
+      FROM documents WHERE length(text) > 0
+    ),
+    blocks AS (
+      SELECT DISTINCT doc_id,
+             md5(array_to_string(list_slice(t, i.i * {_BLOCK} + 1,
+                                            i.i * {_BLOCK} + {_BLOCK}), ' ')) AS bk
+      FROM base, UNNEST(range(n // {_BLOCK})) AS i(i)
+    ),
+    nb AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks FROM blocks GROUP BY doc_id
+    ),
+    rare AS (
+      SELECT bk FROM blocks GROUP BY bk
+      HAVING count(*) BETWEEN 2 AND {_CONTAIN_DF_CAP}
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS shared_blocks
+      FROM blocks a
+      JOIN rare r ON a.bk = r.bk
+      JOIN blocks b ON a.bk = b.bk AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT p.doc_a, p.doc_b, p.shared_blocks,
+           na.n_blocks AS nb_a, nbb.n_blocks AS nb_b,
+           CAST(p.shared_blocks * 1000000
+                // least(na.n_blocks, nbb.n_blocks) AS BIGINT) AS containment_ppm
+    FROM pairs p
+    JOIN nb na ON p.doc_a = na.doc_id
+    JOIN nb nbb ON p.doc_b = nbb.doc_id
+    WHERE p.shared_blocks * 1000000 >= {_CONTAIN_MIN_PPM} * least(na.n_blocks, nbb.n_blocks)
+    """,
+)
+def block_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-containment detection: pairs where one document's
+    block set is largely CONTAINED in the other's (quotes, mirrors,
+    page-plus-boilerplate wrappers) — the partial-copy case symmetric
+    Jaccard under-scores (a 10-block doc fully quoted inside a 1000-block
+    doc has Jaccard ≈ 1%, containment 100%). Candidate generation is the
+    contamination-check inverted index: only blocks shared by 2..{cap}
+    docs join (the document-frequency cap drops corpus-wide boilerplate
+    AND bounds per-block pair fanout at {cap}²); containment is
+    shared/min(|A|,|B|) in exact ppm.
+
+    Scale: distinct per-doc blocks → block-keyed partial-agg shuffle →
+    capped self-join → pair-keyed count — every stage keyed, fanout
+    bounded by the cap, the proven 100 TB inverted-index shape. The
+    integer cross-multiplied threshold avoids float division entirely."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    t = F.split("text", " ", -1)
+    base = docs.select("doc_id", t.alias("t"), F.size(t).alias("n"))
+    blocks = (
+        base.filter(F.col("n") >= _BLOCK)
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(0, n div {_BLOCK} - 1)")).alias("i"),
+            "t",
+        )
+        .select(
+            "doc_id",
+            F.md5(
+                F.concat_ws(" ", F.slice(F.col("t"), F.col("i") * _BLOCK + 1, _BLOCK))
+            ).alias("bk"),
+        )
+        .distinct()
+    )
+    nb = blocks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_blocks"))
+    rare = (
+        blocks.groupBy("bk")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df").between(2, _CONTAIN_DF_CAP))
+        .select("bk")
+    )
+    a = blocks.join(rare, "bk").select("bk", F.col("doc_id").alias("doc_a"))
+    b = blocks.select("bk", F.col("doc_id").alias("doc_b"))
+    pairs = (
+        a.join(b, "bk")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_blocks"))
+    )
+    na = nb.select(F.col("doc_id").alias("doc_a"), F.col("n_blocks").alias("nb_a"))
+    nbb = nb.select(F.col("doc_id").alias("doc_b"), F.col("n_blocks").alias("nb_b"))
+    return (
+        pairs.join(na, "doc_a")
+        .join(nbb, "doc_b")
+        .filter(
+            F.col("shared_blocks") * 1_000_000
+            >= _CONTAIN_MIN_PPM * F.least(F.col("nb_a"), F.col("nb_b"))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared_blocks",
+            "nb_a",
+            "nb_b",
+            F.expr(
+                "CAST(shared_blocks * 1000000 div least(nb_a, nb_b) AS BIGINT)"
+            ).alias("containment_ppm"),
+        )
+    )
+
+
+block_containment_pairs.__doc__ = block_containment_pairs.__doc__.format(
+    cap=_CONTAIN_DF_CAP
+)

@@ -1062,3 +1062,70 @@ def event_type_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+@register(
+    "segment_conversion_rates",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS viewed,
+             max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicked,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchased
+      FROM events GROUP BY user_id
+    ),
+    seg AS (
+      SELECT u.*, coalesce(c.c_mktsegment, 'UNKNOWN') AS segment
+      FROM per_user u
+      LEFT JOIN customer c ON u.user_id = c.c_custkey
+    )
+    SELECT segment,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(viewed) AS BIGINT) AS n_viewed,
+           CAST(sum(clicked) AS BIGINT) AS n_clicked,
+           CAST(sum(purchased) AS BIGINT) AS n_purchased,
+           CAST(sum(CASE WHEN viewed = 1 AND purchased = 1 THEN 1 ELSE 0 END)
+                * 1000000 // greatest(sum(viewed), 1) AS BIGINT)
+             AS view_to_purchase_ppm
+    FROM seg GROUP BY segment ORDER BY segment
+    """,
+)
+def segment_conversion_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-market-segment conversion rollup: collapse the event stream to
+    one flag-row per user (ONE user-keyed partial-aggregated shuffle — the
+    stream is never joined raw), decorate with the customer dimension
+    (left join; users missing from the dimension become 'UNKNOWN' instead
+    of silently dropping), then a |segments|-row aggregate with exact ppm
+    conversion. The dimension-join twin of events_funnel's ordered
+    funnel.
+
+    Scale: per-user pre-aggregation shrinks the join's left side to
+    |users| rows before the dimension join (broadcast when small, else
+    key-partitioned); all arithmetic integer."""
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    flag = lambda t: F.max((F.col("event_type") == t).cast("int"))
+    per_user = events.groupBy("user_id").agg(
+        flag("view").alias("viewed"),
+        flag("click").alias("clicked"),
+        flag("purchase").alias("purchased"),
+    )
+    seg = per_user.join(
+        customer.select(F.col("c_custkey").alias("user_id"), "c_mktsegment"),
+        "user_id",
+        "left",
+    ).withColumn("segment", F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")))
+    return (
+        seg.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("viewed").cast("bigint").alias("n_viewed"),
+            F.sum("clicked").cast("bigint").alias("n_clicked"),
+            F.sum("purchased").cast("bigint").alias("n_purchased"),
+            F.expr(
+                "CAST(sum(CASE WHEN viewed = 1 AND purchased = 1 THEN 1 ELSE 0 END) "
+                "* 1000000 div greatest(sum(viewed), 1) AS BIGINT)"
+            ).alias("view_to_purchase_ppm"),
+        )
+        .orderBy("segment")
+    )

@@ -481,3 +481,38 @@ def test_join_key_skew_profile_shape(spark):
     assert all(r["share_ppm"] <= 1_000_000 for r in rows)
     # TPC-H orderkeys are near-uniform (≤7 lines/order): no real skew
     assert rows[0]["x_mean_pct"] < 500
+
+
+def test_block_containment_detects_partial_copy(spark, tmp_path, monkeypatch):
+    """A small doc fully quoted inside a big one: Jaccard is tiny but
+    containment is 100% — the case this operator exists for."""
+    from dbtransfer_spark.operators.dedup import block_containment_pairs
+
+    small = " ".join(f"q{i}" for i in range(20))          # 2 blocks
+    big = " ".join(f"b{i}" for i in range(200)) + " " + small  # 20 + the quote
+    other = " ".join(f"z{i}" for i in range(100))
+    df = spark.createDataFrame(
+        [(1, small, "en", "s", len(small)),
+         (2, big, "en", "s", len(big)),
+         (3, other, "en", "s", len(other))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "fx")
+    df.write.parquet(d + "/documents.parquet")
+    rows = block_containment_pairs(spark, d).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    assert r["containment_ppm"] == 1_000_000  # all of doc 1's blocks
+    assert r["nb_a"] == 2
+
+
+def test_segment_conversion_bounds(spark):
+    from dbtransfer_spark.operators.windows import QUERIES
+
+    rows = QUERIES["segment_conversion_rates"](spark, SF_SMOKE).collect()
+    total_users = sum(r["n_users"] for r in rows)
+    assert total_users > 0
+    for r in rows:
+        assert r["n_viewed"] <= r["n_users"]
+        assert 0 <= r["view_to_purchase_ppm"] <= 1_000_000
