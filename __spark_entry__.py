@@ -67,6 +67,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # DuckDB oracles by tools/diffcheck.py (results: CORRECTNESS_LOCAL.md).
 _VERIFY_FIRST = (
     # new round-5 queries
+    "ab_test_lift",
     "segment_conversion_rates",
     "block_containment_pairs",
     "vocab_coverage_curve",

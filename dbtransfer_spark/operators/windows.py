@@ -1129,3 +1129,69 @@ def segment_conversion_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@register(
+    "ab_test_lift",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(CAST(('0x' || substr(md5(user_id || ':exp1'), 1, 15)) AS BIGINT)
+                  % 2 AS BIGINT) AS arm,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_treatment,
+           CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_control,
+           CAST(sum(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT) AS conv_treatment,
+           CAST(sum(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT) AS conv_control,
+           CAST(sum(CASE WHEN arm = 1 THEN converted ELSE 0 END) * 1000000
+                // greatest(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END), 1) AS BIGINT)
+             AS rate_treatment_ppm,
+           CAST(sum(CASE WHEN arm = 0 THEN converted ELSE 0 END) * 1000000
+                // greatest(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END), 1) AS BIGINT)
+             AS rate_control_ppm
+    FROM per_user
+    """,
+)
+def ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic A/B experiment readout: users assigned to arms by a
+    content-stable salted md5 hash (same user → same arm on every re-run,
+    new users distribute 50/50 — the property sticky experiment
+    assignment needs and ``rand()`` cannot give), conversion = any
+    purchase event, exact ppm rates per arm in ONE pass.
+
+    Scale: one user-keyed partial-aggregated shuffle collapsing the
+    event stream, then a 1-row aggregate; the hash costs one scan-stage
+    expression. The salt (':exp1') namespaces assignments so concurrent
+    experiments are independent."""
+    events = load_table(spark, sf_dir, "events")
+    arm = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":exp1"))), 1, 15),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(2),
+    ).cast("bigint")
+    per_user = events.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("converted")
+    ).select(arm.alias("arm"), "converted")
+    t = F.when(F.col("arm") == 1, 1).otherwise(0)
+    c = F.when(F.col("arm") == 0, 1).otherwise(0)
+    tc = F.when(F.col("arm") == 1, F.col("converted")).otherwise(0)
+    cc = F.when(F.col("arm") == 0, F.col("converted")).otherwise(0)
+    return per_user.agg(
+        F.sum(t).cast("bigint").alias("n_treatment"),
+        F.sum(c).cast("bigint").alias("n_control"),
+        F.sum(tc).cast("bigint").alias("conv_treatment"),
+        F.sum(cc).cast("bigint").alias("conv_control"),
+        F.expr(
+            "CAST(sum(CASE WHEN arm = 1 THEN converted ELSE 0 END) * 1000000 "
+            "div greatest(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END), 1) AS BIGINT)"
+        ).alias("rate_treatment_ppm"),
+        F.expr(
+            "CAST(sum(CASE WHEN arm = 0 THEN converted ELSE 0 END) * 1000000 "
+            "div greatest(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END), 1) AS BIGINT)"
+        ).alias("rate_control_ppm"),
+    )

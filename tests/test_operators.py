@@ -516,3 +516,20 @@ def test_segment_conversion_bounds(spark):
     for r in rows:
         assert r["n_viewed"] <= r["n_users"]
         assert 0 <= r["view_to_purchase_ppm"] <= 1_000_000
+
+
+def test_ab_test_split_is_balanced_and_exhaustive(spark):
+    from dbtransfer_spark.operators.windows import QUERIES
+
+    r = QUERIES["ab_test_lift"](spark, SF_SMOKE).collect()[0]
+    n = r["n_treatment"] + r["n_control"]
+    import duckdb
+
+    n_users = duckdb.sql(
+        f"SELECT count(DISTINCT user_id) FROM '{SF_SMOKE}/events.parquet'"
+    ).fetchone()[0]
+    assert n == n_users  # every user lands in exactly one arm
+    # md5 split is ~50/50; allow wide tolerance at fixture scale
+    assert abs(r["n_treatment"] - r["n_control"]) < n * 0.4
+    assert r["conv_treatment"] <= r["n_treatment"]
+    assert r["conv_control"] <= r["n_control"]
