@@ -44,6 +44,8 @@ HEADLINE = [
     "gram_novelty_rate",       # first-occurrence inverted index (round 5)
     "session_path_topk",       # sessionize + deterministic path + top-k (round 5)
     "correlation_matrix",      # one-pass decimal moment sums (round 5)
+    "duplicate_block_ratio",   # paragraph-level dup inverted index (round 5 s2)
+    "unigram_freq_score",      # corpus-frequency quality proxy (round 5 s2)
 ]
 
 
