@@ -56,29 +56,29 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The correctness driver verifies the declared queries in insertion order
-# (50 per round). Round-5 window policy (per round-4 VERDICT #4/#5):
-#   1. new round-5 queries, inserted at the HEAD as they land so they get
-#      driver-verified the round they ship;
-#   2. the 8 r4-red rows (oracle-type fixes: BIGINT casts / array_join —
-#      the only never-driver-green queries, 124/132 ever-green before r5);
-#   3. queries whose newest driver row is round 1, then round 2 (the
-#      rotation keeps every query's newest driver row ≤2 rounds old).
+# (50 per round). Round-5 window policy (per round-4 VERDICT #1/#4/#5):
+#   1. the 8 r4-red rows FIRST (oracle-type fixes: BIGINT casts /
+#      array_join — the only never-driver-green queries, 124/132
+#      ever-green before r5; VERDICT r5 done-criterion is all 8 green);
+#   2. new round-5 queries, in ship order, so they get driver-verified
+#      the round they land (43 shipped — the last one overflows the
+#      50-slot window and rotates to the r6 head);
+#   3. queries whose newest driver row is oldest (the rotation keeps
+#      every query's newest driver row ≤2 rounds old).
 # Every query, first-50 or not, is verified locally against the same
 # DuckDB oracles by tools/diffcheck.py (results: CORRECTNESS_LOCAL.md).
 _VERIFY_FIRST = (
-    # new round-5 queries
-    "ab_test_lift",
-    "segment_conversion_rates",
-    "block_containment_pairs",
-    "vocab_coverage_curve",
-    "source_length_percentiles",
-    "join_key_skew_profile",
-    "knn_label_accuracy",
-    "mad_outlier_brand_prices",
-    "negative_sampling_ring",
-    "unigram_freq_score",
-    "duplicate_block_ratio",
-    "shard_assignment",
+    # r4-red fixes (never driver-green; all 8 root-caused to DuckDB
+    # HUGEINT→float64 / LIST canonicalization, VERDICT r4 item #1)
+    "winsorize_prices",
+    "supplier_pareto",
+    "q12_priority_by_returnflag",
+    "pagerank_bipartite",
+    "domain_mix_rebalance",
+    "training_data_build",
+    "weighted_systematic_sample",
+    "list_agg_functions",
+    # new round-5 queries (session 1)
     "source_temperature_allocation",
     "user_type_diversity",
     "part_price_twap",
@@ -110,16 +110,20 @@ _VERIFY_FIRST = (
     "bigram_pmi_top",
     "neardup_jaccard_audit",
     "embedding_pair_distance_histogram",
-    # r4-red fixes (never driver-green; all 8 root-caused to DuckDB
-    # HUGEINT→float64 / LIST canonicalization, VERDICT r4 item #1)
-    "winsorize_prices",
-    "supplier_pareto",
-    "q12_priority_by_returnflag",
-    "pagerank_bipartite",
-    "domain_mix_rebalance",
-    "training_data_build",
-    "weighted_systematic_sample",
-    "list_agg_functions",
+    # new round-5 queries (session 2; the last entry is slot 51 — first
+    # out of this round's window, first into the r6 head)
+    "unigram_freq_score",
+    "duplicate_block_ratio",
+    "shard_assignment",
+    "knn_label_accuracy",
+    "mad_outlier_brand_prices",
+    "negative_sampling_ring",
+    "vocab_coverage_curve",
+    "source_length_percentiles",
+    "segment_conversion_rates",
+    "block_containment_pairs",
+    "ab_test_lift",
+    "join_key_skew_profile",
     # stale: newest driver row is round 1
     "array_functions",
     "conditional_functions",
