@@ -1,0 +1,157 @@
+"""Versioned dataset store — snapshot isolation + time travel for
+training-data releases, on plain parquet directories.
+
+A 100 TB corpus release is rebuilt incrementally (new crawl batches,
+re-run quality filters), but training jobs must read a FROZEN version:
+"v12 is what run 47 trained on" has to stay answerable forever. Delta /
+Iceberg solve this with manifest-tracked snapshots; this module gives the
+engine the same contract without any external table-format dependency,
+using the one primitive object stores and POSIX both make atomic: a
+single small manifest-file rename.
+
+Layout::
+
+    <root>/<table>/
+        _versions/v00000001.json   # immutable: file list + row count + parent
+        _versions/v00000002.json
+        _latest.json               # atomically-swapped pointer {"version": 2}
+        data/v2-<uuid>/part-*.parquet
+
+Semantics:
+
+- ``commit(df)`` writes a NEW data directory (never touches previous
+  files), records the manifest, then swaps ``_latest.json`` via
+  write-tmp + ``os.replace`` — readers see the old or the new version,
+  never a half-written one (the same tmp+rename discipline as
+  checkpoint.py:78, which mirrors the reference's atomic checkpoint
+  save, pkg/utils/checkpoint).
+- ``read(version=None)`` loads the pinned file list of that manifest —
+  concurrent commits cannot change what an in-flight training job reads
+  (snapshot isolation), because data directories are append-only.
+- ``diff(a, b)`` reports row-level adds/removes between two versions by
+  key — the release-notes query ("what changed between v11 and v12").
+- ``vacuum(keep_last)`` deletes data directories unreferenced by the
+  kept manifests — storage reclamation decoupled from publishing, so a
+  crashed writer can never strand readers.
+
+Scale: the manifest holds directory names, not per-row state — commits
+are O(new data) writes plus one O(1) rename; reads plan directly from
+the pinned parquet paths, so partition pruning / pushdown work
+unchanged. The store is a layout convention, not a service.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class VersionedDatasetStore:
+    def __init__(self, spark: SparkSession, root: str, table: str):
+        self.spark = spark
+        self.base = os.path.join(root, table)
+        self.vdir = os.path.join(self.base, "_versions")
+        self.ddir = os.path.join(self.base, "data")
+        os.makedirs(self.vdir, exist_ok=True)
+        os.makedirs(self.ddir, exist_ok=True)
+
+    # -- manifest bookkeeping -------------------------------------------
+    def _latest_path(self) -> str:
+        return os.path.join(self.base, "_latest.json")
+
+    def latest_version(self) -> int | None:
+        try:
+            with open(self._latest_path()) as f:
+                return int(json.load(f)["version"])
+        except FileNotFoundError:
+            return None
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.vdir, f"v{version:08d}.json")
+
+    def manifest(self, version: int) -> dict:
+        with open(self._manifest_path(version)) as f:
+            return json.load(f)
+
+    def versions(self) -> list[int]:
+        out = []
+        for name in os.listdir(self.vdir):
+            if name.startswith("v") and name.endswith(".json"):
+                out.append(int(name[1:-5]))
+        return sorted(out)
+
+    # -- write path ------------------------------------------------------
+    def commit(self, df: DataFrame, note: str = "") -> int:
+        """Publish ``df`` as the next version. The data directory is
+        written FIRST; only after a successful write does the manifest
+        appear and the latest-pointer swap make it visible — a crash at
+        any point leaves the previous version intact and at worst an
+        orphaned data dir for vacuum()."""
+        parent = self.latest_version()
+        version = (parent or 0) + 1
+        data_name = f"v{version}-{uuid.uuid4().hex[:8]}"
+        data_path = os.path.join(self.ddir, data_name)
+        df.write.mode("error").parquet(data_path)
+        n_rows = self.spark.read.parquet(data_path).count()
+        man = {
+            "version": version,
+            "parent": parent,
+            "data_dir": data_name,
+            "n_rows": n_rows,
+            "note": note,
+        }
+        # manifest is immutable once written; pointer swap is the commit
+        with open(self._manifest_path(version), "w") as f:
+            json.dump(man, f)
+            f.flush()
+            os.fsync(f.fileno())
+        tmp = self._latest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"version": version}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._latest_path())
+        return version
+
+    # -- read path -------------------------------------------------------
+    def read(self, version: int | None = None) -> DataFrame:
+        if version is None:
+            version = self.latest_version()
+            if version is None:
+                raise FileNotFoundError(f"no committed version under {self.base}")
+        man = self.manifest(version)
+        return self.spark.read.parquet(os.path.join(self.ddir, man["data_dir"]))
+
+    def diff(self, version_a: int, version_b: int, key_columns: list[str]) -> dict:
+        """Row-level release notes: keys added/removed between versions
+        (two left-anti joins — key-partitioned, no full materialization)."""
+        a, b = self.read(version_a), self.read(version_b)
+        ka = a.select(*key_columns)
+        kb = b.select(*key_columns)
+        return {
+            "added": kb.join(ka, key_columns, "left_anti").count(),
+            "removed": ka.join(kb, key_columns, "left_anti").count(),
+        }
+
+    # -- retention -------------------------------------------------------
+    def vacuum(self, keep_last: int = 2) -> list[int]:
+        """Drop all but the newest ``keep_last`` versions: delete their
+        manifests and any data directory no kept manifest references.
+        Never touches the latest pointer's target."""
+        vs = self.versions()
+        keep = set(vs[-keep_last:]) if keep_last > 0 else set()
+        latest = self.latest_version()
+        if latest is not None:
+            keep.add(latest)
+        dropped = [v for v in vs if v not in keep]
+        kept_dirs = {self.manifest(v)["data_dir"] for v in keep}
+        for v in dropped:
+            os.remove(self._manifest_path(v))
+        for name in os.listdir(self.ddir):
+            if name not in kept_dirs:
+                shutil.rmtree(os.path.join(self.ddir, name), ignore_errors=True)
+        return dropped

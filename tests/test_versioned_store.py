@@ -1,0 +1,76 @@
+"""Versioned dataset store: snapshot isolation, time travel, atomic
+latest-pointer swap, diff, and vacuum retention."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbtransfer_spark.sources.versioned import VersionedDatasetStore
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return VersionedDatasetStore(spark, str(tmp_path), "corpus")
+
+
+def _df(spark, ids):
+    return spark.createDataFrame([(i, f"d{i}") for i in ids], "doc_id long, text string")
+
+
+def test_commit_read_time_travel(spark, store):
+    v1 = store.commit(_df(spark, range(10)), note="first release")
+    v2 = store.commit(_df(spark, range(5, 20)), note="second release")
+    assert (v1, v2) == (1, 2)
+    assert store.latest_version() == 2
+    assert store.read().count() == 15          # latest
+    assert store.read(1).count() == 10         # time travel
+    assert store.manifest(1)["note"] == "first release"
+    assert store.manifest(2)["parent"] == 1
+
+
+def test_old_version_is_frozen_after_new_commit(spark, store):
+    store.commit(_df(spark, range(10)))
+    pinned = store.read(1)                     # plan against v1 BEFORE v2 lands
+    store.commit(_df(spark, range(100, 103)))
+    assert pinned.count() == 10                # snapshot isolation
+    assert store.read().count() == 3
+
+
+def test_diff_reports_adds_and_removes(spark, store):
+    store.commit(_df(spark, range(10)))
+    store.commit(_df(spark, range(5, 12)))
+    d = store.diff(1, 2, ["doc_id"])
+    assert d == {"added": 2, "removed": 5}     # +{10,11}, -{0..4}
+
+
+def test_crash_before_pointer_swap_leaves_previous_latest(spark, store):
+    store.commit(_df(spark, range(4)))
+    # simulate a writer that died after writing data but before the swap:
+    # an orphaned data dir + no manifest/pointer update
+    orphan = os.path.join(store.ddir, "v99-deadbeef")
+    _df(spark, range(2)).write.parquet(orphan)
+    assert store.latest_version() == 1
+    assert store.read().count() == 4
+    # vacuum reclaims the orphan without touching the live version
+    store.vacuum(keep_last=1)
+    assert not os.path.exists(orphan)
+    assert store.read().count() == 4
+
+
+def test_vacuum_retention(spark, store):
+    for k in range(4):
+        store.commit(_df(spark, range(k + 1)))
+    dropped = store.vacuum(keep_last=2)
+    assert dropped == [1, 2]
+    assert store.versions() == [3, 4]
+    assert store.read(4).count() == 4
+    assert store.read(3).count() == 3
+    with pytest.raises(FileNotFoundError):
+        store.manifest(1)
+    # latest pointer survives and still resolves
+    with open(store._latest_path()) as f:
+        assert json.load(f)["version"] == 4
