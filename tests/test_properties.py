@@ -530,3 +530,58 @@ def test_jsonl_sink_roundtrip_preserves_rows(spark, rows):
         back = src.read(TableMapping(name="t", primary_key="id"))
         got = {(r["id"], r["v"]) for r in back.collect()}
         assert got == set(rows)
+
+
+# ---------------------------------------------------------------------------
+# duplicate_block_ratio ≡ a brute-force Python reference, for any corpus
+# of short synthetic docs (shared blocks, within-doc repeats, tail <10)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.integers(0, 5), min_size=0, max_size=35),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_duplicate_block_ratio_matches_bruteforce(spark, tmp_path_factory, docs):
+    from collections import Counter
+
+    from dbtransfer_spark.operators.dedup import _BLOCK, duplicate_block_ratio
+
+    texts = [" ".join(f"t{w}" for w in d) for d in docs]
+    rows = [
+        (i, t, "en", "s", len(t)) for i, t in enumerate(texts) if len(t) > 0
+    ]
+    if not rows:
+        return
+    d = str(tmp_path_factory.mktemp("fx"))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(d + "/documents.parquet")
+
+    # brute-force reference: non-overlapping _BLOCK-token blocks, global
+    # occurrence counts, per-doc dup share
+    blocks_per_doc = {}
+    for i, t, *_ in rows:
+        toks = t.split(" ")
+        blocks_per_doc[i] = [
+            " ".join(toks[j * _BLOCK : (j + 1) * _BLOCK])
+            for j in range(len(toks) // _BLOCK)
+        ]
+    occ = Counter(b for bs in blocks_per_doc.values() for b in bs)
+    got = {r["doc_id"]: r for r in duplicate_block_ratio(spark, d).collect()}
+    assert set(got) == set(blocks_per_doc)
+    for i, bs in blocks_per_doc.items():
+        n_dup = sum(1 for b in bs if occ[b] >= 2)
+        assert got[i]["n_blocks"] == len(bs)
+        assert got[i]["n_dup_blocks"] == n_dup
+        want_ppm = n_dup * 1_000_000 // max(len(bs), 1)
+        assert got[i]["dup_ppm"] == want_ppm
+        assert got[i]["keep"] == (n_dup * 2 <= len(bs) or len(bs) == 0)
