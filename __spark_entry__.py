@@ -124,6 +124,8 @@ _VERIFY_FIRST = (
     "block_containment_pairs",
     "ab_test_lift",
     "join_key_skew_profile",
+    "null_semantics_functions",
+    "orders_multi_distinct",
     # stale: newest driver row is round 1
     "array_functions",
     "conditional_functions",

@@ -411,3 +411,79 @@ def list_agg_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "null_semantics_functions",
+    """
+    WITH x AS (
+      SELECT l_orderkey, l_linenumber,
+             CASE WHEN l_quantity > 25 THEN l_quantity ELSE NULL END AS big_qty,
+             CASE WHEN l_discount > 0.05 THEN l_discount ELSE NULL END AS big_disc
+      FROM lineitem
+    ),
+    ranked AS (
+      SELECT l_orderkey, l_linenumber, big_qty, big_disc,
+             (big_qty IS NOT DISTINCT FROM big_disc) AS nullsafe_eq,
+             (big_qty IS DISTINCT FROM big_disc) AS nullsafe_ne,
+             CASE WHEN big_qty IS NULL THEN 'missing' ELSE 'present' END AS qty_class,
+             coalesce(big_qty, -1.0) AS qty_or_default,
+             row_number() OVER (PARTITION BY l_orderkey
+                                ORDER BY big_qty DESC NULLS LAST, l_linenumber,
+                                         big_disc ASC NULLS LAST)
+               AS rn_nulls_last,
+             row_number() OVER (PARTITION BY l_orderkey
+                                ORDER BY big_qty ASC NULLS FIRST, l_linenumber,
+                                         big_disc ASC NULLS LAST)
+               AS rn_nulls_first
+      FROM x
+    )
+    SELECT * FROM ranked
+    """,
+)
+def null_semantics_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-semantics surface: null-safe equality (`<=>` /
+    IS NOT DISTINCT FROM), explicit NULLS FIRST/LAST window ordering,
+    NULL classification and defaulting — the semantics corner every
+    SQL-dialect port gets subtly wrong (the reference's transforms punt
+    NULLs to the destination engine; Spark makes them explicit).
+
+    Scale: pure scan-stage expressions + one orderkey-partitioned window
+    pair sharing a single shuffle."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    x = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_quantity") > 25, F.col("l_quantity")).alias("big_qty"),
+        F.when(F.col("l_discount") > 0.05, F.col("l_discount")).alias("big_disc"),
+    )
+    # (orderkey, linenumber) is NOT unique in the fixture, so the
+    # tie-break chain must totally order every non-identical row —
+    # big_disc (nulls last) closes the gap; fully-identical rows can
+    # swap ranks freely without changing the output multiset.
+    w_last = Window.partitionBy("l_orderkey").orderBy(
+        F.col("big_qty").desc_nulls_last(),
+        "l_linenumber",
+        F.col("big_disc").asc_nulls_last(),
+    )
+    w_first = Window.partitionBy("l_orderkey").orderBy(
+        F.col("big_qty").asc_nulls_first(),
+        "l_linenumber",
+        F.col("big_disc").asc_nulls_last(),
+    )
+    return x.select(
+        "l_orderkey",
+        "l_linenumber",
+        "big_qty",
+        "big_disc",
+        F.col("big_qty").eqNullSafe(F.col("big_disc")).alias("nullsafe_eq"),
+        (~F.col("big_qty").eqNullSafe(F.col("big_disc"))).alias("nullsafe_ne"),
+        F.when(F.col("big_qty").isNull(), "missing")
+        .otherwise("present")
+        .alias("qty_class"),
+        F.coalesce(F.col("big_qty"), F.lit(-1.0)).alias("qty_or_default"),
+        F.row_number().over(w_last).alias("rn_nulls_last"),
+        F.row_number().over(w_first).alias("rn_nulls_first"),
+    )

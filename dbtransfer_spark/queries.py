@@ -2558,3 +2558,42 @@ def mad_outlier_brand_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+@register(
+    "orders_multi_distinct",
+    """
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities,
+           CAST(count(DISTINCT CASE WHEN o_totalprice > 100000 THEN o_custkey END)
+                AS BIGINT) AS n_big_spenders
+    FROM orders GROUP BY month ORDER BY month
+    """,
+)
+def orders_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple DISTINCT aggregates in one query — Spark plans this with
+    an Expand (one duplicated stream per distinct set) feeding a single
+    aggregation pipeline, so the fact is scanned ONCE however many
+    distinct measures ride along (the naive alternative is one
+    self-join per distinct column). The conditional distinct
+    (big-spender custkeys) shows the filter riding inside the same
+    Expand, not an extra pass.
+
+    Scale: Expand multiplies shuffle rows by the number of distinct
+    sets (3 here) — the documented, bounded cost; partial aggregation
+    still collapses per (month, set, value) before the exchange."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.countDistinct("o_custkey").cast("bigint").alias("n_customers"),
+            F.countDistinct("o_orderpriority").cast("bigint").alias("n_priorities"),
+            F.countDistinct(
+                F.when(F.col("o_totalprice") > 100000, F.col("o_custkey"))
+            ).cast("bigint").alias("n_big_spenders"),
+        )
+        .orderBy("month")
+    )
