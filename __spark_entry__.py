@@ -126,6 +126,7 @@ _VERIFY_FIRST = (
     "join_key_skew_profile",
     "null_semantics_functions",
     "orders_multi_distinct",
+    "window_value_functions",
     # stale: newest driver row is round 1
     "array_functions",
     "conditional_functions",

@@ -2597,3 +2597,61 @@ def orders_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+@register(
+    "window_value_functions",
+    """
+    SELECT user_id, event_id, micros,
+           first_value(event_type) OVER w AS first_type,
+           last_value(event_type) OVER w AS last_type,
+           nth_value(event_type, 2) OVER w AS second_type,
+           lag(event_type, 1, 'none') OVER w AS prev_type,
+           lead(event_type, 1, 'none') OVER w AS next_type
+    FROM (
+      SELECT user_id, event_id, event_type,
+             epoch_us(ts) AS micros
+      FROM events
+    )
+    WINDOW w AS (PARTITION BY user_id ORDER BY micros, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value window functions (first_value/last_value/nth_value/lag/lead
+    with defaults) over the full-partition frame — completing the §2.9
+    window surface. The explicit UNBOUNDED..UNBOUNDED frame matters:
+    last_value under the default frame (UNBOUNDED..CURRENT ROW) returns
+    the current row, the classic window gotcha; event_id closes the
+    ordering ties so every engine ranks identically.
+
+    Scale: one user-partitioned window, all five functions share the
+    single sort — no extra shuffles per function."""
+    from dbtransfer_spark.operators.windows import epoch_micros
+
+    events = load_table(spark, sf_dir, "events")
+    base = events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        epoch_micros(events, "ts").alias("micros"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("micros", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return base.select(
+        "user_id",
+        "event_id",
+        "micros",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w).alias("last_type"),
+        F.nth_value("event_type", 2).over(w).alias("second_type"),
+        F.lag("event_type", 1, "none")
+        .over(Window.partitionBy("user_id").orderBy("micros", "event_id"))
+        .alias("prev_type"),
+        F.lead("event_type", 1, "none")
+        .over(Window.partitionBy("user_id").orderBy("micros", "event_id"))
+        .alias("next_type"),
+    )
