@@ -417,28 +417,23 @@ def list_agg_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "null_semantics_functions",
     """
     WITH x AS (
-      SELECT l_orderkey, l_linenumber,
-             CASE WHEN l_quantity > 25 THEN l_quantity ELSE NULL END AS big_qty,
-             CASE WHEN l_discount > 0.05 THEN l_discount ELSE NULL END AS big_disc
-      FROM lineitem
-    ),
-    ranked AS (
-      SELECT l_orderkey, l_linenumber, big_qty, big_disc,
-             (big_qty IS NOT DISTINCT FROM big_disc) AS nullsafe_eq,
-             (big_qty IS DISTINCT FROM big_disc) AS nullsafe_ne,
-             CASE WHEN big_qty IS NULL THEN 'missing' ELSE 'present' END AS qty_class,
-             coalesce(big_qty, -1.0) AS qty_or_default,
-             row_number() OVER (PARTITION BY l_orderkey
-                                ORDER BY big_qty DESC NULLS LAST, l_linenumber,
-                                         big_disc ASC NULLS LAST)
-               AS rn_nulls_last,
-             row_number() OVER (PARTITION BY l_orderkey
-                                ORDER BY big_qty ASC NULLS FIRST, l_linenumber,
-                                         big_disc ASC NULLS LAST)
-               AS rn_nulls_first
-      FROM x
+      SELECT user_id, event_id,
+             CASE WHEN value > 2.0 THEN value ELSE NULL END AS big_val,
+             CASE WHEN event_type = 'error' THEN value ELSE NULL END AS err_val
+      FROM events
     )
-    SELECT * FROM ranked
+    SELECT user_id, event_id, big_val, err_val,
+           (big_val IS NOT DISTINCT FROM err_val) AS nullsafe_eq,
+           (big_val IS DISTINCT FROM err_val) AS nullsafe_ne,
+           CASE WHEN big_val IS NULL THEN 'missing' ELSE 'present' END AS val_class,
+           coalesce(big_val, -1.0) AS val_or_default,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY big_val DESC NULLS LAST, event_id)
+             AS rn_nulls_last,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY big_val ASC NULLS FIRST, event_id)
+             AS rn_nulls_first
+    FROM x
     """,
 )
 def null_semantics_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -448,42 +443,40 @@ def null_semantics_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL-dialect port gets subtly wrong (the reference's transforms punt
     NULLs to the destination engine; Spark makes them explicit).
 
-    Scale: pure scan-stage expressions + one orderkey-partitioned window
+    The rank tie-break is the UNIQUE event_id: with two windows sorting
+    in opposite directions, any non-unique tie lets each engine pair
+    (rn_last, rn_first) differently across physically identical rows —
+    only a row-unique key makes the joint ranks deterministic (learned
+    from the lineitem fixture's duplicate (orderkey, linenumber) rows).
+
+    Scale: pure scan-stage expressions + one user-partitioned window
     pair sharing a single shuffle."""
     from pyspark.sql import Window
 
-    li = load_table(spark, sf_dir, "lineitem")
-    x = li.select(
-        "l_orderkey",
-        "l_linenumber",
-        F.when(F.col("l_quantity") > 25, F.col("l_quantity")).alias("big_qty"),
-        F.when(F.col("l_discount") > 0.05, F.col("l_discount")).alias("big_disc"),
+    ev = load_table(spark, sf_dir, "events")
+    x = ev.select(
+        "user_id",
+        "event_id",
+        F.when(F.col("value") > 2.0, F.col("value")).alias("big_val"),
+        F.when(F.col("event_type") == "error", F.col("value")).alias("err_val"),
     )
-    # (orderkey, linenumber) is NOT unique in the fixture, so the
-    # tie-break chain must totally order every non-identical row —
-    # big_disc (nulls last) closes the gap; fully-identical rows can
-    # swap ranks freely without changing the output multiset.
-    w_last = Window.partitionBy("l_orderkey").orderBy(
-        F.col("big_qty").desc_nulls_last(),
-        "l_linenumber",
-        F.col("big_disc").asc_nulls_last(),
+    w_last = Window.partitionBy("user_id").orderBy(
+        F.col("big_val").desc_nulls_last(), "event_id"
     )
-    w_first = Window.partitionBy("l_orderkey").orderBy(
-        F.col("big_qty").asc_nulls_first(),
-        "l_linenumber",
-        F.col("big_disc").asc_nulls_last(),
+    w_first = Window.partitionBy("user_id").orderBy(
+        F.col("big_val").asc_nulls_first(), "event_id"
     )
     return x.select(
-        "l_orderkey",
-        "l_linenumber",
-        "big_qty",
-        "big_disc",
-        F.col("big_qty").eqNullSafe(F.col("big_disc")).alias("nullsafe_eq"),
-        (~F.col("big_qty").eqNullSafe(F.col("big_disc"))).alias("nullsafe_ne"),
-        F.when(F.col("big_qty").isNull(), "missing")
+        "user_id",
+        "event_id",
+        "big_val",
+        "err_val",
+        F.col("big_val").eqNullSafe(F.col("err_val")).alias("nullsafe_eq"),
+        (~F.col("big_val").eqNullSafe(F.col("err_val"))).alias("nullsafe_ne"),
+        F.when(F.col("big_val").isNull(), "missing")
         .otherwise("present")
-        .alias("qty_class"),
-        F.coalesce(F.col("big_qty"), F.lit(-1.0)).alias("qty_or_default"),
+        .alias("val_class"),
+        F.coalesce(F.col("big_val"), F.lit(-1.0)).alias("val_or_default"),
         F.row_number().over(w_last).alias("rn_nulls_last"),
         F.row_number().over(w_first).alias("rn_nulls_first"),
     )
