@@ -102,7 +102,9 @@ def incremental_release(
     drops = near_dup_against_corpus(batch, corpus, id_col, text_col, threshold)
     kept = batch.join(drops, id_col, "left_anti")
     n_kept = kept.count()
-    v = store.commit(corpus.unionByName(kept), note=note)
+    # append-commit: writes ONLY the survivors and references the parent
+    # release's data dirs — O(|batch|) per release, never O(corpus)
+    v = store.commit_append(kept, note=note)
     return {
         "version": v,
         "n_batch": n_batch,

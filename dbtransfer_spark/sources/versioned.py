@@ -85,23 +85,24 @@ class VersionedDatasetStore:
         return sorted(out)
 
     # -- write path ------------------------------------------------------
-    def commit(self, df: DataFrame, note: str = "") -> int:
-        """Publish ``df`` as the next version. The data directory is
+    def _publish(self, df: DataFrame, note: str, parent_dirs: list[str]) -> int:
+        """Write a new data directory, record a manifest whose file list
+        is ``parent_dirs + [new]``, swap the latest pointer. The data is
         written FIRST; only after a successful write does the manifest
-        appear and the latest-pointer swap make it visible — a crash at
-        any point leaves the previous version intact and at worst an
+        appear and the pointer swap make it visible — a crash at any
+        point leaves the previous version intact and at worst an
         orphaned data dir for vacuum()."""
         parent = self.latest_version()
         version = (parent or 0) + 1
         data_name = f"v{version}-{uuid.uuid4().hex[:8]}"
         data_path = os.path.join(self.ddir, data_name)
         df.write.mode("error").parquet(data_path)
-        n_rows = self.spark.read.parquet(data_path).count()
+        n_new = self.spark.read.parquet(data_path).count()
         man = {
             "version": version,
             "parent": parent,
-            "data_dir": data_name,
-            "n_rows": n_rows,
+            "data_dirs": parent_dirs + [data_name],
+            "n_new_rows": n_new,
             "note": note,
         }
         # manifest is immutable once written; pointer swap is the commit
@@ -117,6 +118,23 @@ class VersionedDatasetStore:
         os.replace(tmp, self._latest_path())
         return version
 
+    def commit(self, df: DataFrame, note: str = "") -> int:
+        """Publish ``df`` as a FULL-snapshot version (one fresh data
+        directory, no parent references). O(|df|) write — use for
+        initial loads and compactions."""
+        return self._publish(df, note, [])
+
+    def commit_append(self, df: DataFrame, note: str = "") -> int:
+        """Publish ``current ∪ df`` as the next version by writing ONLY
+        the new rows and referencing the parent's data directories in
+        the manifest — O(|batch|) regardless of corpus size, the only
+        commit shape that survives a 100 TB corpus with daily batches.
+        Old versions keep resolving: data dirs are append-only and every
+        manifest pins its own list."""
+        parent = self.latest_version()
+        parent_dirs = list(self.manifest(parent)["data_dirs"]) if parent else []
+        return self._publish(df, note, parent_dirs)
+
     # -- read path -------------------------------------------------------
     def read(self, version: int | None = None) -> DataFrame:
         if version is None:
@@ -124,7 +142,8 @@ class VersionedDatasetStore:
             if version is None:
                 raise FileNotFoundError(f"no committed version under {self.base}")
         man = self.manifest(version)
-        return self.spark.read.parquet(os.path.join(self.ddir, man["data_dir"]))
+        paths = [os.path.join(self.ddir, d) for d in man["data_dirs"]]
+        return self.spark.read.parquet(*paths)
 
     def diff(self, version_a: int, version_b: int, key_columns: list[str]) -> dict:
         """Row-level release notes: keys added/removed between versions
@@ -148,7 +167,7 @@ class VersionedDatasetStore:
         if latest is not None:
             keep.add(latest)
         dropped = [v for v in vs if v not in keep]
-        kept_dirs = {self.manifest(v)["data_dir"] for v in keep}
+        kept_dirs = {d for v in keep for d in self.manifest(v)["data_dirs"]}
         for v in dropped:
             os.remove(self._manifest_path(v))
         for name in os.listdir(self.ddir):

@@ -74,3 +74,20 @@ def test_vacuum_retention(spark, store):
     # latest pointer survives and still resolves
     with open(store._latest_path()) as f:
         assert json.load(f)["version"] == 4
+
+
+def test_commit_append_writes_only_batch_and_shares_parent_dirs(spark, store):
+    store.commit(_df(spark, range(10)))
+    v2 = store.commit_append(_df(spark, range(100, 105)), note="append")
+    assert v2 == 2
+    m1, m2 = store.manifest(1), store.manifest(2)
+    # v2 references v1's data dir + exactly one new dir; wrote only 5 rows
+    assert m1["data_dirs"][0] in m2["data_dirs"]
+    assert len(m2["data_dirs"]) == 2
+    assert m2["n_new_rows"] == 5
+    assert store.read(2).count() == 15
+    assert store.read(1).count() == 10
+    # vacuum keeping only v2 must NOT delete the shared parent dir
+    store.vacuum(keep_last=1)
+    assert store.versions() == [2]
+    assert store.read(2).count() == 15
