@@ -127,6 +127,8 @@ _VERIFY_FIRST = (
     "null_semantics_functions",
     "orders_multi_distinct",
     "window_value_functions",
+    "json_schema_profile",
+    "nation_segment_share",
     # stale: newest driver row is round 1
     "array_functions",
     "conditional_functions",

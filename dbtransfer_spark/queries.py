@@ -2655,3 +2655,92 @@ def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.partitionBy("user_id").orderBy("micros", "event_id"))
         .alias("next_type"),
     )
+
+
+@register(
+    "json_schema_profile",
+    """
+    WITH k AS (
+      SELECT unnest(json_keys(props)) AS key,
+             props
+      FROM events WHERE props IS NOT NULL
+    )
+    SELECT key,
+           CAST(count(*) AS BIGINT) AS n_present,
+           CAST(count(DISTINCT json_extract_string(props, '$.' || key)) AS BIGINT)
+             AS n_distinct_values,
+           min(json_extract_string(props, '$.' || key)) AS min_value,
+           max(json_extract_string(props, '$.' || key)) AS max_value
+    FROM k GROUP BY key ORDER BY key
+    """,
+)
+def json_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema discovery over a semi-structured JSON column: enumerate
+    every key that actually occurs (json_object_keys — no schema
+    assumed), with presence counts, distinct-value cardinality, and
+    value range — the pre-flight that decides which keys deserve
+    promotion to real columns before a 100 TB ingest locks a schema in.
+
+    Scale: key explosion is a narrow scan-stage expansion bounded by
+    keys-per-record; one key-partitioned aggregate (distinct handled by
+    partial aggregation per key/value before the exchange). Output is
+    |key universe| rows."""
+    events = load_table(spark, sf_dir, "events")
+    k = events.filter(F.col("props").isNotNull()).select(
+        F.explode(F.expr("json_object_keys(props)")).alias("key"), "props"
+    )
+    val = F.expr("get_json_object(props, concat('$.', key))")
+    return (
+        k.select("key", val.alias("v"))
+        .groupBy("key")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_present"),
+            F.countDistinct("v").cast("bigint").alias("n_distinct_values"),
+            F.min("v").alias("min_value"),
+            F.max("v").alias("max_value"),
+        )
+        .orderBy("key")
+    )
+
+
+@register(
+    "nation_segment_share",
+    """
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(count(*) AS BIGINT) AS n_customers
+      FROM customer GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT c_nationkey, c_mktsegment, n_customers,
+           CAST(sum(n_customers) OVER (PARTITION BY c_nationkey) AS BIGINT)
+             AS nation_total,
+           CAST(n_customers * 1000000
+                // sum(n_customers) OVER (PARTITION BY c_nationkey) AS BIGINT)
+             AS share_ppm
+    FROM g ORDER BY c_nationkey, c_mktsegment
+    """,
+)
+def nation_segment_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-parent rollup (each segment's share of its nation) — the
+    OLAP shape grouping sets don't give you: the window runs over the
+    ALREADY-AGGREGATED |nations|×|segments| grid (≤125 rows at any SF),
+    never over the fact, so the 'total' pass costs nothing.
+
+    Scale: one fact aggregate (partial-aggregated shuffle), then a
+    nation-partitioned window on the bounded grid. Exact integer ppm."""
+    customer = load_table(spark, sf_dir, "customer")
+    g = customer.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers")
+    )
+    w = Window.partitionBy("c_nationkey")
+    total = F.sum("n_customers").over(w)
+    return g.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "n_customers",
+        total.cast("bigint").alias("nation_total"),
+        F.expr(
+            "CAST(n_customers * 1000000 div sum(n_customers) "
+            "OVER (PARTITION BY c_nationkey) AS BIGINT)"
+        ).alias("share_ppm"),
+    ).orderBy("c_nationkey", "c_mktsegment")
