@@ -1156,7 +1156,7 @@ def duplicate_block_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(
             F.concat_ws(" ", F.slice(F.col("t"), F.col("block_idx") * _BLOCK + 1, _BLOCK))
         ).alias("bk"),
-    )
+    ).persist()  # reused by freq + rejoin: one split/md5 pass, not three
     freq = blocks.groupBy("bk").agg(F.count(F.lit(1)).cast("bigint").alias("occ"))
     per_doc = (
         blocks.join(freq, "bk")
@@ -1262,6 +1262,7 @@ def block_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bk"),
         )
         .distinct()
+        .persist()  # consumed 4x (nb, rare, both join sides): one pass
     )
     nb = blocks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_blocks"))
     rare = (
