@@ -966,6 +966,7 @@ def shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "total_chars"
             ),
         )
+        .persist()  # 32 rows consumed twice (total + final projection)
     )
     total = per_shard.agg(F.sum("n_docs").cast("bigint").alias("n_total"))
     return (

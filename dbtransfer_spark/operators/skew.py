@@ -112,7 +112,9 @@ def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     (never a full sort of the key histogram), one 1-row total broadcast.
     Linear in the fact, output fixed at 20 rows."""
     li = load_table(spark, sf_dir, "lineitem")
-    k = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    k = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    ).persist()  # the key histogram feeds both the total and the top-20
     total = k.agg(
         F.sum("n_rows").cast("bigint").alias("n_total"),
         F.count(F.lit(1)).cast("bigint").alias("n_keys"),

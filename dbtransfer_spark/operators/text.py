@@ -1276,19 +1276,20 @@ def unigram_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
     tok = docs.select("doc_id", F.explode(F.split("text", " ", -1)).alias("w"))
-    vocab = tok.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    # Pre-aggregate to (doc, word) counts FIRST: the occurrence stream is
+    # Zipf-skewed on w ("the" floods one reducer), but (doc_id, w) is
+    # near-uniform; the vocab then DERIVES from doc_words (sum of per-doc
+    # counts), so the token explode runs exactly once — doc_words is
+    # persisted across its two consumers (vocab build + ppm rejoin).
+    # Residual per-word skew on the rejoin is AQE skew-join territory.
+    doc_words = tok.groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    ).persist()
+    vocab = doc_words.groupBy("w").agg(F.sum("c").cast("bigint").alias("cnt"))
     total = vocab.agg(F.sum("cnt").cast("bigint").alias("n_total"))
     ppm = vocab.crossJoin(F.broadcast(total)).select(
         "w",
         F.expr("CAST(cnt * 1000000 div n_total AS BIGINT)").alias("w_ppm"),
-    )
-    # Pre-aggregate to (doc, word) counts BEFORE the vocab join: the
-    # occurrence stream is Zipf-skewed on w ("the" floods one reducer),
-    # but (doc_id, w) is near-uniform and the pre-agg shrinks the join
-    # input to distinct words per doc; the residual per-word skew on the
-    # join (≤ one row per containing doc) is AQE skew-join territory.
-    doc_words = tok.groupBy("doc_id", "w").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c")
     )
     scored = (
         doc_words.join(ppm, "w")
@@ -1353,7 +1354,9 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix plus the corpus-total 1-row aggregate. Output |cutoffs| rows."""
     docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
     tok = docs.select(F.explode(F.split("text", " ", -1)).alias("w"))
-    vocab = tok.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    vocab = tok.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    ).persist()  # consumed by the total aggregate AND the top-N prefix
     total = vocab.agg(
         F.sum("cnt").cast("bigint").alias("n_total"),
         F.count(F.lit(1)).cast("bigint").alias("n_vocab"),

@@ -2522,7 +2522,7 @@ def mad_outlier_brand_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_brand",
         "p_partkey",
         F.expr("CAST(round(p_retailprice * 100) AS BIGINT)").alias("cents"),
-    )
+    ).persist()  # consumed by the median window AND the deviation join
     w = Window.partitionBy("p_brand").orderBy("cents", "p_partkey")
     wn = Window.partitionBy("p_brand")
     med = (
@@ -2537,7 +2537,7 @@ def mad_outlier_brand_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cents",
         F.abs(F.col("cents") - F.col("median_cents")).alias("adev"),
         "median_cents",
-    )
+    ).persist()  # consumed by the MAD window AND the final aggregate
     dw = Window.partitionBy("p_brand").orderBy("adev", "p_partkey")
     mad = (
         dev.withColumn("rn", F.row_number().over(dw))
