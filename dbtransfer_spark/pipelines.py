@@ -61,8 +61,10 @@ def near_dup_against_corpus(
     Scale: |batch|·bands bucket probes against the corpus index — the
     asymmetric join of dedup_incremental_new_vs_corpus (dedup.py), reused
     verbatim; candidate refinement touches only bucket-colliding pairs."""
-    sig_new = minhash_signatures(new_docs, id_col, text_col)
-    sig_corpus = minhash_signatures(corpus, id_col, text_col)
+    # signatures are consumed twice each (banding + estimate rejoin):
+    # persist so the shingle/hash pass runs once per side
+    sig_new = minhash_signatures(new_docs, id_col, text_col).persist()
+    sig_corpus = minhash_signatures(corpus, id_col, text_col).persist()
     cand = (
         _banded(sig_new, "new", id_col)
         .join(_banded(sig_corpus, "corp", id_col), ["band", "bucket"])
@@ -92,7 +94,7 @@ def incremental_release(
     corpus ∪ survivors as the next version. Returns counts + version."""
     batch = exact_dedup(
         new_docs.withColumn("__fp", F.md5(F.col(text_col))), ["__fp"], id_col
-    ).drop("__fp")
+    ).drop("__fp").persist()  # counted, probed, anti-joined, committed
     n_batch = batch.count()
     latest = store.latest_version()
     if latest is None:
