@@ -253,7 +253,10 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = events.filter(F.col("event_type") == event_type)
         if prev is not None:
             df = df.join(prev, "user_id").filter(F.col("ts") > F.col("t")).drop("t")
-        return df.groupBy("user_id").agg(F.min("ts").alias("t"))
+        # each stage is consumed twice (next stage's watermark + its own
+        # count) and chains into every later stage's lineage — persisting
+        # the ≤|users|-row aggregate keeps the events scan at one per stage
+        return df.groupBy("user_id").agg(F.min("ts").alias("t")).persist()
 
     v = first_after("view", None)
     c = first_after("click", v)
@@ -1035,7 +1038,8 @@ def event_type_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-size joins against the ≤5-row size table. Exact BIGINT
     floor-division Jaccard."""
     events = load_table(spark, sf_dir, "events")
-    tu = events.select("event_type", "user_id").distinct()
+    # consumed 3x (sizes + both self-join sides): one distinct pass
+    tu = events.select("event_type", "user_id").distinct().persist()
     sizes = tu.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_users"))
     a = tu.select(F.col("event_type").alias("type_a"), "user_id")
     b = tu.select(F.col("event_type").alias("type_b"), "user_id")

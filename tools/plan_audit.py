@@ -1,0 +1,101 @@
+"""Plan-quality audit over every declared query.
+
+For each ``queries()`` entry, compiles the physical plan at the given SF
+dir (planning only — nothing is executed) and extracts the signals that
+predict 100 TB behavior:
+
+- ``scans``: number of parquet scan nodes (re-reading the same table
+  many times usually means a missing ``persist()`` on shared lineage)
+- ``exchanges``: shuffle count (each is a full network pass)
+- ``bnlj`` / ``cartesian``: nested-loop / cartesian joins (quadratic
+  unless one side is provably bounded — the plan-sweep test whitelists
+  the bounded ones)
+- ``unpartitioned_windows``: ``WindowExec`` with no PARTITION BY (single
+  reducer unless the input is domain-bounded)
+- ``pushed``: whether any scan carries PushedFilters (predicate pushdown
+  reached the reader when the query filters at all)
+
+Usage: python tools/plan_audit.py [sf_dir] [--json out.json]
+Prints a sorted table (worst first by scans+exchanges) and optionally a
+JSON dump consumed by PLAN_AUDIT.md regeneration.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import json
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
+def formatted_plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def audit_one(plan: str) -> dict:
+    # Window node formatted args: [functions], [partition cols], [order]
+    # — an empty second bracket is a single-reducer window.
+    unpart = [
+        m
+        for m in re.findall(r"Arguments: \[[^\]]*windowspecdefinition[^\]]*\], \[(.*?)\], \[", plan)
+        if m.strip() == ""
+    ]
+    return {
+        "scans": len(re.findall(r"Scan parquet", plan)),
+        "exchanges": len(re.findall(r"\bExchange\b", plan)),
+        "bnlj": len(re.findall(r"BroadcastNestedLoopJoin", plan)),
+        "cartesian": len(re.findall(r"CartesianProduct", plan)),
+        "unpartitioned_windows": len(unpart),
+        "pushed_filters": bool(re.search(r"PushedFilters: \[[^\]]", plan)),
+        "codegen_spans": len(set(re.findall(r"codegen id : (\d+)", plan))),
+    }
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") else "/root/testdata/sf0.001"
+    out_json = None
+    if "--json" in sys.argv:
+        out_json = sys.argv[sys.argv.index("--json") + 1]
+
+    from dbtransfer_spark.session import get_spark
+
+    import __spark_entry__ as entry
+
+    spark = get_spark(app_name="plan-audit")
+    results = {}
+    for name, fn in entry.queries().items():
+        try:
+            plan = formatted_plan(fn(spark, sf_dir))
+            results[name] = audit_one(plan)
+        except Exception as exc:  # pragma: no cover - diagnostic tool
+            results[name] = {"error": str(exc).splitlines()[0][:200]}
+
+    ranked = sorted(
+        (r for r in results.items() if "error" not in r[1]),
+        key=lambda kv: (kv[1]["scans"] + kv[1]["exchanges"]),
+        reverse=True,
+    )
+    print(f"{'query':42s} scans exch bnlj cart unpart_win pushed codegen")
+    for name, r in ranked:
+        print(
+            f"{name:42s} {r['scans']:5d} {r['exchanges']:4d} {r['bnlj']:4d}"
+            f" {r['cartesian']:4d} {r['unpartitioned_windows']:10d}"
+            f" {str(r['pushed_filters']):6s} {r['codegen_spans']:7d}"
+        )
+    errs = {k: v for k, v in results.items() if "error" in v}
+    for k, v in errs.items():
+        print(f"ERROR {k}: {v['error']}")
+    if out_json:
+        with open(out_json, "w") as f:
+            json.dump(results, f, indent=1, sort_keys=True)
+    return 1 if errs else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
