@@ -46,11 +46,13 @@ def audit_one(plan: str) -> dict:
         for m in re.findall(r"Arguments: \[[^\]]*windowspecdefinition[^\]]*\], \[(.*?)\], \[", plan)
         if m.strip() == ""
     ]
+    # count only the "(n) Node" detail headers — formatted output also
+    # repeats every node in the tree rendering, which would double-count
     return {
-        "scans": len(re.findall(r"Scan parquet", plan)),
-        "exchanges": len(re.findall(r"\bExchange\b", plan)),
-        "bnlj": len(re.findall(r"BroadcastNestedLoopJoin", plan)),
-        "cartesian": len(re.findall(r"CartesianProduct", plan)),
+        "scans": len(re.findall(r"\(\d+\) Scan parquet", plan)),
+        "exchanges": len(re.findall(r"\(\d+\) Exchange\b", plan)),
+        "bnlj": len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)),
+        "cartesian": len(re.findall(r"\(\d+\) CartesianProduct", plan)),
         "unpartitioned_windows": len(unpart),
         "pushed_filters": bool(re.search(r"PushedFilters: \[[^\]]", plan)),
         "codegen_spans": len(set(re.findall(r"codegen id : (\d+)", plan))),
