@@ -129,6 +129,7 @@ _VERIFY_FIRST = (
     "window_value_functions",
     "json_schema_profile",
     "nation_segment_share",
+    "source_dup_matrix",
     # stale: newest driver row is round 1
     "array_functions",
     "conditional_functions",

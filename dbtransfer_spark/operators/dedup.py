@@ -1304,3 +1304,50 @@ def block_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 block_containment_pairs.__doc__ = block_containment_pairs.__doc__.format(
     cap=_CONTAIN_DF_CAP
 )
+
+
+def _source_dup_matrix_oracle() -> str:
+    return f"""
+    WITH dup_pairs AS ({_minhash_oracle()}),
+    labeled AS (
+      SELECT least(da.source, db.source) AS source_a,
+             greatest(da.source, db.source) AS source_b
+      FROM dup_pairs p
+      JOIN documents da ON p.doc_a = da.doc_id
+      JOIN documents db ON p.doc_b = db.doc_id
+    )
+    SELECT source_a, source_b,
+           CAST(count(*) AS BIGINT) AS n_dup_pairs
+    FROM labeled
+    GROUP BY source_a, source_b
+    ORDER BY n_dup_pairs DESC, source_a, source_b
+    """
+
+
+@register("source_dup_matrix", _source_dup_matrix_oracle())
+def source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: near-dup pairs (the verified
+    MinHash+LSH pipeline) rolled up by unordered source pair — the
+    mirror-site / scraper-overlap detector that tells a crawl pipeline
+    which source pairs to deduplicate against each other FIRST (and which
+    single source is internally redundant: the diagonal).
+
+    Plan: the near-dup pair pipeline (banded equi-join, persisted
+    signatures) plus two id-keyed joins against the pruned (doc_id,
+    source) projection and a ≤|sources|²-row aggregate. Costs one more
+    join pass than dedup_minhash_lsh itself; no new shuffle shapes."""
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    da = docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    db = docs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    return (
+        pairs.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_dup_pairs"))
+        .orderBy(F.desc("n_dup_pairs"), "source_a", "source_b")
+    )
