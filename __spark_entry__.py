@@ -130,6 +130,8 @@ _VERIFY_FIRST = (
     "json_schema_profile",
     "nation_segment_share",
     "source_dup_matrix",
+    "nation_supplier_hhi",
+    "purchase_gap_percentiles",
     # stale: newest driver row is round 1
     "array_functions",
     "conditional_functions",

@@ -2744,3 +2744,145 @@ def nation_segment_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "OVER (PARTITION BY c_nationkey) AS BIGINT)"
         ).alias("share_ppm"),
     ).orderBy("c_nationkey", "c_mktsegment")
+
+
+@register(
+    "nation_supplier_hhi",
+    """
+    WITH rev AS (
+      SELECT s_nationkey,
+             l_suppkey,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY s_nationkey, l_suppkey
+    ),
+    tot AS (
+      SELECT s_nationkey, CAST(sum(cents) AS BIGINT) AS total_cents,
+             CAST(count(*) AS BIGINT) AS n_suppliers
+      FROM rev GROUP BY s_nationkey
+    )
+    SELECT r.s_nationkey,
+           max(t.n_suppliers) AS n_suppliers,
+           max(t.total_cents) AS total_cents,
+           CAST(sum((r.cents * 10000 // t.total_cents)
+                    * (r.cents * 10000 // t.total_cents)) AS BIGINT) AS hhi
+    FROM rev r JOIN tot t ON r.s_nationkey = t.s_nationkey
+    GROUP BY r.s_nationkey ORDER BY r.s_nationkey
+    """,
+)
+def nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration index of supplier revenue per
+    nation (sum of squared basis-point shares; 10000² = monopoly) — the
+    concentration audit that also maps onto data-pipeline questions like
+    'is one provider dominating this source mix?'. All integer: revenue
+    in cents, shares floored to basis points, squares summed exactly.
+
+    Plan: one (nation, supplier)-keyed revenue aggregate over the fact
+    (partial-aggregated), a ≤|nations|-row totals aggregate joined back
+    broadcast-size, and a |nations|-row output."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.join(sup, li["l_suppkey"] == sup["s_suppkey"])
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(
+            F.sum(F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("cents")
+        )
+        .persist()  # consumed by the totals aggregate AND the share join
+    )
+    tot = rev.groupBy("s_nationkey").agg(
+        F.sum("cents").cast("bigint").alias("total_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+    )
+    share_bp = F.expr("cents * 10000 div total_cents")
+    return (
+        rev.join(broadcast_if_small(tot), "s_nationkey")
+        .groupBy("s_nationkey")
+        .agg(
+            F.max("n_suppliers").alias("n_suppliers"),
+            F.max("total_cents").alias("total_cents"),
+            F.sum(share_bp * share_bp).cast("bigint").alias("hhi"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+@register(
+    "purchase_gap_percentiles",
+    """
+    WITH p AS (
+      SELECT user_id, epoch_us(ts) AS micros
+      FROM events WHERE event_type = 'purchase'
+    ),
+    gaps AS (
+      SELECT CAST((micros - lag(micros) OVER (PARTITION BY user_id
+                                              ORDER BY micros)) // 86400000000
+                  AS BIGINT) AS gap_days
+      FROM p
+    ),
+    hist AS (
+      SELECT gap_days, CAST(count(*) AS BIGINT) AS n
+      FROM gaps WHERE gap_days IS NOT NULL GROUP BY gap_days
+    ),
+    cum AS (
+      SELECT gap_days, n,
+             CAST(sum(n) OVER (ORDER BY gap_days) AS BIGINT) AS c,
+             CAST(sum(n) OVER () AS BIGINT) AS total
+      FROM hist
+    )
+    SELECT CAST(min(CASE WHEN c * 100 >= total * 50 THEN gap_days END) AS BIGINT)
+             AS p50_days,
+           CAST(min(CASE WHEN c * 100 >= total * 90 THEN gap_days END) AS BIGINT)
+             AS p90_days,
+           CAST(min(CASE WHEN c * 100 >= total * 99 THEN gap_days END) AS BIGINT)
+             AS p99_days,
+           max(total) AS n_gaps
+    FROM cum
+    """,
+)
+def purchase_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global percentiles of the repeat-purchase interval (days between a
+    user's consecutive purchases): p50/p90/p99 computed EXACTLY from the
+    day-bucketed gap histogram — the cumulative-histogram trick
+    (acctbal_deciles' shape): the only unpartitioned window runs over the
+    ≤ |distinct gap days| histogram (value-domain-bounded, not
+    SF-bounded), never over the raw gaps.
+
+    Plan: user-partitioned lag window → day-bucket histogram
+    (partial-aggregated) → bounded cumulative scan → 1-row report."""
+    from dbtransfer_spark.operators.windows import epoch_micros
+
+    events = load_table(spark, sf_dir, "events")
+    p = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", epoch_micros(events, "ts").alias("micros")
+    )
+    w = Window.partitionBy("user_id").orderBy("micros")
+    gaps = p.select(
+        F.expr(
+            "CAST((micros - lag(micros) OVER (PARTITION BY user_id ORDER BY micros))"
+            " div 86400000000 AS BIGINT)"
+        ).alias("gap_days")
+    ).filter(F.col("gap_days").isNotNull())
+    hist = gaps.groupBy("gap_days").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    cw = Window.orderBy("gap_days").rowsBetween(Window.unboundedPreceding, 0)
+    tw = Window.partitionBy()
+    cum = hist.select(
+        "gap_days",
+        F.sum("n").over(cw).cast("bigint").alias("c"),
+        F.sum("n").over(tw).cast("bigint").alias("total"),
+    )
+
+    def pctl(q: int):
+        return F.min(
+            F.when(F.col("c") * 100 >= F.col("total") * q, F.col("gap_days"))
+        ).cast("bigint")
+
+    return cum.agg(
+        pctl(50).alias("p50_days"),
+        pctl(90).alias("p90_days"),
+        pctl(99).alias("p99_days"),
+        F.max("total").alias("n_gaps"),
+    )
