@@ -347,3 +347,55 @@ def enriched_event_stream(
         .select("event_id", "ts", "user_id", "event_type", "value",
                 "user_name", "user_segment")
     )
+
+
+def quality_routed_stream(
+    spark: SparkSession,
+    source_dir: str,
+    accept_dir: str,
+    quarantine_dir: str,
+    checkpoint_dir: str,
+):
+    """Streaming quality routing: documents arrive as parquet drops, the
+    cheap quality gate (length + token count, the text_quality rules)
+    routes each micro-batch to an ACCEPT sink or a QUARANTINE sink — the
+    streaming twin of the file connectors' corrupt-record quarantine, and
+    the shape every continuously-ingesting corpus pipeline runs (reject
+    rows must be kept, not dropped: they are the audit trail for filter
+    tuning).
+
+    One foreachBatch writes both sinks from a persisted batch frame (the
+    gate is evaluated once per batch, not once per sink); the checkpoint
+    makes the routing exactly-once-in-effect across restarts. Returns the
+    started StreamingQuery; callers await termination."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    n_tokens = F.size(F.split("text", " ", -1))
+    passes = (F.length("text") >= 20) & (n_tokens >= 5)
+
+    def route(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.withColumn("__pass", passes).persist()
+        try:
+            batch.filter(F.col("__pass")).drop("__pass").write.mode("append").parquet(
+                accept_dir
+            )
+            batch.filter(~F.col("__pass")).drop("__pass").write.mode("append").parquet(
+                quarantine_dir
+            )
+        finally:
+            batch.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(route)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -231,3 +231,29 @@ def test_enriched_stream_matches_batch_join(spark, events_dir):
     # events with no matching dimension row survive (left join)
     n_unmatched = streamed.filter(F.col("user_name").isNull()).count()
     assert n_unmatched == batch.filter(F.col("user_name").isNull()).count()
+
+
+def test_quality_routed_stream_splits_and_preserves_all_rows(spark, tmp_path):
+    from dbtransfer_spark.streaming.incremental import quality_routed_stream
+
+    src = str(tmp_path / "src")
+    rows = [
+        (1, "a b", "en", "s", 3),                          # too short → quarantine
+        (2, " ".join(f"w{i}" for i in range(30)), "en", "s", 100),  # pass
+        (3, "tiny", "en", "s", 4),                          # quarantine
+        (4, " ".join(f"x{i}" for i in range(10)), "en", "s", 40),   # pass
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(src)
+    accept, quarantine = str(tmp_path / "ok"), str(tmp_path / "bad")
+    q = quality_routed_stream(spark, src, accept, quarantine, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+    ok = spark.read.parquet(accept)
+    bad = spark.read.parquet(quarantine)
+    assert {r["doc_id"] for r in ok.collect()} == {2, 4}
+    assert {r["doc_id"] for r in bad.collect()} == {1, 3}
+    # restart with no new data: checkpoint prevents re-processing
+    q2 = quality_routed_stream(spark, src, accept, quarantine, str(tmp_path / "ckpt"))
+    q2.awaitTermination()
+    assert spark.read.parquet(accept).count() == 2
