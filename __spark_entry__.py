@@ -132,6 +132,8 @@ _VERIFY_FIRST = (
     "source_dup_matrix",
     "nation_supplier_hhi",
     "purchase_gap_percentiles",
+    "order_total_consistency_audit",
+    "session_abandonment",
     # stale: newest driver row is round 1
     "array_functions",
     "conditional_functions",

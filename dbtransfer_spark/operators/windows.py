@@ -1199,3 +1199,98 @@ def ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "div greatest(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END), 1) AS BIGINT)"
         ).alias("rate_control_ppm"),
     )
+
+
+@register(
+    "session_abandonment",
+    """
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS micros
+      FROM events WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    gapped AS (
+      SELECT user_id, event_type, micros,
+             CASE WHEN micros - lag(micros) OVER (PARTITION BY user_id
+                                                  ORDER BY micros)
+                       > 1800000000 OR
+                  lag(micros) OVER (PARTITION BY user_id ORDER BY micros) IS NULL
+                  THEN 1 ELSE 0 END AS is_start
+      FROM e
+    ),
+    sessions AS (
+      SELECT user_id, event_type,
+             CAST(sum(is_start) OVER (PARTITION BY user_id ORDER BY micros
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_id
+      FROM gapped
+    ),
+    flags AS (
+      SELECT user_id, session_id,
+             max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS has_view,
+             max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS has_click,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_purchase
+      FROM sessions GROUP BY user_id, session_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN has_view = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_browse_sessions,
+           CAST(sum(CASE WHEN has_click = 1 AND has_purchase = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_abandoned,
+           CAST(sum(CASE WHEN has_purchase = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_converted,
+           CAST(sum(CASE WHEN has_click = 1 AND has_purchase = 0 THEN 1 ELSE 0 END)
+                * 1000000
+                // greatest(sum(CASE WHEN has_click = 1 THEN 1 ELSE 0 END), 1)
+                AS BIGINT) AS abandonment_ppm
+    FROM flags
+    """,
+)
+def session_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cart-abandonment readout: 30-minute gap sessionization (the
+    lag/cumsum idiom shared with events_sessionize_stats), per-session
+    engagement flags in ONE aggregate, then a 1-row report — sessions
+    that clicked but never purchased, as an exact ppm of clicking
+    sessions. The business twin of events_funnel's ordered stages.
+
+    Plan: one user-partitioned sort window pair (lag + running sum share
+    the sort), one (user, session) aggregate, 1-row report. Purely
+    integer."""
+    events = load_table(spark, sf_dir, "events")
+    e = events.filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    ).select("user_id", "event_type", epoch_micros(events, "ts").alias("micros"))
+    w = Window.partitionBy("user_id").orderBy("micros")
+    gapped = e.withColumn(
+        "is_start",
+        F.when(
+            (F.col("micros") - F.lag("micros").over(w) > 1_800_000_000)
+            | F.lag("micros").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    sessions = gapped.withColumn(
+        "session_id",
+        F.sum("is_start").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("bigint"),
+    )
+    flag = lambda t: F.max((F.col("event_type") == t).cast("int"))
+    flags = sessions.groupBy("user_id", "session_id").agg(
+        flag("view").alias("has_view"),
+        flag("click").alias("has_click"),
+        flag("purchase").alias("has_purchase"),
+    )
+    abandoned = ((F.col("has_click") == 1) & (F.col("has_purchase") == 0)).cast("bigint")
+    return flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.sum((F.col("has_view") == 1).cast("bigint")).cast("bigint").alias(
+            "n_browse_sessions"
+        ),
+        F.sum(abandoned).cast("bigint").alias("n_abandoned"),
+        F.sum((F.col("has_purchase") == 1).cast("bigint")).cast("bigint").alias(
+            "n_converted"
+        ),
+        F.expr(
+            "CAST(sum(CASE WHEN has_click = 1 AND has_purchase = 0 THEN 1 ELSE 0 END)"
+            " * 1000000 div greatest(sum(CASE WHEN has_click = 1 THEN 1 ELSE 0 END), 1)"
+            " AS BIGINT)"
+        ).alias("abandonment_ppm"),
+    )

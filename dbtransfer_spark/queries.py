@@ -2886,3 +2886,79 @@ def purchase_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         pctl(99).alias("p99_days"),
         F.max("total").alias("n_gaps"),
     )
+
+
+@register(
+    "order_total_consistency_audit",
+    """
+    WITH li AS (
+      SELECT l_orderkey,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                 * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT)
+               AS computed_cents,
+             CAST(count(*) AS BIGINT) AS n_lines
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    j AS (
+      SELECT o.o_orderkey,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS stated_cents,
+             li.computed_cents, li.n_lines,
+             abs(CAST(round(o.o_totalprice * 100) AS BIGINT) - li.computed_cents)
+               AS diff_cents
+      FROM orders o JOIN li ON o.o_orderkey = li.l_orderkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN diff_cents = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact,
+           CAST(sum(CASE WHEN diff_cents > 0 AND diff_cents <= n_lines THEN 1
+                         ELSE 0 END) AS BIGINT) AS n_rounding_only,
+           CAST(sum(CASE WHEN diff_cents > n_lines THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violations,
+           CAST(max(diff_cents) AS BIGINT) AS max_diff_cents
+    FROM j
+    """,
+)
+def order_total_consistency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table invariant audit: does each order's stated total equal
+    the sum of its line amounts (price·(1−disc)·(1+tax))? Classifies
+    every order as exact / rounding-noise (≤1 cent per line) / genuine
+    violation, with the worst deviation — the reconciliation every
+    migrated or synthesized dataset should run before anyone trusts a
+    revenue number (the fixture's totals are synthetic, so violations
+    here are EXPECTED — the audit's job is to count them, not pass).
+
+    Plan: one orderkey-keyed partial-aggregated pass over the fact, one
+    keyed join to orders, a 1-row report. Integer cents everywhere."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.expr(
+                "CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100)"
+                " AS BIGINT)"
+            )
+        )
+        .cast("bigint")
+        .alias("computed_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+    )
+    j = orders.join(per_order, orders["o_orderkey"] == per_order["l_orderkey"]).select(
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("stated_cents"),
+        "computed_cents",
+        "n_lines",
+    ).withColumn("diff_cents", F.abs(F.col("stated_cents") - F.col("computed_cents")))
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum((F.col("diff_cents") == 0).cast("bigint")).cast("bigint").alias("n_exact"),
+        F.sum(
+            ((F.col("diff_cents") > 0) & (F.col("diff_cents") <= F.col("n_lines"))).cast(
+                "bigint"
+            )
+        )
+        .cast("bigint")
+        .alias("n_rounding_only"),
+        F.sum((F.col("diff_cents") > F.col("n_lines")).cast("bigint"))
+        .cast("bigint")
+        .alias("n_violations"),
+        F.max("diff_cents").cast("bigint").alias("max_diff_cents"),
+    )
