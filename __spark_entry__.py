@@ -134,6 +134,8 @@ _VERIFY_FIRST = (
     "purchase_gap_percentiles",
     "order_total_consistency_audit",
     "session_abandonment",
+    "source_quality_scorecard",
+    "supplier_lead_time_p95",
     # stale: newest driver row is round 1
     "array_functions",
     "conditional_functions",

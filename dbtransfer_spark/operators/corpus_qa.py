@@ -1109,3 +1109,85 @@ def source_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "source_quality_scorecard",
+    """
+    WITH t AS (
+      SELECT source,
+             length(text) AS n_chars_calc,
+             len(string_split(text, ' ')) AS n_tokens,
+             CASE WHEN len(string_split(text, ' ')) = 0 THEN 0.0
+                  ELSE CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                       / len(string_split(text, ' ')) END AS mwl,
+             len(list_filter(string_split(text, ' '),
+                 w -> w IN ('the','a','of','and','to','in','is','it'))) AS n_stop
+      FROM documents
+    ),
+    flags AS (
+      SELECT source,
+             CASE WHEN n_chars_calc >= 20 THEN 1 ELSE 0 END AS pass_len,
+             CASE WHEN n_tokens >= 5 THEN 1 ELSE 0 END AS pass_tokens,
+             CASE WHEN mwl BETWEEN 2.0 AND 12.0 THEN 1 ELSE 0 END AS pass_mwl,
+             CASE WHEN n_stop * 100 >= n_tokens * 1 THEN 1 ELSE 0 END AS pass_stop,
+             CASE WHEN n_chars_calc >= 20 AND n_tokens >= 5
+                       AND mwl BETWEEN 2.0 AND 12.0
+                       AND n_stop * 100 >= n_tokens * 1
+                  THEN 1 ELSE 0 END AS pass_all
+      FROM t
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(pass_len) * 1000000 // count(*) AS BIGINT) AS len_pass_ppm,
+           CAST(sum(pass_tokens) * 1000000 // count(*) AS BIGINT) AS tokens_pass_ppm,
+           CAST(sum(pass_mwl) * 1000000 // count(*) AS BIGINT) AS mwl_pass_ppm,
+           CAST(sum(pass_stop) * 1000000 // count(*) AS BIGINT) AS stop_pass_ppm,
+           CAST(sum(pass_all) * 1000000 // count(*) AS BIGINT) AS all_pass_ppm
+    FROM flags GROUP BY source ORDER BY all_pass_ppm, source
+    """,
+)
+def source_quality_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality scorecard: the pass rate of EACH quality gate
+    (length, token count, mean word length, stopword floor) plus the
+    conjunction, per source, sorted worst-first — the tuning dashboard
+    that tells a curation run WHICH rule is rejecting a source's docs
+    (a source failing only the stopword gate is probably non-English,
+    not garbage; one failing length is probably truncated scrapes).
+
+    Plan: scan-stage flag expressions + one source-keyed
+    partial-aggregated shuffle to |sources| rows. Integer ppm."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = F.split("text", " ", -1)
+    n_tokens = F.size(tokens)
+    mwl = F.when(n_tokens == 0, F.lit(0.0)).otherwise(
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+        / n_tokens
+    )
+    stopset = F.array([F.lit(w) for w in ("the", "a", "of", "and", "to", "in", "is", "it")])
+    n_stop = F.size(F.filter(tokens, lambda w: F.array_contains(stopset, w)))
+    pass_len = (F.length("text") >= 20).cast("int")
+    pass_tokens = (n_tokens >= 5).cast("int")
+    pass_mwl = mwl.between(2.0, 12.0).cast("int")
+    pass_stop = (n_stop * 100 >= n_tokens * 1).cast("int")
+    flags = docs.select(
+        "source",
+        pass_len.alias("pass_len"),
+        pass_tokens.alias("pass_tokens"),
+        pass_mwl.alias("pass_mwl"),
+        pass_stop.alias("pass_stop"),
+        (pass_len * pass_tokens * pass_mwl * pass_stop).alias("pass_all"),
+    )
+    ppm = lambda c: F.expr(f"CAST(sum({c}) * 1000000 div count(*) AS BIGINT)")
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            ppm("pass_len").alias("len_pass_ppm"),
+            ppm("pass_tokens").alias("tokens_pass_ppm"),
+            ppm("pass_mwl").alias("mwl_pass_ppm"),
+            ppm("pass_stop").alias("stop_pass_ppm"),
+            ppm("pass_all").alias("all_pass_ppm"),
+        )
+        .orderBy("all_pass_ppm", "source")
+    )

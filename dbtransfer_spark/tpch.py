@@ -1105,3 +1105,75 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum(F.col("amount")).alias("sum_profit"))
         .orderBy("nation", F.desc("o_year"))
     )
+
+
+@register(
+    "supplier_lead_time_p95",
+    """
+    WITH lat AS (
+      SELECT l_suppkey,
+             CAST(date_diff('day', o_orderdate, l_shipdate) AS BIGINT) AS lead_days
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    ranked AS (
+      SELECT l_suppkey, lead_days,
+             row_number() OVER (PARTITION BY l_suppkey
+                                ORDER BY lead_days, l_suppkey) AS rn,
+             count(*) OVER (PARTITION BY l_suppkey) AS n
+      FROM lat
+    ),
+    p95 AS (
+      SELECT l_suppkey,
+             CAST(max(n) AS BIGINT) AS n_shipments,
+             CAST(max(CASE WHEN rn = (n * 95 + 99) // 100 THEN lead_days END)
+                  AS BIGINT) AS p95_lead_days
+      FROM ranked GROUP BY l_suppkey
+    )
+    SELECT l_suppkey, n_shipments, p95_lead_days FROM (
+      SELECT *, row_number() OVER (ORDER BY p95_lead_days DESC, l_suppkey) AS r
+      FROM p95
+    ) WHERE r <= 20
+    ORDER BY p95_lead_days DESC, l_suppkey
+    """,
+)
+def supplier_lead_time_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 20 slowest suppliers by p95 order-to-ship lead time (exact
+    positional percentile in whole days) — the supplier-SLA twin of
+    order_priority_sla, keyed per supplier instead of per priority.
+
+    Scale: latencies shuffle once on the supplier key; the positional
+    p95 runs inside each supplier's partition (high-cardinality key →
+    full parallelism, unlike the bounded-dimension medians), and only
+    the |suppliers|-row p95 table feeds the TakeOrdered top-20."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    lat = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        "l_suppkey",
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+        .cast("bigint")
+        .alias("lead_days"),
+    )
+    w = Window.partitionBy("l_suppkey").orderBy("lead_days", "l_suppkey")
+    wn = Window.partitionBy("l_suppkey")
+    p95 = (
+        lat.select(
+            "l_suppkey",
+            "lead_days",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.max("n").cast("bigint").alias("n_shipments"),
+            F.max(
+                F.when(F.col("rn") == F.expr("(n * 95 + 99) div 100"), F.col("lead_days"))
+            )
+            .cast("bigint")
+            .alias("p95_lead_days"),
+        )
+    )
+    return (
+        p95.orderBy(F.desc("p95_lead_days"), "l_suppkey")
+        .limit(20)
+        .orderBy(F.desc("p95_lead_days"), "l_suppkey")
+    )
