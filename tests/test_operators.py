@@ -533,3 +533,42 @@ def test_ab_test_split_is_balanced_and_exhaustive(spark):
     assert abs(r["n_treatment"] - r["n_control"]) < n * 0.4
     assert r["conv_treatment"] <= r["n_treatment"]
     assert r["conv_control"] <= r["n_control"]
+
+
+def test_text_ops_handle_unicode(spark, tmp_path):
+    """CJK / emoji / combining marks through the text pipeline: char
+    counts are code-point based (not bytes), chunking never splits words,
+    fingerprints are stable, nothing crashes."""
+    from dbtransfer_spark.operators.text import QUERIES as TQ
+
+    docs = [
+        (1, "数据 处理 引擎 在 大规模 集群 上 运行", "zh", "s"),
+        (2, "données and ünïcödé mixed crème brûlée text here", "fr", "s"),
+        (3, "emoji 🎉 test 🚀 with spaces", "en", "s"),
+        (4, "é combining mark then words follow after", "fr", "s"),
+    ]
+    d = str(tmp_path / "fx")
+    spark.createDataFrame(
+        [(i, t, l, s, len(t)) for i, t, l, s in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(d + "/documents.parquet")
+
+    stats = {r["doc_id"]: r for r in TQ["text_stats"](spark, d).collect()}
+    for i, t, _l, _s in docs:
+        assert stats[i]["n_chars_calc"] == len(t)          # code points, not bytes
+        assert stats[i]["n_ws_tokens"] == len(t.split(" "))
+
+    chunks = TQ["chunk_documents"](spark, d).collect()
+    # reassembling every doc's chunk 0 prefix returns original tokens
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, t, _l, _s in docs:
+        first = min(by_doc[i], key=lambda r: r["chunk_idx"])
+        assert t.startswith(first["chunk_text"][: len(t)])
+
+    from dbtransfer_spark.operators.text import QUERIES
+
+    fp1 = {r["doc_id"]: r["fingerprint"] for r in QUERIES["doc_fingerprint"](spark, d).collect()}
+    fp2 = {r["doc_id"]: r["fingerprint"] for r in QUERIES["doc_fingerprint"](spark, d).collect()}
+    assert fp1 == fp2  # deterministic on unicode input

@@ -585,3 +585,70 @@ def test_duplicate_block_ratio_matches_bruteforce(spark, tmp_path_factory, docs)
         want_ppm = n_dup * 1_000_000 // max(len(bs), 1)
         assert got[i]["dup_ppm"] == want_ppm
         assert got[i]["keep"] == (n_dup * 2 <= len(bs) or len(bs) == 0)
+
+
+# ---------------------------------------------------------------------------
+# Versioned store ≡ a Python model, under any operation sequence
+# ---------------------------------------------------------------------------
+
+
+@given(
+    ops=st.lists(
+        st.one_of(
+            st.tuples(st.just("commit"), st.integers(1, 6)),
+            st.tuples(st.just("append"), st.integers(1, 6)),
+            st.tuples(st.just("vacuum"), st.integers(1, 3)),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_versioned_store_matches_model(spark, tmp_path_factory, ops):
+    """Random commit/append/vacuum sequences: the store's visible state
+    (latest version, row multiset per surviving version) must equal a
+    pure-Python model's at every step."""
+    from dbtransfer_spark.sources.versioned import VersionedDatasetStore
+
+    store = VersionedDatasetStore(
+        spark, str(tmp_path_factory.mktemp("vstore")), "t"
+    )
+    model: dict[int, list[int]] = {}   # version -> sorted doc ids
+    latest = None
+    next_id = 0
+    for op, arg in ops:
+        if op == "commit":
+            ids = list(range(next_id, next_id + arg))
+            next_id += arg
+            df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+            v = store.commit(df)
+            model[v] = sorted(ids)
+            latest = v
+        elif op == "append":
+            ids = list(range(next_id, next_id + arg))
+            next_id += arg
+            df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+            if latest is None:
+                # append on empty store = full commit semantics
+                v = store.commit(df)
+                model[v] = sorted(ids)
+            else:
+                v = store.commit_append(df)
+                model[v] = sorted(model[latest] + ids)
+            latest = v
+        else:  # vacuum
+            if latest is None:
+                continue
+            dropped = store.vacuum(keep_last=arg)
+            for d in dropped:
+                model.pop(d, None)
+        # invariants after every op
+        assert store.latest_version() == latest
+        assert sorted(store.versions()) == sorted(model)
+        for v, want in model.items():
+            got = sorted(r["doc_id"] for r in store.read(v).collect())
+            assert got == want, (v, got, want)
