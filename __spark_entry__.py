@@ -136,6 +136,7 @@ _VERIFY_FIRST = (
     "session_abandonment",
     "source_quality_scorecard",
     "supplier_lead_time_p95",
+    "sql_lateral_topk",
     # stale: newest driver row is round 1
     "array_functions",
     "conditional_functions",

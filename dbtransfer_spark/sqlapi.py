@@ -112,3 +112,27 @@ SELECT c_mktsegment, n_customers FROM cnt WHERE n_customers > 10
 @register("sql_cte_pipeline", _CTE_SQL)
 def sql_cte_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run(spark, sf_dir, _CTE_SQL)
+
+
+_LATERAL_SQL = """
+SELECT n.n_name, t.c_name, t.c_acctbal
+FROM nation n,
+LATERAL (
+  SELECT c_name, c_acctbal FROM customer
+  WHERE c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey
+  LIMIT 3
+) t
+ORDER BY n.n_name, t.c_acctbal DESC, t.c_name
+"""
+
+
+@register("sql_lateral_topk", _LATERAL_SQL)
+def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (per-nation top-3 customers by
+    balance) — the SQL-surface twin of the window-function
+    top_n_per_group: Spark decorrelates the LATERAL LIMIT into a
+    rank-limited join (DomainJoin → window rank ≤ 3), so the plan is the
+    same partitioned rank pushdown, not a per-row re-execution; identical
+    SQL runs on DuckDB as the oracle."""
+    return _run(spark, sf_dir, _LATERAL_SQL)
