@@ -137,6 +137,8 @@ _VERIFY_FIRST = (
     "source_quality_scorecard",
     "supplier_lead_time_p95",
     "sql_lateral_topk",
+    "format_functions",
+    "encoding_functions",
     # stale: newest driver row is round 1
     "array_functions",
     "conditional_functions",

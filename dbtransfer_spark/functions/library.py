@@ -480,3 +480,67 @@ def null_semantics_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w_last).alias("rn_nulls_last"),
         F.row_number().over(w_first).alias("rn_nulls_first"),
     )
+
+
+@register(
+    "format_functions",
+    """
+    SELECT c_custkey,
+           printf('%s-%05d', c_mktsegment, c_custkey) AS tagged,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key,
+           rpad(c_mktsegment, 12, '.') AS padded_seg,
+           repeat('-', 5) AS rule,
+           reverse(c_name) AS rev_name,
+           translate(c_name, '#', '_') AS clean_name,
+           upper(substr(c_name, 1, 1)) || lower(substr(c_name, 2)) AS title_name
+    FROM customer
+    """,
+)
+def format_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String formatting surface: printf-style templating, lpad/rpad,
+    repeat/reverse/translate, and manual title-casing (initcap is
+    engine-specific on delimiters, so the portable form is
+    upper(first)+lower(rest)) — the formatting layer of export/report
+    sinks. All JVM-codegen'd expressions."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.format_string("%s-%05d", F.col("c_mktsegment"), F.col("c_custkey")).alias(
+            "tagged"
+        ),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_key"),
+        F.rpad("c_mktsegment", 12, ".").alias("padded_seg"),
+        F.repeat(F.lit("-"), 5).alias("rule"),
+        F.reverse("c_name").alias("rev_name"),
+        F.translate("c_name", "#", "_").alias("clean_name"),
+        F.concat(
+            F.upper(F.substring("c_name", 1, 1)),
+            F.lower(F.expr("substr(c_name, 2)")),
+        ).alias("title_name"),
+    )
+
+
+@register(
+    "encoding_functions",
+    """
+    SELECT doc_id,
+           sha256(text) AS sha_256,
+           to_base64(CAST(substr(text, 1, 12) AS BLOB)) AS head_b64,
+           hex(CAST(substr(text, 1, 6) AS BLOB)) AS head_hex,
+           md5(text) AS md5_hex
+    FROM documents
+    """,
+)
+def encoding_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary encoding surface: SHA-256 content addressing (the dedup /
+    provenance key stronger than md5), base64 and hex transport
+    encodings — cross-engine bit-identical, which is what makes them
+    usable as portable content ids in manifests and shard maps."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.sha2("text", 256).alias("sha_256"),
+        F.base64(F.substring("text", 1, 12).cast("binary")).alias("head_b64"),
+        F.hex(F.substring("text", 1, 6).cast("binary")).alias("head_hex"),
+        F.md5("text").alias("md5_hex"),
+    )
