@@ -139,6 +139,7 @@ _VERIFY_FIRST = (
     "sql_lateral_topk",
     "format_functions",
     "encoding_functions",
+    "rank_functions",
     # stale: newest driver row is round 1
     "array_functions",
     "conditional_functions",

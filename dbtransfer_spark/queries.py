@@ -2962,3 +2962,49 @@ def order_total_consistency_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         .alias("n_violations"),
         F.max("diff_cents").cast("bigint").alias("max_diff_cents"),
     )
+
+
+@register(
+    "rank_functions",
+    """
+    WITH c AS (
+      SELECT p_brand, p_partkey,
+             CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+      FROM part
+    )
+    SELECT p_brand, p_partkey, cents,
+           rank() OVER w AS price_rank,
+           dense_rank() OVER w AS price_dense_rank,
+           row_number() OVER (PARTITION BY p_brand
+                              ORDER BY cents DESC, p_partkey) AS price_row
+    FROM c
+    WINDOW w AS (PARTITION BY p_brand ORDER BY cents DESC)
+    ORDER BY p_brand, price_row
+    """,
+)
+def rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function surface: rank (gaps after ties), dense_rank (no
+    gaps), row_number (arbitrary ties broken by an explicit unique key)
+    over the same per-brand price ordering — the three tie semantics
+    every leaderboard/top-k consumer has to choose between. rank and
+    dense_rank order by cents alone (ties WANTED — that is the semantic
+    under test); row_number adds the unique partkey tie-break so the
+    output multiset is deterministic.
+
+    Plan: all three functions share one brand-partitioned sort window."""
+    part = load_table(spark, sf_dir, "part")
+    c = part.select(
+        "p_brand",
+        "p_partkey",
+        F.expr("CAST(round(p_retailprice * 100) AS BIGINT)").alias("cents"),
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.desc("cents"))
+    wr = Window.partitionBy("p_brand").orderBy(F.desc("cents"), "p_partkey")
+    return c.select(
+        "p_brand",
+        "p_partkey",
+        "cents",
+        F.rank().over(w).alias("price_rank"),
+        F.dense_rank().over(w).alias("price_dense_rank"),
+        F.row_number().over(wr).alias("price_row"),
+    ).orderBy("p_brand", "price_row")
