@@ -140,6 +140,8 @@ _VERIFY_FIRST = (
     "format_functions",
     "encoding_functions",
     "rank_functions",
+    "filtered_aggregates",
+    "try_functions",
     # stale: newest driver row is round 1
     "array_functions",
     "conditional_functions",

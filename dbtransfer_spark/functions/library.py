@@ -544,3 +544,84 @@ def encoding_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hex(F.substring("text", 1, 6).cast("binary")).alias("head_hex"),
         F.md5("text").alias("md5_hex"),
     )
+
+
+@register(
+    "filtered_aggregates",
+    """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_big_qty,
+           CAST(count(*) FILTER (WHERE l_discount = 0) AS BIGINT) AS n_no_discount,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                FILTER (WHERE l_tax > 0.05) AS BIGINT) AS taxed_cents,
+           CAST(count(DISTINCT l_suppkey) FILTER (WHERE l_quantity > 40) AS BIGINT)
+             AS n_bulk_suppliers
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def filtered_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate FILTER clause — per-aggregate predicates inside ONE
+    grouping pass (the readable alternative to nested CASE WHEN, and the
+    only form that composes with DISTINCT). One partial-aggregated
+    shuffle however many filtered measures ride along."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.expr("count(*) FILTER (WHERE l_quantity > 25)")
+            .cast("bigint")
+            .alias("n_big_qty"),
+            F.expr("count(*) FILTER (WHERE l_discount = 0)")
+            .cast("bigint")
+            .alias("n_no_discount"),
+            F.expr(
+                "sum(CAST(round(l_extendedprice * 100) AS BIGINT))"
+                " FILTER (WHERE l_tax > 0.05)"
+            )
+            .cast("bigint")
+            .alias("taxed_cents"),
+            F.expr("count(DISTINCT l_suppkey) FILTER (WHERE l_quantity > 40)")
+            .cast("bigint")
+            .alias("n_bulk_suppliers"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "try_functions",
+    """
+    SELECT event_id,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+           TRY_CAST(event_type AS BIGINT) AS type_as_num,
+           CASE WHEN CAST(round("value" * 1000000) AS BIGINT) = 0 THEN NULL
+                ELSE CAST(round("value" * 1000000) AS BIGINT) END AS safe_nonzero,
+           CAST(round("value" * 1000000) AS BIGINT)
+             // greatest(CAST(round("value" * 1000000) AS BIGINT) % 7 + 1, 1)
+             AS safe_div
+    FROM events
+    """,
+)
+def try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe cast surface: try_cast turns unparseable input into
+    NULL instead of failing the job — the difference between one bad
+    record poisoning a 100 TB run (ANSI mode throws) and a countable
+    NULL column. type_as_num exercises the guaranteed-failure path
+    ('view' → NULL); the integer guards show division made total without
+    try_divide (exact both engines)."""
+    ev = load_table(spark, sf_dir, "events")
+    micro = F.expr('CAST(round(value * 1000000) AS BIGINT)')
+    return ev.select(
+        "event_id",
+        F.expr("TRY_CAST(get_json_object(props, '$.k') AS BIGINT)").alias("k_num"),
+        F.expr("TRY_CAST(event_type AS BIGINT)").alias("type_as_num"),
+        F.when(micro == 0, F.lit(None).cast("bigint")).otherwise(micro).alias(
+            "safe_nonzero"
+        ),
+        F.expr(
+            "CAST(round(value * 1000000) AS BIGINT)"
+            " div greatest(CAST(round(value * 1000000) AS BIGINT) % 7 + 1, 1)"
+        ).alias("safe_div"),
+    )
