@@ -501,3 +501,31 @@ def test_event_type_user_overlap_broadcasts_size_table(spark):
 
     df = W.QUERIES["event_type_user_overlap"](spark, SF_SMOKE)
     assert has_broadcast_join(df)
+
+
+# Static-lineage scan budget: more parquet scan nodes than this usually
+# means a multiply-consumed lineage lost its persist(). Iterative
+# operators legitimately unroll (persisted at runtime), and the FK audit
+# scans one bounded pair per edge of the whole schema.
+_SCAN_BUDGET = 12
+_SCAN_BUDGET_EXEMPT = {
+    "dedup_clusters",        # label-propagation rounds, persisted per round
+    "fk_integrity_audit",    # one scan pair per FK edge (7 edges)
+    "pagerank_bipartite",    # power-iteration rounds, persisted per round
+}
+
+
+def test_every_query_within_scan_budget(spark):
+    import re
+
+    import __spark_entry__ as entry
+
+    over = {}
+    for name, fn in entry.queries().items():
+        if name in _SCAN_BUDGET_EXEMPT:
+            continue
+        plan = formatted_plan(fn(spark, SF_SMOKE))
+        n = len(re.findall(r"\(\d+\) Scan parquet", plan))
+        if n > _SCAN_BUDGET:
+            over[name] = n
+    assert not over, f"queries over the static scan budget ({_SCAN_BUDGET}): {over}"
