@@ -142,6 +142,7 @@ _VERIFY_FIRST = (
     "rank_functions",
     "filtered_aggregates",
     "try_functions",
+    "multimodal_payload_dedup",
     # stale: newest driver row is round 1
     "array_functions",
     "conditional_functions",

@@ -18,7 +18,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -346,3 +346,77 @@ def multimodal_features_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",", F.transform("feature", lambda x: F.format_number(x, 4))
         ).alias("feature_csv"),
     )
+
+
+@register(
+    "multimodal_payload_dedup",
+    """
+    WITH media AS (
+      SELECT doc_id,
+             ['image','audio','video'][(doc_id % 3 + 1)] AS media_type,
+             sha256(text) AS content_id,
+             octet_length(encode(text)) AS n_bytes
+      FROM documents
+    ),
+    keep AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY content_id
+                                     ORDER BY doc_id) AS rn
+        FROM media
+      ) WHERE rn = 1
+    )
+    SELECT m.media_type,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(count(DISTINCT m.content_id) AS BIGINT) AS n_unique,
+           CAST(count(*) - count(DISTINCT m.content_id) AS BIGINT) AS n_dups_removed,
+           CAST(sum(m.n_bytes) AS BIGINT) AS raw_bytes,
+           CAST((SELECT sum(k.n_bytes) FROM keep k
+                 WHERE k.media_type = m.media_type) AS BIGINT) AS deduped_bytes
+    FROM media m GROUP BY m.media_type ORDER BY m.media_type
+    """,
+)
+def multimodal_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed dedup of binary media payloads: sha256 over the
+    raw bytes is the content id (the standard image/audio dedup key —
+    byte-exact copies collapse regardless of filename or metadata), keep
+    the lowest doc id per content id, and report per-modality storage
+    savings. At 100 TB of media the payload bytes never shuffle: only
+    (content_id, n_bytes, keys) move, and the keep-min is the same
+    deterministic window as exact_dedup.
+
+    Plan: scan-stage sha256 + two content-keyed partial-aggregated
+    passes (dedup + rollup); output ≤ |modalities| rows."""
+    media = documents_as_media(spark, sf_dir)
+    hashed = media.select(
+        "doc_id",
+        "media_type",
+        F.sha2(F.col("payload"), 256).alias("content_id"),
+        "n_bytes",
+    ).persist()  # consumed by the totals rollup AND the keep-min pass
+    keep = (
+        hashed.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("content_id").orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .groupBy("media_type")
+        .agg(F.sum("n_bytes").cast("bigint").alias("deduped_bytes"))
+    )
+    totals = hashed.groupBy("media_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.countDistinct("content_id").cast("bigint").alias("n_unique"),
+        (F.count(F.lit(1)) - F.countDistinct("content_id"))
+        .cast("bigint")
+        .alias("n_dups_removed"),
+        F.sum("n_bytes").cast("bigint").alias("raw_bytes"),
+    )
+    return totals.join(keep, "media_type").select(
+        "media_type",
+        "n_items",
+        "n_unique",
+        "n_dups_removed",
+        "raw_bytes",
+        "deduped_bytes",
+    ).orderBy("media_type")
