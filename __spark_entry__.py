@@ -143,6 +143,7 @@ _VERIFY_FIRST = (
     "filtered_aggregates",
     "try_functions",
     "multimodal_payload_dedup",
+    "source_distinctive_terms",
     # stale: newest driver row is round 1
     "array_functions",
     "conditional_functions",

@@ -1395,3 +1395,91 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 vocab_coverage_curve.__doc__ = vocab_coverage_curve.__doc__.format(
     cutoffs=_COVERAGE_CUTOFFS, maxn=max(_COVERAGE_CUTOFFS)
 )
+
+
+@register(
+    "source_distinctive_terms",
+    """
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS w
+      FROM documents WHERE length(text) > 0
+    ),
+    sw AS (
+      SELECT source, w, CAST(count(*) AS BIGINT) AS c
+      FROM tok GROUP BY source, w
+    ),
+    wt AS (
+      SELECT w, CAST(sum(c) AS BIGINT) AS c_total FROM sw GROUP BY w
+    ),
+    st AS (
+      SELECT source, CAST(sum(c) AS BIGINT) AS n_source FROM sw GROUP BY source
+    ),
+    g AS (SELECT CAST(sum(c_total) AS BIGINT) AS n_global FROM wt),
+    scored AS (
+      SELECT sw.source, sw.w, sw.c,
+             CAST(sw.c * 1000000 // st.n_source AS BIGINT) AS rate_src_ppm,
+             CAST(wt.c_total * 1000000 // g.n_global AS BIGINT) AS rate_global_ppm
+      FROM sw
+      JOIN wt ON sw.w = wt.w
+      JOIN st ON sw.source = st.source
+      CROSS JOIN g
+      WHERE sw.c >= 3
+    )
+    SELECT source, w, c, rate_src_ppm, rate_global_ppm FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY source
+               ORDER BY rate_src_ppm * 1000000 // greatest(rate_global_ppm, 1) DESC,
+                        c DESC, w) AS rnk
+      FROM scored
+    ) WHERE rnk <= 3
+    ORDER BY source, rate_src_ppm * 1000000 // greatest(rate_global_ppm, 1) DESC,
+             c DESC, w
+    """,
+)
+def source_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyness analysis: each source's top-3 over-represented words
+    (source rate vs corpus rate, exact integer ppm ratio ordering with
+    deterministic tie-breaks, min count 3) — the detector for
+    source-specific boilerplate ('subscribe', 'cookie', a sister site's
+    name) that should enter the stopword/cleaning rules before training.
+
+    Plan: one (source, word) partial-aggregated shuffle; the global word
+    table derives from it (no second explode — same trick as
+    unigram_freq_score); a word-keyed join (Zipf head absorbed by the
+    pre-agg, residual to AQE skew-join), WindowGroupLimit rank ≤ 3 per
+    source. Output ≤ 3·|sources| rows."""
+    from dbtransfer_spark.queries import broadcast_if_small
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    tok = docs.select("source", F.explode(F.split("text", " ", -1)).alias("w"))
+    sw = tok.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    ).persist()
+    wt = sw.groupBy("w").agg(F.sum("c").cast("bigint").alias("c_total"))
+    st = sw.groupBy("source").agg(F.sum("c").cast("bigint").alias("n_source"))
+    g = wt.agg(F.sum("c_total").cast("bigint").alias("n_global"))
+    scored = (
+        sw.filter(F.col("c") >= 3)
+        .join(wt, "w")
+        .join(broadcast_if_small(st), "source")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "source",
+            "w",
+            "c",
+            F.expr("CAST(c * 1000000 div n_source AS BIGINT)").alias("rate_src_ppm"),
+            F.expr("CAST(c_total * 1000000 div n_global AS BIGINT)").alias(
+                "rate_global_ppm"
+            ),
+        )
+    )
+    keyness = F.expr("rate_src_ppm * 1000000 div greatest(rate_global_ppm, 1)")
+    w_rank = Window.partitionBy("source").orderBy(
+        keyness.desc(), F.desc("c"), "w"
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= 3)
+        .select("source", "w", "c", "rate_src_ppm", "rate_global_ppm")
+        .orderBy("source", keyness.desc(), F.desc("c"), "w")
+    )
