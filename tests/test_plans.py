@@ -210,6 +210,7 @@ _FIXED_SIDE_CROSSJOINS = {
     "negative_sampling_ring",
     "vocab_coverage_curve",
     "join_key_skew_profile",
+    "source_distinctive_terms",
     # fixed-size probe-set broadcast (same bound as knn_bruteforce)
     "knn_label_accuracy",
     # k×d centroid-table broadcast (k=8 rows, fixed size at any SF)
