@@ -520,3 +520,35 @@ def test_compact_small_files_preserves_data(spark, tmp_path):
     # idempotent: already compact → no rewrite
     nb2, na2 = compact_small_files(spark, p, target_file_bytes=64 << 20)
     assert nb2 == na2 == na
+
+
+def test_plan_audit_counts_detail_headers_only():
+    """audit_one must count each node once (formatted explain repeats
+    every node in the tree rendering AND the detail section)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.plan_audit import audit_one
+
+    plan = """
+== Physical Plan ==
+* HashAggregate (3)
++- Exchange (2)
+   +- Scan parquet  (1)
+
+(1) Scan parquet
+Output: [a]
+PushedFilters: [IsNotNull(a)]
+
+(2) Exchange
+Input: [a]
+
+(3) HashAggregate [codegen id : 1]
+Input: [a]
+"""
+    r = audit_one(plan)
+    assert r["scans"] == 1
+    assert r["exchanges"] == 1
+    assert r["bnlj"] == 0 and r["cartesian"] == 0
+    assert r["pushed_filters"] is True
+    assert r["codegen_spans"] == 1
