@@ -144,6 +144,7 @@ _VERIFY_FIRST = (
     "try_functions",
     "multimodal_payload_dedup",
     "source_distinctive_terms",
+    "embedding_index_build",
     # stale: newest driver row is round 1
     "array_functions",
     "conditional_functions",

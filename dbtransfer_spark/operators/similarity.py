@@ -1258,3 +1258,97 @@ def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("true_label")
     )
+
+
+def _index_build_oracle(dim: int = 64) -> str:
+    return f"""
+    WITH pe AS (
+      SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+             unnest(embedding) AS x
+      FROM embeddings
+    ), per_dim AS (
+      SELECT label, pos,
+             CAST(sum(CAST(x AS DECIMAL(30,10))) AS DOUBLE) / count(*) AS c
+      FROM pe GROUP BY label, pos
+    ), cent AS (
+      SELECT label AS list_id, list(c ORDER BY pos) AS centroid
+      FROM per_dim GROUP BY label
+    ), ve AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), scored_cent AS (
+      SELECT ve.vec_id, cent.list_id,
+             list_inner_product(ve.v, cent.centroid)
+               / sqrt(list_inner_product(cent.centroid, cent.centroid)) AS cos_c
+      FROM ve CROSS JOIN cent
+    ), assigned AS (
+      SELECT vec_id, list_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cos_c DESC, list_id) AS rn
+        FROM scored_cent
+      ) WHERE rn = 1
+    ), lists AS (
+      SELECT list_id,
+             CAST(count(*) AS BIGINT) AS n_vectors,
+             CAST(min(vec_id) AS BIGINT) AS min_vec_id
+      FROM assigned GROUP BY list_id
+    ), total AS (SELECT CAST(sum(n_vectors) AS BIGINT) AS n_total FROM lists)
+    SELECT l.list_id, l.n_vectors, l.min_vec_id,
+           CAST(l.n_vectors * 1000000 // t.n_total AS BIGINT) AS share_ppm,
+           CAST(l.n_vectors * ({dim} + 8) AS BIGINT) AS bytes_int8
+    FROM lists l, total t
+    ORDER BY l.list_id
+    """
+
+
+@register("embedding_index_build", _index_build_oracle())
+def embedding_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end ANN index BUILD as one plan: train the coarse quantizer
+    (decimal-exact centroids), assign every vector to its nearest list,
+    and emit the index manifest — per-list vector counts, share (ppm),
+    and the int8-quantized storage footprint (dim + 8 id bytes per
+    vector). The manifest is what a serving layer loads and what decides
+    whether the lists are balanced enough to meet nprobe latency (a list
+    at 10× mean share means re-training with more centroids).
+
+    Plan: the same fixed-size centroid broadcast + WindowGroupLimit
+    assignment as knn_ivf_cosine (its verified front half), then a
+    list-keyed aggregate to |lists| rows and a 1-row total broadcast.
+    Linear in |vectors| at any SF."""
+    dim = 64
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    centroids = ivf_centroids(emb, "embedding", "label").select(
+        F.col("label").alias("list_id"), "centroid"
+    )
+    scored_cent = vecs.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "list_id",
+        (dot(F.col("v"), F.col("centroid")) / norm(F.col("centroid"))).alias("cos_c"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), "list_id")
+    assigned = (
+        scored_cent.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "list_id")
+    )
+    lists = assigned.groupBy("list_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.min("vec_id").cast("bigint").alias("min_vec_id"),
+    ).persist()  # consumed by the total aggregate AND the final projection
+    total = lists.agg(F.sum("n_vectors").cast("bigint").alias("n_total"))
+    return (
+        lists.crossJoin(F.broadcast(total))
+        .select(
+            "list_id",
+            "n_vectors",
+            "min_vec_id",
+            F.expr("CAST(n_vectors * 1000000 div n_total AS BIGINT)").alias(
+                "share_ppm"
+            ),
+            (F.col("n_vectors") * (dim + 8)).cast("bigint").alias("bytes_int8"),
+        )
+        .orderBy("list_id")
+    )

@@ -211,6 +211,7 @@ _FIXED_SIDE_CROSSJOINS = {
     "vocab_coverage_curve",
     "join_key_skew_profile",
     "source_distinctive_terms",
+    "embedding_index_build",   # fixed-size centroid table + 1-row total
     # fixed-size probe-set broadcast (same bound as knn_bruteforce)
     "knn_label_accuracy",
     # k×d centroid-table broadcast (k=8 rows, fixed size at any SF)
