@@ -145,6 +145,8 @@ _VERIFY_FIRST = (
     "multimodal_payload_dedup",
     "source_distinctive_terms",
     "embedding_index_build",
+    "embedding_exact_dup_summary",
+    "struct_functions",
     # stale: newest driver row is round 1
     "array_functions",
     "conditional_functions",

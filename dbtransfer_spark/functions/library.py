@@ -625,3 +625,40 @@ def try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div greatest(CAST(round(value * 1000000) AS BIGINT) % 7 + 1, 1)"
         ).alias("safe_div"),
     )
+
+
+@register(
+    "struct_functions",
+    """
+    SELECT o_orderkey,
+           to_json(struct_pack(key := o_orderkey,
+                               status := o_orderstatus,
+                               priority := o_orderpriority)) AS order_json,
+           json_extract_string(
+             to_json(struct_pack(key := o_orderkey, status := o_orderstatus,
+                                 priority := o_orderpriority)),
+             '$.status') AS status_roundtrip,
+           struct_pack(a := o_orderkey % 10, b := o_orderkey % 100).a AS field_a
+    FROM orders
+    """,
+)
+def struct_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-struct surface: named_struct construction, field access,
+    and the to_json / json-extract round trip — the serialization path
+    of every export sink and event envelope. Both engines render compact
+    JSON ({"k":v} with no spaces), which is what makes the string
+    cross-engine comparable."""
+    o = load_table(spark, sf_dir, "orders")
+    s = F.named_struct(
+        F.lit("key"), F.col("o_orderkey"),
+        F.lit("status"), F.col("o_orderstatus"),
+        F.lit("priority"), F.col("o_orderpriority"),
+    )
+    return o.select(
+        "o_orderkey",
+        F.to_json(s).alias("order_json"),
+        F.get_json_object(F.to_json(s), "$.status").alias("status_roundtrip"),
+        F.named_struct(
+            F.lit("a"), F.col("o_orderkey") % 10, F.lit("b"), F.col("o_orderkey") % 100
+        ).getField("a").alias("field_a"),
+    )

@@ -1352,3 +1352,62 @@ def embedding_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("list_id")
     )
+
+
+@register(
+    "embedding_exact_dup_summary",
+    """
+    WITH keyed AS (
+      SELECT vec_id,
+             md5(array_to_string(list_transform(embedding,
+                   x -> CAST(CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+                             AS VARCHAR)), ',')) AS content_id
+      FROM embeddings
+    ),
+    groups AS (
+      SELECT content_id, CAST(count(*) AS BIGINT) AS n FROM keyed GROUP BY content_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(n) AS BIGINT) AS n_vectors,
+           CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+           CAST(sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS BIGINT)
+             AS n_redundant_vectors
+    FROM groups
+    """,
+)
+def embedding_exact_dup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate embedding detection: content id = md5 over the
+    µ-quantized coordinates (floats rounded to 1e-6 — byte-stable across
+    engines, and the tolerance at which two 'different' vectors are
+    operationally the same). Duplicate embeddings in a corpus mean the
+    encoder ran twice on the same doc or an upstream join fanned out —
+    either way a pipeline bug this 1-row audit surfaces before the ANN
+    index doubles its storage.
+
+    Plan: scan-stage hash + one content-keyed partial-aggregated shuffle
+    + a 1-row rollup. The vectors themselves never shuffle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    content = F.md5(
+        F.concat_ws(
+            ",",
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * 1000000)
+                .cast("bigint")
+                .cast("string"),
+            ),
+        )
+    )
+    groups = (
+        emb.select(content.alias("content_id"))
+        .groupBy("content_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    return groups.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum("n").cast("bigint").alias("n_vectors"),
+        F.sum((F.col("n") > 1).cast("bigint")).cast("bigint").alias("n_dup_groups"),
+        F.sum(F.when(F.col("n") > 1, F.col("n") - 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_redundant_vectors"),
+    )
