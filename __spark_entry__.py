@@ -147,6 +147,8 @@ _VERIFY_FIRST = (
     "embedding_index_build",
     "embedding_exact_dup_summary",
     "struct_functions",
+    "user_recent_values",
+    "customer_order_drawdown",
     # stale: newest driver row is round 1
     "array_functions",
     "conditional_functions",

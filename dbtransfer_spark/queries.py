@@ -3008,3 +3008,89 @@ def rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dense_rank().over(w).alias("price_dense_rank"),
         F.row_number().over(wr).alias("price_row"),
     ).orderBy("p_brand", "price_row")
+
+
+@register(
+    "user_recent_values",
+    """
+    SELECT user_id, event_id,
+           array_to_string(
+             list(CAST(CAST(round("value" * 1000000) AS BIGINT) AS VARCHAR))
+               OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+             ',') AS last3_micro
+    FROM events
+    """,
+)
+def user_recent_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed sequence collection: each event carries its trailing-3
+    value history (the feature-vector window of sequence models /
+    fraud rules) as a comma-joined string of exact micro-units — arrays
+    would crash the driver's canonicalization (r4 lesson), and the
+    ROWS 2 PRECEDING frame bounds state to 3 cells per row at any SF.
+
+    Plan: one user-partitioned sort window; the collected frame is
+    bounded by the frame spec, not the partition size."""
+    from dbtransfer_spark.operators.windows import epoch_micros
+
+    events = load_table(spark, sf_dir, "events")
+    micro = F.expr('CAST(round(value * 1000000) AS BIGINT)').cast("string")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch_micros(events, "ts"), "event_id")
+        .rowsBetween(-2, 0)
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        F.array_join(F.collect_list(micro).over(w), ",").alias("last3_micro"),
+    )
+
+
+@register(
+    "customer_order_drawdown",
+    """
+    WITH c AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             epoch_us(o_orderdate) AS micros
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey, cents,
+           CAST(max(cents) OVER w AS BIGINT) AS running_max_cents,
+           CAST(max(cents) OVER w - cents AS BIGINT) AS drawdown_cents
+    FROM c
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY micros, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def customer_order_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-extreme analytics: per customer in order-date order, the
+    running maximum order value and each order's drawdown from that peak
+    (the 'biggest order so far vs this one' trend feature; the same
+    window shape computes high-water marks and retention cliffs).
+
+    Plan: one customer-partitioned sort window; running max is O(1)
+    state per row. Integer cents, unique orderkey tie-break."""
+    from dbtransfer_spark.operators.windows import epoch_micros
+
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        epoch_micros(orders, "o_orderdate").alias("micros"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("micros", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    rmax = F.max("cents").over(w)
+    return c.select(
+        "o_custkey",
+        "o_orderkey",
+        "cents",
+        rmax.cast("bigint").alias("running_max_cents"),
+        (rmax - F.col("cents")).cast("bigint").alias("drawdown_cents"),
+    )
