@@ -631,9 +631,10 @@ def try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "struct_functions",
     """
     SELECT o_orderkey,
-           to_json(struct_pack(key := o_orderkey,
-                               status := o_orderstatus,
-                               priority := o_orderpriority)) AS order_json,
+           CAST(to_json(struct_pack(key := o_orderkey,
+                                    status := o_orderstatus,
+                                    priority := o_orderpriority)) AS VARCHAR)
+             AS order_json,
            json_extract_string(
              to_json(struct_pack(key := o_orderkey, status := o_orderstatus,
                                  priority := o_orderpriority)),
