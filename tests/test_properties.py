@@ -652,3 +652,57 @@ def test_versioned_store_matches_model(spark, tmp_path_factory, ops):
         for v, want in model.items():
             got = sorted(r["doc_id"] for r in store.read(v).collect())
             assert got == want, (v, got, want)
+
+
+# ---------------------------------------------------------------------------
+# File-sink upsert ≡ dict model, for any batch sequence (overlaps, updates,
+# replays) and both columnar formats
+# ---------------------------------------------------------------------------
+
+
+@given(
+    batches=st.lists(
+        st.lists(
+            st.tuples(st.integers(0, 15), st.integers(0, 99)),
+            min_size=1,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+    fmt=st.sampled_from(["parquet", "orc"]),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_columnar_sink_upsert_matches_model(spark, tmp_path_factory, batches, fmt):
+    """Any sequence of overlapping upsert batches: the sink must equal a
+    last-write-wins dict (within a batch, duplicate keys may keep either
+    row — the model tracks the admissible set)."""
+    from dbtransfer_spark.config import DBConfig, TableMapping
+    from dbtransfer_spark.sources.parquet import OrcSink, ParquetSink
+
+    d = str(tmp_path_factory.mktemp("sink"))
+    sink_cls = ParquetSink if fmt == "parquet" else OrcSink
+    sink = sink_cls(spark, DBConfig(type=fmt, database=d))
+    tm = TableMapping(name="t")
+    model: dict[int, set[int]] = {}
+    for batch in batches:
+        df = spark.createDataFrame(batch, "id long, v long")
+        sink.upsert(df, tm, ["id"])
+        per_key: dict[int, set[int]] = {}
+        for k, v in batch:
+            per_key.setdefault(k, set()).add(v)
+        model.update(per_key)   # batch replaces key-wise
+        got = {
+            r["id"]: r["v"]
+            for r in sink.spark.read.format(fmt).load(f"{d}/t.{fmt}").collect()
+        }
+        assert set(got) == set(model)
+        for k, v in got.items():
+            assert v in model[k], (k, v, model[k])
+        # collapse the model to what the sink actually kept (it becomes
+        # the definitive prior state for the next batch's anti-join)
+        model = {k: {v} for k, v in got.items()}
