@@ -61,8 +61,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #      array_join — the only never-driver-green queries, 124/132
 #      ever-green before r5; VERDICT r5 done-criterion is all 8 green);
 #   2. new round-5 queries, in ship order, so they get driver-verified
-#      the round they land (43 shipped — the last one overflows the
-#      50-slot window and rotates to the r6 head);
+#      the round they land (68 shipped this round — 42 fit the 50-slot
+#      window after the 8 fixes; the remaining 26, from
+#      join_key_skew_profile on, rotate to the r6 head. ALL 200 are
+#      locally verified at HEAD: CORRECTNESS_LOCAL.md, 200/200);
 #   3. queries whose newest driver row is oldest (the rotation keeps
 #      every query's newest driver row ≤2 rounds old).
 # Every query, first-50 or not, is verified locally against the same
@@ -110,8 +112,9 @@ _VERIFY_FIRST = (
     "bigram_pmi_top",
     "neardup_jaccard_audit",
     "embedding_pair_distance_histogram",
-    # new round-5 queries (session 2; the last entry is slot 51 — first
-    # out of this round's window, first into the r6 head)
+    # new round-5 queries (session 2; entries from join_key_skew_profile
+    # on are past slot 50 — first out of this round's window, first into
+    # the r6 head)
     "unigram_freq_score",
     "duplicate_block_ratio",
     "shard_assignment",
