@@ -38,6 +38,29 @@ Scale: the manifest holds directory names, not per-row state — commits
 are O(new data) writes plus one O(1) rename; reads plan directly from
 the pinned parquet paths, so partition pruning / pushdown work
 unchanged. The store is a layout convention, not a service.
+
+Small-file control: without a bound, a year of daily ``commit_append``
+batches leaves ``read()`` planning over ~365 directories of
+progressively tiny files — the classic 100 TB small-file failure this
+store exists to avoid. ``commit_append`` therefore auto-compacts: when
+the parent already references ``max_data_dirs`` directories, the commit
+is published as a full snapshot (parent ∪ batch rewritten into ONE
+fresh directory) instead of another incremental reference. The
+compaction is just another version — older manifests keep pinning the
+pre-compaction directories, so time travel and ``diff`` are unchanged;
+``vacuum`` reclaims the superseded small files once their versions age
+out. Invariant: every manifest's ``data_dirs`` has at most
+``max_data_dirs`` entries.
+
+Concurrency contract: the store is SINGLE-WRITER (like the reference's
+one-process-per-table checkpoint files, pkg/utils/checkpoint).
+``_publish`` derives the next version number from the latest pointer
+with no lock, so two concurrent writers could both mint v+1; readers
+are unaffected (any number, any time — snapshot isolation holds).
+``vacuum`` additionally skips unreferenced data directories younger
+than ``grace_seconds`` so a cleanup running beside an in-flight commit
+(data is written before its manifest exists) cannot clobber it — the
+standard orphan-cleanup guard.
 """
 
 from __future__ import annotations
@@ -45,17 +68,27 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
 
 class VersionedDatasetStore:
-    def __init__(self, spark: SparkSession, root: str, table: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        table: str,
+        max_data_dirs: int = 16,
+    ):
+        if max_data_dirs < 1:
+            raise ValueError("max_data_dirs must be >= 1")
         self.spark = spark
         self.base = os.path.join(root, table)
         self.vdir = os.path.join(self.base, "_versions")
         self.ddir = os.path.join(self.base, "data")
+        self.max_data_dirs = max_data_dirs
         os.makedirs(self.vdir, exist_ok=True)
         os.makedirs(self.ddir, exist_ok=True)
 
@@ -85,7 +118,13 @@ class VersionedDatasetStore:
         return sorted(out)
 
     # -- write path ------------------------------------------------------
-    def _publish(self, df: DataFrame, note: str, parent_dirs: list[str]) -> int:
+    def _publish(
+        self,
+        df: DataFrame,
+        note: str,
+        parent_dirs: list[str],
+        compaction: bool = False,
+    ) -> int:
         """Write a new data directory, record a manifest whose file list
         is ``parent_dirs + [new]``, swap the latest pointer. The data is
         written FIRST; only after a successful write does the manifest
@@ -104,6 +143,7 @@ class VersionedDatasetStore:
             "data_dirs": parent_dirs + [data_name],
             "n_new_rows": n_new,
             "note": note,
+            "compaction": compaction,
         }
         # manifest is immutable once written; pointer swap is the commit
         with open(self._manifest_path(version), "w") as f:
@@ -130,9 +170,21 @@ class VersionedDatasetStore:
         the manifest — O(|batch|) regardless of corpus size, the only
         commit shape that survives a 100 TB corpus with daily batches.
         Old versions keep resolving: data dirs are append-only and every
-        manifest pins its own list."""
+        manifest pins its own list.
+
+        Auto-compaction: once the parent manifest already references
+        ``max_data_dirs`` directories, this commit is published as a
+        full snapshot instead (parent ∪ batch rewritten into one fresh
+        directory, ``compaction: true`` in the manifest) — amortized
+        O(|corpus| / max_data_dirs) per append, bounding every read
+        plan to ``max_data_dirs`` directories forever. Time travel is
+        untouched: pre-compaction manifests keep their own dir lists.
+        """
         parent = self.latest_version()
         parent_dirs = list(self.manifest(parent)["data_dirs"]) if parent else []
+        if len(parent_dirs) >= self.max_data_dirs:
+            full = self.read(parent).unionByName(df)
+            return self._publish(full, note, [], compaction=True)
         return self._publish(df, note, parent_dirs)
 
     # -- read path -------------------------------------------------------
@@ -157,10 +209,17 @@ class VersionedDatasetStore:
         }
 
     # -- retention -------------------------------------------------------
-    def vacuum(self, keep_last: int = 2) -> list[int]:
+    def vacuum(self, keep_last: int = 2, grace_seconds: float = 86400.0) -> list[int]:
         """Drop all but the newest ``keep_last`` versions: delete their
         manifests and any data directory no kept manifest references.
-        Never touches the latest pointer's target."""
+        Never touches the latest pointer's target.
+
+        Unreferenced directories younger than ``grace_seconds`` are
+        SKIPPED: ``_publish`` writes data before its manifest exists, so
+        without the grace window a vacuum running beside an in-flight
+        commit would delete the half-published data dir (the same
+        orphan-retention rule as Delta's ``VACUUM ... RETAIN``). Pass
+        ``grace_seconds=0`` only when no writer can be active."""
         vs = self.versions()
         keep = set(vs[-keep_last:]) if keep_last > 0 else set()
         latest = self.latest_version()
@@ -170,7 +229,15 @@ class VersionedDatasetStore:
         kept_dirs = {d for v in keep for d in self.manifest(v)["data_dirs"]}
         for v in dropped:
             os.remove(self._manifest_path(v))
+        cutoff = time.time() - grace_seconds
         for name in os.listdir(self.ddir):
-            if name not in kept_dirs:
-                shutil.rmtree(os.path.join(self.ddir, name), ignore_errors=True)
+            if name in kept_dirs:
+                continue
+            path = os.path.join(self.ddir, name)
+            try:
+                if os.path.getmtime(path) > cutoff:
+                    continue  # possibly an in-flight commit's data
+            except OSError:
+                continue
+            shutil.rmtree(path, ignore_errors=True)
         return dropped
