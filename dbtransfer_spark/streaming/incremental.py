@@ -365,9 +365,16 @@ def quality_routed_stream(
     tuning).
 
     One foreachBatch writes both sinks from a persisted batch frame (the
-    gate is evaluated once per batch, not once per sink); the checkpoint
-    makes the routing exactly-once-in-effect across restarts. Returns the
-    started StreamingQuery; callers await termination."""
+    gate is evaluated once per batch, not once per sink). foreachBatch
+    itself is only at-least-once: a crash after a sink write but before
+    the checkpoint commit replays the micro-batch. The writes are
+    therefore keyed by batch_id — each replay OVERWRITES its own
+    ``batch_id=N`` subdirectory instead of blind-appending to the root,
+    which upgrades the routing to exactly-once-in-effect across
+    restarts (the standard idempotent-foreachBatch pattern). Readers
+    just read the root; the batch_id partition column doubles as an
+    ingest audit trail. Returns the started StreamingQuery; callers
+    await termination."""
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
@@ -384,12 +391,14 @@ def quality_routed_stream(
     def route(batch_df: DataFrame, batch_id: int) -> None:
         batch = batch_df.withColumn("__pass", passes).persist()
         try:
-            batch.filter(F.col("__pass")).drop("__pass").write.mode("append").parquet(
-                accept_dir
-            )
-            batch.filter(~F.col("__pass")).drop("__pass").write.mode("append").parquet(
-                quarantine_dir
-            )
+            # mode("overwrite") on the batch-keyed subdir = replay-safe:
+            # re-running batch N replaces exactly batch N's output
+            batch.filter(F.col("__pass")).drop("__pass").write.mode(
+                "overwrite"
+            ).parquet(f"{accept_dir}/batch_id={batch_id}")
+            batch.filter(~F.col("__pass")).drop("__pass").write.mode(
+                "overwrite"
+            ).parquet(f"{quarantine_dir}/batch_id={batch_id}")
         finally:
             batch.unpersist()
 

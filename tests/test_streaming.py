@@ -257,3 +257,33 @@ def test_quality_routed_stream_splits_and_preserves_all_rows(spark, tmp_path):
     q2 = quality_routed_stream(spark, src, accept, quarantine, str(tmp_path / "ckpt"))
     q2.awaitTermination()
     assert spark.read.parquet(accept).count() == 2
+
+
+def test_quality_routed_stream_replay_is_idempotent(spark, tmp_path):
+    """ADVICE r5: a crash after the sink writes but before the checkpoint
+    commit replays the micro-batch; the batch_id-keyed overwrite must not
+    duplicate rows. Simulated by deleting the commit marker so restart
+    re-runs batch 0 against already-written sinks."""
+    import shutil
+
+    from dbtransfer_spark.streaming.incremental import quality_routed_stream
+
+    src = str(tmp_path / "src")
+    rows = [
+        (1, "a b", "en", "s", 3),
+        (2, " ".join(f"w{i}" for i in range(30)), "en", "s", 100),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(src)
+    accept, quarantine = str(tmp_path / "ok"), str(tmp_path / "bad")
+    ckpt = str(tmp_path / "ckpt")
+    quality_routed_stream(spark, src, accept, quarantine, ckpt).awaitTermination()
+    assert spark.read.parquet(accept).count() == 1
+    # crash-before-commit: sinks written, commit marker gone → replay
+    shutil.rmtree(tmp_path / "ckpt" / "commits")
+    quality_routed_stream(spark, src, accept, quarantine, ckpt).awaitTermination()
+    ok = spark.read.parquet(accept)
+    bad = spark.read.parquet(quarantine)
+    assert [r["doc_id"] for r in ok.collect()] == [2]
+    assert [r["doc_id"] for r in bad.collect()] == [1]
