@@ -995,7 +995,7 @@ _N_NEGATIVES = 3
       SELECT d.doc_id, j.j,
              CAST(CAST(('0x' || substr(md5(d.doc_id || ':' || j.j), 1, 15)) AS BIGINT)
                   % n.n_docs AS BIGINT) AS neg_doc_id
-      FROM documents d, n, UNNEST([1, 2, 3]) AS j(j)
+      FROM documents d, n, UNNEST([{", ".join(str(j) for j in range(1, _N_NEGATIVES + 1))}]) AS j(j)
     )
     SELECT c.doc_id, c.j, c.neg_doc_id, t.source AS neg_source
     FROM cand c JOIN documents t ON c.neg_doc_id = t.doc_id

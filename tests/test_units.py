@@ -525,9 +525,10 @@ def test_compact_small_files_preserves_data(spark, tmp_path):
 def test_plan_audit_counts_detail_headers_only():
     """audit_one must count each node once (formatted explain repeats
     every node in the tree rendering AND the detail section)."""
+    import os
     import sys
 
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from tools.plan_audit import audit_one
 
     plan = """

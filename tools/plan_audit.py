@@ -25,10 +25,12 @@ from __future__ import annotations
 import contextlib
 import io
 import json
+import os
 import re
 import sys
 
-sys.path.insert(0, "/root/repo")
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO_ROOT)
 
 
 def formatted_plan(df) -> str:
@@ -60,7 +62,8 @@ def audit_one(plan: str) -> dict:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") else "/root/testdata/sf0.001"
+    default_sf = os.environ.get("SPARK_GRAFT_SMOKE_SF_DIR", "/root/testdata/sf0.001")
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") else default_sf
     out_json = None
     if "--json" in sys.argv:
         out_json = sys.argv[sys.argv.index("--json") + 1]
