@@ -572,3 +572,77 @@ def test_text_ops_handle_unicode(spark, tmp_path):
     fp1 = {r["doc_id"]: r["fingerprint"] for r in QUERIES["doc_fingerprint"](spark, d).collect()}
     fp2 = {r["doc_id"]: r["fingerprint"] for r in QUERIES["doc_fingerprint"](spark, d).collect()}
     assert fp1 == fp2  # deterministic on unicode input
+
+
+def test_lsh_scale_params_bound_candidate_growth(spark):
+    """VERDICT r5 #5: banding derived from n keeps the banded candidate
+    count O(n) when the corpus doubles (fixed banding would quadruple
+    it). Uniform pseudo-random vectors isolate the bucket-count effect."""
+    import random
+
+    from dbtransfer_spark.operators.similarity import (
+        banded_candidate_estimate,
+        banded_signatures,
+        lsh_scale_params,
+    )
+
+    dim, target = 16, 2.0
+
+    def mk(n):
+        rnd = random.Random(7)
+        return spark.createDataFrame(
+            [(i, [rnd.gauss(0.0, 1.0) for _ in range(dim)]) for i in range(n)],
+            "vec_id long, embedding array<double>",
+        )
+
+    for n in (512, 1024):
+        bits, band_bits, bands = lsh_scale_params(n, bands=2,
+                                                  target_candidates_per_item=target)
+        assert bits == band_bits * bands
+        banded = banded_signatures(mk(n), "vec_id", "embedding",
+                                   bands=bands, band_bits=band_bits, dim=dim)
+        est = banded_candidate_estimate(banded)
+        # pairs/item stays around the target, independent of n (×4 slack
+        # for non-uniform bucket occupancy of real projections)
+        assert est <= 4 * target * n, (n, band_bits, est)
+        # the estimate is exact: it equals the materialized join count
+        a = banded.select(F.col("vec_id").alias("a"), "band", "val")
+        b = banded.select(F.col("vec_id").alias("b"), "band", "val")
+        joined = a.join(b, ["band", "val"]).filter(F.col("a") < F.col("b")).count()
+        assert joined == est
+
+    # rule monotonicity: 100× the corpus demands strictly more band bits
+    assert lsh_scale_params(1024, 2, target)[1] < lsh_scale_params(102400, 2, target)[1]
+    # and the 8-bit floor reproduces the declared-query constants at fixture scale
+    assert lsh_scale_params(600, 2, 64.0) == (16, 8, 2)
+
+
+def test_banded_signatures_match_packed_slicing(spark):
+    """banded_signatures(bands=2, band_bits=8) must bucket identically to
+    slicing the packed 16-bit hyperplane_signatures word — the declared
+    queries' oracle constants stay valid for the per-band path."""
+    import random
+
+    from dbtransfer_spark.operators.similarity import (
+        banded_signatures,
+        hyperplane_signatures,
+    )
+
+    rnd = random.Random(11)
+    df = spark.createDataFrame(
+        [(i, [rnd.gauss(0.0, 1.0) for _ in range(64)]) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+    packed = hyperplane_signatures(df, "vec_id", "embedding", bits=16, dim=64)
+    sliced = {
+        (r["vec_id"], band, (r["sig"] >> (band * 8)) & 0xFF)
+        for r in packed.collect()
+        for band in range(2)
+    }
+    per_band = {
+        (r["vec_id"], r["band"], r["val"])
+        for r in banded_signatures(
+            df, "vec_id", "embedding", bands=2, band_bits=8, dim=64
+        ).collect()
+    }
+    assert per_band == sliced
