@@ -46,7 +46,41 @@ HEADLINE = [
     "correlation_matrix",      # one-pass decimal moment sums (round 5)
     "duplicate_block_ratio",   # paragraph-level dup inverted index (round 5 s2)
     "unigram_freq_score",      # corpus-frequency quality proxy (round 5 s2)
+    "source_dup_matrix",       # cross-source duplication rollup (round 6)
+    "join_key_skew_profile",   # salting pre-flight skew scan (round 6)
+    "incremental_release",     # seed + incremental corpus release e2e (round 6)
 ]
+
+
+def _bench_incremental_release(spark, sf_dir):
+    """End-to-end release pipeline on a throwaway store: seed release
+    from 4/5 of documents, then an overlapping incremental batch (exact
+    dedup → asymmetric LSH probe → append commit). Returns the counts as
+    a 1-row frame; the temp store is deleted before returning so each
+    timed run pays the full cold pipeline."""
+    import shutil
+    import tempfile
+
+    from dbtransfer_spark.catalog import load_table
+    from dbtransfer_spark.pipelines import incremental_release
+    from dbtransfer_spark.sources.versioned import VersionedDatasetStore
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="bench_relstore_")
+    try:
+        store = VersionedDatasetStore(spark, root, "corpus")
+        r1 = incremental_release(
+            spark, store, docs.filter("doc_id % 5 != 0"), note="seed"
+        )
+        r2 = incremental_release(
+            spark, store, docs.filter("doc_id % 5 = 0 OR doc_id % 7 = 0"), note="incr"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r1["n_kept"], r2["n_batch"], r2["n_kept"], r2["n_dropped"])],
+        "seed_kept long, batch long, kept long, dropped long",
+    )
 
 
 def main() -> int:
@@ -63,6 +97,7 @@ def main() -> int:
     from dbtransfer_spark.operators.dedup import dedup_minhash_lsh_fast
 
     qs["dedup_minhash_lsh_fast"] = dedup_minhash_lsh_fast
+    qs["incremental_release"] = _bench_incremental_release
 
     # Untimed warmup on the smoke fixture (60× smaller than the bench SF):
     # JVM codegen compilation + classloading for each query shape is session

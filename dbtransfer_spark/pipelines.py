@@ -61,6 +61,15 @@ def near_dup_against_corpus(
     Scale: |batch|·bands bucket probes against the corpus index — the
     asymmetric join of dedup_incremental_new_vs_corpus (dedup.py), reused
     verbatim; candidate refinement touches only bucket-colliding pairs."""
+    # The corpus usually arrives from the versioned store, whose batch
+    # commits are sized ~1M rows/file — a small corpus can therefore be
+    # a single scan task, serializing the signature pass. Repartition
+    # only when under cluster width (a cheap shuffle exactly when the
+    # corpus is small; a no-op branch at real scale, where file count
+    # already exceeds core count).
+    sc_par = corpus.sparkSession.sparkContext.defaultParallelism
+    if corpus.rdd.getNumPartitions() < sc_par:
+        corpus = corpus.repartition(sc_par)
     # signatures are consumed twice each (banding + estimate rejoin):
     # persist so the shingle/hash pass runs once per side
     sig_new = minhash_signatures(new_docs, id_col, text_col).persist()
@@ -98,15 +107,21 @@ def incremental_release(
     n_batch = batch.count()
     latest = store.latest_version()
     if latest is None:
-        v = store.commit(batch, note=note or "initial release")
+        v = store.commit(batch, note=note or "initial release", n_rows=n_batch)
         return {"version": v, "n_batch": n_batch, "n_kept": n_batch, "n_dropped": 0}
     corpus = store.read(latest)
-    drops = near_dup_against_corpus(batch, corpus, id_col, text_col, threshold)
+    # persist the (small, ids-only) drop set: kept is consumed twice
+    # (count + commit write) and would otherwise re-run the whole
+    # corpus-signature probe per action
+    drops = near_dup_against_corpus(
+        batch, corpus, id_col, text_col, threshold
+    ).persist()
     kept = batch.join(drops, id_col, "left_anti")
     n_kept = kept.count()
     # append-commit: writes ONLY the survivors and references the parent
-    # release's data dirs — O(|batch|) per release, never O(corpus)
-    v = store.commit_append(kept, note=note)
+    # release's data dirs — O(|batch|) per release, never O(corpus); the
+    # known count sizes the data files and skips the read-back count
+    v = store.commit_append(kept, note=note, n_rows=n_kept)
     return {
         "version": v,
         "n_batch": n_batch,

@@ -124,19 +124,35 @@ class VersionedDatasetStore:
         note: str,
         parent_dirs: list[str],
         compaction: bool = False,
+        n_rows: int | None = None,
     ) -> int:
         """Write a new data directory, record a manifest whose file list
         is ``parent_dirs + [new]``, swap the latest pointer. The data is
         written FIRST; only after a successful write does the manifest
         appear and the pointer swap make it visible — a crash at any
         point leaves the previous version intact and at worst an
-        orphaned data dir for vacuum()."""
+        orphaned data dir for vacuum().
+
+        ``n_rows``: callers that already counted the frame pass it to
+        (a) skip the read-back count job and (b) size the output file
+        count by data volume (~1M rows/file) instead of cluster width —
+        a 1k-row daily batch written by a 1000-task cluster would
+        otherwise strew 1000 near-empty files per commit."""
         parent = self.latest_version()
         version = (parent or 0) + 1
         data_name = f"v{version}-{uuid.uuid4().hex[:8]}"
         data_path = os.path.join(self.ddir, data_name)
+        if n_rows is not None:
+            # repartition, not coalesce: a narrow coalesce(1) would pull
+            # the whole upstream compute (dedup/anti-join) into one task;
+            # the round-robin shuffle costs O(batch) and keeps it parallel
+            df = df.repartition(max(1, min(1 + n_rows // 1_000_000, 10_000)))
         df.write.mode("error").parquet(data_path)
-        n_new = self.spark.read.parquet(data_path).count()
+        n_new = (
+            n_rows
+            if n_rows is not None
+            else self.spark.read.parquet(data_path).count()
+        )
         man = {
             "version": version,
             "parent": parent,
@@ -158,13 +174,15 @@ class VersionedDatasetStore:
         os.replace(tmp, self._latest_path())
         return version
 
-    def commit(self, df: DataFrame, note: str = "") -> int:
+    def commit(self, df: DataFrame, note: str = "", n_rows: int | None = None) -> int:
         """Publish ``df`` as a FULL-snapshot version (one fresh data
         directory, no parent references). O(|df|) write — use for
         initial loads and compactions."""
-        return self._publish(df, note, [])
+        return self._publish(df, note, [], n_rows=n_rows)
 
-    def commit_append(self, df: DataFrame, note: str = "") -> int:
+    def commit_append(
+        self, df: DataFrame, note: str = "", n_rows: int | None = None
+    ) -> int:
         """Publish ``current ∪ df`` as the next version by writing ONLY
         the new rows and referencing the parent's data directories in
         the manifest — O(|batch|) regardless of corpus size, the only
@@ -185,7 +203,7 @@ class VersionedDatasetStore:
         if len(parent_dirs) >= self.max_data_dirs:
             full = self.read(parent).unionByName(df)
             return self._publish(full, note, [], compaction=True)
-        return self._publish(df, note, parent_dirs)
+        return self._publish(df, note, parent_dirs, n_rows=n_rows)
 
     # -- read path -------------------------------------------------------
     def read(self, version: int | None = None) -> DataFrame:
