@@ -21,6 +21,7 @@ from dbtransfer_spark import sqlapi, tpch
 from dbtransfer_spark.functions import library as funclib
 from dbtransfer_spark.operators import (
     asof,
+    cdc,
     corpus_qa,
     dedup,
     graph,
@@ -47,6 +48,7 @@ _MODULES = (
     sqlapi,
     funclib,
     skew,
+    cdc,
 )
 
 
@@ -160,6 +162,11 @@ _VERIFY_FIRST = (
     "multimodal_frame_sample",
     "multimodal_payload_stats",
     "multimodal_resize",
+    # new round-6 queries (ship order; past slot 50 → they rotate to the
+    # r7 window head, verified locally by diffcheck this round)
+    "scd2_history",
+    "cdc_apply_merge",
+    "fuzzy_part_linkage",
 )
 
 

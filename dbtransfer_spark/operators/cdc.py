@@ -1,0 +1,225 @@
+"""Change-data-capture / entity-resolution operators.
+
+The reference is a bulk copier with idempotent upserts (SURVEY.md §2.5)
+— the natural next step a production migration platform needs is MERGE
+semantics over a change log (updates + deletes + inserts), SCD2 history
+construction from that log, and blocked fuzzy record linkage for the
+entity-resolution passes that precede any cross-source merge. All three
+are exact-arithmetic (integer edit distances, timestamp windows,
+passthrough doubles) so the DuckDB oracles replay bit-identically.
+
+Scale notes per operator in the docstrings; none introduces a cartesian
+— the linkage pass is the classic blocking equi-join, and both CDC ops
+are single-shuffle key-partitioned plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dbtransfer_spark.catalog import load_table
+
+QUERIES = {}
+ORACLE = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+@register(
+    "scd2_history",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), changes AS (
+      SELECT user_id, event_type, ts AS valid_from, event_id
+      FROM ordered
+      WHERE prev_type IS NULL OR event_type <> prev_type
+    )
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from, event_id) AS valid_to,
+           (lead(valid_from) OVER (PARTITION BY user_id
+                                   ORDER BY valid_from, event_id) IS NULL)
+             AS is_current
+    FROM changes
+    """,
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build from a change stream: per
+    user, collapse consecutive identical states (idempotent updates
+    carry no history), then derive each surviving state's validity
+    interval [valid_from, valid_to) with lead(); the open interval is
+    the current row. The standard "replay the CDC log into a versioned
+    dimension" shape every warehouse sync needs on top of plain upserts
+    (reference writes only last-state: mysql.go:417-445).
+
+    Plan: ONE hash shuffle on user_id serves both windows (same
+    partitioning), everything else narrow. Determinism: (ts, event_id)
+    total order — event_id is row-unique, so duplicate timestamps
+    cannot flip lag/lead pairings (round-5 determinism trap).
+    100 TB: user_id is high-cardinality and unskewed; state collapses
+    map-side nothing (window needs full history per key), which is
+    inherent to SCD2 — partition count scales with keys, not log
+    length."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type")))
+        .select("user_id", "event_type", F.col("ts").alias("valid_from"), "event_id")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    return changes.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.lead("valid_from").over(w2).isNull().alias("is_current"),
+    )
+
+
+@register(
+    "cdc_apply_merge",
+    """
+    WITH latest AS (
+      SELECT user_id, event_type, value FROM (
+        SELECT user_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    )
+    SELECT
+      COALESCE(c.c_custkey, l.user_id) AS custkey,
+      COALESCE(c.c_name, 'cdc-insert-' || CAST(l.user_id AS VARCHAR)) AS name,
+      CASE WHEN l.user_id IS NOT NULL THEN l.value ELSE c.c_acctbal END AS acctbal,
+      CASE WHEN l.user_id IS NULL THEN 'unchanged'
+           WHEN c.c_custkey IS NULL THEN 'inserted'
+           ELSE 'updated' END AS status
+    FROM customer c
+    FULL OUTER JOIN latest l ON c.c_custkey = l.user_id
+    WHERE l.event_type IS NULL OR l.event_type <> 'error'
+    """,
+)
+def cdc_apply_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE a change log into a base table with full upsert semantics —
+    WHEN MATCHED AND op=delete THEN DELETE, WHEN MATCHED THEN UPDATE,
+    WHEN NOT MATCHED THEN INSERT, unmatched base rows pass through. The
+    change log is the latest event per user (ts desc, event_id desc —
+    row-unique tie-break); 'error' events act as deletes, other types
+    update the balance to the event value. This is the MERGE INTO the
+    reference's per-dialect upserts (W1/W2, mysql.go:417-445,
+    postgresql.go:725-777) cannot express: they have no delete path.
+
+    Plan: the change side collapses to ≤|users| rows via a window whose
+    shuffle AQE sizes by key count, then ONE full-outer hash join on
+    the key. At 100 TB both sides are key-partitioned on the same key —
+    with a bucketed base table the join is co-located and shuffle-free;
+    deletes/updates/inserts are a per-row CASE, no second pass."""
+    cust = load_table(spark, sf_dir, "customer")
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    latest = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "value")
+    )
+    merged = cust.join(latest, cust["c_custkey"] == latest["user_id"], "full_outer")
+    return (
+        merged.filter(
+            F.col("event_type").isNull() | (F.col("event_type") != "error")
+        )
+        .select(
+            F.coalesce("c_custkey", "user_id").alias("custkey"),
+            F.coalesce(
+                "c_name", F.concat(F.lit("cdc-insert-"), F.col("user_id").cast("string"))
+            ).alias("name"),
+            F.when(F.col("user_id").isNotNull(), F.col("value"))
+            .otherwise(F.col("c_acctbal"))
+            .alias("acctbal"),
+            F.when(F.col("user_id").isNull(), F.lit("unchanged"))
+            .when(F.col("c_custkey").isNull(), F.lit("inserted"))
+            .otherwise(F.lit("updated"))
+            .alias("status"),
+        )
+    )
+
+
+@register(
+    "fuzzy_part_linkage",
+    """
+    WITH blocked AS (
+      SELECT p_partkey, p_name, p_brand,
+             string_split(p_name, ' ')[1] AS tok
+      FROM part
+    )
+    SELECT a.p_brand AS brand,
+           a.p_partkey AS partkey_a, b.p_partkey AS partkey_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+    FROM blocked a
+    JOIN blocked b
+      ON a.p_brand = b.p_brand AND a.tok = b.tok
+     AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+)
+def fuzzy_part_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy record linkage (entity resolution): candidate pairs
+    share a blocking key — (brand, first name token), the
+    cheap-to-compute attributes a linkage pass blocks on — and survive
+    an edit-distance ≤ 3 confirm on the full name. Exact integer
+    distances (Spark and DuckDB levenshtein agree), so the oracle is
+    bit-stable.
+
+    Plan: ONE equi-join on the blocking key; the quadratic work is
+    bounded per block (Σ|block|²), never global — the same
+    candidates-only discipline as the MinHash/LSH dedup family. At
+    100 TB the blocking key must stay high-cardinality relative to n;
+    the pre-flight is the same bucket-histogram count as
+    similarity.banded_candidate_estimate (Σ c·(c−1)/2 over block
+    keys) before materializing the join."""
+    part = load_table(spark, sf_dir, "part")
+    blocked = part.select(
+        "p_partkey",
+        "p_name",
+        "p_brand",
+        F.split("p_name", " ").getItem(0).alias("tok"),
+    )
+    a = blocked.select(
+        F.col("p_partkey").alias("partkey_a"),
+        F.col("p_name").alias("name_a"),
+        F.col("p_brand").alias("brand"),
+        "tok",
+    )
+    b = blocked.select(
+        F.col("p_partkey").alias("partkey_b"),
+        F.col("p_name").alias("name_b"),
+        F.col("p_brand").alias("brand"),
+        "tok",
+    )
+    return (
+        a.join(b, ["brand", "tok"])
+        .filter(F.col("partkey_a") < F.col("partkey_b"))
+        .filter(F.levenshtein("name_a", "name_b") <= 3)
+        .select(
+            "brand",
+            "partkey_a",
+            "partkey_b",
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").cast("bigint").alias("dist"),
+        )
+    )

@@ -462,6 +462,64 @@ def ivf_centroids(emb: DataFrame, vec_col: str, label_col: str) -> DataFrame:
     )
 
 
+def ivf_materialized_index(emb: DataFrame, nprobe: int) -> DataFrame:
+    """The IVF build shared by search and index-manifest queries: one
+    narrow row per vector — (vec_id, v, norm, top-``nprobe`` list ids).
+
+    Centroid norms are computed ONCE in a 1-row broadcast fold
+    (n_lists·dim doubles) instead of per (vector, centroid) pair, and
+    each vector scores/sorts its centroid list INSIDE the row — zero
+    shuffle for assignment, vs the former |N|·n_lists-row window
+    exchange. The fold and the output frame are persisted: multiple
+    consumers (assignment side, query-probe side, manifest aggregate)
+    would otherwise re-train the quantizer per branch — no
+    ReusedExchange materializes across the differently-filtered
+    crossJoins. Expressions are parsed SQL text (see sql_dot): one
+    parse instead of a py4j call storm.
+
+    Float discipline: score = dot(v, c)/norm(c), the exact expression
+    the DuckDB oracles replay; the in-row sort uses the same total
+    order as the former window (cos_c DESC, list_id ASC), so ranks are
+    bit-equal."""
+    vecs = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    cent_one = (
+        ivf_centroids(emb, "embedding", "label")
+        .select(
+            F.col("label").alias("list_id"),
+            "centroid",
+            norm(F.col("centroid")).alias("cnorm"),
+        )
+        .agg(
+            F.collect_list(F.struct("list_id", "centroid", "cnorm")).alias("cents")
+        )
+        .persist()
+    )
+    scored_sql = (
+        "transform(cents, c -> named_struct("
+        f"'cos_c', {sql_dot('v', 'c.centroid')} / c.cnorm, "
+        "'list_id', c.list_id))"
+    )
+    ranked_sql = (
+        f"array_sort({scored_sql}, (l, r) -> "
+        "CASE WHEN l.cos_c > r.cos_c THEN -1 WHEN l.cos_c < r.cos_c THEN 1 "
+        "WHEN l.list_id < r.list_id THEN -1 WHEN l.list_id > r.list_id THEN 1 "
+        "ELSE 0 END)"
+    )
+    return (
+        vecs.crossJoin(F.broadcast(cent_one))
+        .selectExpr(
+            "vec_id",
+            "v",
+            f"{sql_norm('v')} AS nv",
+            f"transform(slice({ranked_sql}, 1, {nprobe}), s -> s.list_id)"
+            " AS probe_lists",
+        )
+        .persist()
+    )
+
+
 def _ivf_oracle(nprobe: int = 3, k: int = 5, n_queries: int = 10, dim: int = 64) -> str:
     """DuckDB replay of the IVF search: identical centroid math
     (decimal-exact means), identical assignment/probe/re-rank tie-breaks."""
@@ -548,62 +606,7 @@ def knn_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     nprobe, k, n_queries = 3, 5, 10
     emb = load_table(spark, sf_dir, "embeddings")
-    vecs = emb.select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
-    )
-    # Centroid norms are computed ONCE here (n_lists values) instead of
-    # once per (vector, centroid) pair downstream — same norm(), same
-    # doubles, |N|·n_lists fewer aggregate folds. Persisting the 1-row
-    # fold keeps the posexplode training pass from re-running per branch
-    # (the probes scan is a second, vec_id-pruned scan; without the
-    # persist each branch re-trains the quantizer — no ReusedExchange
-    # across the differently-filtered crossJoins). ~n_lists·dim·8 bytes
-    # cached; ContextCleaner reclaims it once unreachable.
-    cent_one = (
-        ivf_centroids(emb, "embedding", "label")
-        .select(
-            F.col("label").alias("list_id"),
-            "centroid",
-            norm(F.col("centroid")).alias("cnorm"),
-        )
-        .agg(
-            F.collect_list(F.struct("list_id", "centroid", "cnorm")).alias("cents")
-        )
-        .persist()
-    )
-    # Ranking-only score: cosine × norm(v) — norm(v) is constant within a
-    # row, so argmax/top-nprobe are unchanged and one aggregate fold per
-    # (vector, centroid) pair is saved. The oracle uses the identical
-    # formula, keeping float comparisons bit-equal. Built as SQL text
-    # (see sql_dot) so plan construction is one parse, not a py4j storm.
-    scored_sql = (
-        "transform(cents, c -> named_struct("
-        f"'cos_c', {sql_dot('v', 'c.centroid')} / c.cnorm, "
-        "'list_id', c.list_id))"
-    )
-    # Same total order as the window's (cos_c DESC, list_id ASC)
-    ranked_sql = (
-        f"array_sort({scored_sql}, (l, r) -> "
-        "CASE WHEN l.cos_c > r.cos_c THEN -1 WHEN l.cos_c < r.cos_c THEN 1 "
-        "WHEN l.list_id < r.list_id THEN -1 WHEN l.list_id > r.list_id THEN 1 "
-        "ELSE 0 END)"
-    )
-    # The materialized index: one narrow row per vector (id, v, norm,
-    # top-nprobe list ids — a single ranked evaluation per row). Both
-    # search branches (assignment side and query-probe side) consume it,
-    # so it is persisted — the batch twin of writing the IVF assignment
-    # table once and serving many queries from it.
-    rk = (
-        vecs.crossJoin(F.broadcast(cent_one))
-        .selectExpr(
-            "vec_id",
-            "v",
-            f"{sql_norm('v')} AS nv",
-            f"transform(slice({ranked_sql}, 1, {nprobe}), s -> s.list_id)"
-            " AS probe_lists",
-        )
-        .persist()
-    )
+    rk = ivf_materialized_index(emb, nprobe)
     assigned = rk.selectExpr(
         "vec_id", "v", "nv", "element_at(probe_lists, 1) AS list_id"
     )
@@ -1500,28 +1503,15 @@ def embedding_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     whether the lists are balanced enough to meet nprobe latency (a list
     at 10× mean share means re-training with more centroids).
 
-    Plan: the same fixed-size centroid broadcast + WindowGroupLimit
-    assignment as knn_ivf_cosine (its verified front half), then a
-    list-keyed aggregate to |lists| rows and a 1-row total broadcast.
-    Linear in |vectors| at any SF."""
+    Plan: the same per-row assignment over the broadcast centroid fold
+    as knn_ivf_cosine (ivf_materialized_index, its verified front
+    half — zero-shuffle assignment, r6), then a list-keyed aggregate to
+    |lists| rows and a 1-row total broadcast. Linear in |vectors| at
+    any SF."""
     dim = 64
     emb = load_table(spark, sf_dir, "embeddings")
-    vecs = emb.select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
-    )
-    centroids = ivf_centroids(emb, "embedding", "label").select(
-        F.col("label").alias("list_id"), "centroid"
-    )
-    scored_cent = vecs.crossJoin(F.broadcast(centroids)).select(
-        "vec_id",
-        "list_id",
-        (dot(F.col("v"), F.col("centroid")) / norm(F.col("centroid"))).alias("cos_c"),
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), "list_id")
-    assigned = (
-        scored_cent.withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "list_id")
+    assigned = ivf_materialized_index(emb, nprobe=1).selectExpr(
+        "vec_id", "element_at(probe_lists, 1) AS list_id"
     )
     lists = assigned.groupBy("list_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
