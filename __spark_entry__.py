@@ -167,6 +167,8 @@ _VERIFY_FIRST = (
     "scd2_history",
     "cdc_apply_merge",
     "fuzzy_part_linkage",
+    "events_type_pivot",
+    "events_type_unpivot",
 )
 
 

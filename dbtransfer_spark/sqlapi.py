@@ -136,3 +136,68 @@ def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     same partitioned rank pushdown, not a per-row re-execution; identical
     SQL runs on DuckDB as the oracle."""
     return _run(spark, sf_dir, _LATERAL_SQL)
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+_PIVOT_ORACLE = "SELECT user_id, " + ", ".join(
+    f"CAST(count(*) FILTER (event_type = '{t}') AS BIGINT) AS n_{t}"
+    for t in _EVENT_TYPES
+) + " FROM events GROUP BY user_id"
+
+
+@register("events_type_pivot", _PIVOT_ORACLE)
+def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: one row per user, one count column per event type. The
+    value list is EXPLICIT — without it Spark runs a distinct-values
+    pre-pass over the full table AND the output schema becomes
+    data-dependent (a poison pill for downstream contracts at 100 TB;
+    with the list it is one partial-aggregated shuffle on user_id, and
+    absent combinations are filled to 0 so the frame is dense).
+    Oracle: the FILTER-aggregate expansion, which is exactly the plan
+    Spark lowers the pivot to."""
+    from dbtransfer_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+        .na.fill(0, [t for t in _EVENT_TYPES])
+    )
+    return out.select(
+        "user_id", *[F.col(t).alias(f"n_{t}") for t in _EVENT_TYPES]
+    )
+
+
+_UNPIVOT_ORACLE = """
+WITH p AS (""" + _PIVOT_ORACLE + """)
+SELECT user_id, kv.k AS event_type, kv.v AS n_events
+FROM p, UNNEST([""" + ", ".join(
+    f"{{'k': '{t}', 'v': n_{t}}}" for t in _EVENT_TYPES
+) + """]) AS u(kv)
+"""
+
+
+@register("events_type_unpivot", _UNPIVOT_ORACLE)
+def events_type_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): widen-then-lengthen round trip of the pivot
+    above — (user_id, event_type, n_events) with explicit zeros for
+    absent combinations, the dense long form feature pipelines join
+    against. Spark's native ``unpivot`` is a narrow per-row expansion
+    (no shuffle beyond the pivot's own aggregate); the oracle replays
+    it as an UNNEST over the same struct list."""
+    from pyspark.sql import functions as F
+
+    wide = events_type_pivot(spark, sf_dir)
+    return wide.unpivot(
+        "user_id",
+        [f"n_{t}" for t in _EVENT_TYPES],
+        "event_type",
+        "n_events",
+    ).select(
+        "user_id",
+        F.expr("substring(event_type, 3)").alias("event_type"),
+        "n_events",
+    )
