@@ -74,6 +74,20 @@ def near_dup_against_corpus(
     # persist so the shingle/hash pass runs once per side
     sig_new = minhash_signatures(new_docs, id_col, text_col).persist()
     sig_corpus = minhash_signatures(corpus, id_col, text_col).persist()
+    return near_dup_probe(sig_new, sig_corpus, id_col, threshold)
+
+
+def near_dup_probe(
+    sig_new: DataFrame,
+    sig_corpus: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The signature-level probe behind :func:`near_dup_against_corpus`,
+    split out so callers holding a PRE-BUILT corpus signature index
+    (the release pipeline's ``__sigs`` store) skip the O(corpus)
+    re-signing entirely — at 100 TB that pass, not the banded join, is
+    what made per-release cost O(corpus)."""
     cand = (
         _banded(sig_new, "new", id_col)
         .join(_banded(sig_corpus, "corp", id_col), ["band", "bucket"])
@@ -89,6 +103,23 @@ def near_dup_against_corpus(
     )
 
 
+def _sig_store(store: VersionedDatasetStore) -> VersionedDatasetStore:
+    """The corpus store's sibling signature index: same root, table name
+    suffixed ``__sigs``, same compaction bound."""
+    import os
+
+    return VersionedDatasetStore(
+        store.spark,
+        os.path.dirname(store.base),
+        os.path.basename(store.base) + "__sigs",
+        max_data_dirs=store.max_data_dirs,
+    )
+
+
+def _sig_note(corpus_version: int) -> str:
+    return f"sigs-for-corpus-v{corpus_version}"
+
+
 def incremental_release(
     spark: SparkSession,
     store: VersionedDatasetStore,
@@ -100,28 +131,61 @@ def incremental_release(
 ) -> dict:
     """One incremental corpus release: exact-dedup the batch on content
     fingerprint, drop near-dups of the current release, commit
-    corpus ∪ survivors as the next version. Returns counts + version."""
+    corpus ∪ survivors as the next version. Returns counts + version.
+
+    Signature index maintenance (r6): the pipeline keeps a sibling
+    ``<table>__sigs`` versioned table whose latest note records which
+    corpus version it signs. An aligned release signs ONLY the batch and
+    probes the STORED corpus signatures — per-release cost drops from
+    O(corpus) (re-signing every doc every release, the 100 TB killer) to
+    O(batch) + the banded probe. Survivor signatures append-commit in
+    lockstep. If the index is missing or stale (out-of-band corpus
+    commit), the release transparently re-signs the corpus once and
+    publishes a full signature snapshot — self-healing, never wrong."""
     batch = exact_dedup(
         new_docs.withColumn("__fp", F.md5(F.col(text_col))), ["__fp"], id_col
     ).drop("__fp").persist()  # counted, probed, anti-joined, committed
     n_batch = batch.count()
+    sigs_store = _sig_store(store)
+    # sign the batch once; probed, anti-joined, and committed to the index
+    batch_sigs = minhash_signatures(batch, id_col, text_col).persist()
     latest = store.latest_version()
     if latest is None:
         v = store.commit(batch, note=note or "initial release", n_rows=n_batch)
+        sigs_store.commit(batch_sigs, note=_sig_note(v), n_rows=n_batch)
         return {"version": v, "n_batch": n_batch, "n_kept": n_batch, "n_dropped": 0}
-    corpus = store.read(latest)
+
+    sig_latest = sigs_store.latest_version()
+    aligned = (
+        sig_latest is not None
+        and sigs_store.manifest(sig_latest).get("note") == _sig_note(latest)
+    )
+    if aligned:
+        sig_corpus = sigs_store.read(sig_latest)
+    else:
+        corpus = store.read(latest)
+        sc_par = corpus.sparkSession.sparkContext.defaultParallelism
+        if corpus.rdd.getNumPartitions() < sc_par:
+            corpus = corpus.repartition(sc_par)
+        sig_corpus = minhash_signatures(corpus, id_col, text_col).persist()
     # persist the (small, ids-only) drop set: kept is consumed twice
     # (count + commit write) and would otherwise re-run the whole
-    # corpus-signature probe per action
-    drops = near_dup_against_corpus(
-        batch, corpus, id_col, text_col, threshold
-    ).persist()
+    # signature probe per action
+    drops = near_dup_probe(batch_sigs, sig_corpus, id_col, threshold).persist()
     kept = batch.join(drops, id_col, "left_anti")
     n_kept = kept.count()
     # append-commit: writes ONLY the survivors and references the parent
     # release's data dirs — O(|batch|) per release, never O(corpus); the
     # known count sizes the data files and skips the read-back count
     v = store.commit_append(kept, note=note, n_rows=n_kept)
+    kept_sigs = batch_sigs.join(drops, id_col, "left_anti")
+    if aligned:
+        sigs_store.commit_append(kept_sigs, note=_sig_note(v), n_rows=n_kept)
+    else:
+        # re-sync: one full signature snapshot for the new corpus version
+        sigs_store.commit(
+            sig_corpus.unionByName(kept_sigs), note=_sig_note(v)
+        )
     return {
         "version": v,
         "n_batch": n_batch,
