@@ -169,6 +169,8 @@ _VERIFY_FIRST = (
     "fuzzy_part_linkage",
     "events_type_pivot",
     "events_type_unpivot",
+    "brand_pareto_front",
+    "purchase_pit_state",
 )
 
 

@@ -223,3 +223,69 @@ def fuzzy_part_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein("name_a", "name_b").cast("bigint").alias("dist"),
         )
     )
+
+
+@register(
+    "purchase_pit_state",
+    """
+    WITH states AS (
+      SELECT user_id, ts, event_type FROM (
+        SELECT user_id, ts, event_type,
+               row_number() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type <> 'purchase'
+      ) WHERE rn = 1
+    )
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           s.event_type AS state_at_purchase,
+           s.ts AS state_since
+    FROM (SELECT event_id, user_id, ts, value
+          FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN states s
+      ON p.user_id = s.user_id AND p.ts >= s.ts
+    """,
+)
+def purchase_pit_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join (the feature-store lookup): each purchase
+    event decorated with the state in effect WHEN IT HAPPENED — the
+    latest preceding non-purchase event — never a later one (temporal
+    leakage is exactly what PIT joins exist to prevent in training-data
+    builds). Composition of two verified operators: a per-(user, ts)
+    dedup (max event_id — a total order, so same-instant state writes
+    resolve deterministically) feeding the union-merge asof_join.
+
+    Plan: both sides shuffle once on user_id (the asof union-merge
+    sorts within key partitions); no range explosion, no window over an
+    unpartitioned frame. At 100 TB this is the standard
+    sort-merge-within-key asof shape — cost ∝ events per user, skew
+    governed by the user key like every other per-user operator here.
+    Oracle: DuckDB's native ASOF LEFT JOIN (same ≥ tie semantics)."""
+    from dbtransfer_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    states = (
+        ev.filter(F.col("event_type") != "purchase")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("ts").alias("state_ts"), "event_type")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    joined = asof_join(
+        purchases,
+        states,
+        on="user_id",
+        left_time="ts",
+        right_time="state_ts",
+        right_values=["event_type", "state_ts"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.col("asof_event_type").alias("state_at_purchase"),
+        F.col("asof_state_ts").alias("state_since"),
+    )

@@ -3094,3 +3094,65 @@ def customer_order_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         rmax.cast("bigint").alias("running_max_cents"),
         (rmax - F.col("cents")).cast("bigint").alias("drawdown_cents"),
     )
+
+
+@register(
+    "brand_pareto_front",
+    """
+    WITH ranked AS (
+      SELECT p_brand, p_partkey, p_name, p_size,
+             CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+             max(p_size) OVER (
+               PARTITION BY p_brand
+               ORDER BY CAST(round(p_retailprice * 100) AS BIGINT),
+                        p_size DESC, p_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS best_size_cheaper
+    FROM part
+    )
+    SELECT p_brand AS brand, p_partkey AS partkey, p_name AS name,
+           p_size AS size, price_cents
+    FROM ranked
+    WHERE best_size_cheaper IS NULL OR p_size > best_size_cheaper
+    """,
+)
+def brand_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand skyline (Pareto front): the parts not DOMINATED within
+    their brand — no other part both costs at most as much and is
+    larger (price↓ better, size↑ better). The multi-objective shortlist
+    query behind "cheapest viable option at every capability level"
+    (catalog pruning, offer selection).
+
+    Algorithm: sort each brand by (price, size DESC) and keep a row iff
+    its size strictly exceeds the running max size of all STRICTLY
+    preceding rows (ROWS ... 1 PRECEDING): a dominator is exactly an
+    earlier row with ≥ size. One window over one brand-partitioned
+    shuffle — O(n log n) per brand vs the naive O(n²) NOT-EXISTS
+    self-join, and it stays partitioned at 100 TB (brand count scales
+    with catalog size; no global sort). Prices compare in exact integer
+    cents; (price, size DESC, partkey) is a total order so the running
+    max is deterministic under duplicate prices."""
+    part = load_table(spark, sf_dir, "part")
+    cents = F.round(F.col("p_retailprice") * 100).cast("bigint")
+    ranked = part.select(
+        "p_brand", "p_partkey", "p_name", "p_size", cents.alias("price_cents")
+    )
+    w = (
+        Window.partitionBy("p_brand")
+        .orderBy("price_cents", F.desc("p_size"), "p_partkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        ranked.withColumn("best_size_cheaper", F.max("p_size").over(w))
+        .filter(
+            F.col("best_size_cheaper").isNull()
+            | (F.col("p_size") > F.col("best_size_cheaper"))
+        )
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.col("p_partkey").alias("partkey"),
+            F.col("p_name").alias("name"),
+            F.col("p_size").alias("size"),
+            "price_cents",
+        )
+    )

@@ -408,3 +408,66 @@ def quality_routed_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def neardup_gated_stream(
+    spark: SparkSession,
+    source_dir: str,
+    corpus,
+    accept_dir: str,
+    duplicate_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.5,
+):
+    """Streaming ingestion gate against an existing corpus: each
+    micro-batch of arriving documents is MinHash-signed once and probed
+    against the static corpus signature index (the same asymmetric
+    batch×corpus banded join as pipelines.near_dup_probe — never
+    corpus×corpus); near-duplicates land in ``duplicate_dir`` (the
+    audit trail), novel docs in ``accept_dir``. This is the continuous
+    twin of pipelines.incremental_release's dedup front half — the
+    shape a crawl firehose runs before anything enters the corpus.
+
+    The corpus side is signed ONCE at stream start and persisted —
+    per-batch cost is O(batch) + the banded probe, exactly the
+    signature-index economics of the batch pipeline. Writes are
+    batch_id-keyed overwrites (idempotent under foreachBatch replay,
+    same contract as quality_routed_stream). ``corpus`` is a DataFrame
+    of (doc_id, text). Returns the started StreamingQuery."""
+    from dbtransfer_spark.operators.dedup import minhash_signatures
+    from dbtransfer_spark.pipelines import near_dup_probe
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    sig_corpus = minhash_signatures(
+        corpus.select("doc_id", "text"), "doc_id", "text"
+    ).persist()
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.persist()
+        try:
+            sig_new = minhash_signatures(batch, "doc_id", "text")
+            drops = near_dup_probe(sig_new, sig_corpus, "doc_id", threshold).persist()
+            batch.join(drops, "doc_id", "left_anti").write.mode("overwrite").parquet(
+                f"{accept_dir}/batch_id={batch_id}"
+            )
+            batch.join(drops, "doc_id", "left_semi").write.mode("overwrite").parquet(
+                f"{duplicate_dir}/batch_id={batch_id}"
+            )
+        finally:
+            batch.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

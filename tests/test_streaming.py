@@ -287,3 +287,45 @@ def test_quality_routed_stream_replay_is_idempotent(spark, tmp_path):
     bad = spark.read.parquet(quarantine)
     assert [r["doc_id"] for r in ok.collect()] == [2]
     assert [r["doc_id"] for r in bad.collect()] == [1]
+
+
+def test_neardup_gated_stream_matches_batch_probe(spark, tmp_path):
+    """Batch/stream parity: the streaming gate's accept/duplicate split
+    equals the batch pipeline's near-dup judgement on the same data."""
+    from dbtransfer_spark.pipelines import near_dup_against_corpus
+    from dbtransfer_spark.streaming.incremental import neardup_gated_stream
+
+    base = " ".join(f"w{i}" for i in range(60))
+    corpus = spark.createDataFrame(
+        [(1, base), (2, " ".join(f"c{i}" for i in range(60)))],
+        "doc_id long, text string",
+    )
+    arriving = [
+        (101, base.replace("w59", "zz"), "en", "s", 100),   # near-dup of corpus 1
+        (102, " ".join(f"n{i}" for i in range(60)), "en", "s", 100),  # novel
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        arriving, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(src)
+    accept, dups = str(tmp_path / "ok"), str(tmp_path / "dup")
+    q = neardup_gated_stream(
+        spark, src, corpus, accept, dups, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+    got_accept = {r["doc_id"] for r in spark.read.parquet(accept).collect()}
+    got_dups = {r["doc_id"] for r in spark.read.parquet(dups).collect()}
+    batch_df = spark.createDataFrame(
+        [(i, t) for i, t, *_ in arriving], "doc_id long, text string"
+    )
+    expected_drop = {
+        r["doc_id"] for r in near_dup_against_corpus(batch_df, corpus).collect()
+    }
+    assert got_dups == expected_drop == {101}
+    assert got_accept == {102}
+    # restart with no new data: nothing reprocessed
+    q2 = neardup_gated_stream(
+        spark, src, corpus, accept, dups, str(tmp_path / "ckpt")
+    )
+    q2.awaitTermination()
+    assert spark.read.parquet(accept).count() == 1
