@@ -171,6 +171,7 @@ _VERIFY_FIRST = (
     "events_type_unpivot",
     "brand_pareto_front",
     "purchase_pit_state",
+    "dq_expectations_orders",
 )
 
 

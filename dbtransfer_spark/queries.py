@@ -3156,3 +3156,73 @@ def brand_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
             "price_cents",
         )
     )
+
+
+@register(
+    "dq_expectations_orders",
+    """
+    WITH t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM orders),
+    u AS (
+      SELECT 'not_null(o_orderkey)' AS constraint_name, 'not_null' AS kind,
+             CAST(count(*) FILTER (o_orderkey IS NULL) AS BIGINT) AS violations,
+             (SELECT total FROM t) AS total
+      FROM orders
+      UNION ALL
+      SELECT 'in_range(o_totalprice,0.0,400000.0)', 'in_range',
+             CAST(count(*) FILTER (o_totalprice IS NULL
+                                   OR o_totalprice < 0 OR o_totalprice > 400000) AS BIGINT),
+             (SELECT total FROM t)
+      FROM orders
+      UNION ALL
+      SELECT 'in_set(o_orderstatus)', 'in_set',
+             CAST(count(*) FILTER (o_orderstatus IS NULL
+                                   OR o_orderstatus NOT IN ('F','O','P')) AS BIGINT),
+             (SELECT total FROM t)
+      FROM orders
+      UNION ALL
+      SELECT 'matches(o_orderpriority)', 'matches',
+             CAST(count(*) FILTER (o_orderpriority IS NULL
+                                   OR NOT regexp_matches(o_orderpriority, '^[1-5]-')) AS BIGINT),
+             (SELECT total FROM t)
+      FROM orders
+      UNION ALL
+      SELECT 'unique(o_orderkey)', 'unique',
+             CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT),
+             (SELECT total FROM t)
+      FROM orders
+      UNION ALL
+      SELECT 'foreign_key(o_custkey->c_custkey)', 'foreign_key',
+             CAST(count(*) FILTER (c.c_custkey IS NULL) AS BIGINT),
+             (SELECT total FROM t)
+      FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE o.o_custkey IS NOT NULL
+    )
+    SELECT constraint_name, kind, violations, total, violations = 0 AS passed
+    FROM u
+    """,
+)
+def dq_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality suite over ``orders`` via the
+    expectations engine (dbtransfer_spark/expectations.py): five
+    row-level/uniqueness checks plus referential integrity against
+    ``customer``. The deliberately-tight price range reports real
+    violations, exercising the failing path.
+
+    Plan cost (the engine's contract): ONE shared aggregate pass for
+    all four row-level predicates, one count-distinct for uniqueness,
+    one broadcast left-anti probe for the FK — adding more row-level
+    expectations costs zero extra scans, which is what makes a
+    500-expectation production suite affordable at 100 TB."""
+    from dbtransfer_spark import expectations as X
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    suite = [
+        X.not_null("o_orderkey"),
+        X.in_range("o_totalprice", 0.0, 400000.0),
+        X.in_set("o_orderstatus", ["F", "O", "P"]),
+        X.matches("o_orderpriority", "^[1-5]-"),
+        X.unique("o_orderkey"),
+        X.foreign_key("o_custkey", customer, "c_custkey"),
+    ]
+    return X.evaluate(orders, suite)

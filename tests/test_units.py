@@ -553,3 +553,51 @@ Input: [a]
     assert r["bnlj"] == 0 and r["cartesian"] == 0
     assert r["pushed_filters"] is True
     assert r["codegen_spans"] == 1
+
+
+def test_expectations_engine_counts_and_drilldown(spark):
+    from dbtransfer_spark import expectations as X
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, -5.0, "B"), (2, 50.0, None), (None, 200.0, "Z")],
+        "id long, amount double, code string",
+    )
+    parent = spark.createDataFrame([(1,), (2,)], "pid long")
+    suite = [
+        X.not_null("id"),
+        X.in_range("amount", 0.0, 100.0),
+        X.in_set("code", ["A", "B"]),
+        X.unique("id"),
+        X.foreign_key("id", parent, "pid"),
+    ]
+    out = {r["constraint_name"]: r for r in X.evaluate(df, suite).collect()}
+    assert out["not_null(id)"]["violations"] == 1
+    assert out["in_range(amount,0.0,100.0)"]["violations"] == 2  # -5 and 200
+    assert out["in_set(code)"]["violations"] == 2                # None and Z
+    assert out["unique(id)"]["violations"] == 1                  # id=2 twice
+    assert out["foreign_key(id->pid)"]["violations"] == 0        # nulls skipped
+    assert all(r["total"] == 4 for r in out.values())
+    assert not out["not_null(id)"]["passed"]
+    # drill-down returns exactly the violating rows
+    bad = X.violating_rows(df, suite[1]).collect()
+    assert sorted(r["amount"] for r in bad) == [-5.0, 200.0]
+
+
+def test_expectations_row_level_suite_is_single_scan(spark, tmp_path):
+    """The engine's cost contract: any number of row-level expectations
+    share ONE scan + ONE aggregate."""
+    import contextlib
+    import io
+    import re
+
+    from dbtransfer_spark import expectations as X
+
+    p = str(tmp_path / "t")
+    spark.range(100).selectExpr("id", "id * 2.0 AS v").write.parquet(p)
+    df = spark.read.parquet(p)
+    suite = [X.not_null("id"), X.in_range("v", 0.0, 500.0), X.not_null("v")]
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        X.evaluate(df, suite).explain("formatted")
+    plan = buf.getvalue()
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
