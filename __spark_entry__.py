@@ -172,6 +172,7 @@ _VERIFY_FIRST = (
     "brand_pareto_front",
     "purchase_pit_state",
     "dq_expectations_orders",
+    "copurchase_triangles",
 )
 
 

@@ -216,6 +216,8 @@ _FIXED_SIDE_CROSSJOINS = {
     "knn_label_accuracy",
     # k×d centroid-table broadcast (k=8 rows, fixed size at any SF)
     "kmeans_lloyd",
+    # two 1-row count broadcasts (nodes/edges) beside the triangle count
+    "copurchase_triangles",
 }
 
 
