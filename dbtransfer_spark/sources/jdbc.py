@@ -452,7 +452,10 @@ class JDBCSink(Sink):
         if self.connect is None:
             raise RuntimeError("JDBC sink requires a DB-API connection factory")
         t = (self.cfg.type or "mysql").lower()
-        dialect = "mysql" if t == "mysql" else "postgresql"
+        # sqlite rides through as its own dialect (?-placeholders, ON
+        # CONFLICT upsert) so the sink is drivable end-to-end without a
+        # server — everything else MySQL-vs-PG as before
+        dialect = t if t in ("mysql", "sqlite") else "postgresql"
         n_parts = df.rdd.getNumPartitions() or 1
         per_part_rate = (
             max(1, self.rows_per_sec // n_parts) if self.rows_per_sec else None

@@ -329,3 +329,56 @@ def test_neardup_gated_stream_matches_batch_probe(spark, tmp_path):
     )
     q2.awaitTermination()
     assert spark.read.parquet(accept).count() == 1
+
+
+def test_stream_to_jdbc_upsert_exactly_once_effect(spark, tmp_path):
+    """Streaming micro-batches into the JDBC (SQLite) upsert writer:
+    at-least-once foreachBatch x idempotent W1-style upsert = target ==
+    source exactly, even when the source redelivers every file."""
+    import sqlite3
+
+    from dbtransfer_spark.config import DBConfig, TableMapping
+    from dbtransfer_spark.sources.jdbc import JDBCSink
+    from dbtransfer_spark.streaming.incremental import read_event_stream
+    from tests.test_jdbc_writer import _connect_factory
+
+    src = str(tmp_path / "src")
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    ).repartition(2)
+    ev.write.parquet(src)
+    ev.write.mode("append").parquet(src)      # full redelivery upstream
+
+    db = str(tmp_path / "t.db")
+    with sqlite3.connect(db) as conn:
+        conn.execute(
+            'CREATE TABLE "events" ("event_id" INTEGER PRIMARY KEY, "ts" TEXT,'
+            ' "user_id" INTEGER, "event_type" TEXT, "value" REAL, "props" TEXT)'
+        )
+    sink = JDBCSink(
+        spark, DBConfig(type="sqlite"), connect=_connect_factory(db), batch_size=500
+    )
+    mapping = TableMapping(name="events")
+
+    def upsert_batch(batch_df, batch_id):
+        if not batch_df.isEmpty():
+            sink.upsert(
+                batch_df.withColumn("ts", F.col("ts").cast("string")),
+                mapping,
+                ["event_id"],
+            )
+
+    (
+        read_event_stream(spark, src)
+        .writeStream.foreachBatch(upsert_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    with sqlite3.connect(db) as conn:
+        n, users = conn.execute(
+            'SELECT count(*), count(DISTINCT "user_id") FROM "events"'
+        ).fetchone()
+    assert n == ev.count()                     # upserted, not doubled
+    assert users == ev.select("user_id").distinct().count()
