@@ -173,6 +173,7 @@ _VERIFY_FIRST = (
     "purchase_pit_state",
     "dq_expectations_orders",
     "copurchase_triangles",
+    "session_peak_concurrency",
 )
 
 

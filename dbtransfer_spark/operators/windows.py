@@ -1294,3 +1294,106 @@ def session_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("abandonment_ppm"),
     )
+
+
+@register(
+    "session_peak_concurrency",
+    """
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '30 minutes'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_no
+      FROM marked
+    ), sessions AS (
+      SELECT user_id, min(ts) AS s, max(ts) + INTERVAL '30 minutes' AS e
+      FROM sess GROUP BY user_id, session_no
+    ), deltas AS (
+      SELECT strftime(s, '%Y-%m-%d') AS day, s AS ts, 1 AS delta, user_id FROM sessions
+      UNION ALL
+      SELECT strftime(e, '%Y-%m-%d') AS day, e AS ts, -1 AS delta, user_id FROM sessions
+    ), intraday AS (
+      SELECT day,
+             max(run) AS intraday_peak
+      FROM (
+        SELECT day,
+               sum(delta) OVER (PARTITION BY day ORDER BY ts, delta, user_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        FROM deltas
+      ) GROUP BY day
+    ), day_net AS (
+      SELECT day, CAST(sum(delta) AS BIGINT) AS net FROM deltas GROUP BY day
+    ), baseline AS (
+      SELECT day,
+             CAST(COALESCE(sum(net) OVER (ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS carried
+      FROM day_net
+    )
+    SELECT i.day, CAST(b.carried + i.intraday_peak AS BIGINT) AS peak_concurrent
+    FROM intraday i JOIN baseline b ON i.day = b.day
+    """,
+)
+def session_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day — the capacity-planning readout
+    (licensing, connection pools, serving fleet sizing). Sessions come
+    from the verified 30-minute session_window construction; each
+    becomes a +1/−1 delta at its start/end, the intraday running sum is
+    a DAY-PARTITIONED window (never a global single-reducer sort), and
+    sessions spanning midnight are carried exactly via a per-day net
+    baseline — a ≤|days| cumulative over the day-level aggregate, the
+    domain-bounded unpartitioned-window pattern (calendar days, not
+    rows, bound it at any SF). Tie discipline: at equal timestamps ends
+    (−1) sort before starts (+1), so back-to-back sessions never
+    double-count; user_id completes the total order."""
+    sessions = events_session_30m(spark, sf_dir).select(
+        "user_id", "session_start", "session_end"
+    )
+    deltas = (
+        sessions.select(
+            F.date_format("session_start", "yyyy-MM-dd").alias("day"),
+            F.col("session_start").alias("ts"),
+            F.lit(1).alias("delta"),
+            "user_id",
+        )
+        .unionByName(
+            sessions.select(
+                F.date_format("session_end", "yyyy-MM-dd").alias("day"),
+                F.col("session_end").alias("ts"),
+                F.lit(-1).alias("delta"),
+                "user_id",
+            )
+        )
+        .persist()  # intraday peaks + day-net baseline share it
+    )
+    w_run = (
+        Window.partitionBy("day")
+        .orderBy("ts", "delta", "user_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    intraday = (
+        deltas.withColumn("run", F.sum("delta").over(w_run))
+        .groupBy("day")
+        .agg(F.max("run").alias("intraday_peak"))
+    )
+    day_net = deltas.groupBy("day").agg(
+        F.sum("delta").cast("bigint").alias("net")
+    )
+    w_days = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    baseline = day_net.select(
+        "day",
+        F.coalesce(F.sum("net").over(w_days), F.lit(0)).cast("bigint").alias("carried"),
+    )
+    return intraday.join(baseline, "day").select(
+        "day",
+        (F.col("carried") + F.col("intraday_peak")).cast("bigint").alias(
+            "peak_concurrent"
+        ),
+    )
