@@ -174,6 +174,7 @@ _VERIFY_FIRST = (
     "dq_expectations_orders",
     "copurchase_triangles",
     "session_peak_concurrency",
+    "daily_volume_anomaly",
 )
 
 

@@ -1397,3 +1397,60 @@ def session_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "peak_concurrent"
         ),
     )
+
+
+@register(
+    "daily_volume_anomaly",
+    """
+    WITH daily AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day, CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1
+    ), med AS (
+      SELECT median(n_events) AS med FROM daily
+    ), m AS (
+      SELECT (SELECT med FROM med) AS med,
+             median(abs(n_events - (SELECT med FROM med))) AS mad
+      FROM daily
+    )
+    SELECT d.day, d.n_events,
+           round(m.med, 1) AS med, round(m.mad, 1) AS mad,
+           abs(d.n_events - m.med) > 3 * 1.4826 * m.mad AS is_anomaly
+    FROM daily d CROSS JOIN m
+    """,
+)
+def daily_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly flag on the daily event-volume series: a day is
+    anomalous when its count deviates from the series median by more
+    than 3 robust sigmas (MAD × 1.4826 — the estimator outliers cannot
+    poison, unlike mean/stddev which the anomaly itself inflates). The
+    pipeline-health tripwire run before trusting any day's ingest.
+
+    Plan: one partial-aggregated count per day, then two exact medians
+    over the ≤|calendar days| frame — a domain-bounded scalar probe
+    broadcast back over the same bounded frame. Nothing here scales
+    with row count except the first aggregate; at 100 TB the day series
+    is still tiny. Exact interpolated medians (both engines average the
+    middle pair), identical double expression for the flag."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .persist()  # median probe + final projection share it
+    )
+    med = daily.agg(F.expr("percentile(n_events, 0.5)").alias("med"))
+    m = (
+        daily.crossJoin(F.broadcast(med))
+        .agg(
+            F.first("med").alias("med"),
+            F.expr("percentile(abs(n_events - med), 0.5)").alias("mad"),
+        )
+    )
+    return daily.crossJoin(F.broadcast(m)).select(
+        "day",
+        "n_events",
+        F.round("med", 1).alias("med"),
+        F.round("mad", 1).alias("mad"),
+        (F.abs(F.col("n_events") - F.col("med")) > 3 * 1.4826 * F.col("mad")).alias(
+            "is_anomaly"
+        ),
+    )

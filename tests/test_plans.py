@@ -218,6 +218,8 @@ _FIXED_SIDE_CROSSJOINS = {
     "kmeans_lloyd",
     # two 1-row count broadcasts (nodes/edges) beside the triangle count
     "copurchase_triangles",
+    # 1-row median/MAD probe broadcast over the bounded day series
+    "daily_volume_anomaly",
 }
 
 
