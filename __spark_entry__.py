@@ -175,6 +175,7 @@ _VERIFY_FIRST = (
     "copurchase_triangles",
     "session_peak_concurrency",
     "daily_volume_anomaly",
+    "multimodal_audio_chunks",
 )
 
 

@@ -420,3 +420,80 @@ def multimodal_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "raw_bytes",
         "deduped_bytes",
     ).orderBy("media_type")
+
+
+_CHUNK_BYTES, _HOP_BYTES = 64, 48
+
+
+@register(
+    "multimodal_audio_chunks",
+    f"""
+    WITH media AS (
+      SELECT doc_id, encode(text) AS payload
+      FROM documents WHERE doc_id % 3 = 1
+    ), hexed AS (
+      SELECT doc_id, hex(payload) AS hx,
+             CAST(octet_length(payload) AS BIGINT) AS n_bytes
+      FROM media
+    )
+    SELECT doc_id,
+           CAST(s.s / {_HOP_BYTES} AS BIGINT) AS chunk_idx,
+           CAST(s.s AS BIGINT) AS start_byte,
+           CAST(least({_CHUNK_BYTES}, n_bytes - s.s) AS BIGINT) AS chunk_len,
+           md5(substring(hx, CAST(s.s * 2 + 1 AS BIGINT),
+                         CAST(least({_CHUNK_BYTES}, n_bytes - s.s) * 2 AS BIGINT)))
+             AS chunk_checksum
+    FROM hexed, UNNEST(range(0, n_bytes, {_HOP_BYTES})) AS s(s)
+    """,
+)
+def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window segmentation of audio payloads — the chunking
+    pass a speech pipeline runs before batch transcription/embedding:
+    fixed {chunk}-byte windows advancing by {hop} bytes (25% overlap so
+    no boundary is ever unheard), each chunk addressed by (doc, index,
+    byte offset, length) with a content checksum for cache-keyed
+    downstream decode.
+
+    All built-ins, no UDF: the windows come from a narrow
+    sequence-explode (1→⌈n/hop⌉ fanout at the scan, exactly like the
+    range-join binner), and the slice checksums hash the hex encoding —
+    byte-exact in both engines without BLOB-slicing support on the
+    oracle side. The decode that would consume these chunks stays
+    behind the stubbed kernel (decode_media); what this verifies is the
+    Spark-side plumbing a 100 TB media lake actually schedules: opaque
+    bytes, deterministic addressing, linear fanout, zero Python."""
+    media = documents_as_media(spark, sf_dir).filter(F.col("media_type") == "audio")
+    hexed = media.select(
+        "doc_id",
+        F.hex("payload").alias("hx"),
+        F.col("n_bytes"),
+    )
+    return (
+        hexed.select(
+            "doc_id",
+            "n_bytes",
+            "hx",
+            F.explode(
+                F.expr(f"sequence(0, n_bytes - 1, {_HOP_BYTES})")
+            ).alias("start_byte"),
+        )
+        .select(
+            "doc_id",
+            (F.col("start_byte") / _HOP_BYTES).cast("bigint").alias("chunk_idx"),
+            F.col("start_byte").cast("bigint").alias("start_byte"),
+            F.least(F.lit(_CHUNK_BYTES), F.col("n_bytes") - F.col("start_byte"))
+            .cast("bigint")
+            .alias("chunk_len"),
+            F.md5(
+                F.expr(
+                    f"substring(hx, CAST(start_byte * 2 + 1 AS BIGINT), "
+                    f"CAST(least({_CHUNK_BYTES}, n_bytes - start_byte) * 2 AS BIGINT))"
+                )
+            ).alias("chunk_checksum"),
+        )
+    )
+
+
+multimodal_audio_chunks.__doc__ = multimodal_audio_chunks.__doc__.format(
+    chunk=_CHUNK_BYTES, hop=_HOP_BYTES
+)
