@@ -176,6 +176,9 @@ _VERIFY_FIRST = (
     "session_peak_concurrency",
     "daily_volume_anomaly",
     "multimodal_audio_chunks",
+    "daily_cusum_shift",
+    "ols_price_on_quantity",
+    "setjoin_prefix_jaccard",
 )
 
 

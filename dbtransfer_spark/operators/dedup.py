@@ -1350,3 +1350,116 @@ def source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_dup_pairs"))
         .orderBy(F.desc("n_dup_pairs"), "source_a", "source_b")
     )
+
+
+@register(
+    "setjoin_prefix_jaccard",
+    """
+    WITH dt AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), dfreq AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY tok
+    ), keyed AS (
+      SELECT dt.doc_id, lpad(CAST(f.df AS VARCHAR), 10, '0') || ':' || dt.tok AS k
+      FROM dt JOIN dfreq f USING (tok)
+    ), sets AS (
+      SELECT doc_id, list_sort(list(k)) AS ks, CAST(len(list(k)) AS BIGINT) AS sz
+      FROM keyed GROUP BY doc_id
+    ), pref AS (
+      SELECT doc_id, unnest(list_slice(ks, 1,
+               CAST(sz - ((7 * sz + 9) // 10) + 1 AS BIGINT))) AS k
+      FROM sets
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM pref a JOIN pref b ON a.k = b.k AND a.doc_id < b.doc_id
+    ), v AS (
+      SELECT id_a, id_b,
+             CAST(len(list_intersect(sa.ks, sb.ks)) AS BIGINT) AS n_inter,
+             sa.sz AS za, sb.sz AS zb
+      FROM cand
+      JOIN sets sa ON sa.doc_id = cand.id_a
+      JOIN sets sb ON sb.doc_id = cand.id_b
+    )
+    SELECT id_a, id_b, n_inter,
+           CAST(za + zb - n_inter AS BIGINT) AS n_union,
+           round(CAST(n_inter AS DOUBLE) / (za + zb - n_inter), 4) AS jaccard
+    FROM v
+    WHERE CAST(n_inter AS DOUBLE) / (za + zb - n_inter) >= 0.7
+    """,
+)
+def setjoin_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join (token-set Jaccard ≥ 0.7) via
+    prefix filtering — the deterministic complement to MinHash-LSH:
+    zero false negatives, no probability knobs. Canonical order sorts
+    each document's tokens rarest-document-frequency-first (df-padded
+    string keys, so both engines sort identically); two sets can reach
+    Jaccard t only if their first ``|s| − ⌈t·|s|⌉ + 1`` canonical
+    tokens share an element, so ONLY those prefix tokens are exploded
+    into the candidate equi-join. Candidate volume is Σ df(tok)² over
+    the RAREST tokens — the ppjoin-style bound that keeps the join
+    linear-ish where a naive token join is quadratic in the Zipf head.
+    The ⌈⌉ is integer arithmetic ((7·sz+9) div 10), so prefix lengths
+    are bit-stable across engines; verification is exact
+    array_intersect counting on the candidate pairs only.
+
+    Output caveat: a PAIR listing is inherently quadratic in duplicate
+    CLIQUE size (k near-identical docs → k·(k−1)/2 rows — this
+    template-heavy fixture yields 5M pairs at sf0.1). That is the
+    correct contract for audit/threshold-tuning consumers; dedup
+    decisions at 100 TB should consume the clique-safe
+    ``dedup_clusters`` (connected components) instead of enumerating
+    pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    dt = (
+        docs.select("doc_id", F.explode(F.split("text", " ", -1)).alias("tok"))
+        .distinct()
+    )
+    dfreq = dt.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    keyed = dt.join(dfreq, "tok").select(
+        "doc_id",
+        F.concat(F.lpad(F.col("df").cast("string"), 10, "0"), F.lit(":"), F.col("tok")).alias("k"),
+    )
+    sets = (
+        keyed.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("k")).alias("ks"))
+        .withColumn("sz", F.size("ks").cast("bigint"))
+        .persist()  # prefix explode + two verification joins
+    )
+    pref = sets.select(
+        "doc_id",
+        F.explode(
+            F.expr("slice(ks, 1, CAST(sz - ((7 * sz + 9) div 10) + 1 AS INT))")
+        ).alias("k"),
+    )
+    a = pref.select(F.col("doc_id").alias("id_a"), "k")
+    b = pref.select(F.col("doc_id").alias("id_b"), "k")
+    cand = (
+        a.join(b, "k")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sets.select(F.col("doc_id").alias("id_a"), F.col("ks").alias("ka"), F.col("sz").alias("za"))
+    sb = sets.select(F.col("doc_id").alias("id_b"), F.col("ks").alias("kb"), F.col("sz").alias("zb"))
+    v = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("ka", "kb")).cast("bigint").alias("n_inter"),
+            "za",
+            "zb",
+        )
+    )
+    jac = F.col("n_inter").cast("double") / (F.col("za") + F.col("zb") - F.col("n_inter"))
+    return (
+        v.filter(jac >= 0.7)
+        .select(
+            "id_a",
+            "id_b",
+            "n_inter",
+            (F.col("za") + F.col("zb") - F.col("n_inter")).cast("bigint").alias("n_union"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+    )

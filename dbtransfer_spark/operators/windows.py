@@ -1454,3 +1454,68 @@ def daily_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_anomaly"
         ),
     )
+
+
+@register(
+    "daily_cusum_shift",
+    """
+    WITH daily AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day, CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1
+    ), t AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(n_events) AS BIGINT) AS total
+      FROM daily
+    ), c AS (
+      SELECT d.day, d.n_events,
+             CAST(sum(t.n * d.n_events - t.total)
+                  OVER (ORDER BY d.day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cusum
+      FROM daily d CROSS JOIN t
+    )
+    SELECT day, n_events, cusum,
+           abs(cusum) = (SELECT max(abs(cusum)) FROM c) AS is_changepoint
+    FROM c
+    """,
+)
+def daily_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM level-shift detection on the daily volume series: the
+    cumulative sum of scaled deviations ``n·xᵢ − total`` (all BIGINT —
+    multiplying through by n avoids the fractional mean, so the
+    statistic is EXACT integer arithmetic) peaks in magnitude at the
+    most likely change point; the flagged day is where the series
+    splits into maximally-different level regimes. Companion to the
+    pointwise median/MAD tripwire: CUSUM sees gradual drifts that never
+    individually breach a z-threshold.
+
+    Plan: one partial-aggregated daily count, a 1-row (n, total)
+    broadcast, then a cumulative window over the ≤|calendar days|
+    series — the domain-bounded unpartitioned-window pattern again;
+    nothing but the first aggregate scales with rows."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .persist()  # totals probe + cusum series share it
+    )
+    t = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("n_events").cast("bigint").alias("total"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    c = (
+        daily.crossJoin(F.broadcast(t))
+        .withColumn(
+            "cusum",
+            F.sum(F.col("n") * F.col("n_events") - F.col("total")).over(w).cast("bigint"),
+        )
+        .select("day", "n_events", "cusum")
+        .persist()  # max-|cusum| probe + final projection
+    )
+    peak = c.agg(F.max(F.abs("cusum")).alias("peak"))
+    return c.crossJoin(F.broadcast(peak)).select(
+        "day",
+        "n_events",
+        "cusum",
+        (F.abs("cusum") == F.col("peak")).alias("is_changepoint"),
+    )

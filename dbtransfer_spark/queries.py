@@ -3226,3 +3226,74 @@ def dq_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         X.foreign_key("o_custkey", customer, "c_custkey"),
     ]
     return X.evaluate(orders, suite)
+
+
+@register(
+    "ols_price_on_quantity",
+    """
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(l_quantity AS DECIMAL(30,10))
+                      * CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(l_quantity AS DECIMAL(30,10))
+                      * CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(30,10))
+                      * CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE) AS syy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           n,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 4)
+             AS intercept,
+           round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM m
+    """,
+)
+def ols_price_on_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary least squares (extendedprice ~ quantity per
+    return flag): slope, intercept, R² from the five moment sums — the
+    closed-form regression every feature store and pricing audit
+    derives without a solver.
+
+    Float discipline: the moments accumulate in DECIMAL(30,10)
+    (order-independent, bit-identical across engines — the same trick
+    as correlation_matrix) and only the final closed-form arithmetic
+    runs in double, as one identical expression tree on both sides.
+    One partial-aggregated shuffle to ≤|flags| rows; nothing else
+    scales with SF."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dx = F.col("l_quantity").cast("decimal(30,10)")
+    dy = F.col("l_extendedprice").cast("decimal(30,10)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(dx).cast("double").alias("sx"),
+        F.sum(dy).cast("double").alias("sy"),
+        F.sum(dx * dx).cast("double").alias("sxx"),
+        F.sum(dx * dy).cast("double").alias("sxy"),
+        F.sum(dy * dy).cast("double").alias("syy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 4).alias("intercept"),
+        F.round(
+            (
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                * (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            )
+            / (
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("r2"),
+    )

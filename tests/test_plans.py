@@ -220,6 +220,8 @@ _FIXED_SIDE_CROSSJOINS = {
     "copurchase_triangles",
     # 1-row median/MAD probe broadcast over the bounded day series
     "daily_volume_anomaly",
+    # 1-row (n, total) and peak-|cusum| probe broadcasts
+    "daily_cusum_shift",
 }
 
 
