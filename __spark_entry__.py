@@ -179,6 +179,8 @@ _VERIFY_FIRST = (
     "daily_cusum_shift",
     "ols_price_on_quantity",
     "setjoin_prefix_jaccard",
+    "distribution_functions",
+    "attribution_position_based",
 )
 
 

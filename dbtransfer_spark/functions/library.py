@@ -663,3 +663,37 @@ def struct_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("a"), F.col("o_orderkey") % 10, F.lit("b"), F.col("o_orderkey") % 100
         ).getField("a").alias("field_a"),
     )
+
+
+@register(
+    "distribution_functions",
+    """
+    SELECT c_custkey, c_nationkey,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           CAST(ntile(4) OVER w AS INT) AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def distribution_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-family window functions — percent_rank, cume_dist,
+    ntile — sharing ONE per-nation window (single shuffle, single sort;
+    Spark collapses same-spec window functions into one WindowExec).
+    (c_acctbal, c_custkey) is a total order, so the fractional ranks are
+    deterministic under duplicate balances; both functions are pure
+    rank arithmetic, identical across engines, rounded only for float
+    rendering. Completes the window-function surface next to the rank
+    family (rank/dense_rank/row_number) and value functions
+    (lag/lead/first/last/nth)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    df = load_table(spark, sf_dir, "customer")
+    return df.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )

@@ -1519,3 +1519,116 @@ def daily_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cusum",
         (F.abs("cusum") == F.col("peak")).alias("is_changepoint"),
     )
+
+
+@register(
+    "attribution_position_based",
+    """
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type, "value",
+             CAST(COALESCE(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS journey
+      FROM events
+    ), conv AS (
+      SELECT user_id, journey,
+             CAST(round("value" * 100) AS BIGINT) AS conv_cents
+      FROM seq WHERE event_type = 'purchase'
+    ), touches AS (
+      SELECT s.user_id, s.journey, s.event_type AS touch_type, c.conv_cents,
+             row_number() OVER (PARTITION BY s.user_id, s.journey
+                                ORDER BY s.ts, s.event_id) AS idx,
+             count(*) OVER (PARTITION BY s.user_id, s.journey) AS n
+      FROM seq s JOIN conv c ON c.user_id = s.user_id AND c.journey = s.journey
+      WHERE s.event_type <> 'purchase'
+    ), credited AS (
+      SELECT touch_type, conv_cents,
+             CASE
+               WHEN n = 1 THEN 1000000
+               WHEN n = 2 THEN 500000
+               WHEN idx = 1 THEN 400000
+               WHEN idx = n THEN 400000
+               WHEN idx = 2 THEN 200000 - (n - 3) * (200000 // (n - 2))
+               ELSE 200000 // (n - 2)
+             END AS w_ppm
+      FROM touches
+    )
+    SELECT touch_type,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(sum(conv_cents * w_ppm) AS BIGINT) AS credited_cents_ppm
+    FROM credited GROUP BY touch_type
+    """,
+)
+def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped 40/20/40) multi-touch attribution: each
+    purchase's value is credited across the touches of its conversion
+    journey (the events since the previous purchase) — 40% to the first
+    touch, 40% to the last, 20% split over the middles. The standard
+    upgrade from last-touch (attribution_last_touch), which starves
+    upper-funnel touchpoints.
+
+    Exactness: weights are integer parts-per-million; the middle share
+    uses integer division with the remainder assigned to the FIRST
+    middle touch (a documented deterministic rule), so credited sums
+    are exact BIGINT arithmetic — no float summation order to drift
+    across engines. Journeys come from a cumulative purchase count per
+    user ((ts, event_id) total order); every window partitions by
+    (user, journey). One user-keyed shuffle chain, linear at any SF."""
+    ev = load_table(spark, sf_dir, "events")
+    w_seq = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).over(w_seq),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("journey"),
+    ).persist()  # touches side + conversions side
+    conv = seq.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "journey",
+        F.round(F.col("value") * 100).cast("bigint").alias("conv_cents"),
+    )
+    w_j = Window.partitionBy("user_id", "journey").orderBy("ts", "event_id")
+    touches = (
+        seq.filter(F.col("event_type") != "purchase")
+        .join(conv, ["user_id", "journey"])
+        .withColumn("idx", F.row_number().over(w_j))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("user_id", "journey")))
+    )
+    w_ppm = (
+        F.when(F.col("n") == 1, F.lit(1000000))
+        .when(F.col("n") == 2, F.lit(500000))
+        .when(F.col("idx") == 1, F.lit(400000))
+        .when(F.col("idx") == F.col("n"), F.lit(400000))
+        .when(
+            F.col("idx") == 2,
+            F.lit(200000)
+            - (F.col("n") - 3) * F.expr("200000 div (n - 2)"),
+        )
+        .otherwise(F.expr("200000 div (n - 2)"))
+    )
+    return (
+        touches.select(
+            F.col("event_type").alias("touch_type"),
+            "conv_cents",
+            w_ppm.alias("w_ppm"),
+        )
+        .groupBy("touch_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+            F.sum(F.col("conv_cents") * F.col("w_ppm")).cast("bigint").alias(
+                "credited_cents_ppm"
+            ),
+        )
+    )
