@@ -669,8 +669,8 @@ def struct_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "distribution_functions",
     """
     SELECT c_custkey, c_nationkey,
-           round(percent_rank() OVER w, 6) AS pct_rank,
-           round(cume_dist() OVER w, 6) AS cume,
+           CAST(floor(percent_rank() OVER w * 1000000) AS BIGINT) AS pct_rank_ppm,
+           CAST(floor(cume_dist() OVER w * 1000000) AS BIGINT) AS cume_ppm,
            CAST(ntile(4) OVER w AS INT) AS quartile
     FROM customer
     WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
@@ -682,8 +682,13 @@ def distribution_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark collapses same-spec window functions into one WindowExec).
     (c_acctbal, c_custkey) is a total order, so the fractional ranks are
     deterministic under duplicate balances; both functions are pure
-    rank arithmetic, identical across engines, rounded only for float
-    rendering. Completes the window-function surface next to the rank
+    rank arithmetic, identical across engines. The fractions are
+    emitted as floor-ppm integers — round() on a double hits
+    half-even-vs-half-up divergence exactly when (r−1)/(n−1) lands on
+    a representable .5 boundary (observed at sf0.1), while floor of
+    bit-identical doubles cannot diverge (and DuckDB's CAST-to-BIGINT
+    rounds where Spark truncates, so the floor is explicit).
+    Completes the window-function surface next to the rank
     family (rank/dense_rank/row_number) and value functions
     (lag/lead/first/last/nth)."""
     from pyspark.sql import Window
@@ -693,7 +698,7 @@ def distribution_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         "c_custkey",
         "c_nationkey",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.floor(F.percent_rank().over(w) * 1000000).cast("bigint").alias("pct_rank_ppm"),
+        F.floor(F.cume_dist().over(w) * 1000000).cast("bigint").alias("cume_ppm"),
         F.ntile(4).over(w).cast("int").alias("quartile"),
     )
