@@ -58,21 +58,80 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The correctness driver verifies the declared queries in insertion order
-# (50 per round). Round-6 window policy (per round-5 VERDICT #1):
-#   1. the 26 queries with no driver row ever (the round-5 session-2
-#      batch past slot 50, join_key_skew_profile..customer_order_drawdown)
-#      lead the window — all 26 green makes every declared query
-#      ever-driver-green (the judge's own diffcheck re-run at r5 HEAD
-#      already passed 26/26, so this is pure rotation);
-#   2. the remaining 24 slots continue the staleness rotation: the 17
-#      queries whose newest driver row is round 1, then the oldest 7 of
-#      the round-2 cohort.
+# (50 per round). Standing window policy (r6 VERDICT #1/#8):
+#   1. queries with NO driver row ever lead the window (new ships from the
+#      previous round);
+#   2. the remaining slots fill oldest-driver-row-first (staleness
+#      rotation), so no query's newest driver row ages past ~3 rounds.
+# Round-7 window: the 17 r6 queries (judge-local green at r6 HEAD; all
+# green here → 217/217 ever-driver-green) + the 33 stalest rows (newest
+# driver row r2, then r3: q14_promo_revenue .. multimodal_resize).
 # Every query, first-50 or not, is verified locally against the same
 # DuckDB oracles by tools/diffcheck.py (results: CORRECTNESS_LOCAL.md).
 _VERIFY_FIRST = (
-    # never driver-verified (r5 session-2 batch; judge-local green at r5
-    # HEAD — VERDICT r6 done-criterion is all 26 green → 200/200
-    # ever-driver-green)
+    # never driver-verified (shipped round 6; judge diffcheck 17/17 green)
+    "scd2_history",
+    "cdc_apply_merge",
+    "fuzzy_part_linkage",
+    "events_type_pivot",
+    "events_type_unpivot",
+    "brand_pareto_front",
+    "purchase_pit_state",
+    "dq_expectations_orders",
+    "copurchase_triangles",
+    "session_peak_concurrency",
+    "daily_volume_anomaly",
+    "multimodal_audio_chunks",
+    "daily_cusum_shift",
+    "ols_price_on_quantity",
+    "setjoin_prefix_jaccard",
+    "distribution_functions",
+    "attribution_position_based",
+    # stale rotation: newest driver row is round 2 (10)
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q22_dormant_customers",
+    "q4_order_priority",
+    "q7_nation_volume",
+    "q8_market_share",
+    "stratified_sample",
+    # stale rotation: newest driver row is round 3 (23 — fills the window
+    # to exactly 50)
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q6_forecast_revenue",
+    "transfer_transform",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_clusters",
+    "contamination_check",
+    "kmeans_lloyd",
+    "knn_ivf_cosine",
+    "knn_lsh_cosine",
+    "embedding_neardup_lsh",
+    "embedding_quantize_int8",
+    "dataset_split",
+    "pii_redact",
+    "approx_sketches",
+    "moment_stats",
+    "map_functions",
+    "multimodal_features_fake",
+    "multimodal_frame_sample",
+    "multimodal_payload_stats",
+    "multimodal_resize",
+    # ---- slot 50 boundary: everything below is out of the r7 driver
+    # window (kept in staleness order for the r8 rotation) ----
+    # newest driver row is round 4
+    "corpus_curation",
+    "doc_fingerprint",
+    "events_funnel",
+    "gap_fill_forward",
+    "pack_sequences",
+    # newest driver row is round 5/6 (r6 window, freshest last)
     "join_key_skew_profile",
     "null_semantics_functions",
     "orders_multi_distinct",
@@ -99,7 +158,6 @@ _VERIFY_FIRST = (
     "struct_functions",
     "user_recent_values",
     "customer_order_drawdown",
-    # stale rotation: newest driver row is round 1 (17)
     "array_functions",
     "conditional_functions",
     "datetime_functions",
@@ -117,70 +175,8 @@ _VERIFY_FIRST = (
     "sql_in_subquery",
     "sql_scalar_subquery",
     "string_functions",
-    # stale rotation: newest driver row is round 2 (first 7 fill the
-    # window to exactly 50)
-    "corpus_curation",
-    "doc_fingerprint",
-    "events_funnel",
-    "gap_fill_forward",
-    "pack_sequences",
     "q10_returned_items",
     "q13_customer_distribution",
-    # ---- slot 50 boundary: everything below is out of the r6 driver
-    # window (kept in rotation order for r7) ----
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_disjunctive_revenue",
-    "q22_dormant_customers",
-    "q4_order_priority",
-    "q7_nation_volume",
-    "q8_market_share",
-    "stratified_sample",
-    # newest driver row is round 3
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "q6_forecast_revenue",
-    "transfer_transform",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_clusters",
-    "contamination_check",
-    "kmeans_lloyd",
-    "knn_ivf_cosine",
-    "knn_lsh_cosine",
-    "embedding_neardup_lsh",
-    "embedding_quantize_int8",
-    "dataset_split",
-    "pii_redact",
-    "approx_sketches",
-    "moment_stats",
-    "map_functions",
-    "multimodal_features_fake",
-    "multimodal_frame_sample",
-    "multimodal_payload_stats",
-    "multimodal_resize",
-    # new round-6 queries (ship order; past slot 50 → they rotate to the
-    # r7 window head, verified locally by diffcheck this round)
-    "scd2_history",
-    "cdc_apply_merge",
-    "fuzzy_part_linkage",
-    "events_type_pivot",
-    "events_type_unpivot",
-    "brand_pareto_front",
-    "purchase_pit_state",
-    "dq_expectations_orders",
-    "copurchase_triangles",
-    "session_peak_concurrency",
-    "daily_volume_anomaly",
-    "multimodal_audio_chunks",
-    "daily_cusum_shift",
-    "ols_price_on_quantity",
-    "setjoin_prefix_jaccard",
-    "distribution_functions",
-    "attribution_position_based",
 )
 
 
