@@ -132,16 +132,26 @@ def evaluate(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
                 .filter(F.col(e.column).isNotNull())
                 .join(F.broadcast(parent_keys), e.column, "left_anti")
             )
-            n_total = df.count()
+            # total stays lazy: a 1-row count aggregate cross-joined onto
+            # the 1-row orphans aggregate — evaluate() triggers no action
+            total_one = df.agg(F.count(F.lit(1)).cast("bigint").alias("total"))
             results.append(
                 orphans.agg(F.count(F.lit(1)).cast("bigint").alias("violations"))
+                .crossJoin(F.broadcast(total_one))
                 .select(
                     F.lit(e.name).alias("constraint_name"),
                     F.lit(e.kind).alias("kind"),
                     "violations",
-                    F.lit(n_total).cast("bigint").alias("total"),
+                    "total",
                 )
             )
+    if not results:
+        # empty suite: an empty frame with the result schema, not a crash
+        return df.sparkSession.createDataFrame(
+            [],
+            "constraint_name string, kind string, violations bigint, "
+            "total bigint, passed boolean",
+        )
     out = results[0]
     for r in results[1:]:
         out = out.unionByName(r)

@@ -462,7 +462,11 @@ def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     behind the stubbed kernel (decode_media); what this verifies is the
     Spark-side plumbing a 100 TB media lake actually schedules: opaque
     bytes, deterministic addressing, linear fanout, zero Python."""
-    media = documents_as_media(spark, sf_dir).filter(F.col("media_type") == "audio")
+    media = documents_as_media(spark, sf_dir).filter(
+        (F.col("media_type") == "audio") & (F.col("n_bytes") > 0)
+    )
+    # the n_bytes > 0 guard matters: sequence(0, -1, hop) throws on an
+    # empty payload, whereas the oracle's range(0, 0, hop) emits no rows
     hexed = media.select(
         "doc_id",
         F.hex("payload").alias("hx"),

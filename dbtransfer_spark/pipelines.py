@@ -145,50 +145,68 @@ def incremental_release(
     batch = exact_dedup(
         new_docs.withColumn("__fp", F.md5(F.col(text_col))), ["__fp"], id_col
     ).drop("__fp").persist()  # counted, probed, anti-joined, committed
-    n_batch = batch.count()
     sigs_store = _sig_store(store)
-    # sign the batch once; probed, anti-joined, and committed to the index
-    batch_sigs = minhash_signatures(batch, id_col, text_col).persist()
-    latest = store.latest_version()
-    if latest is None:
-        v = store.commit(batch, note=note or "initial release", n_rows=n_batch)
-        sigs_store.commit(batch_sigs, note=_sig_note(v), n_rows=n_batch)
-        return {"version": v, "n_batch": n_batch, "n_kept": n_batch, "n_dropped": 0}
+    batch_sigs = None
+    sig_corpus_persisted = None
+    drops = None
+    try:
+        n_batch = batch.count()
+        # sign the batch once; probed, anti-joined, committed to the index
+        batch_sigs = minhash_signatures(batch, id_col, text_col).persist()
+        latest = store.latest_version()
+        if latest is None:
+            v = store.commit(batch, note=note or "initial release", n_rows=n_batch)
+            sigs_store.commit(batch_sigs, note=_sig_note(v), n_rows=n_batch)
+            return {
+                "version": v,
+                "n_batch": n_batch,
+                "n_kept": n_batch,
+                "n_dropped": 0,
+            }
 
-    sig_latest = sigs_store.latest_version()
-    aligned = (
-        sig_latest is not None
-        and sigs_store.manifest(sig_latest).get("note") == _sig_note(latest)
-    )
-    if aligned:
-        sig_corpus = sigs_store.read(sig_latest)
-    else:
-        corpus = store.read(latest)
-        sc_par = corpus.sparkSession.sparkContext.defaultParallelism
-        if corpus.rdd.getNumPartitions() < sc_par:
-            corpus = corpus.repartition(sc_par)
-        sig_corpus = minhash_signatures(corpus, id_col, text_col).persist()
-    # persist the (small, ids-only) drop set: kept is consumed twice
-    # (count + commit write) and would otherwise re-run the whole
-    # signature probe per action
-    drops = near_dup_probe(batch_sigs, sig_corpus, id_col, threshold).persist()
-    kept = batch.join(drops, id_col, "left_anti")
-    n_kept = kept.count()
-    # append-commit: writes ONLY the survivors and references the parent
-    # release's data dirs — O(|batch|) per release, never O(corpus); the
-    # known count sizes the data files and skips the read-back count
-    v = store.commit_append(kept, note=note, n_rows=n_kept)
-    kept_sigs = batch_sigs.join(drops, id_col, "left_anti")
-    if aligned:
-        sigs_store.commit_append(kept_sigs, note=_sig_note(v), n_rows=n_kept)
-    else:
-        # re-sync: one full signature snapshot for the new corpus version
-        sigs_store.commit(
-            sig_corpus.unionByName(kept_sigs), note=_sig_note(v)
+        sig_latest = sigs_store.latest_version()
+        aligned = (
+            sig_latest is not None
+            and sigs_store.manifest(sig_latest).get("note") == _sig_note(latest)
         )
-    return {
-        "version": v,
-        "n_batch": n_batch,
-        "n_kept": n_kept,
-        "n_dropped": n_batch - n_kept,
-    }
+        if aligned:
+            sig_corpus = sigs_store.read(sig_latest)
+        else:
+            corpus = store.read(latest)
+            sc_par = corpus.sparkSession.sparkContext.defaultParallelism
+            if corpus.rdd.getNumPartitions() < sc_par:
+                corpus = corpus.repartition(sc_par)
+            sig_corpus = minhash_signatures(corpus, id_col, text_col).persist()
+            sig_corpus_persisted = sig_corpus
+        # persist the (small, ids-only) drop set: kept is consumed twice
+        # (count + commit write) and would otherwise re-run the whole
+        # signature probe per action
+        drops = near_dup_probe(batch_sigs, sig_corpus, id_col, threshold).persist()
+        kept = batch.join(drops, id_col, "left_anti")
+        # append-commit: writes ONLY the survivors and references the parent
+        # release's data dirs — O(|batch|) per release, never O(corpus).
+        # n_kept rides the commit write as an Observation metric (no
+        # separate count job); n_batch bounds the file sizing from above.
+        v = store.commit_append(kept, note=note, n_rows_hint=n_batch)
+        n_kept = int(store.manifest(v)["n_new_rows"])
+        kept_sigs = batch_sigs.join(drops, id_col, "left_anti")
+        if aligned:
+            sigs_store.commit_append(kept_sigs, note=_sig_note(v), n_rows=n_kept)
+        else:
+            # re-sync: one full signature snapshot for the new corpus version
+            sigs_store.commit(
+                sig_corpus.unionByName(kept_sigs), note=_sig_note(v)
+            )
+        return {
+            "version": v,
+            "n_batch": n_batch,
+            "n_kept": n_kept,
+            "n_dropped": n_batch - n_kept,
+        }
+    finally:
+        # the commits have materialized everything — release the cache so
+        # repeated releases in one session don't accumulate entries
+        batch.unpersist()
+        for frame in (batch_sigs, sig_corpus_persisted, drops):
+            if frame is not None:
+                frame.unpersist()

@@ -71,7 +71,8 @@ import shutil
 import time
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
 
 
 class VersionedDatasetStore:
@@ -125,6 +126,7 @@ class VersionedDatasetStore:
         parent_dirs: list[str],
         compaction: bool = False,
         n_rows: int | None = None,
+        n_rows_hint: int | None = None,
     ) -> int:
         """Write a new data directory, record a manifest whose file list
         is ``parent_dirs + [new]``, swap the latest pointer. The data is
@@ -134,25 +136,30 @@ class VersionedDatasetStore:
         orphaned data dir for vacuum().
 
         ``n_rows``: callers that already counted the frame pass it to
-        (a) skip the read-back count job and (b) size the output file
-        count by data volume (~1M rows/file) instead of cluster width —
-        a 1k-row daily batch written by a 1000-task cluster would
-        otherwise strew 1000 near-empty files per commit."""
+        size the output file count by data volume (~1M rows/file)
+        instead of cluster width — a 1k-row daily batch written by a
+        1000-task cluster would otherwise strew 1000 near-empty files
+        per commit. ``n_rows_hint`` sizes files the same way when only
+        an upper bound is known (e.g. pre-dedup batch size). When the
+        exact count is unknown it rides the write itself as an
+        ``Observation`` metric — one job total, never a read-back
+        count scan over the just-written files."""
         parent = self.latest_version()
         version = (parent or 0) + 1
         data_name = f"v{version}-{uuid.uuid4().hex[:8]}"
         data_path = os.path.join(self.ddir, data_name)
-        if n_rows is not None:
+        size_rows = n_rows if n_rows is not None else n_rows_hint
+        if size_rows is not None:
             # repartition, not coalesce: a narrow coalesce(1) would pull
             # the whole upstream compute (dedup/anti-join) into one task;
             # the round-robin shuffle costs O(batch) and keeps it parallel
-            df = df.repartition(max(1, min(1 + n_rows // 1_000_000, 10_000)))
+            df = df.repartition(max(1, min(1 + size_rows // 1_000_000, 10_000)))
+        obs = None
+        if n_rows is None:
+            obs = Observation()
+            df = df.observe(obs, F.count(F.lit(1)).cast("bigint").alias("n"))
         df.write.mode("error").parquet(data_path)
-        n_new = (
-            n_rows
-            if n_rows is not None
-            else self.spark.read.parquet(data_path).count()
-        )
+        n_new = n_rows if n_rows is not None else int(obs.get["n"])
         man = {
             "version": version,
             "parent": parent,
@@ -181,7 +188,11 @@ class VersionedDatasetStore:
         return self._publish(df, note, [], n_rows=n_rows)
 
     def commit_append(
-        self, df: DataFrame, note: str = "", n_rows: int | None = None
+        self,
+        df: DataFrame,
+        note: str = "",
+        n_rows: int | None = None,
+        n_rows_hint: int | None = None,
     ) -> int:
         """Publish ``current ∪ df`` as the next version by writing ONLY
         the new rows and referencing the parent's data directories in
@@ -203,7 +214,9 @@ class VersionedDatasetStore:
         if len(parent_dirs) >= self.max_data_dirs:
             full = self.read(parent).unionByName(df)
             return self._publish(full, note, [], compaction=True)
-        return self._publish(df, note, parent_dirs, n_rows=n_rows)
+        return self._publish(
+            df, note, parent_dirs, n_rows=n_rows, n_rows_hint=n_rows_hint
+        )
 
     # -- read path -------------------------------------------------------
     def read(self, version: int | None = None) -> DataFrame:

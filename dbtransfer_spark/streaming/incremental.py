@@ -453,6 +453,7 @@ def neardup_gated_stream(
 
     def gate(batch_df: DataFrame, batch_id: int) -> None:
         batch = batch_df.persist()
+        drops = None
         try:
             sig_new = minhash_signatures(batch, "doc_id", "text")
             drops = near_dup_probe(sig_new, sig_corpus, "doc_id", threshold).persist()
@@ -463,7 +464,11 @@ def neardup_gated_stream(
                 f"{duplicate_dir}/batch_id={batch_id}"
             )
         finally:
+            # release BOTH per-batch persists — a long-running stream must
+            # not accumulate CacheManager entries across micro-batches
             batch.unpersist()
+            if drops is not None:
+                drops.unpersist()
 
     return (
         stream.writeStream.foreachBatch(gate)

@@ -601,3 +601,50 @@ def test_expectations_row_level_suite_is_single_scan(spark, tmp_path):
         X.evaluate(df, suite).explain("formatted")
     plan = buf.getvalue()
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_expectations_empty_suite_returns_empty_frame(spark):
+    from dbtransfer_spark import expectations as X
+
+    out = X.evaluate(spark.range(3), [])
+    assert out.columns == [
+        "constraint_name", "kind", "violations", "total", "passed",
+    ]
+    assert out.count() == 0
+
+
+def test_expectations_evaluate_is_lazy(spark, monkeypatch):
+    """Building the suite result must trigger NO action — the r6 ADVICE
+    regression was an eager df.count() per foreign_key expectation."""
+    from pyspark.sql import DataFrame
+
+    from dbtransfer_spark import expectations as X
+
+    def boom(self):
+        raise AssertionError("evaluate() triggered an eager count()")
+
+    monkeypatch.setattr(DataFrame, "count", boom)
+    df = spark.createDataFrame([(1,), (2,), (None,)], "k long")
+    parent = spark.createDataFrame([(1,)], "pk long")
+    suite = [X.not_null("k"), X.unique("k"), X.foreign_key("k", parent, "pk")]
+    out = X.evaluate(df, suite)  # must not raise
+    monkeypatch.undo()
+    rows = {r["constraint_name"]: r for r in out.collect()}
+    assert rows["foreign_key(k->pk)"]["violations"] == 1
+    assert rows["foreign_key(k->pk)"]["total"] == 3
+
+
+def test_audio_chunks_empty_payload_yields_no_rows(spark, tmp_path):
+    """sequence(0, -1, hop) would throw on a zero-byte payload; the
+    oracle's range(0, 0, hop) emits no rows — the guard keeps parity."""
+    from dbtransfer_spark.operators.multimodal import multimodal_audio_chunks
+
+    p = str(tmp_path / "sf")
+    # doc_id % 3 == 1 -> media_type 'audio'; one empty, one tiny payload
+    spark.createDataFrame(
+        [(1, "", "en", "web", 0), (4, "abcd", "en", "web", 4)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(p + "/documents.parquet")
+    out = multimodal_audio_chunks(spark, p).collect()
+    assert {r["doc_id"] for r in out} == {4}
+    assert all(r["chunk_len"] > 0 for r in out)
