@@ -138,6 +138,24 @@ def main() -> int:
     # steal-inflated sample without the biased-low behavior of min-of-N.
     import statistics
 
+    # Environment canary (r6 VERDICT #2): a FROZEN trivial workload —
+    # constant CPU-bound aggregate, independent of SF, data layout, and
+    # any repo change. Cross-round bench comparisons divide by the
+    # canary ratio to separate sandbox drift from real plan deltas
+    # (BENCH_r06 was uniformly ~1.4× BENCH_r05 including this class of
+    # trivial work — environmental, not plans). NEVER change this query.
+    def _canary(s):
+        return s.range(0, 2_000_000, 1, 8).selectExpr(
+            "sum(id * 3 + 1) AS s", "count(*) AS n"
+        )
+
+    canary_runs = []
+    for _ in range(5):
+        t0 = time.monotonic()
+        _canary(spark).write.format("noop").mode("overwrite").save()
+        canary_runs.append(round(time.monotonic() - t0, 3))
+    canary_sec = round(statistics.median(canary_runs), 3)
+
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
     total = 0.0
@@ -156,6 +174,17 @@ def main() -> int:
         total += med
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Raw samples go to a side file: the driver captures ONE stdout line
+    # with a length limit (BENCH_r06's "parsed": null was a truncated
+    # line), so the printed payload stays compact (medians only).
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_RUNS_LOCAL.json"), "w"
+        ) as f:
+            json.dump({"runs": all_runs, "canary_runs": canary_runs}, f)
+    except OSError:
+        pass
     print(
         json.dumps(
             {
@@ -163,7 +192,7 @@ def main() -> int:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
-                "runs": all_runs,
+                "canary_sec": canary_sec,
                 "ingest_sec": round(ingest_sec, 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
