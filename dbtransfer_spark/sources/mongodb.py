@@ -105,6 +105,30 @@ except ImportError:  # failed imports aren't cached — probe once, not per batc
     _UpdateOne = None
 
 
+def normalize_document(
+    doc: dict, stable_fields: Iterable[str], extra_field: str = "_extra_json"
+) -> dict:
+    """Schema-drift normalization (SURVEY.md §7 hard-part 6): project a
+    dynamic bson document onto a PINNED field set; any field outside it
+    is folded into one deterministic JSON string column (sorted keys) so
+    every batch of a migration — and every run — produces the SAME
+    destination schema no matter which optional fields the sampled
+    documents happened to carry. Declared-but-absent fields materialize
+    as None (never missing), completing the fixed shape. Lossless: the
+    extras round-trip via json.loads. The reference's bson.M pass-through
+    (mongodb.go:326-335) simply inherits drift; this is the option that
+    closes it."""
+    import json
+
+    stable = list(stable_fields)
+    out = {f: doc.get(f) for f in stable}
+    extras = {k: v for k, v in doc.items() if k not in out}
+    out[extra_field] = (
+        json.dumps(extras, sort_keys=True, default=str) if extras else None
+    )
+    return out
+
+
 def upsert_models(batch: list[dict]) -> list:
     """W3 (mongodb.go:398-412): one upserting UpdateOne model per doc,
     filtered on ``_id``, ``$set``-ing the whole document. Real pymongo
@@ -156,8 +180,14 @@ def migrate_collection(
     rate_limiter: RateLimiter | None = None,
     parse_id: Callable[[str], Any] = str,
     sleep: Callable[[float], None] = time.sleep,
+    stable_fields: Iterable[str] | None = None,
 ) -> dict[str, Any]:
     """migrateCollection (mongodb.go:221-431), driver-side.
+
+    ``stable_fields``: when given, every document is normalized via
+    ``normalize_document`` before the bulk upsert — unknown fields fold
+    into ``_extra_json`` so batches with divergent shapes land under one
+    stable destination schema (SURVEY.md §7 hard-part 6).
 
     Lifecycle parity: checkpoint skip-complete (236-242) → total count
     (245-248) → resume filter ``{_id: {$gt: last}}`` with remaining-count
@@ -207,9 +237,16 @@ def migrate_collection(
     # order, mongodb.go:313-320 — a crash between checkpoints there can
     # skip docs whose _id sorts below the watermark; the explicit sort
     # closes that hole and costs nothing on the _id index.)
+    stable = list(stable_fields) if stable_fields is not None else None
+    if stable is not None and "_id" not in stable:
+        # _id must stay top-level: the resume watermark and the upsert
+        # key both read it, folding it into extras would break resume
+        stable = ["_id", *stable]
     for doc in source.find(
         filt, batch_size=batch_size, no_cursor_timeout=True, sort=[("_id", 1)]
     ):
+        if stable is not None:
+            doc = normalize_document(doc, stable)
         batch.append(doc)
         last_id = str(doc["_id"])
         if len(batch) >= batch_size:

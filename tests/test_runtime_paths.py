@@ -653,3 +653,46 @@ def test_cassandra_migrate_recreate_tolerated(tmp_path):
     assert dest.create_attempts == 4 and len(dest.created) == 2
     creates = [s for s in dest.ddl if s.startswith("CREATE")]
     assert all("IF NOT EXISTS" in s for s in creates)
+
+
+def test_mongo_schema_drift_normalization(tmp_path):
+    """SURVEY §7 hard-part 6 (r6 VERDICT #7): two batches with divergent
+    field sets migrate under ONE stable destination shape — declared
+    fields always present (None when absent), unknown fields folded into
+    a deterministic _extra_json string that round-trips via json.loads."""
+    import json
+
+    # batch 1: has 'email' (unknown); batch 2: has 'age'+'tags' (unknown)
+    # and is MISSING 'v' (declared) — worst-case inference drift.
+    docs = [
+        {"_id": 1, "name": "a", "v": 10, "email": "a@x"},
+        {"_id": 2, "name": "b", "v": 20},
+        {"_id": 3, "name": "c", "age": 9, "tags": ["x", "y"]},
+    ]
+    source = FakeMongoCollection(docs)
+    dest = FakeMongoCollection()
+    store = CheckpointStore(str(tmp_path), engine="mongodb")
+    res = migrate_collection(
+        source, dest, "users", store, parse_id=int, batch_size=2,
+        stable_fields=["name", "v"],
+    )
+    assert res == {"rows": 3, "resumed_from": None}
+    # one fixed shape across both batches
+    assert all(
+        set(d) == {"_id", "name", "v", "_extra_json"} for d in dest.docs.values()
+    )
+    assert dest.docs[2]["_extra_json"] is None
+    assert dest.docs[3]["v"] is None
+    assert json.loads(dest.docs[1]["_extra_json"]) == {"email": "a@x"}
+    assert json.loads(dest.docs[3]["_extra_json"]) == {"age": 9, "tags": ["x", "y"]}
+
+
+def test_normalize_document_is_deterministic_and_keeps_id():
+    from dbtransfer_spark.sources.mongodb import normalize_document
+
+    d1 = {"_id": 5, "b": 1, "a": 2, "k": "v"}
+    d2 = {"_id": 5, "a": 2, "k": "v", "b": 1}  # same doc, different order
+    n1 = normalize_document(d1, ["_id", "k"])
+    n2 = normalize_document(d2, ["_id", "k"])
+    assert n1 == n2 and n1["_id"] == 5
+    assert n1["_extra_json"] == '{"a": 2, "b": 1}'
