@@ -177,6 +177,17 @@ _VERIFY_FIRST = (
     "string_functions",
     "q10_returned_items",
     "q13_customer_distribution",
+    # new round-7 queries (ship order; past slot 50 -> they rotate to the
+    # r8 window head, verified locally by diffcheck this round)
+    "ewma_daily_revenue",
+    "gap_fill_interpolate",
+    "part_hierarchy_rollup",
+    "sorted_neighborhood_pairs",
+    "golden_record_survivorship",
+    "countmin_heavy_hitters",
+    "join_cardinality_preflight",
+    "multimodal_patch_grid",
+    "timeseries_cv_folds",
 )
 
 

@@ -1463,3 +1463,73 @@ def setjoin_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(jac, 4).alias("jaccard"),
         )
     )
+
+
+# golden-record oracle composes the dedup_clusters component CTE verbatim
+# (same fixpoint, same threshold) and applies the survivorship rules on top
+_SURVIVORSHIP_ORACLE = (
+    "WITH clusters AS (\n" + ORACLE["dedup_clusters"] + "\n)\n"
+    + """
+    , members AS (
+      SELECT c.cluster_id, d.doc_id, d.n_chars, d.source,
+             row_number() OVER (PARTITION BY c.cluster_id
+                                ORDER BY d.n_chars DESC, d.doc_id) AS rn
+      FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+    )
+    SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(max(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT)
+             AS survivor_doc_id,
+           CAST(max(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT)
+             AS survivor_chars,
+           array_to_string(list_sort(list_distinct(list(source))), ',')
+             AS sources
+    FROM members GROUP BY cluster_id
+    ORDER BY cluster_id
+    """
+)
+
+
+@register("golden_record_survivorship", _SURVIVORSHIP_ORACLE)
+def golden_record_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship — the step after duplicate clustering that every
+    entity-resolution pipeline ends with: each near-dup cluster
+    (dedup_clusters' components, same threshold) collapses to ONE golden
+    record by explicit precedence rules (longest text wins, doc_id
+    breaks ties) plus merged lineage (member count, total chars, the
+    sorted distinct source systems that contributed). Reference parity:
+    the reference keeps whichever row upserts last (mysql.go ON
+    DUPLICATE KEY); this makes the survivor choice deterministic and
+    auditable instead of arrival-ordered.
+
+    Scale: clustering cost is dedup_clusters' (banded candidate join +
+    label-propagation fixpoint); survivorship itself is one
+    cluster-keyed window + one aggregate — both shuffles keyed on
+    cluster_id, whose cardinality is bounded by the dup rate, never the
+    corpus. Sources merge as a sorted-distinct string (arrays crash the
+    driver's canonicalization, r4 lesson)."""
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = dedup_clusters(spark, sf_dir)
+    members = clusters.join(docs, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.col("doc_id")
+    )
+    ranked = members.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.max(F.when(F.col("rn") == 1, F.col("doc_id")))
+            .cast("bigint")
+            .alias("survivor_doc_id"),
+            F.max(F.when(F.col("rn") == 1, F.col("n_chars")))
+            .cast("bigint")
+            .alias("survivor_chars"),
+            F.array_join(
+                F.array_sort(F.collect_set("source")), ","
+            ).alias("sources"),
+        )
+        .orderBy("cluster_id")
+    )

@@ -501,3 +501,107 @@ def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 multimodal_audio_chunks.__doc__ = multimodal_audio_chunks.__doc__.format(
     chunk=_CHUNK_BYTES, hop=_HOP_BYTES
 )
+
+
+_GRID_W, _PATCH = 32, 8  # raster width (bytes) and square patch edge
+
+
+# a patch concatenates 8 row-slices of 8 bytes; in hex space each slice
+# is substring(hx, byte_offset*2 + 1, 16). Both sides are generated from
+# the same term list so the checksums replay byte-exactly.
+def _patch_hex_concat(dialect: str) -> str:
+    parts = []
+    for r in range(_PATCH):
+        off = f"((pr * {_PATCH} + {r}) * {_GRID_W} + pc * {_PATCH})"
+        parts.append(f"substring(hx, CAST({off} * 2 + 1 AS BIGINT), 16)")
+    sep = " || " if dialect == "duckdb" else ", "
+    return ("(" + sep.join(parts) + ")") if dialect == "duckdb" else (
+        "concat(" + sep.join(parts) + ")"
+    )
+
+
+@register(
+    "multimodal_patch_grid",
+    f"""
+    WITH media AS (
+      SELECT doc_id,
+             hex(CAST(text AS BLOB)) AS hx,
+             n_chars AS n_bytes
+      FROM documents
+      WHERE doc_id % 3 = 2 AND n_chars >= {_GRID_W * _PATCH}
+    ), grids AS (
+      SELECT doc_id, hx,
+             (n_bytes // {_GRID_W}) // {_PATCH} AS patch_rows
+      FROM media
+    ), cells AS (
+      SELECT doc_id, hx,
+             i // {_GRID_W // _PATCH} AS pr,
+             i % {_GRID_W // _PATCH} AS pc
+      FROM grids,
+           UNNEST(range(0, patch_rows * {_GRID_W // _PATCH})) AS t(i)
+    )
+    SELECT doc_id,
+           CAST(pr AS BIGINT) AS patch_row,
+           CAST(pc AS BIGINT) AS patch_col,
+           CAST((pr * {_PATCH}) * {_GRID_W} + pc * {_PATCH} AS BIGINT)
+             AS start_byte,
+           md5({_patch_hex_concat('duckdb')}) AS patch_checksum
+    FROM cells
+    """,
+)
+def multimodal_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style patch addressing for image payloads: treat each image
+    payload as a {w}-byte-wide raster and address non-overlapping
+    {p}x{p} patches by (row, col, byte offset) with a content checksum
+    per patch — the spatial twin of multimodal_audio_chunks' temporal
+    chunking, and the exact batch shape a patch-embedding stage consumes
+    (one row per patch, deterministic addressing, cache-keyed decode).
+
+    All built-ins: a single 2-D index explode (1 → patch_rows*{c}
+    fanout, linear in payload size) and {p} hex-space slice
+    concatenations per patch; the stubbed decode kernel stays the only
+    thing between these addresses and real pixels (sandbox has no
+    codecs). Incomplete trailing rows are dropped (only whole patches
+    are addressed), and payloads under one patch row emit nothing —
+    same guard discipline as the audio chunker's n_bytes > 0.
+
+    Scale: narrow fanout at the scan, zero shuffles, zero Python; the
+    oracle replays the identical hex-space arithmetic."""
+    media = documents_as_media(spark, sf_dir).filter(
+        (F.col("media_type") == "video")
+        & (F.col("n_bytes") >= _GRID_W * _PATCH)
+    )
+    cols = _GRID_W // _PATCH
+    grids = media.select(
+        "doc_id",
+        F.hex("payload").alias("hx"),
+        F.expr(f"(n_bytes div {_GRID_W}) div {_PATCH}").alias("patch_rows"),
+    )
+    return (
+        grids.select(
+            "doc_id",
+            "hx",
+            F.explode(
+                F.expr(f"sequence(0, CAST(patch_rows * {cols} AS INT) - 1)")
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.expr(f"i div {cols}").alias("pr"),
+            F.expr(f"i % {cols}").alias("pc"),
+            F.col("hx"),
+        )
+        .select(
+            "doc_id",
+            F.col("pr").cast("bigint").alias("patch_row"),
+            F.col("pc").cast("bigint").alias("patch_col"),
+            F.expr(f"CAST((pr * {_PATCH}) * {_GRID_W} + pc * {_PATCH} AS BIGINT)")
+            .alias("start_byte"),
+            F.md5(F.expr(_patch_hex_concat("spark"))).alias("patch_checksum"),
+        )
+    )
+
+
+multimodal_patch_grid.__doc__ = multimodal_patch_grid.__doc__.format(
+    w=_GRID_W, p=_PATCH, c=_GRID_W // _PATCH
+)

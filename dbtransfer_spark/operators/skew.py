@@ -139,3 +139,163 @@ def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rnk")
     )
+
+
+_CMS_D = 4          # hash rows
+_CMS_W = 128        # buckets per row
+
+
+@register(
+    "countmin_heavy_hitters",
+    f"""
+    WITH bucketed AS (
+      SELECT h, CAST(('0x' || substr(md5(h || ':' || user_id), 1, 15))
+                     AS BIGINT) % {_CMS_W} AS bucket
+      FROM events, UNNEST(['0', '1', '2', '3']) AS t(h)
+    ), cms AS (
+      SELECT h, bucket, count(*) AS cnt FROM bucketed GROUP BY h, bucket
+    ), exact AS (
+      SELECT user_id, count(*) AS exact_n FROM events GROUP BY user_id
+      ORDER BY exact_n DESC, user_id LIMIT 20
+    ), probed AS (
+      SELECT e.user_id, e.exact_n, min(c.cnt) AS cms_est
+      FROM exact e
+      JOIN cms c
+        ON c.bucket = CAST(('0x' || substr(md5(c.h || ':' || e.user_id), 1, 15))
+                           AS BIGINT) % {_CMS_W}
+      GROUP BY e.user_id, e.exact_n
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(exact_n AS BIGINT) AS exact_n,
+           CAST(cms_est AS BIGINT) AS cms_est,
+           CAST(cms_est - exact_n AS BIGINT) AS overcount
+    FROM probed ORDER BY exact_n DESC, user_id
+    """,
+)
+def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy-hitter estimation — the mergeable O(d*w)
+    state that replaces exact per-key counting when the key domain
+    itself doesn't fit anywhere (the 100 TB frequency problem; Cormode &
+    Muthukrishnan 2005). d={d} rows of w={w} counters, md5-derived
+    bucket hashes so both engines place every key identically; estimate
+    = min over rows, which can only OVERcount (collision mass adds),
+    verified per probe key by the emitted ``overcount >= 0``.
+
+    Scale: the sketch build is ONE pass — a constant d-way explode at
+    the scan, then a partial-aggregated shuffle onto d*w = {dw} cells
+    TOTAL regardless of SF (this is the point: state is constant while
+    exact counting shuffles |keys| cells). The probe side here takes the
+    exact top-20 (itself a TakeOrdered aggregate, kept only to score the
+    sketch) and joins the {dw}-cell table — broadcast-sized forever."""
+    events = load_table(spark, sf_dir, "events")
+    bucket = lambda h, key: F.pmod(  # noqa: E731
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", h, key)), 1, 15), 16, 10
+        ).cast("long"),
+        F.lit(_CMS_W),
+    )
+    hashes = F.explode(
+        F.array(*[F.lit(str(i)) for i in range(_CMS_D)])
+    ).alias("h")
+    cms = (
+        events.select(F.col("user_id").cast("string").alias("k"), hashes)
+        .select("h", bucket(F.col("h"), F.col("k")).alias("bucket"))
+        .groupBy("h", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    exact = (
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "user_id")
+        .limit(20)
+    )
+    # probe keys explode by the same d hashes so the sketch join is a
+    # plain (h, bucket) equi-join — separable keys, broadcastable hash
+    # join (a mixed-side equality like a.bucket = f(a.h, b.key) would
+    # degrade to a nested-loop join)
+    probe_buckets = exact.select(
+        "user_id", "exact_n", hashes
+    ).select(
+        "user_id",
+        "exact_n",
+        "h",
+        bucket(F.col("h"), F.col("user_id").cast("string")).alias("bucket"),
+    )
+    probed = (
+        probe_buckets.join(F.broadcast(cms), ["h", "bucket"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("cnt").cast("bigint").alias("cms_est"))
+    )
+    return probed.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "exact_n",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_n")).cast("bigint").alias("overcount"),
+    ).orderBy(F.desc("exact_n"), "user_id")
+
+
+countmin_heavy_hitters.__doc__ = countmin_heavy_hitters.__doc__.format(
+    d=_CMS_D, w=_CMS_W, dw=_CMS_D * _CMS_W
+)
+
+
+@register(
+    "join_cardinality_preflight",
+    """
+    WITH ca AS (SELECT o_orderkey AS k, count(*) AS na FROM orders
+                GROUP BY k),
+    cb AS (SELECT l_orderkey AS k, count(*) AS nb FROM lineitem
+           GROUP BY k),
+    prod AS (SELECT ca.k, ca.na * cb.nb AS pairs
+             FROM ca JOIN cb ON ca.k = cb.k)
+    SELECT CAST((SELECT sum(na) FROM ca) AS BIGINT) AS left_rows,
+           CAST((SELECT sum(nb) FROM cb) AS BIGINT) AS right_rows,
+           CAST(sum(pairs) AS BIGINT) AS join_rows,
+           CAST(max(pairs) AS BIGINT) AS max_key_pairs,
+           CAST(count(*) AS BIGINT) AS matched_keys
+    FROM prod
+    """,
+)
+def join_cardinality_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact join-output cardinality WITHOUT running the join — the
+    pre-flight every large pipeline should run before an unfamiliar
+    join at 100 TB: |A join B| = sum over keys of cntA*cntB, computed
+    from two per-key count aggregates and a count-table equi-join whose
+    input is |distinct keys|, not |rows|. The companion to
+    join_key_skew_profile (which grades key distribution): this one
+    answers 'how many rows come OUT, and how much of that is one key'
+    (max_key_pairs) — the numbers that decide broadcast vs sort-merge
+    vs salting BEFORE paying for a misplanned shuffle.
+
+    Scale: two partial-aggregated count shuffles + one join of
+    count-tables (orders of magnitude smaller than the fact tables);
+    the scalar rollup is a 1-row aggregate. Never materializes a single
+    joined row."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    ca = orders.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("na")
+    )
+    cb = lineitem.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("nb")
+    )
+    prod = ca.join(cb, "k").select(
+        (F.col("na") * F.col("nb")).alias("pairs")
+    )
+    # side totals are over ALL rows (not just matched keys): two 1-row
+    # aggregates broadcast onto the 1-row pair rollup
+    ltot = ca.agg(F.sum("na").cast("bigint").alias("left_rows"))
+    rtot = cb.agg(F.sum("nb").cast("bigint").alias("right_rows"))
+    return (
+        prod.agg(
+            F.sum("pairs").cast("bigint").alias("join_rows"),
+            F.max("pairs").cast("bigint").alias("max_key_pairs"),
+            F.count(F.lit(1)).cast("bigint").alias("matched_keys"),
+        )
+        .crossJoin(F.broadcast(ltot))
+        .crossJoin(F.broadcast(rtot))
+        .select(
+            "left_rows", "right_rows", "join_rows", "max_key_pairs",
+            "matched_keys",
+        )
+    )

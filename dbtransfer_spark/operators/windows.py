@@ -1632,3 +1632,188 @@ def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# truncated binary EWMA: alpha = 1/2, lag cap 16 — every weight is a
+# power of two, so the weighted sum is EXACT BIGINT arithmetic in any
+# engine (no IEEE accumulation order to disagree on). Generated once;
+# both the Spark expression and the oracle use the identical term list.
+_EWMA_LAGS = 16
+_EWMA_TERMS = " + ".join(
+    f"coalesce(lag(cents, {k}) OVER w, 0) * {1 << (_EWMA_LAGS - 1 - k)}"
+    for k in range(_EWMA_LAGS)
+)
+# inline-window variant for the Spark side (no named-window clause needed;
+# Catalyst collapses the 16 identical specs into ONE Window node)
+_EWMA_TERMS_INLINE = _EWMA_TERMS.replace("OVER w", "OVER (ORDER BY day)")
+
+
+@register(
+    "ewma_daily_revenue",
+    f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY day
+    )
+    SELECT day, cents,
+           CAST({_EWMA_TERMS} AS BIGINT) AS ewma_cents_x32768
+    FROM daily
+    WINDOW w AS (ORDER BY day)
+    ORDER BY day
+    """,
+)
+def ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily revenue — the
+    smoothing pass behind anomaly baselines and forecast features. The
+    recurrence s_t = alpha*x_t + (1-alpha)*s_{t-1} is not expressible as
+    a plain window aggregate; with alpha = 1/2 the expansion
+    s_t = sum_k 2^-(k+1) x_{t-k} has power-of-two weights, so the
+    16-lag truncation (residual weight 2^-16 < 0.002%) is EXACT integer
+    arithmetic: ewma*2^15 = sum cents_{t-k} * 2^(15-k) — bit-identical
+    in every engine, no IEEE ordering, no rounding rule to reconcile.
+
+    Scale: one partial-aggregated shuffle to daily grain, then a single
+    16-row-frame window over the |days| aggregate — DOMAIN-bounded
+    (grows with calendar time, not rows), the accepted post-aggregate
+    global-window shape (cf. orders_seasonality). Headroom: daily cents
+    * 2^15 * 16 stays under int64 up to ~10^13 cents/day (~sf10^4)."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    return daily.selectExpr(
+        "day",
+        "cents",
+        f"CAST({_EWMA_TERMS_INLINE} AS BIGINT) AS ewma_cents_x32768",
+    ).orderBy("day")
+
+
+@register(
+    "gap_fill_interpolate",
+    """
+    WITH ev AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             ts, event_id,
+             CAST(round("value" * 1000000) AS BIGINT) AS micro
+      FROM events
+    ), day_close AS (
+      SELECT user_id, day, micro AS close_micro FROM (
+        SELECT user_id, day, micro,
+               row_number() OVER (PARTITION BY user_id, day
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM ev) WHERE rn = 1
+    ), bounds AS (
+      SELECT user_id, min(day) AS mn, max(day) AS mx FROM ev GROUP BY user_id
+    ), spine AS (
+      SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS day
+      FROM bounds
+    ), joined AS (
+      SELECT s.user_id, s.day, d.close_micro,
+             last_value(d.close_micro IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_micro,
+             last_value(CASE WHEN d.close_micro IS NOT NULL THEN s.day END
+                        IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_day,
+             first_value(d.close_micro IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_micro,
+             first_value(CASE WHEN d.close_micro IS NOT NULL THEN s.day END
+                         IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_day
+      FROM spine s LEFT JOIN day_close d
+        ON d.user_id = s.user_id AND d.day = s.day
+    )
+    SELECT user_id, day, (close_micro IS NOT NULL) AS is_observed,
+           CAST(CASE WHEN close_micro IS NOT NULL THEN close_micro
+                ELSE prev_micro * date_diff('day', day, next_day)
+                     + next_micro * date_diff('day', prev_day, day)
+                END AS BIGINT) AS interp_num_micro,
+           CAST(CASE WHEN close_micro IS NOT NULL THEN 1
+                ELSE date_diff('day', prev_day, next_day)
+                END AS BIGINT) AS interp_den_days
+    FROM joined
+    ORDER BY user_id, day
+    """,
+)
+def gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-fill with LINEAR interpolation — the complement of
+    gap_fill_forward's LOCF: missing days get the straight line between
+    the surrounding observations. The interpolated value is emitted as
+    an EXACT RATIONAL (numerator in micro-units, denominator in days):
+    prev*(d_next - d) + next*(d - d_prev) over (d_next - d_prev). No
+    division ever executes, so there is no truncation-direction or IEEE
+    rule for two engines to disagree on — consumers divide at the edge.
+
+    Scale: same distributed-spine shape as gap_fill_forward (sequence()
+    explode per user, never a driver calendar); four IGNORE NULLS value
+    windows all share ONE user_id-partitioned sort, so the whole fill is
+    three shuffles keyed on user_id regardless of SF. Spine endpoints
+    are observed days, so prev/next always exist and den >= 1."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("day", "ts").alias("day"),
+        "ts",
+        "event_id",
+        F.expr('CAST(round(value * 1000000) AS BIGINT)').alias("micro"),
+    )
+    w_close = Window.partitionBy("user_id", "day").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    day_close = (
+        ev.withColumn("rn", F.row_number().over(w_close))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "day", F.col("micro").alias("close_micro"))
+    )
+    spine = (
+        ev.groupBy("user_id")
+        .agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 DAY"))).alias(
+                "day"
+            ),
+        )
+    )
+    w_back = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_fwd = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    obs_day = F.when(F.col("close_micro").isNotNull(), F.col("day"))
+    joined = spine.join(day_close, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        "close_micro",
+        F.last("close_micro", ignorenulls=True).over(w_back).alias("prev_micro"),
+        F.last(obs_day, ignorenulls=True).over(w_back).alias("prev_day"),
+        F.first("close_micro", ignorenulls=True).over(w_fwd).alias("next_micro"),
+        F.first(obs_day, ignorenulls=True).over(w_fwd).alias("next_day"),
+    )
+    observed = F.col("close_micro").isNotNull()
+    return joined.select(
+        "user_id",
+        "day",
+        observed.alias("is_observed"),
+        F.when(observed, F.col("close_micro"))
+        .otherwise(
+            F.col("prev_micro") * F.datediff("next_day", "day")
+            + F.col("next_micro") * F.datediff("day", "prev_day")
+        )
+        .cast("bigint")
+        .alias("interp_num_micro"),
+        F.when(observed, F.lit(1))
+        .otherwise(F.datediff("next_day", "prev_day"))
+        .cast("bigint")
+        .alias("interp_den_days"),
+    )

@@ -3297,3 +3297,89 @@ def ols_price_on_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+@register(
+    "timeseries_cv_folds",
+    """
+    WITH base AS (
+      SELECT o_orderkey,
+             (year(o_orderdate) - (SELECT min(year(o_orderdate)) FROM orders))
+               * 12 + month(o_orderdate)
+             - (SELECT min(month(o_orderdate)) FROM orders
+                WHERE year(o_orderdate) = (SELECT min(year(o_orderdate))
+                                           FROM orders)) AS mi
+      FROM orders
+    ), tagged AS (
+      SELECT f, mi FROM base, UNNEST([1, 2, 3, 4, 5]) AS t(f)
+    )
+    SELECT CAST(f AS BIGINT) AS fold,
+           CAST(sum(CASE WHEN mi < f * 12 - 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_train,
+           CAST(sum(CASE WHEN mi = f * 12 - 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_embargo,
+           CAST(sum(CASE WHEN mi >= f * 12 AND mi < f * 12 + 3
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+           CAST(f * 12 AS BIGINT) AS test_from_mi,
+           CAST(f * 12 + 2 AS BIGINT) AS test_to_mi
+    FROM tagged GROUP BY f ORDER BY f
+    """,
+)
+def timeseries_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walk-forward cross-validation folds with an embargo gap — the
+    leakage-safe splitter time-series model training needs instead of
+    random K-fold (random splits leak future information backwards;
+    dataset_split covers the i.i.d. case). Fold f trains on everything
+    BEFORE month 12f-1, embargoes exactly the month adjoining the test
+    window (so trailing-window features computed on train rows can't
+    overlap test labels), and tests on the next 3 months. Expanding
+    train windows, per-fold counts and test bounds emitted for audit.
+
+    Scale: the global epoch month is a 1-row min aggregate broadcast
+    onto the fact scan (never a driver-side date); fold tagging is a
+    constant 5x explode; the rollup is a 5-row conditional aggregate —
+    one shuffle, map-side combined. No row is materialized per-fold;
+    the folds themselves stay virtual (a real trainer filters the scan
+    with the emitted bounds, keeping partition pruning live)."""
+    orders = load_table(spark, sf_dir, "orders")
+    epoch = orders.agg(
+        F.min(F.date_trunc("month", "o_orderdate")).alias("m0")
+    )
+    base = orders.crossJoin(F.broadcast(epoch)).select(
+        F.months_between(
+            F.date_trunc("month", "o_orderdate"), F.col("m0")
+        ).cast("int").alias("mi")
+    )
+    tagged = base.select(
+        "mi",
+        F.explode(F.array(*[F.lit(f) for f in range(1, 6)])).alias("f"),
+    )
+    return (
+        tagged.groupBy("f")
+        .agg(
+            F.sum(F.when(F.col("mi") < F.col("f") * 12 - 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_train"),
+            F.sum(F.when(F.col("mi") == F.col("f") * 12 - 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_embargo"),
+            F.sum(
+                F.when(
+                    (F.col("mi") >= F.col("f") * 12)
+                    & (F.col("mi") < F.col("f") * 12 + 3),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_test"),
+        )
+        .select(
+            F.col("f").cast("bigint").alias("fold"),
+            "n_train",
+            "n_embargo",
+            "n_test",
+            (F.col("f") * 12).cast("bigint").alias("test_from_mi"),
+            (F.col("f") * 12 + 2).cast("bigint").alias("test_to_mi"),
+        )
+        .orderBy("fold")
+    )

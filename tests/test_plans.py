@@ -222,6 +222,13 @@ _FIXED_SIDE_CROSSJOINS = {
     "daily_volume_anomaly",
     # 1-row (n, total) and peak-|cusum| probe broadcasts
     "daily_cusum_shift",
+    # 1-row epoch-month broadcast onto the fact scan
+    "timeseries_cv_folds",
+    # two 1-row side-total broadcasts beside the 1-row pair rollup
+    "join_cardinality_preflight",
+    # 1-row lazy-total broadcast per foreign_key expectation (r7: replaced
+    # the eager count() the r6 ADVICE flagged)
+    "dq_expectations_orders",
 }
 
 
@@ -520,6 +527,7 @@ _SCAN_BUDGET_EXEMPT = {
     "dedup_clusters",        # label-propagation rounds, persisted per round
     "fk_integrity_audit",    # one scan pair per FK edge (7 edges)
     "pagerank_bipartite",    # power-iteration rounds, persisted per round
+    "golden_record_survivorship",  # composes dedup_clusters' fixpoint lineage
 }
 
 
