@@ -545,3 +545,55 @@ def test_every_query_within_scan_budget(spark):
         if n > _SCAN_BUDGET:
             over[name] = n
     assert not over, f"queries over the static scan budget ({_SCAN_BUDGET}): {over}"
+
+
+def test_r7_operator_plan_shapes(spark):
+    """Round-7 operators' scale contracts, plan-asserted."""
+    import re
+
+    from dbtransfer_spark.operators import graph, skew, windows
+    from dbtransfer_spark.operators.cdc import fuzzy_part_linkage
+
+    # part_hierarchy_rollup: single scan, single exchange (one aggregate
+    # shuffle after the constant explode), no join of any kind
+    plan = formatted_plan(graph.part_hierarchy_rollup(spark, SF_SMOKE))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1, tree
+    assert "Join" not in plan, plan
+
+    # ewma: exactly ONE Window node — Catalyst must collapse the 16
+    # identical inline specs, not stack 16 sorts
+    plan = formatted_plan(windows.ewma_daily_revenue(spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1, plan
+
+    # SNM: the lead() window must be partitioned by brand (never a
+    # global single-partition sort over the part dim)
+    plan = formatted_plan(fuzzy_part_linkage(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    from dbtransfer_spark.operators.cdc import sorted_neighborhood_pairs
+
+    plan = formatted_plan(sorted_neighborhood_pairs(spark, SF_SMOKE))
+    for ln in plan.splitlines():
+        if "windowspecdefinition(" in ln:
+            assert "windowspecdefinition(p_brand" in ln, ln
+
+    # join_cardinality_preflight: no fact-to-fact join — the only joins
+    # are between count tables and the two 1-row total broadcasts
+    df = skew.join_cardinality_preflight(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" not in plan or "count" in plan.lower()
+    # both fact scans are column-pruned to the single join key
+    cols = read_schema_columns(df)
+    assert cols and all(len(c) == 1 for c in cols), cols
+
+
+def test_countmin_sketch_state_is_constant(spark):
+    """The CMS build aggregates onto d*w cells regardless of SF — the
+    sketch table must be at most 512 rows at ANY scale."""
+    from dbtransfer_spark.operators.skew import countmin_heavy_hitters
+
+    out = countmin_heavy_hitters(spark, SF_SMOKE).collect()
+    assert 0 < len(out) <= 20
+    # estimate is an upper bound on the exact count for every probe key
+    assert all(r["overcount"] >= 0 for r in out)
+    assert all(r["cms_est"] >= r["exact_n"] for r in out)
