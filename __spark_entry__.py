@@ -188,6 +188,7 @@ _VERIFY_FIRST = (
     "join_cardinality_preflight",
     "multimodal_patch_grid",
     "timeseries_cv_folds",
+    "daily_user_composition",
 )
 
 

@@ -1817,3 +1817,68 @@ def gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("interp_den_days"),
     )
+
+
+@register(
+    "daily_user_composition",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+      FROM events
+    ), firsts AS (
+      SELECT user_id, min(day) AS first_day FROM ud GROUP BY user_id
+    ), daily AS (
+      SELECT ud.day,
+             count(*) AS n_active,
+             sum(CASE WHEN f.first_day = ud.day THEN 1 ELSE 0 END) AS n_new
+      FROM ud JOIN firsts f ON f.user_id = ud.user_id
+      GROUP BY ud.day
+    )
+    SELECT day,
+           CAST(n_active AS BIGINT) AS n_active,
+           CAST(n_new AS BIGINT) AS n_new,
+           CAST(n_active - n_new AS BIGINT) AS n_returning,
+           CAST(sum(n_new) OVER (ORDER BY day) AS BIGINT)
+             AS cum_distinct_users
+    FROM daily ORDER BY day
+    """,
+)
+def daily_user_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active / new / returning split plus the EXACT cumulative
+    distinct-user curve — growth accounting's standard chart. The naive
+    cumulative COUNT(DISTINCT) over an expanding frame is O(n·days) and
+    unsupported as a window anyway; the first-seen trick makes it
+    linear: a user contributes to exactly ONE day's n_new (their min
+    day), so the running sum of n_new IS the cumulative distinct count
+    — the standard exact-distinct-over-time pattern at any scale.
+
+    Plan: user-day dedup aggregate -> per-user min -> user-keyed join
+    back (all shuffles keyed on user_id) -> |days|-row daily rollup;
+    the only unpartitioned window runs over the DOMAIN-bounded day
+    aggregate (accepted post-aggregate shape, cf. ewma/seasonality)."""
+    ud = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.date_trunc("day", "ts").alias("day"))
+        .distinct()
+    )
+    firsts = ud.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    daily = (
+        ud.join(firsts, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_active"),
+            F.sum(
+                F.when(F.col("first_day") == F.col("day"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_new"),
+        )
+    )
+    w = Window.orderBy("day")
+    return daily.select(
+        "day",
+        "n_active",
+        "n_new",
+        (F.col("n_active") - F.col("n_new")).cast("bigint").alias("n_returning"),
+        F.sum("n_new").over(w).cast("bigint").alias("cum_distinct_users"),
+    ).orderBy("day")

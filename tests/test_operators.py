@@ -646,3 +646,33 @@ def test_banded_signatures_match_packed_slicing(spark):
         ).collect()
     }
     assert per_band == sliced
+
+
+def test_hll_sketch_partials_merge_to_direct_sketch(spark):
+    """Sketch mergeability — the property that makes approximate
+    distinct work at 100 TB: per-partition (here per-source) HLL
+    sketches unioned together must equal the sketch built directly over
+    the whole table (register-wise max is associative), so distinct
+    counts compose across shards/days without a global shuffle of raw
+    keys. Spark 4 datasketches surface: hll_sketch_agg / hll_union_agg /
+    hll_sketch_estimate."""
+    from pyspark.sql import functions as F
+
+    from dbtransfer_spark.catalog import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    # explicit lgConfigK: at the default, the union path re-represents
+    # HLL_4 registers through the union gadget and can drift by a few
+    # counts; pinning the precision makes partial-vs-direct exact
+    direct = docs.agg(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(doc_id, 14))").alias("est")
+    ).collect()[0]["est"]
+    merged = (
+        docs.groupBy("source")
+        .agg(F.expr("hll_sketch_agg(doc_id, 14)").alias("sk"))
+        .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"))
+        .collect()[0]["est"]
+    )
+    assert merged == direct
+    exact = docs.select("doc_id").distinct().count()
+    assert abs(merged - exact) / exact < 0.05
