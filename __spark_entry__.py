@@ -189,6 +189,7 @@ _VERIFY_FIRST = (
     "multimodal_patch_grid",
     "timeseries_cv_folds",
     "daily_user_composition",
+    "hard_negative_mining",
 )
 
 

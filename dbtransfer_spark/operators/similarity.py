@@ -1590,3 +1590,140 @@ def embedding_exact_dup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_redundant_vectors"),
     )
+
+
+def _hard_negative_oracle(
+    bits: int = 16, dim: int = 64, seed: int = 42, bands: int = 4,
+    band_bits: int = 4, lo: float = 0.05, hi: float = 0.35, k: int = 3,
+) -> str:
+    """DuckDB replay of the hard-negative miner (same literal planes and
+    banding as _neardup_lsh_oracle, cosine band filter, per-anchor
+    top-k window)."""
+    planes = _hyperplanes(bits, dim, seed)
+    mask = (1 << band_bits) - 1
+    sig_terms = " + ".join(
+        "CASE WHEN list_inner_product(v, ["
+        + ",".join(repr(c) for c in plane)
+        + f"]) > 0 THEN {1 << i} ELSE 0 END"
+        for i, plane in enumerate(planes)
+    )
+    return f"""
+    WITH ve AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), sig AS (
+      SELECT vec_id, label, v, ({sig_terms}) AS sig FROM ve
+    ), banded AS (
+      SELECT vec_id, label, v, band, (sig >> (band * {band_bits})) & {mask} AS val
+      FROM sig CROSS JOIN (SELECT unnest(range(0, {bands})) AS band) b
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+                      a.v AS va, b.v AS vb, a.label AS la, b.label AS lb
+      FROM banded a JOIN banded b ON a.band = b.band AND a.val = b.val
+      WHERE a.vec_id < b.vec_id
+    ), scored AS (
+      SELECT id_a, id_b, la, lb,
+             list_inner_product(va, vb)
+               / (sqrt(list_inner_product(va, va))
+                  * sqrt(list_inner_product(vb, vb))) AS cos_raw
+      FROM cand
+    ), both_dirs AS (
+      SELECT id_a AS anchor_id, id_b AS negative_id, la AS anchor_label,
+             lb AS negative_label, cos_raw FROM scored
+      UNION ALL
+      SELECT id_b, id_a, lb, la, cos_raw FROM scored
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                   ORDER BY cos_raw DESC, negative_id) AS rk
+      FROM both_dirs
+      WHERE cos_raw >= {lo} AND cos_raw < {hi}
+    )
+    SELECT anchor_id, negative_id,
+           round(cos_raw, 4) AS cos_sim,
+           (anchor_label = negative_label) AS same_label,
+           CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {k}
+    """
+
+
+@register("hard_negative_mining", _hard_negative_oracle())
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive/triplet training: for each
+    anchor vector, the top-3 candidates that share an LSH bucket (so the
+    index considers them plausibly similar — that's what makes them
+    HARD) but whose exact cosine falls in the negative band
+    [0.05, 0.35) — semantically distinct, yet close enough to carry
+    gradient. Random negatives are trivial at scale; the valuable ones
+    are exactly these bucket-colliding near-misses, which the dedup
+    index surfaces for free.
+
+    Plan: the SAME banded hyperplane candidate join as
+    embedding_neardup_lsh (cost ∝ bucket collisions, never |N|²), exact
+    cosine on candidates only, then a per-anchor top-k window
+    (partitioned by anchor — bounded frames, no global sort). Both pair
+    orientations feed the ranking so every anchor sees its full
+    candidate set. same_label flags label-collisions for downstream
+    filtering (a same-class 'negative' may be a labeling error — the
+    audit consumers want them visible, not dropped)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sigs = hyperplane_signatures(emb, "vec_id", "embedding", keep_cols=["label"])
+
+    def banded(prefix: str) -> DataFrame:
+        return sigs.select(
+            F.col("vec_id").alias(f"id_{prefix}"),
+            F.col("embedding").alias(f"v{prefix}"),
+            F.col("label").alias(f"l{prefix}"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band"),
+                            F.shiftright("sig", i * 4).bitwiseAND(F.lit(0xF)).alias("val"),
+                        )
+                        for i in range(4)
+                    ]
+                )
+            ).alias("bb"),
+        ).select(f"id_{prefix}", f"v{prefix}", f"l{prefix}", "bb.band", "bb.val")
+
+    cand = (
+        banded("a")
+        .join(banded("b"), ["band", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "va", "vb", "la", "lb")
+        .distinct()
+    )
+    scored = cand.withColumn("cos_raw", cosine(F.col("va"), F.col("vb"))).select(
+        "id_a", "id_b", "la", "lb", "cos_raw"
+    )
+    both = scored.select(
+        F.col("id_a").alias("anchor_id"),
+        F.col("id_b").alias("negative_id"),
+        F.col("la").alias("anchor_label"),
+        F.col("lb").alias("negative_label"),
+        "cos_raw",
+    ).unionByName(
+        scored.select(
+            F.col("id_b").alias("anchor_id"),
+            F.col("id_a").alias("negative_id"),
+            F.col("lb").alias("anchor_label"),
+            F.col("la").alias("negative_label"),
+            "cos_raw",
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cos_raw"), F.col("negative_id")
+    )
+    return (
+        both.filter((F.col("cos_raw") >= 0.05) & (F.col("cos_raw") < 0.35))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "anchor_id",
+            "negative_id",
+            F.round("cos_raw", 4).alias("cos_sim"),
+            (F.col("anchor_label") == F.col("negative_label")).alias("same_label"),
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+    )
