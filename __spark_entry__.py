@@ -190,6 +190,7 @@ _VERIFY_FIRST = (
     "timeseries_cv_folds",
     "daily_user_composition",
     "hard_negative_mining",
+    "k_anonymity_audit",
 )
 
 

@@ -3383,3 +3383,59 @@ def timeseries_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+@register(
+    "k_anonymity_audit",
+    """
+    WITH eq AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+             count(*) AS grp
+      FROM customer
+      GROUP BY c_nationkey, c_mktsegment, bal_band
+    )
+    SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+           c_mktsegment,
+           bal_band,
+           CAST(grp AS BIGINT) AS grp_size,
+           (grp < 5) AS below_k
+    FROM eq
+    WHERE grp < 5
+    ORDER BY c_nationkey, c_mktsegment, bal_band
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers — the privacy gate a
+    training-data release runs beside PII redaction (pii_redact removes
+    direct identifiers; this finds rows whose quasi-identifier
+    COMBINATION is so rare it re-identifies anyway). Equivalence
+    classes over (nation, market segment, coarse balance band); any
+    class smaller than k=5 is a re-identification risk the release
+    must suppress or generalize. Emits the violating classes with
+    sizes — the suppress/generalize worklist, not just a pass/fail.
+
+    Scale: ONE partial-aggregated groupBy on the quasi-identifier tuple
+    (map-side combined; cardinality bounded by the QI domain, not row
+    count) + a size filter. The banding (floor to 1000s) is integer
+    arithmetic, identical in both engines."""
+    cust = load_table(spark, sf_dir, "customer")
+    eq = (
+        cust.groupBy(
+            F.col("c_nationkey").cast("bigint").alias("c_nationkey"),
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_band"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("grp_size"))
+    )
+    return (
+        eq.filter(F.col("grp_size") < 5)
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "bal_band",
+            "grp_size",
+            (F.col("grp_size") < 5).alias("below_k"),
+        )
+        .orderBy("c_nationkey", "c_mktsegment", "bal_band")
+    )

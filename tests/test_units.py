@@ -648,3 +648,39 @@ def test_audio_chunks_empty_payload_yields_no_rows(spark, tmp_path):
     out = multimodal_audio_chunks(spark, p).collect()
     assert {r["doc_id"] for r in out} == {4}
     assert all(r["chunk_len"] > 0 for r in out)
+
+
+def test_plan_join_strategy_rules():
+    from dbtransfer_spark.operators.skew import plan_join_strategy
+
+    # dimension fits broadcast
+    r = plan_join_strategy(10**9, 10_000, 10**9, 10**6)
+    assert r["strategy"] == "broadcast" and r["build_side_rows"] == 10_000
+    # one key dominates the output -> salted, salt scales with the share
+    r = plan_join_strategy(10**9, 10**8, 10**10, 6 * 10**9)
+    assert r["strategy"] == "salted_sort_merge"
+    assert 2 <= r["salt_factor"] <= 64 and r["hot_share"] == 0.6
+    # uniform keys -> plain sort-merge
+    r = plan_join_strategy(10**9, 10**8, 10**10, 10**6)
+    assert r["strategy"] == "sort_merge"
+    # degenerate empty join never divides by zero
+    assert plan_join_strategy(10**9, 10**8, 0, 0)["strategy"] == "sort_merge"
+
+
+def test_plan_join_strategy_consumes_preflight(spark):
+    """The advisor composes directly with join_cardinality_preflight's
+    output row."""
+    from dbtransfer_spark.operators.skew import (
+        join_cardinality_preflight,
+        plan_join_strategy,
+    )
+
+    from tests.conftest import SF_SMOKE
+
+    row = join_cardinality_preflight(spark, SF_SMOKE).collect()[0]
+    r = plan_join_strategy(
+        row["left_rows"], row["right_rows"], row["join_rows"],
+        row["max_key_pairs"],
+    )
+    # the smoke fixture's orders side easily fits a broadcast
+    assert r["strategy"] == "broadcast"
