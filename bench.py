@@ -49,6 +49,10 @@ HEADLINE = [
     "source_dup_matrix",       # cross-source duplication rollup (round 6)
     "join_key_skew_profile",   # salting pre-flight skew scan (round 6)
     "incremental_release",     # seed + incremental corpus release e2e (round 6)
+    "fuzzy_part_linkage",      # distinct-name blocked linkage (round 7 rewrite)
+    "countmin_heavy_hitters",  # constant-state CMS sketch + probe (round 7)
+    "join_cardinality_preflight",  # count-table join sizing (round 7)
+    "ewma_daily_revenue",      # exact binary-weight EWMA (round 7)
 ]
 
 
