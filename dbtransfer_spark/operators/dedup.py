@@ -163,7 +163,73 @@ def ngram_jaccard_pairs(
     pairs get a conservative (under-)estimate of their true Jaccard; pairs
     whose overlap is exclusively hot shingles may be missed (the standard
     recall trade; MinHash below replaces exact counting entirely).
+
+    Uncapped mode collapses EXACT-duplicate texts first (r7, same
+    distinct-first discipline as fuzzy_part_linkage): identical texts
+    put identical shingle sets in every inverted-index bucket, squaring
+    each replica clique inside the Σ df² join — the r7 sf1 sweep timed
+    the row-level plan at 34 s on the 10×-replicated fixture vs ~3 s
+    collapsed, with identical output (replica pairs expand to exact
+    jaccard 1.0; cross pairs reuse the distinct-pair score). The capped
+    path stays row-level because ``max_doc_freq`` is defined over row
+    document frequency (capped scores are conservative estimates,
+    pinned by tests).
     """
+    if max_doc_freq is None:
+        groups = (
+            df.groupBy(text_col)
+            .agg(
+                F.min(id_col).alias("__gid"),
+                F.count(F.lit(1)).alias("__n_members"),
+            )
+            .persist()  # distinct pipeline + membership map + self pairs
+        )
+        distinct_docs = groups.select(
+            F.col("__gid").alias(id_col), F.col(text_col)
+        )
+        dpairs = _ngram_jaccard_pairs_rowlevel(
+            distinct_docs, id_col, text_col, shingle_len, threshold, None
+        )
+        m = df.select(F.col(id_col), F.col(text_col)).join(
+            groups.select(F.col(text_col), F.col("__gid")), text_col
+        ).select(F.col(id_col).alias("__rid"), "__gid")
+        ma = m.select(F.col("__gid").alias("doc_a"), F.col("__rid").alias("__ra"))
+        mb = m.select(F.col("__gid").alias("doc_b"), F.col("__rid").alias("__rb"))
+        cross = (
+            dpairs.join(ma, "doc_a")
+            .join(mb, "doc_b")
+            .select(
+                F.least("__ra", "__rb").alias("doc_a"),
+                F.greatest("__ra", "__rb").alias("doc_b"),
+                "jaccard",
+            )
+        )
+        selfp = (
+            groups.filter(F.col("__n_members") >= 2)
+            .select(F.col("__gid").alias("__g"))
+            .join(m.select(F.col("__gid").alias("__g"), F.col("__rid").alias("__ra")), "__g")
+            .join(m.select(F.col("__gid").alias("__g"), F.col("__rid").alias("__rb")), "__g")
+            .filter(F.col("__ra") < F.col("__rb"))
+            .select(
+                F.col("__ra").alias("doc_a"),
+                F.col("__rb").alias("doc_b"),
+                F.lit(1.0).alias("jaccard"),
+            )
+        )
+        return cross.unionByName(selfp)
+    return _ngram_jaccard_pairs_rowlevel(
+        df, id_col, text_col, shingle_len, threshold, max_doc_freq
+    )
+
+
+def _ngram_jaccard_pairs_rowlevel(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_len: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
     words = F.split(text_col, " ", -1)
     n = F.size(words)
     # Guard: sequence(0, -1) yields [0, -1] (step inferred -1), not empty —

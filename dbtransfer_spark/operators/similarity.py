@@ -695,16 +695,34 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     confirm on candidates only. The production-scale counterpart of the
     exact ``embedding_neardup_pairs`` anchor — same output schema, recall
     traded for a linear-in-collisions plan; bands/bits are the recall
-    knobs. Labels ride through the signature pass (keep_cols) so no second
-    scan of the SF-scaling input is needed."""
+    knobs.
+
+    r7 rewrite (same distinct-first discipline as fuzzy_part_linkage):
+    signatures, banding, and the cosine confirm all run per DISTINCT
+    vector — identical vectors share every band bucket, so row-level
+    LSH squares each replica clique inside every bucket (the r7 sf1
+    sweep timed the row-level plan out at >120 s on the 10×-replicated
+    rehearsal fixture). Candidate volume is now bounded by distinct
+    content; member-pair expansion joins run only for confirmed groups
+    (within-group replicas, cross-group cos ≥ 0.4), so the expansion
+    fanout equals the OUTPUT — the irreducible part. Output identical
+    (oracle-verified)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    sigs = hyperplane_signatures(emb, "vec_id", "embedding", keep_cols=["label"])
+    members = emb.select("vec_id", "label", "embedding")
+    groups = (
+        emb.groupBy("embedding")
+        .agg(
+            F.min("vec_id").alias("gid"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .persist()  # signature pass + self-pair scan consume it twice
+    )
+    sigs = hyperplane_signatures(groups, "gid", "embedding")
 
     def banded(prefix: str) -> DataFrame:
         return sigs.select(
-            F.col("vec_id").alias(f"id_{prefix}"),
+            F.col("gid").alias(f"gid_{prefix}"),
             F.col("embedding").alias(f"v{prefix}"),
-            F.col("label").alias(f"l{prefix}"),
             F.explode(
                 F.array(
                     *[
@@ -716,25 +734,66 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ]
                 )
             ).alias("bb"),
-        ).select(f"id_{prefix}", f"v{prefix}", f"l{prefix}", "bb.band", "bb.val")
+        ).select(f"gid_{prefix}", f"v{prefix}", "bb.band", "bb.val")
 
-    cand = (
+    cross = (
         banded("a")
         .join(banded("b"), ["band", "val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "va", "vb", "la", "lb")
+        .filter(F.col("gid_a") < F.col("gid_b"))
+        .select("gid_a", "gid_b", "va", "vb")
         .distinct()
-    )
-    sim = cosine(F.col("va"), F.col("vb"))
-    return (
-        cand.withColumn("cos_raw", sim)
+        .withColumn("cos_raw", cosine(F.col("va"), F.col("vb")))
         .filter(F.col("cos_raw") >= 0.4)
+        .select("gid_a", "gid_b", "cos_raw")
+    )
+    ma = members.join(
+        groups.select(F.col("embedding"), F.col("gid").alias("gid_a")),
+        "embedding",
+    ).select("gid_a", F.col("vec_id").alias("ra"), F.col("label").alias("la"))
+    mb = members.join(
+        groups.select(F.col("embedding"), F.col("gid").alias("gid_b")),
+        "embedding",
+    ).select("gid_b", F.col("vec_id").alias("rb"), F.col("label").alias("lb"))
+    cross_pairs = (
+        cross.join(ma, "gid_a")
+        .join(mb, "gid_b")
         .select(
-            "id_a",
-            "id_b",
-            F.round("cos_raw", 4).alias("cos_sim"),
+            F.least("ra", "rb").alias("id_a"),
+            F.greatest("ra", "rb").alias("id_b"),
+            "cos_raw",
             (F.col("la") == F.col("lb")).alias("same_label"),
         )
+    )
+    # replica groups: identical vectors always collide in every band;
+    # cos computed with the SAME expression on (v, v) so the emitted
+    # double matches the oracle's row-level arithmetic bit-for-bit
+    self_groups = groups.filter(F.col("n_members") >= 2).select(
+        F.col("gid").alias("gid_a"),
+        cosine(F.col("embedding"), F.col("embedding")).alias("cos_raw"),
+    )
+    self_pairs = (
+        self_groups.join(ma, "gid_a")
+        .join(
+            ma.select(
+                F.col("gid_a"),
+                F.col("ra").alias("rb"),
+                F.col("la").alias("lb"),
+            ),
+            "gid_a",
+        )
+        .filter(F.col("ra") < F.col("rb"))
+        .select(
+            F.col("ra").alias("id_a"),
+            F.col("rb").alias("id_b"),
+            "cos_raw",
+            (F.col("la") == F.col("lb")).alias("same_label"),
+        )
+    )
+    return cross_pairs.unionByName(self_pairs).select(
+        "id_a",
+        "id_b",
+        F.round("cos_raw", 4).alias("cos_sim"),
+        "same_label",
     )
 
 
@@ -1667,13 +1726,20 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtering (a same-class 'negative' may be a labeling error — the
     audit consumers want them visible, not dropped)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    sigs = hyperplane_signatures(emb, "vec_id", "embedding", keep_cols=["label"])
+    # distinct-first candidates (same collapse as embedding_neardup_lsh):
+    # LSH banding and the cosine run once per distinct vector pair; only
+    # pairs already inside the negative band expand to row pairs, so the
+    # window input is band-filtered output, not raw bucket collisions.
+    # NOTE the deliberate asymmetry vs the near-dup pass: identical
+    # vectors (cos 1.0) can never be negatives, so replica SELF-pairs are
+    # skipped entirely instead of expanded.
+    groups = emb.groupBy("embedding").agg(F.min("vec_id").alias("gid")).persist()
+    sigs = hyperplane_signatures(groups, "gid", "embedding")
 
     def banded(prefix: str) -> DataFrame:
         return sigs.select(
-            F.col("vec_id").alias(f"id_{prefix}"),
+            F.col("gid").alias(f"gid_{prefix}"),
             F.col("embedding").alias(f"v{prefix}"),
-            F.col("label").alias(f"l{prefix}"),
             F.explode(
                 F.array(
                     *[
@@ -1685,28 +1751,42 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ]
                 )
             ).alias("bb"),
-        ).select(f"id_{prefix}", f"v{prefix}", f"l{prefix}", "bb.band", "bb.val")
+        ).select(f"gid_{prefix}", f"v{prefix}", "bb.band", "bb.val")
 
-    cand = (
+    dcand = (
         banded("a")
         .join(banded("b"), ["band", "val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "va", "vb", "la", "lb")
+        .filter(F.col("gid_a") < F.col("gid_b"))
+        .select("gid_a", "gid_b", "va", "vb")
         .distinct()
+        .withColumn("cos_raw", cosine(F.col("va"), F.col("vb")))
+        .filter((F.col("cos_raw") >= 0.05) & (F.col("cos_raw") < 0.35))
+        .select("gid_a", "gid_b", "cos_raw")
     )
-    scored = cand.withColumn("cos_raw", cosine(F.col("va"), F.col("vb"))).select(
-        "id_a", "id_b", "la", "lb", "cos_raw"
+    m = emb.join(groups.select("embedding", "gid"), "embedding").select(
+        "gid", "vec_id", "label"
     )
-    both = scored.select(
-        F.col("id_a").alias("anchor_id"),
-        F.col("id_b").alias("negative_id"),
+    ma = m.select(
+        F.col("gid").alias("gid_a"),
+        F.col("vec_id").alias("ida"),
+        F.col("label").alias("la"),
+    )
+    mb = m.select(
+        F.col("gid").alias("gid_b"),
+        F.col("vec_id").alias("idb"),
+        F.col("label").alias("lb"),
+    )
+    expanded = dcand.join(ma, "gid_a").join(mb, "gid_b")
+    both = expanded.select(
+        F.col("ida").alias("anchor_id"),
+        F.col("idb").alias("negative_id"),
         F.col("la").alias("anchor_label"),
         F.col("lb").alias("negative_label"),
         "cos_raw",
     ).unionByName(
-        scored.select(
-            F.col("id_b").alias("anchor_id"),
-            F.col("id_a").alias("negative_id"),
+        expanded.select(
+            F.col("idb").alias("anchor_id"),
+            F.col("ida").alias("negative_id"),
             F.col("lb").alias("anchor_label"),
             F.col("la").alias("negative_label"),
             "cos_raw",
@@ -1716,8 +1796,7 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("cos_raw"), F.col("negative_id")
     )
     return (
-        both.filter((F.col("cos_raw") >= 0.05) & (F.col("cos_raw") < 0.35))
-        .withColumn("rk", F.row_number().over(w))
+        both.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
         .select(
             "anchor_id",
