@@ -1209,13 +1209,28 @@ def embedding_pair_distance_histogram(spark: SparkSession, sf_dir: str) -> DataF
     Scale: one narrow signature pass, one banded equi-join (the plan
     test's no-cartesian sweep covers it), one ≤41-row aggregate."""
     emb = load_table(spark, sf_dir, "embeddings")
-    sigs = hyperplane_signatures(emb, "vec_id", "embedding", keep_cols=["label"])
+    # distinct-first (r7): the banded join and the cosine run per
+    # DISTINCT vector; member multiplicities enter as WEIGHTS (na*nb per
+    # cross group pair, C(n,2) / C(c_label,2) for replica self-pairs),
+    # so the histogram counts exactly the row-level pairs without ever
+    # materializing them — the weighted twin of the
+    # embedding_neardup_lsh expansion (sf1 sweep: 23 s -> ~2 s).
+    groups = (
+        emb.groupBy("embedding")
+        .agg(F.min("vec_id").alias("gid"), F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    glab = (
+        emb.join(groups.select("embedding", "gid"), "embedding")
+        .groupBy("gid", "label")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sigs = hyperplane_signatures(groups, "gid", "embedding")
 
     def banded(prefix: str) -> DataFrame:
         return sigs.select(
-            F.col("vec_id").alias(f"{prefix}_id"),
+            F.col("gid").alias(f"{prefix}_id"),
             F.col("embedding").alias(f"{prefix}_vec"),
-            F.col("label").alias(f"{prefix}_label"),
             F.explode(
                 F.array(
                     *[
@@ -1229,34 +1244,66 @@ def embedding_pair_distance_histogram(spark: SparkSession, sf_dir: str) -> DataF
                     ]
                 )
             ).alias("bb"),
-        ).select(f"{prefix}_id", f"{prefix}_vec", f"{prefix}_label", "bb.band", "bb.val")
+        ).select(f"{prefix}_id", f"{prefix}_vec", "bb.band", "bb.val")
 
-    pairs = (
+    dcand = (
         banded("a")
         .join(banded("b"), ["band", "val"])
         .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_vec", "b_vec")
+        .distinct()
         .select(
             "a_id",
             "b_id",
-            "a_vec",
-            "b_vec",
-            (F.col("a_label") == F.col("b_label")).alias("same_label"),
+            F.floor(cosine(F.col("a_vec"), F.col("b_vec")) * 20)
+            .cast("bigint")
+            .alias("bin"),
         )
-        .distinct()
     )
-    scored = pairs.select(
-        F.floor(cosine(F.col("a_vec"), F.col("b_vec")) * 20)
-        .cast("bigint")
-        .alias("bin"),
-        "same_label",
+    sa = groups.select(F.col("gid").alias("a_id"), F.col("n").alias("na"))
+    sb = groups.select(F.col("gid").alias("b_id"), F.col("n").alias("nb"))
+    same_w = (
+        dcand.join(
+            glab.select(F.col("gid").alias("a_id"), "label", F.col("c").alias("ca")),
+            "a_id",
+        )
+        .join(
+            glab.select(F.col("gid").alias("b_id"), "label", F.col("c").alias("cb")),
+            ["b_id", "label"],
+        )
+        .groupBy("a_id", "b_id")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("same"))
+    )
+    cross = (
+        dcand.join(sa, "a_id")
+        .join(sb, "b_id")
+        .join(same_w, ["a_id", "b_id"], "left")
+        .select(
+            "bin",
+            (F.col("na") * F.col("nb")).alias("w_pairs"),
+            F.coalesce("same", F.lit(0)).alias("w_same"),
+        )
+    )
+    self_same = glab.groupBy("gid").agg(
+        F.sum(F.expr("c * (c - 1) div 2")).alias("same")
+    )
+    selfp = (
+        groups.filter(F.col("n") >= 2)
+        .join(self_same, "gid")
+        .select(
+            F.floor(cosine(F.col("embedding"), F.col("embedding")) * 20)
+            .cast("bigint")
+            .alias("bin"),
+            F.expr("n * (n - 1) div 2").alias("w_pairs"),
+            F.col("same").alias("w_same"),
+        )
     )
     return (
-        scored.groupBy("bin")
+        cross.unionByName(selfp)
+        .groupBy("bin")
         .agg(
-            F.count(F.lit(1)).alias("n_pairs"),
-            F.sum(F.when(F.col("same_label"), 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_same_label"),
+            F.sum("w_pairs").alias("n_pairs"),
+            F.sum("w_same").cast("bigint").alias("n_same_label"),
         )
         .orderBy("bin")
     )
