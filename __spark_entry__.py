@@ -191,6 +191,8 @@ _VERIFY_FIRST = (
     "daily_user_composition",
     "hard_negative_mining",
     "k_anonymity_audit",
+    "sql_recursive_month_series",
+    "url_functions",
 )
 
 

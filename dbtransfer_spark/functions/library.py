@@ -702,3 +702,52 @@ def distribution_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.cume_dist().over(w) * 1000000).cast("bigint").alias("cume_ppm"),
         F.ntile(4).over(w).cast("int").alias("quartile"),
     )
+
+
+@register(
+    "url_functions",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.example.org/docs/' || doc_id
+               || '?lang=' || lang || '&v=1' AS url
+      FROM documents
+    )
+    SELECT doc_id,
+           url,
+           regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+           regexp_extract(url, '^https?://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '\\?(.*)$', 1) AS query,
+           regexp_extract(url, '[?&]lang=([^&]*)', 1) AS lang_param,
+           regexp_extract(url, '^https?://(?:[^/.]+\\.)*([^/.]+\\.[^/.]+)(?:/|$)', 1)
+             AS base_domain
+    FROM u ORDER BY doc_id
+    """,
+)
+def url_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing surface (§2.4 scalar breadth): host / path / query /
+    single-parameter extraction via Spark's ``parse_url`` (JVM-side,
+    codegen) plus a regexp base-domain fallback — the URL triage a crawl
+    pipeline runs before domain-level dedup/rebalance
+    (domain_mix_rebalance consumes exactly this shape). URLs are
+    synthesized deterministically from fixture columns (the corpus has
+    no URL column); the oracle replays every extraction with plain
+    regexps, pinning parse_url's semantics against an independent
+    implementation."""
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.org/docs/"),
+        F.col("doc_id"), F.lit("?lang="), F.col("lang"), F.lit("&v=1"),
+    )
+    u = docs.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        "url",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+        F.regexp_extract(
+            "url", r"^https?://(?:[^/.]+\.)*([^/.]+\.[^/.]+)(?:/|$)", 1
+        ).alias("base_domain"),
+    ).orderBy("doc_id")
