@@ -193,6 +193,8 @@ _VERIFY_FIRST = (
     "k_anonymity_audit",
     "sql_recursive_month_series",
     "url_functions",
+    "docsim_term_overlap_topk",
+    "bootstrap_mean_ci",
 )
 
 

@@ -1483,3 +1483,90 @@ def source_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "w", "c", "rate_src_ppm", "rate_global_ppm")
         .orderBy("source", keyness.desc(), F.desc("c"), "w")
     )
+
+
+@register(
+    "docsim_term_overlap_topk",
+    """
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+      WHERE doc_id % 7 = 0
+    ), tf AS (
+      SELECT doc_id, tok, 1 AS tf FROM toks WHERE tok <> ''
+    ), df AS (
+      SELECT tok, count(*) AS df FROM tf GROUP BY tok
+    ), kept AS (
+      SELECT tf.doc_id, tf.tok FROM tf JOIN df USING (tok)
+      WHERE df.df <= 100
+    ), pair_dot AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             count(*) AS overlap
+      FROM kept a JOIN kept b
+        ON a.tok = b.tok AND a.doc_id <> b.doc_id
+      GROUP BY doc_a, doc_b
+    ), ranked AS (
+      SELECT doc_a, doc_b, overlap,
+             row_number() OVER (PARTITION BY doc_a
+                                ORDER BY overlap DESC, doc_b) AS rk
+      FROM pair_dot
+    )
+    SELECT CAST(doc_a AS BIGINT) AS doc_a,
+           CAST(doc_b AS BIGINT) AS doc_b,
+           CAST(overlap AS BIGINT) AS overlap,
+           CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 3
+    ORDER BY doc_a, rk
+    """,
+)
+def docsim_term_overlap_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-to-document similarity search over an inverted index:
+    for each probe document (a deterministic 1-in-7 slice), the top-3
+    most term-overlapping other probe documents — the related-document
+    / semantic-dedup-candidate primitive, scored with an EXACT integer
+    dot product over distinct-term vectors (floats never enter, so both
+    engines agree bit-for-bit).
+
+    Scale shape: the pair generation is the inverted-index self-join —
+    cost Σ df(term)² — with the same hot-term cap as
+    ngram_jaccard_pairs (df ≤ 100 drops stopword buckets; recall on
+    pairs overlapping ONLY in stopwords is the accepted trade — and at
+    production scale the cap is a FRACTION of |docs|, not this
+    declared-query literal, or growth strips everything). The
+    per-probe ranking is a doc-partitioned top-k window, never a global
+    sort. BM25 (bm25_rank) scores docs against a QUERY; this is the
+    doc×doc counterpart an embedding-free related-items pass uses."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 7 == 0
+    )
+    toks = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ", -1)).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    df = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    kept = toks.join(df.filter(F.col("df") <= 100), "tok").select(
+        "doc_id", "tok"
+    )
+    a = kept.select(F.col("doc_id").alias("doc_a"), "tok")
+    b = kept.select(F.col("doc_id").alias("doc_b"), "tok")
+    pair_dot = (
+        a.join(b, "tok")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("overlap"))
+    )
+    w = Window.partitionBy("doc_a").orderBy(F.desc("overlap"), "doc_b")
+    return (
+        pair_dot.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            F.col("doc_a").cast("bigint").alias("doc_a"),
+            F.col("doc_b").cast("bigint").alias("doc_b"),
+            "overlap",
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+        .orderBy("doc_a", "rk")
+    )

@@ -3439,3 +3439,100 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey", "c_mktsegment", "bal_band")
     )
+
+
+@register(
+    "bootstrap_mean_ci",
+    """
+    WITH w AS (
+      SELECT b,
+             CASE CAST(('0x' || substr(md5(b || ':' || o_orderkey), 1, 15))
+                       AS BIGINT) % 4
+               WHEN 0 THEN 0 WHEN 3 THEN 2 ELSE 1 END AS wt,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders, UNNEST(range(0, 32)) AS t(b)
+    ), reps AS (
+      SELECT b,
+             CAST(sum(wt * cents) AS BIGINT) AS num,
+             CAST(sum(wt) AS BIGINT) AS den
+      FROM w GROUP BY b
+    ), means AS (
+      SELECT b, CAST(num AS DOUBLE) / den AS m,
+             row_number() OVER (ORDER BY CAST(num AS DOUBLE) / den, b) AS rk
+      FROM reps
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_replicas,
+           round(min(CASE WHEN rk = 2 THEN m END), 4) AS ci_lo_cents,
+           round(min(CASE WHEN rk = 31 THEN m END), 4) AS ci_hi_cents,
+           round((SELECT CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                              AS DOUBLE) / count(*) FROM orders), 4)
+             AS point_mean_cents
+    FROM means
+    """,
+)
+def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed bootstrap confidence interval for a mean — the
+    resampling machinery that gives error bars on any corpus statistic
+    WITHOUT collecting data to a driver: 32 bootstrap replicas
+    materialize as WEIGHTS (a deterministic md5-derived multiplier in
+    {0,1,1,2}, mean 1 — the fixed-seed stand-in for Poisson(1)
+    resampling, so both engines draw identical 'samples'), each replica
+    mean is one weighted aggregate, and the CI is an order statistic
+    over the 32 replica means (2nd/31st ≈ the 93% interval). One pass
+    over the data with a constant 32× explode — the standard
+    bag-of-little-bootstraps-style shape at 100 TB, where true
+    row-resampling is impossible.
+
+    Exactness: weights and weighted sums are BIGINT; each replica mean
+    is ONE division of identical integers, so the doubles — and the
+    order statistics over them — agree bit-for-bit across engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    h = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("b"), F.col("o_orderkey"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(4),
+    )
+    wt = (
+        F.when(h == 0, F.lit(0)).when(h == 3, F.lit(2)).otherwise(F.lit(1))
+    )
+    reps = (
+        orders.select(
+            cents.alias("cents"),
+            "o_orderkey",
+            F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"),
+        )
+        .select("b", (wt * F.col("cents")).alias("wc"), wt.alias("wt"))
+        .groupBy("b")
+        .agg(
+            F.sum("wc").cast("bigint").alias("num"),
+            F.sum("wt").cast("bigint").alias("den"),
+        )
+    )
+    m = (F.col("num").cast("double") / F.col("den")).alias("m")
+    means = reps.select("b", m).withColumn(
+        "rk", F.row_number().over(Window.orderBy("m", "b"))
+    )
+    point = orders.agg(
+        F.round(
+            F.sum(cents).cast("double") / F.count(F.lit(1)), 4
+        ).alias("point_mean_cents")
+    )
+    return (
+        means.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_replicas"),
+            F.round(F.min(F.when(F.col("rk") == 2, F.col("m"))), 4).alias(
+                "ci_lo_cents"
+            ),
+            F.round(F.min(F.when(F.col("rk") == 31, F.col("m"))), 4).alias(
+                "ci_hi_cents"
+            ),
+        )
+        .crossJoin(F.broadcast(point))
+        .select("n_replicas", "ci_lo_cents", "ci_hi_cents", "point_mean_cents")
+    )

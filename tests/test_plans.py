@@ -229,6 +229,8 @@ _FIXED_SIDE_CROSSJOINS = {
     # 1-row lazy-total broadcast per foreign_key expectation (r7: replaced
     # the eager count() the r6 ADVICE flagged)
     "dq_expectations_orders",
+    # 1-row point-mean broadcast beside the 1-row replica rollup
+    "bootstrap_mean_ci",
 }
 
 
