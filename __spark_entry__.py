@@ -195,6 +195,11 @@ _VERIFY_FIRST = (
     "url_functions",
     "docsim_term_overlap_topk",
     "bootstrap_mean_ci",
+    "leakage_safe_split",
+    "token_budget_pack",
+    "table_bucket_checksum",
+    "zonemap_pruning_stats",
+    "image_ahash_neardup",
 )
 
 

@@ -1191,3 +1191,197 @@ def source_quality_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("all_pass_ppm", "source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe train/val/test split (cluster-aware assignment)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "leakage_safe_split",
+    r"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                     ' +', ' ', 'g'))) AS fp,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 80 THEN 'train'
+                  WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS naive_split
+      FROM documents
+    ), clus AS (
+      SELECT fp, min(doc_id) AS rep, count(*) AS n_docs,
+             count(DISTINCT naive_split) AS n_naive_splits
+      FROM fp GROUP BY fp
+    ), labeled AS (
+      SELECT n_docs, n_naive_splits,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(rep AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 80 THEN 'train'
+                  WHEN CAST(('0x' || substr(md5(CAST(rep AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM clus
+    ), leak AS (
+      SELECT CAST(count(CASE WHEN n_naive_splits > 1 THEN 1 END) AS BIGINT)
+               AS naive_leaky_clusters
+      FROM labeled
+    )
+    SELECT split,
+           CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           naive_leaky_clusters
+    FROM labeled, leak
+    GROUP BY split, naive_leaky_clusters
+    ORDER BY split
+    """,
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe dataset split: assign whole DUPLICATE CLUSTERS to a
+    split, not individual documents. A per-document hash split (the
+    ``dataset_split`` baseline) puts two copies of the same document in
+    train and test whenever a near/exact dup crosses the bucket
+    boundary — the classic eval-contamination bug. Here every document
+    is keyed by its normalized fingerprint (the ``doc_fingerprint``
+    canonicalization), the cluster representative (min doc_id) is
+    hashed once, and all members inherit that split. The
+    ``naive_leaky_clusters`` column counts clusters the per-doc scheme
+    would have straddled across splits — the quantified leak this
+    operator removes (0 by construction for the cluster scheme).
+
+    Plan: scan-stage fingerprint + one fp-keyed partial-aggregated
+    shuffle to |clusters| rows, a 3-row rollup, and a broadcast 1-row
+    leak audit. No joins against the full corpus; the 100 TB cost is
+    one dedup-shaped aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
+            )
+        )
+    )
+
+    def bucket(col):
+        return F.pmod(
+            F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long"),
+            F.lit(100),
+        )
+
+    def split_of(col):
+        b = bucket(col)
+        return F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+
+    clus = (
+        docs.select(fp.alias("fp"), "doc_id", split_of(F.col("doc_id")).alias("naive_split"))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("rep"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("naive_split").alias("n_naive_splits"),
+        )
+    )
+    labeled = clus.select(
+        "n_docs", "n_naive_splits", split_of(F.col("rep")).alias("split")
+    )
+    leak = labeled.agg(
+        F.count(F.when(F.col("n_naive_splits") > 1, 1))
+        .cast("bigint")
+        .alias("naive_leaky_clusters")
+    )
+    return (
+        labeled.groupBy("split")
+        .agg(
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        )
+        .crossJoin(F.broadcast(leak))
+        .select("split", "n_docs", "n_clusters", "naive_leaky_clusters")
+        .orderBy("split")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget greedy corpus selection
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 600  # tokens per source
+
+
+@register(
+    "token_budget_pack",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) AS BIGINT)
+               * 1000000 // greatest(length(text), 1) AS quality_ppm
+      FROM documents
+    ), ranked AS (
+      SELECT *,
+             sum(n_tokens) OVER (PARTITION BY source
+                                 ORDER BY quality_ppm DESC, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM t
+    ), sel AS (
+      SELECT *, CASE WHEN cum_tokens <= {_PACK_BUDGET} THEN 1 ELSE 0 END AS keep
+      FROM ranked
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_candidates,
+           CAST(sum(keep) AS BIGINT) AS n_selected,
+           CAST(sum(CASE WHEN keep = 1 THEN n_tokens ELSE 0 END) AS BIGINT)
+             AS tokens_selected,
+           CAST(min(CASE WHEN keep = 1 THEN quality_ppm END) AS BIGINT)
+             AS min_quality_ppm
+    FROM sel GROUP BY source ORDER BY source
+    """,
+)
+def token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget-constrained corpus selection: each source gets a
+    fixed token budget (600 here); documents are admitted greedily in
+    quality order (alnum-density ppm, doc_id tie-break) until the
+    running token total would exceed the budget — the standard
+    "best docs first, stop at N tokens" recipe for assembling a
+    fixed-size training mix from heterogeneous sources.
+
+    Plan: scan-stage token/quality expressions, ONE window partitioned
+    by source (the running token sum — no global ordering anywhere),
+    and a source-keyed rollup. At 100 TB the window key is the
+    partition key, so each source's prefix scan is local to its
+    shuffle partition; skewed sources parallelize via the same
+    range-within-source refinement ``global_ordinal`` documents.
+
+    Exactness: tokens and quality are BIGINTs; the cumulative sum and
+    the budget comparison are integer-exact in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " ", -1)).cast("bigint")
+    quality = F.expr(
+        "CAST(length(regexp_replace(text, '[^a-zA-Z0-9]', '')) AS BIGINT)"
+        " * 1000000 div greatest(length(text), 1)"
+    )
+    t = docs.select(
+        "doc_id",
+        "source",
+        n_tokens.alias("n_tokens"),
+        quality.alias("quality_ppm"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("quality_ppm").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sel = t.withColumn("cum_tokens", F.sum("n_tokens").over(w)).withColumn(
+        "keep", (F.col("cum_tokens") <= _PACK_BUDGET).cast("int")
+    )
+    return (
+        sel.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+            F.sum("keep").cast("bigint").alias("n_selected"),
+            F.sum(F.when(F.col("keep") == 1, F.col("n_tokens")).otherwise(0))
+            .cast("bigint")
+            .alias("tokens_selected"),
+            F.min(F.when(F.col("keep") == 1, F.col("quality_ppm")))
+            .cast("bigint")
+            .alias("min_quality_ppm"),
+        )
+        .orderBy("source")
+    )

@@ -605,3 +605,154 @@ def multimodal_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 multimodal_patch_grid.__doc__ = multimodal_patch_grid.__doc__.format(
     w=_GRID_W, p=_PATCH, c=_GRID_W // _PATCH
 )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual (average-hash) near-duplicate detection for image payloads
+# ---------------------------------------------------------------------------
+
+_AH_N = 48          # leading payload bytes hashed -> 48-bit fingerprint
+_AH_BANDS = 4       # LSH bands over the fingerprint (12 bits each)
+_AH_HAMMING_MAX = 12
+_AH_TOPK = 5        # neighbors reported per fingerprint (bounds output)
+
+
+def _ah_byte(dialect: str, i: int) -> str:
+    off = 2 * i + 1
+    if dialect == "duckdb":
+        return f"CAST(('0x' || substr(hx, {off}, 2)) AS BIGINT)"
+    return f"CAST(conv(substring(hx, {off}, 2), 16, 10) AS BIGINT)"
+
+
+def _ah_sum(dialect: str) -> str:
+    return " + ".join(_ah_byte(dialect, i) for i in range(_AH_N))
+
+
+def _ah_bits(dialect: str) -> str:
+    return " + ".join(
+        f"(CASE WHEN {_AH_N} * {_ah_byte(dialect, i)} >= s"
+        f" THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for i in range(_AH_N)
+    )
+
+
+@register(
+    "image_ahash_neardup",
+    f"""
+    WITH media AS (
+      SELECT doc_id, hex(CAST(text AS BLOB)) AS hx
+      FROM documents
+      WHERE doc_id % 3 = 0 AND octet_length(CAST(text AS BLOB)) >= {_AH_N}
+    ), s1 AS (
+      SELECT doc_id, hx, ({_ah_sum('duckdb')}) AS s FROM media
+    ), sig AS (
+      SELECT doc_id, ({_ah_bits('duckdb')}) AS fp FROM s1
+    ), grp AS (
+      SELECT fp, min(doc_id) AS rep, count(*) AS n_docs FROM sig GROUP BY fp
+    ), bands AS (
+      SELECT fp, rep, n_docs, j, (fp >> CAST(12 * j AS INT)) & 4095 AS bv
+      FROM grp, UNNEST(range(0, {_AH_BANDS})) AS t(j)
+    ), cand AS (
+      SELECT DISTINCT a.rep AS doc_a, a.n_docs AS n_docs_a, a.fp AS fp_a,
+                      b.rep AS doc_b, b.n_docs AS n_docs_b, b.fp AS fp_b
+      FROM bands a JOIN bands b ON a.j = b.j AND a.bv = b.bv AND a.fp < b.fp
+    ), scored AS (
+      SELECT doc_a, doc_b, bit_count(xor(fp_a, fp_b)) AS hamming,
+             n_docs_a, n_docs_b,
+             row_number() OVER (PARTITION BY fp_a
+                                ORDER BY bit_count(xor(fp_a, fp_b)), doc_b)
+               AS rank
+      FROM cand
+      WHERE bit_count(xor(fp_a, fp_b)) <= {_AH_HAMMING_MAX}
+    )
+    SELECT CAST(doc_a AS BIGINT) AS doc_a,
+           CAST(doc_b AS BIGINT) AS doc_b,
+           CAST(hamming AS BIGINT) AS hamming,
+           CAST(rank AS BIGINT) AS rank,
+           CAST(n_docs_a AS BIGINT) AS n_docs_a,
+           CAST(n_docs_b AS BIGINT) AS n_docs_b
+    FROM scored
+    WHERE rank <= {_AH_TOPK}
+    ORDER BY doc_a, rank
+    """,
+)
+def image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate detection for image payloads via an
+    average-hash (aHash) fingerprint: threshold each of the first 48
+    payload bytes against the payload mean (integer-exact: 48*byte >=
+    sum avoids the division), pack the bits into a 48-bit BIGINT, and
+    find fingerprint pairs within Hamming distance 12 through a 4-band
+    LSH join — the classic image-dedup recipe (aHash/pHash + banded
+    hamming search) expressed entirely in JVM built-ins on an opaque
+    binary column (the sandbox's deterministic stand-in for a real
+    decoded-thumbnail kernel; a production decode swaps in via
+    mapInPandas exactly like resize_media).
+
+    Scale shape (the part that matters at 100 TB): fingerprints are
+    computed per row in the scan stage (zero shuffle), then collapsed
+    to DISTINCT fingerprints BEFORE any pair work — the distinct-first
+    rule that keeps duplicate cliques from squaring inside LSH buckets
+    (SCALE.md) — so the band join touches |distinct fp| * 4 rows and
+    emits only genuine near-miss pairs with their clique sizes
+    (n_docs_a/b) carried as weights. Hamming confirm is one
+    bit_count(xor) per candidate, and the OUTPUT is bounded to the
+    top-5 neighbors per fingerprint (fp-partitioned row_number — near
+    perceptual-duplicate cliques are themselves dense in hamming
+    space, so the unbounded pair list grows quadratically in clique
+    diameter; sf0.1 measured 128k pairs vs 1.4k at sf0.01 before the
+    bound)."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.encode("text", "utf-8")
+    media = (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .select("doc_id", F.hex(payload).alias("hx"), F.length(payload).alias("nb"))
+        .filter(F.col("nb") >= _AH_N)
+    )
+    s1 = media.selectExpr("doc_id", "hx", f"({_ah_sum('spark')}) AS s")
+    sig = s1.selectExpr("doc_id", f"({_ah_bits('spark')}) AS fp")
+    grp = sig.groupBy("fp").agg(
+        F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("n_docs")
+    )
+    bands = grp.select(
+        "fp",
+        "rep",
+        "n_docs",
+        F.explode(F.sequence(F.lit(0), F.lit(_AH_BANDS - 1))).alias("j"),
+    ).withColumn("bv", F.expr("shiftright(fp, CAST(12 * j AS INT)) & 4095"))
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            F.expr("a.j = b.j AND a.bv = b.bv AND a.fp < b.fp"),
+        )
+        .select(
+            F.col("a.rep").alias("doc_a"),
+            F.col("a.n_docs").alias("n_docs_a"),
+            F.col("a.fp").alias("fp_a"),
+            F.col("b.rep").alias("doc_b"),
+            F.col("b.n_docs").alias("n_docs_b"),
+            F.col("b.fp").alias("fp_b"),
+        )
+        .distinct()
+    )
+    scored = (
+        cand.withColumn(
+            "hamming", F.expr("CAST(bit_count(fp_a ^ fp_b) AS BIGINT)")
+        )
+        .filter(F.col("hamming") <= _AH_HAMMING_MAX)
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.partitionBy("fp_a").orderBy("hamming", "doc_b"))
+            .cast("bigint"),
+        )
+        .filter(F.col("rank") <= _AH_TOPK)
+    )
+    return scored.select(
+        F.col("doc_a").cast("bigint"),
+        F.col("doc_b").cast("bigint"),
+        "hamming",
+        "rank",
+        F.col("n_docs_a").cast("bigint"),
+        F.col("n_docs_b").cast("bigint"),
+    ).orderBy("doc_a", "rank")

@@ -3536,3 +3536,164 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(point))
         .select("n_replicas", "ci_lo_cents", "ci_hi_cents", "point_mean_cents")
     )
+
+
+@register(
+    "table_bucket_checksum",
+    """
+    WITH h AS (
+      SELECT o_orderkey % 32 AS bucket,
+             o_orderkey,
+             CAST(('0x' || substr(md5(concat_ws('|',
+                    CAST(o_orderkey AS VARCHAR),
+                    CAST(o_custkey AS VARCHAR),
+                    o_orderstatus,
+                    o_orderpriority,
+                    CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+                    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS VARCHAR))), 1, 15))
+                  AS BIGINT) % 1000000007 AS rh
+      FROM orders
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(rh) % 1000000007 AS BIGINT) AS checksum,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key
+    FROM h GROUP BY bucket ORDER BY bucket
+    """,
+)
+def table_bucket_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent per-bucket table checksum — the transfer
+    validation step the reference tool never had: after copying a table
+    between engines, run this digest on BOTH sides and diff the 32-row
+    outputs; a mismatched bucket localizes the divergence to 1/32 of
+    the keyspace without moving any data (re-bucket the bad range to
+    bisect further). The row digest is a portable md5 over a canonical
+    '|'-joined rendering (BIGINTs as decimal strings, money as integer
+    cents, dates as epoch days — never engine-formatted doubles), and
+    the bucket checksum is a SUM mod p, so it is insensitive to row
+    order and partitioning — any engine that can md5 a string
+    reproduces it bit-for-bit.
+
+    Plan: a narrow scan-stage digest expression + one 32-group
+    partial-aggregated shuffle; at 100 TB the map-side combine reduces
+    each partition to 32 rows before the exchange. The mod-p row hash
+    keeps the bucket sum under 2^63 up to ~9e9 rows/bucket; wider
+    tables just raise the bucket count (the digest is per-bucket, so
+    bucket count is a free parameter)."""
+    orders = load_table(spark, sf_dir, "orders")
+    rh = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("o_orderkey").cast("string"),
+                        F.col("o_custkey").cast("string"),
+                        F.col("o_orderstatus"),
+                        F.col("o_orderpriority"),
+                        F.expr("CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING)"),
+                        F.datediff("o_orderdate", F.lit("1970-01-01")).cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(1000000007),
+    )
+    return (
+        orders.select(
+            F.pmod("o_orderkey", F.lit(32)).cast("bigint").alias("bucket"),
+            "o_orderkey",
+            rh.alias("rh"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.pmod(F.sum("rh"), F.lit(1000000007)).cast("bigint").alias("checksum"),
+            F.min("o_orderkey").cast("bigint").alias("min_key"),
+            F.max("o_orderkey").cast("bigint").alias("max_key"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "zonemap_pruning_stats",
+    """
+    WITH files AS (
+      SELECT event_id // 1000 AS file_id,
+             min(ts) AS zmin,
+             max(ts) AS zmax,
+             count(*) AS n_rows,
+             sum(CASE WHEN ts >= TIMESTAMP '2024-01-10 00:00:00'
+                       AND ts < TIMESTAMP '2024-01-17 00:00:00'
+                      THEN 1 ELSE 0 END) AS n_match
+      FROM events GROUP BY 1
+    ), flags AS (
+      SELECT *,
+             CASE WHEN zmax < TIMESTAMP '2024-01-10 00:00:00'
+                    OR zmin >= TIMESTAMP '2024-01-17 00:00:00'
+                  THEN 1 ELSE 0 END AS pruned
+      FROM files
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(pruned) AS BIGINT) AS n_files_pruned,
+           CAST(sum(CASE WHEN pruned = 1 THEN n_rows ELSE 0 END) AS BIGINT)
+             AS rows_skipped,
+           CAST(sum(CASE WHEN pruned = 0 THEN n_rows ELSE 0 END) AS BIGINT)
+             AS rows_scanned,
+           CAST(sum(n_match) AS BIGINT) AS rows_matching
+    FROM flags
+    """,
+)
+def zonemap_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (min/max statistics) pruning simulator: model an
+    ingest-ordered lake layout (1000-event files keyed by event_id,
+    which tracks arrival time at corr ≈ 0.9999 but is NOT the
+    timestamp), compute each "file"'s min/max zone map on ts, and
+    report how many files — and how many rows — a one-week ts range
+    predicate skips WITHOUT reading them. This is the planning
+    arithmetic behind parquet row-group skipping: the predicate column
+    correlates with (but is not equal to) the layout key, so pruning is
+    partial — exactly the real-world case where a zone map earns its
+    keep. The per-file match counts double as a consistency proof:
+    every matching row falls in an unpruned file.
+
+    Plan: ONE scan of events with an |n|/1000-group partial-aggregated
+    shuffle (the zone-map build), then a 1-row rollup over the
+    |files|-sized stats table. At 100 TB the zone-map table is ~1/10^6
+    of the data — this is why engines afford to consult it before
+    every scan; the rows_skipped/rows_scanned split is the exact I/O
+    the predicate saves."""
+    ev = load_table(spark, sf_dir, "events")
+    lo = F.lit("2024-01-10 00:00:00").cast("timestamp")
+    hi = F.lit("2024-01-17 00:00:00").cast("timestamp")
+    files = ev.groupBy(
+        F.expr("event_id div 1000").alias("file_id")
+    ).agg(
+        F.min("ts").alias("zmin"),
+        F.max("ts").alias("zmax"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when((F.col("ts") >= lo) & (F.col("ts") < hi), 1).otherwise(0)
+        ).alias("n_match"),
+    )
+    pruned = F.when(
+        (F.col("zmax") < lo) | (F.col("zmin") >= hi),
+        1,
+    ).otherwise(0)
+    return files.select(pruned.alias("pruned"), "n_rows", "n_match").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum("pruned").cast("bigint").alias("n_files_pruned"),
+        F.sum(F.when(F.col("pruned") == 1, F.col("n_rows")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_skipped"),
+        F.sum(F.when(F.col("pruned") == 0, F.col("n_rows")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_scanned"),
+        F.sum("n_match").cast("bigint").alias("rows_matching"),
+    )

@@ -231,6 +231,8 @@ _FIXED_SIDE_CROSSJOINS = {
     "dq_expectations_orders",
     # 1-row point-mean broadcast beside the 1-row replica rollup
     "bootstrap_mean_ci",
+    # 1-row leak-audit broadcast beside the 3-row split rollup
+    "leakage_safe_split",
 }
 
 
