@@ -200,6 +200,9 @@ _VERIFY_FIRST = (
     "table_bucket_checksum",
     "zonemap_pruning_stats",
     "image_ahash_neardup",
+    "winnow_fingerprints",
+    "calibration_ece_bins",
+    "feature_drift_bins",
 )
 
 

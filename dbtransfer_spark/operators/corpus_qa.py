@@ -1385,3 +1385,120 @@ def token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Calibration audit (ECE) for a heuristic classifier score
+# ---------------------------------------------------------------------------
+
+
+def _marker_count(dialect: str) -> str:
+    """Non-overlapping occurrence count of three English marker tokens,
+    as (len - len(replace)) / len(marker) — integer-exact and identical
+    in both engines (replace is left-to-right non-overlapping in both)."""
+    terms = []
+    for mk in (" the ", " and ", " is "):
+        terms.append(
+            f"(length(lt) - length(replace(lt, '{mk}', ''))) / {len(mk)}"
+        )
+    return " + ".join(f"CAST({t} AS BIGINT)" for t in terms)
+
+
+@register(
+    "calibration_ece_bins",
+    f"""
+    WITH s AS (
+      SELECT doc_id, lang, ' ' || lower(text) || ' ' AS lt FROM documents
+    ), scored AS (
+      SELECT doc_id,
+             least(950000, 100000 + 250000 * ({_marker_count('duckdb')}))
+               AS conf_ppm,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en
+      FROM s
+    ), b AS (
+      SELECT conf_ppm // 100000 AS bin,
+             count(*) AS n,
+             sum(conf_ppm) AS sum_conf,
+             sum(is_en) AS n_pos
+      FROM scored GROUP BY 1
+    ), g AS (
+      SELECT bin, n, n_pos,
+             n_pos * 1000000 // n AS acc_ppm,
+             sum_conf // n AS conf_avg_ppm,
+             abs(n_pos * 1000000 // n - sum_conf // n) AS gap_ppm
+      FROM b
+    ), e AS (
+      SELECT sum(n * gap_ppm) // sum(n) AS ece_ppm FROM g
+    )
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(n AS BIGINT) AS n,
+           CAST(n_pos AS BIGINT) AS n_pos,
+           CAST(acc_ppm AS BIGINT) AS acc_ppm,
+           CAST(conf_avg_ppm AS BIGINT) AS conf_avg_ppm,
+           CAST(gap_ppm AS BIGINT) AS gap_ppm,
+           CAST(ece_ppm AS BIGINT) AS ece_ppm
+    FROM g, e
+    ORDER BY bin
+    """,
+)
+def calibration_ece_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected-calibration-error audit of a heuristic is-English
+    classifier: confidence = a piecewise-linear score over English
+    marker-token counts (' the ', ' and ', ' is '), label = lang='en',
+    binned into 100k-ppm confidence buckets. Per bin: empirical accuracy
+    vs mean stated confidence and their |gap|; headline ECE =
+    count-weighted mean gap — the standard reliability-diagram numbers
+    a model-eval pipeline computes for any scored filter (langid,
+    quality, toxicity) before its scores are trusted as probabilities.
+
+    Determinism: no floats anywhere — confidence is an integer ppm
+    score, marker counts come from the (len - len(replace))/len trick
+    (identical non-overlapping semantics in both engines), and
+    accuracy/ECE are integer ppm divisions, so the hash is exact (the
+    repo-wide no-libm rule; see bigram_pmi_top).
+
+    Plan: scan-stage scoring (codegen string ops, no UDF), ONE
+    partial-aggregated shuffle to ≤10 bins, arithmetic on the 10-row
+    frame, and a 1-row broadcast ECE rollup — same terminal shape as
+    leakage_safe_split. 100 TB cost is the one scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        F.concat(F.lit(" "), F.lower("text"), F.lit(" ")).alias("lt"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("is_en"),
+    ).select(
+        F.least(
+            F.lit(950000),
+            F.lit(100000) + F.lit(250000) * F.expr(_marker_count("spark")),
+        ).alias("conf_ppm"),
+        "is_en",
+    )
+    b = (
+        scored.groupBy(F.expr("conf_ppm div 100000").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("conf_ppm").alias("sum_conf"),
+            F.sum("is_en").alias("n_pos"),
+        )
+    )
+    g = b.select(
+        "bin",
+        "n",
+        "n_pos",
+        F.expr("n_pos * 1000000 div n").alias("acc_ppm"),
+        F.expr("sum_conf div n").alias("conf_avg_ppm"),
+        F.expr("abs(n_pos * 1000000 div n - sum_conf div n)").alias("gap_ppm"),
+    )
+    e = g.agg(F.expr("sum(n * gap_ppm) div sum(n)").alias("ece_ppm"))
+    return (
+        g.crossJoin(F.broadcast(e))
+        .select(
+            F.col("bin").cast("bigint"),
+            F.col("n").cast("bigint"),
+            F.col("n_pos").cast("bigint"),
+            F.col("acc_ppm").cast("bigint"),
+            F.col("conf_avg_ppm").cast("bigint"),
+            F.col("gap_ppm").cast("bigint"),
+            F.col("ece_ppm").cast("bigint"),
+        )
+        .orderBy("bin")
+    )

@@ -1599,3 +1599,159 @@ def golden_record_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing (local document fingerprinting, MOSS-style)
+# ---------------------------------------------------------------------------
+
+_WN_K = 8   # k-gram length over the normalized alnum stream
+_WN_W = 4   # winnowing window (guarantee: any match >= k+w-1 chars shares a fp)
+
+
+@register(
+    "winnow_fingerprints",
+    f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS norm
+      FROM documents
+    ), m AS (
+      SELECT doc_id, source, norm, length(norm) - {_WN_K} + 1 AS n_grams
+      FROM d WHERE length(norm) >= {_WN_K + _WN_W - 1}
+    ), g AS (
+      SELECT doc_id, source, n_grams, pos,
+             CAST(('0x' || substr(md5(substr(norm, CAST(pos AS INT), {_WN_K})), 1, 15))
+                  AS BIGINT) AS h
+      FROM m, UNNEST(range(1, n_grams + 1)) AS t(pos)
+    ), wmins AS (
+      SELECT doc_id, source, n_grams, pos,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND {_WN_W - 1} FOLLOWING) AS fp
+      FROM g
+    ), sel AS (
+      SELECT DISTINCT doc_id, source, fp
+      FROM wmins WHERE pos <= n_grams - {_WN_W} + 1
+    ), doc_stats AS (
+      SELECT source, count(*) AS n_docs,
+             sum(n_grams - {_WN_W} + 1) AS n_windows
+      FROM m GROUP BY source
+    ), fp_global AS (
+      SELECT fp, count(DISTINCT doc_id) AS nd FROM sel GROUP BY fp
+    ), src_fp AS (
+      SELECT s.source,
+             count(*) AS n_fp,
+             sum(CASE WHEN fg.nd > 1 THEN 1 ELSE 0 END) AS n_fp_shared
+      FROM sel s JOIN fp_global fg USING (fp)
+      GROUP BY s.source
+    )
+    SELECT d.source,
+           CAST(d.n_docs AS BIGINT) AS n_docs,
+           CAST(d.n_windows AS BIGINT) AS n_windows,
+           CAST(f.n_fp AS BIGINT) AS n_fp,
+           CAST(f.n_fp_shared AS BIGINT) AS n_fp_shared,
+           CAST(f.n_fp * 1000000 // d.n_windows AS BIGINT) AS density_ppm
+    FROM doc_stats d JOIN src_fp f USING (source)
+    ORDER BY d.source
+    """,
+)
+def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken, the
+    MOSS algorithm): hash every {k}-gram of the normalized alnum
+    stream, slide a window of {w} consecutive hashes, and keep the
+    window MINIMUM — the provably-robust local fingerprinting scheme:
+    any verbatim overlap of at least k+w-1 = {kw} characters between two
+    documents is guaranteed to share a selected fingerprint, while only
+    ~2/(w+1) = {exp} ppm of grams are kept. Reported per source: window
+    count, selected-fingerprint count, the achieved density (ppm,
+    against the 2/(w+1) theoretical rate), and how many selected
+    fingerprints also occur in another document (the cross-doc overlap
+    signal a containment/plagiarism pass would chase).
+
+    Plan shape at 100 TB: the gram explode is scan-stage fanout (~|text|
+    rows per doc, same shape as the shingle pipelines), the winnowing
+    min is ONE window partitioned by doc_id (never global), selection is
+    a (doc, fp) distinct, and cross-doc sharing is an fp-keyed
+    equi-join of the selected set against its own |distinct fp|-sized
+    histogram — no pair explosion anywhere; candidate *pairs* are
+    deliberately left to the banded pipelines (`dedup_ngram_jaccard`,
+    `block_containment_pairs`), this operator is the fingerprint layer
+    under them. The md5-derived 60-bit gram hash is the portable-hash
+    trick used across the repo (identical in DuckDB), not Spark's
+    engine-local xxhash."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.regexp_replace(F.lower("text"), "[^a-z0-9]", "").alias("norm"),
+        )
+        .withColumn("n_grams", F.length("norm") - _WN_K + 1)
+        .filter(F.length("norm") >= _WN_K + _WN_W - 1)
+    )
+    g = m.select(
+        "doc_id",
+        "source",
+        "n_grams",
+        F.explode(F.sequence(F.lit(1), F.col("n_grams"))).alias("pos"),
+        "norm",
+    ).select(
+        "doc_id",
+        "source",
+        "n_grams",
+        "pos",
+        F.conv(
+            F.substring(
+                F.md5(F.expr(f"substring(norm, CAST(pos AS INT), {_WN_K})")), 1, 15
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, _WN_W - 1)
+    )
+    sel = (
+        g.withColumn("fp", F.min("h").over(win))
+        .filter(F.col("pos") <= F.col("n_grams") - _WN_W + 1)
+        .select("doc_id", "source", "fp")
+        .distinct()
+    )
+    doc_stats = m.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col("n_grams") - _WN_W + 1).cast("bigint").alias("n_windows"),
+    )
+    fp_global = sel.groupBy("fp").agg(F.countDistinct("doc_id").alias("nd"))
+    src_fp = (
+        sel.join(fp_global, "fp")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_fp"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_fp_shared"),
+        )
+    )
+    return (
+        doc_stats.join(src_fp, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_windows",
+            "n_fp",
+            "n_fp_shared",
+            F.expr("CAST(n_fp * 1000000 div n_windows AS BIGINT)").alias(
+                "density_ppm"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+winnow_fingerprints.__doc__ = winnow_fingerprints.__doc__.format(
+    k=_WN_K, w=_WN_W, kw=_WN_K + _WN_W - 1, exp=2 * 1000000 // (_WN_W + 1)
+)

@@ -3697,3 +3697,99 @@ def zonemap_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rows_scanned"),
         F.sum("n_match").cast("bigint").alias("rows_matching"),
     )
+
+
+@register(
+    "feature_drift_bins",
+    """
+    WITH p AS (
+      SELECT least(CAST(o_totalprice AS BIGINT) // 50000, 9) AS bucket,
+             CASE WHEN year(o_orderdate) = 1995 THEN 1 ELSE 0 END AS in_a,
+             CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END AS in_b
+      FROM orders
+      WHERE year(o_orderdate) IN (1995, 1996)
+    ), b AS (
+      SELECT bucket, sum(in_a) AS n_a, sum(in_b) AS n_b
+      FROM p GROUP BY bucket
+    ), t AS (
+      SELECT sum(n_a) AS na_tot, sum(n_b) AS nb_tot FROM b
+    ), d AS (
+      SELECT bucket, n_a, n_b,
+             n_a * 1000000 // na_tot AS d_a_ppm,
+             n_b * 1000000 // nb_tot AS d_b_ppm
+      FROM b, t
+    ), c AS (
+      SELECT *,
+             (d_b_ppm - d_a_ppm) * (d_b_ppm - d_a_ppm)
+               // greatest(d_a_ppm, 1) AS chi2_contrib_ppm
+      FROM d
+    ), s AS (
+      SELECT sum(chi2_contrib_ppm) AS drift_ppm FROM c
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           CAST(d_a_ppm AS BIGINT) AS d_a_ppm,
+           CAST(d_b_ppm AS BIGINT) AS d_b_ppm,
+           CAST(chi2_contrib_ppm AS BIGINT) AS chi2_contrib_ppm,
+           CAST(drift_ppm AS BIGINT) AS drift_ppm
+    FROM c, s
+    ORDER BY bucket
+    """,
+)
+def feature_drift_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-drift audit between two periods of a numeric feature
+    (o_totalprice, 1995 vs 1996): fixed 50k-wide price buckets, each
+    period's bucket shares in ppm, and a chi-square-style drift score
+    per bucket — (share_b - share_a)^2 / share_a — summed into one
+    headline drift number. This is the PSI/chi-square monitoring gate a
+    feature pipeline runs before refreshing a training set; the
+    polynomial form (not log-based PSI) keeps every value an exact
+    integer ppm in both engines (the repo-wide no-libm rule), and is
+    monotone in the same divergence signal.
+
+    Plan: the year predicate prunes at the scan (pushed filter), ONE
+    partial-aggregated shuffle to ≤10 buckets, then pure arithmetic on
+    the 10-row frame with two 1-row broadcast rollups (totals, drift
+    sum) — the leakage_safe_split terminal shape. 100 TB cost is one
+    pruned scan; bucket count is a free parameter."""
+    orders = load_table(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+    p = orders.filter(yr.isin(1995, 1996)).select(
+        F.least(F.expr("CAST(o_totalprice AS BIGINT) div 50000"), F.lit(9)).alias(
+            "bucket"
+        ),
+        F.when(yr == 1995, 1).otherwise(0).alias("in_a"),
+        F.when(yr == 1996, 1).otherwise(0).alias("in_b"),
+    )
+    b = p.groupBy("bucket").agg(
+        F.sum("in_a").alias("n_a"), F.sum("in_b").alias("n_b")
+    )
+    t = b.agg(F.sum("n_a").alias("na_tot"), F.sum("n_b").alias("nb_tot"))
+    d = b.crossJoin(F.broadcast(t)).select(
+        "bucket",
+        "n_a",
+        "n_b",
+        F.expr("n_a * 1000000 div na_tot").alias("d_a_ppm"),
+        F.expr("n_b * 1000000 div nb_tot").alias("d_b_ppm"),
+    )
+    c = d.withColumn(
+        "chi2_contrib_ppm",
+        F.expr(
+            "(d_b_ppm - d_a_ppm) * (d_b_ppm - d_a_ppm) div greatest(d_a_ppm, 1)"
+        ),
+    )
+    s = c.agg(F.sum("chi2_contrib_ppm").alias("drift_ppm"))
+    return (
+        c.crossJoin(F.broadcast(s))
+        .select(
+            F.col("bucket").cast("bigint"),
+            F.col("n_a").cast("bigint"),
+            F.col("n_b").cast("bigint"),
+            F.col("d_a_ppm").cast("bigint"),
+            F.col("d_b_ppm").cast("bigint"),
+            F.col("chi2_contrib_ppm").cast("bigint"),
+            F.col("drift_ppm").cast("bigint"),
+        )
+        .orderBy("bucket")
+    )

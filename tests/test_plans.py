@@ -233,6 +233,10 @@ _FIXED_SIDE_CROSSJOINS = {
     "bootstrap_mean_ci",
     # 1-row leak-audit broadcast beside the 3-row split rollup
     "leakage_safe_split",
+    # 1-row ECE rollup broadcast beside the ≤10-bin reliability frame
+    "calibration_ece_bins",
+    # two 1-row broadcasts (period totals, drift sum) beside the ≤10-bin frame
+    "feature_drift_bins",
 }
 
 
