@@ -203,6 +203,9 @@ _VERIFY_FIRST = (
     "winnow_fingerprints",
     "calibration_ece_bins",
     "feature_drift_bins",
+    "compaction_bin_packing",
+    "categorical_chi2_association",
+    "curriculum_interleave",
 )
 
 

@@ -1502,3 +1502,78 @@ def calibration_ece_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# Curriculum ordering with round-robin source interleave
+# ---------------------------------------------------------------------------
+
+_CUR_TOPK = 5  # easiest docs taken per source
+
+
+@register(
+    "curriculum_interleave",
+    f"""
+    WITH ranked AS (
+      SELECT doc_id, source, n_chars,
+             CAST(substr(source, 4) AS BIGINT) AS source_idx,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS rank
+      FROM documents
+    ), t AS (
+      SELECT count(DISTINCT source) AS n_sources FROM ranked
+    )
+    SELECT CAST((rank - 1) * n_sources + source_idx + 1 AS BIGINT)
+             AS global_pos,
+           CAST(rank AS BIGINT) AS rank,
+           source,
+           CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_chars AS BIGINT) AS difficulty
+    FROM ranked, t
+    WHERE rank <= {_CUR_TOPK}
+    ORDER BY global_pos
+    """,
+)
+def curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering with round-robin source interleave: rank each
+    source's documents easiest-first (n_chars as the difficulty proxy,
+    doc_id tie-break), take the top {k} per source, and lay them out in
+    a global curriculum where consecutive positions cycle through the
+    sources — global_pos = (rank-1)·n_sources + source_idx + 1. The
+    interleave guarantees no two consecutive training examples share a
+    source (the mixing property curriculum schedules need so "easy
+    first" doesn't collapse into "one domain first").
+
+    The global position is ARITHMETIC, not a global window: rank comes
+    from a source-partitioned window and the source index from the
+    fixture's dense source naming (src0..srcN; a production corpus
+    derives it from a dictionary join — the doc_global_ordinal pattern
+    covers the general case). One scan, one source-partitioned window,
+    one 1-row source-count broadcast; no global sort anywhere, so the
+    curriculum layout scales to any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.expr("CAST(substr(source, 4) AS BIGINT)").alias("source_idx"),
+        F.row_number().over(w).alias("rank"),
+    ).filter(F.col("rank") <= _CUR_TOPK)
+    t = docs.agg(F.countDistinct("source").alias("n_sources"))
+    return (
+        ranked.crossJoin(F.broadcast(t))
+        .select(
+            ((F.col("rank") - 1) * F.col("n_sources") + F.col("source_idx") + 1)
+            .cast("bigint")
+            .alias("global_pos"),
+            F.col("rank").cast("bigint"),
+            "source",
+            F.col("doc_id").cast("bigint"),
+            F.col("n_chars").cast("bigint").alias("difficulty"),
+        )
+        .orderBy("global_pos")
+    )
+
+
+curriculum_interleave.__doc__ = curriculum_interleave.__doc__.format(k=_CUR_TOPK)

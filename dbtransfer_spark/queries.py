@@ -3793,3 +3793,212 @@ def feature_drift_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+_COMPACT_TARGET = 20000  # target bin size in bytes
+_COMPACT_SHARD = 16      # files per packing shard
+
+
+@register(
+    "compaction_bin_packing",
+    f"""
+    WITH f AS (
+      SELECT event_id // 250 AS file_id,
+             sum(16 + octet_length(CAST(props AS BLOB))) AS bytes
+      FROM events GROUP BY 1
+    ), c AS (
+      SELECT file_id, bytes, file_id // {_COMPACT_SHARD} AS shard,
+             sum(bytes) OVER (PARTITION BY file_id // {_COMPACT_SHARD}
+                              ORDER BY file_id
+                              ROWS UNBOUNDED PRECEDING) - bytes AS cum_before
+      FROM f
+    ), a AS (
+      SELECT shard, cum_before // {_COMPACT_TARGET} AS bin, file_id, bytes
+      FROM c
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(bin AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(bytes) AS BIGINT) AS bytes,
+           CAST(min(file_id) AS BIGINT) AS first_file,
+           CAST(max(file_id) AS BIGINT) AS last_file,
+           CAST(sum(bytes) * 1000000 // {_COMPACT_TARGET} AS BIGINT) AS fill_ppm
+    FROM a GROUP BY shard, bin ORDER BY shard, bin
+    """,
+)
+def compaction_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner (the Iceberg/Delta binPack
+    maintenance job as a query): model ingest files as 250-event groups
+    with their byte sizes, then pack consecutive files into
+    ~{target}-byte rewrite bins via a running-sum next-fit — bin =
+    floor(bytes_before / target) within a {shard}-file shard. The output
+    is the rewrite manifest: per bin, the file range to coalesce, its
+    actual bytes, and the fill ratio against target.
+
+    Plan shape: one partial-aggregated shuffle builds the file-size
+    table (|events|/250 rows), ONE window partitioned by shard (never a
+    global cumulative sum — packing within shards is exactly how real
+    compaction planners bound coordination, and it keeps the prefix sum
+    partition-local at 100 TB), then a (shard, bin) rollup. All
+    integer arithmetic — exact in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.groupBy(F.expr("event_id div 250").alias("file_id")).agg(
+        F.sum(F.lit(16) + F.octet_length("props")).alias("bytes")
+    )
+    w = (
+        Window.partitionBy(F.expr(f"file_id div {_COMPACT_SHARD}"))
+        .orderBy("file_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = f.select(
+        "file_id",
+        "bytes",
+        F.expr(f"file_id div {_COMPACT_SHARD}").alias("shard"),
+        (F.sum("bytes").over(w) - F.col("bytes")).alias("cum_before"),
+    )
+    a = c.select(
+        "shard",
+        F.expr(f"cum_before div {_COMPACT_TARGET}").alias("bin"),
+        "file_id",
+        "bytes",
+    )
+    return (
+        a.groupBy("shard", "bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.sum("bytes").cast("bigint").alias("bytes"),
+            F.min("file_id").cast("bigint").alias("first_file"),
+            F.max("file_id").cast("bigint").alias("last_file"),
+            F.expr(f"CAST(sum(bytes) * 1000000 div {_COMPACT_TARGET} AS BIGINT)").alias(
+                "fill_ppm"
+            ),
+        )
+        .select(
+            F.col("shard").cast("bigint"),
+            F.col("bin").cast("bigint"),
+            "n_files",
+            "bytes",
+            "first_file",
+            "last_file",
+            "fill_ppm",
+        )
+        .orderBy("shard", "bin")
+    )
+
+
+compaction_bin_packing.__doc__ = compaction_bin_packing.__doc__.format(
+    target=_COMPACT_TARGET, shard=_COMPACT_SHARD
+)
+
+
+@register(
+    "categorical_chi2_association",
+    """
+    WITH cells AS (
+      SELECT c_mktsegment AS seg, o_orderpriority AS prio,
+             count(*) AS n
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2
+    ), m AS (
+      SELECT seg, prio, n,
+             sum(n) OVER (PARTITION BY seg) AS r,
+             sum(n) OVER (PARTITION BY prio) AS c
+      FROM cells
+    ), tot AS (
+      SELECT sum(n) AS big_n,
+             count(DISTINCT seg) AS n_seg,
+             count(DISTINCT prio) AS n_prio
+      FROM cells
+    ), e AS (
+      SELECT seg, prio, n, r * c // big_n AS expected,
+             (n - r * c // big_n) * (n - r * c // big_n) * 1000000
+               // greatest(r * c // big_n, 1) AS chi2_contrib_ppm,
+             big_n, n_seg, n_prio
+      FROM m, tot
+    ), s AS (
+      SELECT sum(chi2_contrib_ppm)
+               // (max(big_n) * least(max(n_seg) - 1, max(n_prio) - 1))
+               AS cramer_v2_ppm
+      FROM e
+    )
+    SELECT seg, prio,
+           CAST(n AS BIGINT) AS n,
+           CAST(expected AS BIGINT) AS expected,
+           CAST(chi2_contrib_ppm AS BIGINT) AS chi2_contrib_ppm,
+           CAST(cramer_v2_ppm AS BIGINT) AS cramer_v2_ppm
+    FROM e, s
+    ORDER BY seg, prio
+    """,
+)
+def categorical_chi2_association(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square association audit between two categorical columns
+    (customer market segment × order priority): the full contingency
+    table with expected counts under independence, per-cell chi-square
+    contributions, and a squared Cramér's V headline — the
+    feature-association screen a training pipeline runs to catch
+    redundant or leaking categorical features before encoding them.
+    V² (not V) is reported so the value stays inside exact integer
+    arithmetic — no sqrt, no libm (monotone in V, which is all a
+    screen needs).
+
+    Plan: one fact-dim equi-join (customer scales with SF, so no
+    broadcast hint — AQE picks the strategy; at 100 TB this is the
+    standard shuffle join on custkey), ONE partial-aggregated shuffle
+    to the ≤25-cell contingency table, then pure arithmetic on that
+    tiny frame: margins via two PARTITIONED window sums over the cell
+    frame (no re-aggregation branches — keeps the static lineage at 8
+    scans), independence expectations, and two 1-row broadcast rollups.
+    Integer overflow bound: (n-e)²·1e6 ≤ N²·1e6 stays under 2^63
+    through sf1000."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    cells = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("prio"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    m = cells.withColumn(
+        "r", F.sum("n").over(Window.partitionBy("seg"))
+    ).withColumn("c", F.sum("n").over(Window.partitionBy("prio")))
+    tot = cells.agg(
+        F.sum("n").alias("big_n"),
+        F.countDistinct("seg").alias("n_seg"),
+        F.countDistinct("prio").alias("n_prio"),
+    )
+    e = (
+        m.crossJoin(F.broadcast(tot))
+        .select(
+            "seg",
+            "prio",
+            "n",
+            F.expr("r * c div big_n").alias("expected"),
+            F.expr(
+                "(n - r * c div big_n) * (n - r * c div big_n) * 1000000"
+                " div greatest(r * c div big_n, 1)"
+            ).alias("chi2_contrib_ppm"),
+            "big_n",
+            "n_seg",
+            "n_prio",
+        )
+    )
+    s = e.agg(
+        F.expr(
+            "sum(chi2_contrib_ppm)"
+            " div (max(big_n) * least(max(n_seg) - 1, max(n_prio) - 1))"
+        ).alias("cramer_v2_ppm")
+    )
+    return (
+        e.crossJoin(F.broadcast(s))
+        .select(
+            "seg",
+            "prio",
+            F.col("n").cast("bigint"),
+            F.col("expected").cast("bigint"),
+            F.col("chi2_contrib_ppm").cast("bigint"),
+            F.col("cramer_v2_ppm").cast("bigint"),
+        )
+        .orderBy("seg", "prio")
+    )

@@ -237,6 +237,10 @@ _FIXED_SIDE_CROSSJOINS = {
     "calibration_ece_bins",
     # two 1-row broadcasts (period totals, drift sum) beside the ≤10-bin frame
     "feature_drift_bins",
+    # two 1-row broadcasts (N/margins count, V² rollup) beside the ≤25-cell table
+    "categorical_chi2_association",
+    # 1-row source-count broadcast beside the top-k-per-source frame
+    "curriculum_interleave",
 }
 
 
