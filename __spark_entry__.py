@@ -206,6 +206,9 @@ _VERIFY_FIRST = (
     "compaction_bin_packing",
     "categorical_chi2_association",
     "curriculum_interleave",
+    "zorder_clustering_stats",
+    "bloom_join_prefilter",
+    "scd2_as_of_snapshot",
 )
 
 

@@ -388,3 +388,97 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_brand", "key_a", "key_b", "name_a", "name_b", "dist")
         .orderBy("p_brand", "key_a", "key_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 as-of snapshot (time travel over the change history)
+# ---------------------------------------------------------------------------
+
+_SNAP_AT = "2024-01-03 00:00:00"
+
+
+@register(
+    "scd2_as_of_snapshot",
+    f"""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), changes AS (
+      SELECT user_id, event_type, ts AS valid_from, event_id
+      FROM ordered
+      WHERE prev_type IS NULL OR event_type <> prev_type
+    ), hist AS (
+      SELECT user_id, event_type, valid_from,
+             lead(valid_from) OVER (PARTITION BY user_id
+                                    ORDER BY valid_from, event_id) AS valid_to,
+             CAST(sum(CASE WHEN valid_from <= TIMESTAMP '{_SNAP_AT}'
+                           THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id) AS BIGINT)
+               AS n_versions_to_date
+      FROM changes
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           event_type AS state_at,
+           valid_from,
+           n_versions_to_date
+    FROM hist
+    WHERE valid_from <= TIMESTAMP '{_SNAP_AT}'
+      AND (valid_to IS NULL OR valid_to > TIMESTAMP '{_SNAP_AT}')
+    ORDER BY user_id
+    """,
+)
+def scd2_as_of_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over the SCD2 dimension: reconstruct, from the raw
+    change log, each entity's state AS OF a fixed timestamp — the row
+    whose validity interval [valid_from, valid_to) covers the as-of
+    point — plus how many versions the entity had accumulated by then.
+    This is the query side of `scd2_history` (reference stores only
+    last-state — mysql.go:417-445; here the full bitemporal read is a
+    first-class operator): warehouse consumers use exactly this shape
+    to join facts against dimension attributes "as they were".
+
+    Plan: identical to scd2_history — ONE hash shuffle on user_id
+    serves the lag, lead, and version-count windows (same
+    partitioning; Catalyst collapses them), then a narrow interval
+    filter. Determinism: (ts, event_id) total order (event_id is
+    row-unique). 100 TB: cost is the one per-key history sort SCD2
+    inherently needs; the as-of filter prunes to |users| output rows
+    map-side."""
+    ev = load_table(spark, sf_dir, "events")
+    at = F.lit(_SNAP_AT).cast("timestamp")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+        .select("user_id", "event_type", F.col("ts").alias("valid_from"), "event_id")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    wv = Window.partitionBy("user_id")
+    hist = changes.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.sum(F.when(F.col("valid_from") <= at, 1).otherwise(0))
+        .over(wv)
+        .cast("bigint")
+        .alias("n_versions_to_date"),
+    )
+    return (
+        hist.filter(
+            (F.col("valid_from") <= at)
+            & (F.col("valid_to").isNull() | (F.col("valid_to") > at))
+        )
+        .select(
+            F.col("user_id").cast("bigint"),
+            F.col("event_type").alias("state_at"),
+            "valid_from",
+            "n_versions_to_date",
+        )
+        .orderBy("user_id")
+    )

