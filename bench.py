@@ -53,6 +53,10 @@ HEADLINE = [
     "countmin_heavy_hitters",  # constant-state CMS sketch + probe (round 7)
     "join_cardinality_preflight",  # count-table join sizing (round 7)
     "ewma_daily_revenue",      # exact binary-weight EWMA (round 7)
+    "winnow_fingerprints",     # MOSS winnowing fingerprint layer (round 7)
+    "bloom_join_prefilter",    # declarative bloom semi-join reduction (round 7)
+    "zorder_clustering_stats", # 2-D zone-map pruning comparison (round 7)
+    "image_ahash_neardup",     # perceptual-hash banded near-dup (round 7)
 ]
 
 
