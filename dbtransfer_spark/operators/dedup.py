@@ -1668,10 +1668,14 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprints also occur in another document (the cross-doc overlap
     signal a containment/plagiarism pass would chase).
 
-    Plan shape at 100 TB: the gram explode is scan-stage fanout (~|text|
-    rows per doc, same shape as the shingle pipelines), the winnowing
-    min is ONE window partitioned by doc_id (never global), selection is
-    a (doc, fp) distinct, and cross-doc sharing is an fp-keyed
+    Plan shape at 100 TB: DISTINCT-FIRST — the gram explode (~|text|
+    rows per text, shingle-pipeline shape) and the winnowing min (ONE
+    window partitioned by content hash, never global) run once per
+    distinct normalized content; documents join the per-content
+    fingerprint set back by content hash, so duplicate-heavy corpora
+    pay |distinct content|, not |docs| (the ×10-replicated sf1
+    rehearsal GC-thrashed the row-level form). Cross-doc sharing is an
+    fp-keyed
     equi-join of the selected set against its own |distinct fp|-sized
     histogram — no pair explosion anywhere; candidate *pairs* are
     deliberately left to the banded pipelines (`dedup_ngram_jaccard`,
@@ -1689,15 +1693,23 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_grams", F.length("norm") - _WN_K + 1)
         .filter(F.length("norm") >= _WN_K + _WN_W - 1)
     )
-    g = m.select(
-        "doc_id",
-        "source",
+    # distinct-first (SCALE.md blanket rule): fingerprints depend only
+    # on the normalized content, so the gram explode + winnowing window
+    # run once per DISTINCT norm and docs join the result back by
+    # content hash. On the ×10-replicated sf1 fixture the row-level
+    # form exploded 10× the grams and GC-thrashed to the 120 s cap;
+    # this form's fanout is |distinct content| — exactly the dup-heavy
+    # 100 TB corpus case.
+    content = m.select("norm", "n_grams").distinct().withColumn(
+        "nh", F.md5("norm")
+    )
+    g = content.select(
+        "nh",
         "n_grams",
         F.explode(F.sequence(F.lit(1), F.col("n_grams"))).alias("pos"),
         "norm",
     ).select(
-        "doc_id",
-        "source",
+        "nh",
         "n_grams",
         "pos",
         F.conv(
@@ -1711,16 +1723,19 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("h"),
     )
     win = (
-        Window.partitionBy("doc_id")
+        Window.partitionBy("nh")
         .orderBy("pos")
         .rowsBetween(Window.currentRow, _WN_W - 1)
     )
-    sel = (
+    cfp = (
         g.withColumn("fp", F.min("h").over(win))
         .filter(F.col("pos") <= F.col("n_grams") - _WN_W + 1)
-        .select("doc_id", "source", "fp")
+        .select("nh", "fp")
         .distinct()
     )
+    sel = m.withColumn("nh", F.md5("norm")).select("doc_id", "source", "nh").join(
+        cfp, "nh"
+    ).select("doc_id", "source", "fp")
     doc_stats = m.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum(F.col("n_grams") - _WN_W + 1).cast("bigint").alias("n_windows"),
