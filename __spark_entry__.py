@@ -209,6 +209,8 @@ _VERIFY_FIRST = (
     "zorder_clustering_stats",
     "bloom_join_prefilter",
     "scd2_as_of_snapshot",
+    "embedding_pq_codebook",
+    "clamped_running_balance",
 )
 
 

@@ -1853,3 +1853,155 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("bigint").alias("rk"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization codebook (PQ — the ANN compression layer)
+# ---------------------------------------------------------------------------
+
+_PQ_M = 4                      # subspaces
+_PQ_D = _KMEANS_DIM // _PQ_M   # dims per subspace (16)
+_PQ_K = 4                      # codes per subspace
+
+_PQ_ORACLE = f"""
+    WITH pts AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS v
+      FROM embeddings
+    ), sub AS (
+      SELECT vec_id, s.sub,
+             v[s.sub * {_PQ_D} + 1 : s.sub * {_PQ_D} + {_PQ_D}] AS sv
+      FROM pts CROSS JOIN (SELECT unnest(range(0, {_PQ_M})) AS sub) s
+    ),
+    c0 AS (SELECT sub, vec_id AS code, sv AS c FROM sub WHERE vec_id < {_PQ_K}),
+    d1 AS (
+      SELECT p.vec_id, p.sub, p.sv, c.code,
+             CAST(list_sum(list_transform(range(1, {_PQ_D + 1}),
+               i -> (p.sv[i] - c.c[i]) * (p.sv[i] - c.c[i]))) AS BIGINT) AS dist
+      FROM sub p JOIN c0 c ON p.sub = c.sub
+    ),
+    a1 AS (
+      SELECT vec_id, sub, sv, code FROM d1
+      QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+                                 ORDER BY dist, code) = 1
+    ),
+    m1 AS (
+      SELECT sub, code, dims.i,
+             CAST(sum(sv[dims.i]) AS BIGINT) AS s, count(*) AS n
+      FROM a1 CROSS JOIN (SELECT unnest(range(1, {_PQ_D + 1})) AS i) dims
+      GROUP BY sub, code, dims.i
+    ),
+    u1 AS (
+      SELECT sub, code, i, (s - ((s % n + n) % n)) // n AS cq FROM m1
+    ),
+    c1 AS (SELECT sub, code, list(cq ORDER BY i) AS c FROM u1 GROUP BY sub, code),
+    d2 AS (
+      SELECT p.vec_id, p.sub, c.code,
+             CAST(list_sum(list_transform(range(1, {_PQ_D + 1}),
+               i -> (p.sv[i] - c.c[i]) * (p.sv[i] - c.c[i]))) AS BIGINT) AS dist
+      FROM sub p JOIN c1 c ON p.sub = c.sub
+    ),
+    a2 AS (
+      SELECT vec_id, sub, code, dist FROM d2
+      QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+                                 ORDER BY dist, code) = 1
+    )
+    SELECT CAST(sub AS BIGINT) AS subspace,
+           CAST(code AS BIGINT) AS code,
+           CAST(count(*) AS BIGINT) AS n_assigned,
+           CAST(sum(dist) AS BIGINT) AS distortion_fp2,
+           CAST(sum(dist) // count(*) AS BIGINT) AS mean_distortion_fp2
+    FROM a2 GROUP BY sub, code ORDER BY subspace, code
+"""
+
+
+@register("embedding_pq_codebook", _PQ_ORACLE)
+def embedding_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codebook training (Jégou et al. — the
+    compression layer under IVF-PQ ANN indexes): split each {dim}-d
+    vector into {m} subspaces of {d} dims, run one Lloyd round per
+    subspace ({k} codes, deterministic seeds = the first {k} vectors'
+    sub-slices), and report the trained codebook's occupancy and
+    distortion per (subspace, code). A vector is then representable in
+    {m}·log2({k}) bits instead of {dim} floats; the per-cell
+    distortion is exactly the quantization error an IVF-PQ search
+    would see. Production scales k to 256 and iterates — the dataflow
+    below is round-for-round that pipeline.
+
+    Determinism (the kmeans_lloyd recipe): micro-unit fixed point
+    (floor(x·1e6)), BIGINT squared distances, floor-division means via
+    the sign-safe mod identity, ties on code id — bit-identical on any
+    engine/partitioning. Plan: the subspace explode is a {m}× narrow
+    fanout in the scan stage; each Lloyd phase is ONE broadcast of the
+    {m}·{k}-row codebook (fixed size at any SF), a (vec, sub)-window
+    argmin, and a ({m}·{k}·{d})-group partial-aggregated mean shuffle —
+    the same shuffle shapes as kmeans_lloyd, ×{m} narrower vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    points = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1000000.0).cast("long"),
+        ).alias("v"),
+    )
+    sub = points.select(
+        "vec_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {_PQ_M - 1}),"
+                f" s -> struct(s AS sub, slice(v, s * {_PQ_D} + 1, {_PQ_D}) AS sv))"
+            )
+        ).alias("e"),
+    ).select("vec_id", F.col("e.sub").alias("sub"), F.col("e.sv").alias("sv"))
+    c0 = sub.filter(F.col("vec_id") < _PQ_K).select(
+        "sub", F.col("vec_id").alias("code"), F.col("sv").alias("c")
+    )
+    w = Window.partitionBy("vec_id", "sub").orderBy("dist", "code")
+
+    def assign(cents):
+        return (
+            sub.join(F.broadcast(cents), "sub")
+            .withColumn("dist", _sqdist_fp(F.col("sv"), F.col("c")))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "c")
+        )
+
+    a1 = assign(c0)
+    per_dim = (
+        a1.select("sub", "code", F.posexplode("sv").alias("pos", "x"))
+        .groupBy("sub", "code", "pos")
+        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    mod = (F.col("s") % F.col("n") + F.col("n")) % F.col("n")
+    c1 = (
+        per_dim.withColumn("cq", ((F.col("s") - mod) / F.col("n")).cast("long"))
+        .groupBy("sub", "code")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cq"))),
+                lambda st: st.getField("cq"),
+            ).alias("c")
+        )
+    )
+    a2 = assign(c1)
+    return (
+        a2.groupBy(
+            F.col("sub").cast("bigint").alias("subspace"),
+            F.col("code").cast("bigint").alias("code"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_assigned"),
+            F.sum("dist").cast("bigint").alias("distortion_fp2"),
+            F.expr("CAST(sum(dist) div count(*) AS BIGINT)").alias(
+                "mean_distortion_fp2"
+            ),
+        )
+        .orderBy("subspace", "code")
+    )
+
+
+embedding_pq_codebook.__doc__ = embedding_pq_codebook.__doc__.format(
+    dim=_KMEANS_DIM, m=_PQ_M, d=_PQ_D, k=_PQ_K
+)

@@ -4306,3 +4306,106 @@ def bloom_join_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
 bloom_join_prefilter.__doc__ = bloom_join_prefilter.__doc__.format(
     m=_BF_M, k=_BF_K
 )
+
+
+@register(
+    "clamped_running_balance",
+    """
+    WITH daily AS (
+      SELECT l_suppkey AS supplier, CAST(l_shipdate AS DATE) AS d,
+             CAST(sum(CASE WHEN l_returnflag = 'R'
+                           THEN CAST(l_quantity AS BIGINT)
+                           ELSE -CAST(l_quantity AS BIGINT) END) AS BIGINT)
+               AS delta
+      FROM lineitem GROUP BY 1, 2
+    ), cums AS (
+      SELECT supplier, d,
+             sum(delta) OVER (PARTITION BY supplier ORDER BY d
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM daily
+    ), runs AS (
+      SELECT supplier, d, cum,
+             min(cum) OVER (PARTITION BY supplier ORDER BY d
+                            ROWS UNBOUNDED PRECEDING) AS runmin
+      FROM cums
+    ), bal AS (
+      SELECT supplier, d, cum - least(0, runmin) AS balance
+      FROM runs
+    )
+    SELECT CAST(supplier AS BIGINT) AS supplier,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(arg_max(balance, d) AS BIGINT) AS final_balance,
+           CAST(max(balance) AS BIGINT) AS peak_balance,
+           CAST(sum(CASE WHEN balance = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_days_floored
+    FROM bal GROUP BY supplier ORDER BY supplier
+    """,
+)
+def clamped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Floor-at-zero running inventory balance per supplier — returns
+    ('R') add stock, shipments draw it down, and the balance can never
+    go negative. The naive definition is a per-row recursion
+    (bal_t = max(0, bal_{t-1} + delta_t)), which SQL window functions
+    cannot express directly; the CLOSED FORM
+    ``bal_t = cum_t - min(0, running_min(cum_t))`` computes it with two
+    stacked prefix windows — the standard trick for clamped
+    accumulations (capped counters, non-negative cash registers,
+    overflow-less queues) that keeps the whole computation in one
+    partitioned window pipeline instead of a sequential loop.
+
+    Plan: one partial-aggregated shuffle to (supplier, day) deltas,
+    ONE hash shuffle on supplier serving both window passes (same
+    partitioning — Catalyst collapses them into a single sort), then a
+    supplier-keyed rollup with a deterministic arg_max/max_by final
+    pick (day is unique per supplier after the pre-aggregate). All
+    BIGINT, exact in both engines; per-key history length bounds the
+    window memory exactly as in scd2_history."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = (
+        li.groupBy(
+            F.col("l_suppkey").alias("supplier"),
+            F.col("l_shipdate").cast("date").alias("d"),
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("l_returnflag") == "R",
+                    F.col("l_quantity").cast("bigint"),
+                ).otherwise(-F.col("l_quantity").cast("bigint"))
+            )
+            .cast("bigint")
+            .alias("delta")
+        )
+    )
+    w = (
+        Window.partitionBy("supplier")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    runs = daily.withColumn("cum", F.sum("delta").over(w)).withColumn(
+        "runmin", F.min("cum").over(w)
+    )
+    bal = runs.select(
+        "supplier",
+        "d",
+        (F.col("cum") - F.least(F.lit(0), F.col("runmin"))).alias("balance"),
+    )
+    return (
+        bal.groupBy("supplier")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.expr("max_by(balance, d)").cast("bigint").alias("final_balance"),
+            F.max("balance").cast("bigint").alias("peak_balance"),
+            F.sum(F.when(F.col("balance") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_days_floored"),
+        )
+        .select(
+            F.col("supplier").cast("bigint"),
+            "n_days",
+            "final_balance",
+            "peak_balance",
+            "n_days_floored",
+        )
+        .orderBy("supplier")
+    )

@@ -676,3 +676,165 @@ def test_hll_sketch_partials_merge_to_direct_sketch(spark):
     assert merged == direct
     exact = docs.select("doc_id").distinct().count()
     assert abs(merged - exact) / exact < 0.05
+
+
+# ---------------------------------------------------------------------------
+# Round-7 second-wave property tests
+# ---------------------------------------------------------------------------
+
+
+def test_pq_codebook_matches_numpy_reimplementation(spark):
+    """Independent oracle #2 for embedding_pq_codebook: replay the whole
+    PQ training round (fixed-point, seeds, argmin with code tie-break,
+    floor-division means, reassignment) in numpy integer arithmetic and
+    require the 16-row codebook table to match EXACTLY."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from dbtransfer_spark.operators.similarity import (
+        _PQ_D,
+        _PQ_K,
+        _PQ_M,
+        embedding_pq_codebook,
+    )
+
+    tbl = pq.read_table(f"{SF_SMOKE}/embeddings.parquet").to_pandas()
+    tbl = tbl.sort_values("vec_id").reset_index(drop=True)
+    v = np.floor(
+        np.stack(tbl["embedding"].to_numpy()).astype(np.float64) * 1_000_000.0
+    ).astype(np.int64)
+    rows = []
+    for m in range(_PQ_M):
+        sv = v[:, m * _PQ_D : (m + 1) * _PQ_D]
+        cents = sv[:_PQ_K].copy()
+
+        def assign(c):
+            # dists: (n, k) exact int64; argmin with code tie-break
+            d = ((sv[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            return d.argmin(axis=1), d.min(axis=1)
+
+        code1, _ = assign(cents)
+        newc = np.zeros_like(cents)
+        for k in range(_PQ_K):
+            mem = sv[code1 == k]
+            if len(mem):
+                s = mem.sum(axis=0)
+                n = len(mem)
+                newc[k] = (s - ((s % n + n) % n)) // n  # floor division
+            else:
+                newc[k] = cents[k]
+        code2, dist2 = assign(newc)
+        for k in range(_PQ_K):
+            mask = code2 == k
+            if mask.any():
+                rows.append(
+                    (m, k, int(mask.sum()), int(dist2[mask].sum()),
+                     int(dist2[mask].sum()) // int(mask.sum()))
+                )
+    expected = pd.DataFrame(
+        rows,
+        columns=["subspace", "code", "n_assigned", "distortion_fp2",
+                 "mean_distortion_fp2"],
+    )
+    got = embedding_pq_codebook(spark, SF_SMOKE).toPandas()
+    pd.testing.assert_frame_equal(
+        got.astype("int64").reset_index(drop=True),
+        expected.astype("int64").reset_index(drop=True),
+    )
+
+
+def test_clamped_balance_matches_sequential_fold(spark):
+    """The closed form bal = cum - min(0, runmin(cum)) must equal the
+    literal per-day recursion bal_t = max(0, bal_{t-1} + delta_t)."""
+    import pyarrow.parquet as pq
+
+    from dbtransfer_spark.queries import QUERIES
+
+    li = pq.read_table(
+        f"{SF_SMOKE}/lineitem.parquet",
+        columns=["l_suppkey", "l_shipdate", "l_returnflag", "l_quantity"],
+    ).to_pandas()
+    li["d"] = li["l_shipdate"].astype("datetime64[ns]").dt.date
+    li["delta"] = li.apply(
+        lambda r: int(r["l_quantity"])
+        if r["l_returnflag"] == "R"
+        else -int(r["l_quantity"]),
+        axis=1,
+    )
+    daily = (
+        li.groupby(["l_suppkey", "d"])["delta"].sum().reset_index()
+        .sort_values(["l_suppkey", "d"])
+    )
+    expected = {}
+    for supp, grp in daily.groupby("l_suppkey"):
+        bal, peak, floored, final = 0, 0, 0, 0
+        for delta in grp["delta"]:
+            bal = max(0, bal + delta)
+            peak = max(peak, bal)
+            floored += 1 if bal == 0 else 0
+            final = bal
+        expected[int(supp)] = (len(grp), final, peak, floored)
+    got = QUERIES["clamped_running_balance"](spark, SF_SMOKE).toPandas()
+    for row in got.itertuples():
+        assert expected[int(row.supplier)] == (
+            int(row.n_days),
+            int(row.final_balance),
+            int(row.peak_balance),
+            int(row.n_days_floored),
+        ), f"supplier {row.supplier} mismatch"
+    assert len(got) == len(expected)
+
+
+def test_bloom_prefilter_has_no_false_negatives(spark):
+    """Bloom soundness: every true dim member must pass the filter —
+    n_bloom_pass ≥ n_true_match with n_false_pos the exact surplus,
+    and the bit load must be consistent with a non-empty build."""
+    from dbtransfer_spark.queries import QUERIES
+
+    row = QUERIES["bloom_join_prefilter"](spark, SF_SMOKE).collect()[0]
+    assert row.n_true_match > 0
+    assert row.n_bloom_pass >= row.n_true_match
+    assert row.n_false_pos == row.n_bloom_pass - row.n_true_match
+    assert 0 < row.n_bits_set <= 1024
+    assert row.fpr_ppm < 1_000_000
+
+
+def test_winnowing_guarantee_on_shared_substring(spark):
+    """The winnowing theorem: two documents sharing a verbatim run of
+    ≥ k+w-1 normalized characters select at least one common
+    fingerprint. Checked on the fixture: replicate the selection for
+    two synthetic docs sharing a 60-char run via the same SQL
+    expressions the operator uses."""
+    from pyspark.sql import functions as F
+
+    shared = "thequickbrownfoxjumpsoverthelazydogandgrabsthesilverspoon"  # 57 chars
+    a = "zzzz" + shared + "aaaa"
+    b = "qqqqqq" + shared + "bbbbbb"
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    m = df.select(
+        "doc_id", F.col("text").alias("norm"),
+        (F.length("text") - 8 + 1).alias("n_grams"),
+    )
+    g = m.select(
+        "doc_id", "n_grams",
+        F.explode(F.sequence(F.lit(1), F.col("n_grams"))).alias("pos"), "norm",
+    ).select(
+        "doc_id", "n_grams", "pos",
+        F.conv(
+            F.substring(F.md5(F.expr("substring(norm, CAST(pos AS INT), 8)")), 1, 15),
+            16, 10,
+        ).cast("long").alias("h"),
+    )
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    sel = (
+        g.withColumn("fp", F.min("h").over(win))
+        .filter(F.col("pos") <= F.col("n_grams") - 4 + 1)
+        .select("doc_id", "fp").distinct()
+    )
+    fps = {r.doc_id: set() for r in sel.collect()}
+    for r in sel.collect():
+        fps[r.doc_id].add(r.fp)
+    assert fps[1] & fps[2], "57-char shared run must share a fingerprint (k+w-1=11)"
