@@ -211,6 +211,8 @@ _VERIFY_FIRST = (
     "scd2_as_of_snapshot",
     "embedding_pq_codebook",
     "clamped_running_balance",
+    "rendezvous_sharding_drift",
+    "dictionary_encoding_stats",
 )
 
 

