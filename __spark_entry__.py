@@ -213,6 +213,7 @@ _VERIFY_FIRST = (
     "clamped_running_balance",
     "rendezvous_sharding_drift",
     "dictionary_encoding_stats",
+    "pq_adc_topk",
 )
 
 

@@ -1863,7 +1863,7 @@ _PQ_M = 4                      # subspaces
 _PQ_D = _KMEANS_DIM // _PQ_M   # dims per subspace (16)
 _PQ_K = 4                      # codes per subspace
 
-_PQ_ORACLE = f"""
+_PQ_CTE = f"""
     WITH pts AS (
       SELECT vec_id,
              list_transform(embedding,
@@ -1907,6 +1907,9 @@ _PQ_ORACLE = f"""
       QUALIFY row_number() OVER (PARTITION BY vec_id, sub
                                  ORDER BY dist, code) = 1
     )
+"""
+
+_PQ_ORACLE = _PQ_CTE + """
     SELECT CAST(sub AS BIGINT) AS subspace,
            CAST(code AS BIGINT) AS code,
            CAST(count(*) AS BIGINT) AS n_assigned,
@@ -1916,27 +1919,10 @@ _PQ_ORACLE = f"""
 """
 
 
-@register("embedding_pq_codebook", _PQ_ORACLE)
-def embedding_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization codebook training (Jégou et al. — the
-    compression layer under IVF-PQ ANN indexes): split each {dim}-d
-    vector into {m} subspaces of {d} dims, run one Lloyd round per
-    subspace ({k} codes, deterministic seeds = the first {k} vectors'
-    sub-slices), and report the trained codebook's occupancy and
-    distortion per (subspace, code). A vector is then representable in
-    {m}·log2({k}) bits instead of {dim} floats; the per-cell
-    distortion is exactly the quantization error an IVF-PQ search
-    would see. Production scales k to 256 and iterates — the dataflow
-    below is round-for-round that pipeline.
-
-    Determinism (the kmeans_lloyd recipe): micro-unit fixed point
-    (floor(x·1e6)), BIGINT squared distances, floor-division means via
-    the sign-safe mod identity, ties on code id — bit-identical on any
-    engine/partitioning. Plan: the subspace explode is a {m}× narrow
-    fanout in the scan stage; each Lloyd phase is ONE broadcast of the
-    {m}·{k}-row codebook (fixed size at any SF), a (vec, sub)-window
-    argmin, and a ({m}·{k}·{d})-group partial-aggregated mean shuffle —
-    the same shuffle shapes as kmeans_lloyd, ×{m} narrower vectors."""
+def _pq_train(spark: SparkSession, sf_dir: str):
+    """Shared PQ training dataflow: fixed-point points, subspace slices,
+    one Lloyd round; returns (points, sub, c1 codebook, a2 codes) as
+    lazy frames — consumed by embedding_pq_codebook and pq_adc_topk."""
     emb = load_table(spark, sf_dir, "embeddings")
     points = emb.select(
         "vec_id",
@@ -1986,6 +1972,31 @@ def embedding_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     a2 = assign(c1)
+    return points, sub, c1, a2
+
+
+@register("embedding_pq_codebook", _PQ_ORACLE)
+def embedding_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codebook training (Jégou et al. — the
+    compression layer under IVF-PQ ANN indexes): split each {dim}-d
+    vector into {m} subspaces of {d} dims, run one Lloyd round per
+    subspace ({k} codes, deterministic seeds = the first {k} vectors'
+    sub-slices), and report the trained codebook's occupancy and
+    distortion per (subspace, code). A vector is then representable in
+    {m}·log2({k}) bits instead of {dim} floats; the per-cell
+    distortion is exactly the quantization error an IVF-PQ search
+    would see. Production scales k to 256 and iterates — the dataflow
+    below is round-for-round that pipeline.
+
+    Determinism (the kmeans_lloyd recipe): micro-unit fixed point
+    (floor(x·1e6)), BIGINT squared distances, floor-division means via
+    the sign-safe mod identity, ties on code id — bit-identical on any
+    engine/partitioning. Plan: the subspace explode is a {m}× narrow
+    fanout in the scan stage; each Lloyd phase is ONE broadcast of the
+    {m}·{k}-row codebook (fixed size at any SF), a (vec, sub)-window
+    argmin, and a ({m}·{k}·{d})-group partial-aggregated mean shuffle —
+    the same shuffle shapes as kmeans_lloyd, ×{m} narrower vectors."""
+    _, _, _, a2 = _pq_train(spark, sf_dir)
     return (
         a2.groupBy(
             F.col("sub").cast("bigint").alias("subspace"),
@@ -2004,4 +2015,106 @@ def embedding_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 embedding_pq_codebook.__doc__ = embedding_pq_codebook.__doc__.format(
     dim=_KMEANS_DIM, m=_PQ_M, d=_PQ_D, k=_PQ_K
+)
+
+
+# ---------------------------------------------------------------------------
+# PQ asymmetric-distance (ADC) top-k search over the trained codebook
+# ---------------------------------------------------------------------------
+
+_ADC_NQ = 5    # probe queries: vec_id < 5
+_ADC_TOPK = 3
+
+_PQ_ADC_ORACLE = _PQ_CTE + f"""
+    , q AS (
+      SELECT vec_id AS qid, sub, sv FROM sub WHERE vec_id < {_ADC_NQ}
+    ), dtab AS (
+      SELECT q.qid, c.sub, c.code,
+             CAST(list_sum(list_transform(range(1, {_PQ_D + 1}),
+               i -> (q.sv[i] - c.c[i]) * (q.sv[i] - c.c[i]))) AS BIGINT) AS dq
+      FROM q JOIN c1 c ON q.sub = c.sub
+    ), adc AS (
+      SELECT d.qid, a.vec_id, CAST(sum(d.dq) AS BIGINT) AS adc_dist
+      FROM a2 a JOIN dtab d ON a.sub = d.sub AND a.code = d.code
+      WHERE a.vec_id <> d.qid
+      GROUP BY d.qid, a.vec_id
+    ), top AS (
+      SELECT qid, vec_id, adc_dist,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY adc_dist, vec_id) AS rank
+      FROM adc
+      QUALIFY rank <= {_ADC_TOPK}
+    )
+    SELECT CAST(t.qid AS BIGINT) AS query_id,
+           CAST(t.rank AS BIGINT) AS rank,
+           CAST(t.vec_id AS BIGINT) AS neighbor_id,
+           CAST(t.adc_dist AS BIGINT) AS adc_dist_fp2,
+           CAST(list_sum(list_transform(range(1, {_KMEANS_DIM + 1}),
+             i -> (pq.v[i] - pv.v[i]) * (pq.v[i] - pv.v[i]))) AS BIGINT)
+             AS exact_dist_fp2
+    FROM top t
+    JOIN pts pq ON pq.vec_id = t.qid
+    JOIN pts pv ON pv.vec_id = t.vec_id
+    ORDER BY query_id, rank
+"""
+
+
+@register("pq_adc_topk", _PQ_ADC_ORACLE)
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance (ADC) top-{topk} search over the trained PQ
+    codebook — how an IVF-PQ index actually answers queries: each query
+    precomputes an m×k DISTANCE TABLE against the codebook ({m}·{k}
+    BIGINT entries), and every database vector's approximate distance
+    is just the SUM of {m} table lookups keyed by its stored codes —
+    no float math, no original vectors touched. The exact 64-d
+    distance is joined on for the reported top-{topk} only, giving the
+    ADC-vs-exact gap per neighbor (the quantization error a recall
+    metric would integrate).
+
+    Scale shape: the distance table is |queries|×{m}×{k} rows —
+    broadcast, fixed size per query batch; the scan side touches only
+    the {m} codes per vector (the 100× I/O win PQ exists for), as one
+    broadcast-join + (query, vector)-keyed partial aggregate. Exact
+    re-scoring joins the {topk}-per-query winners back to the full
+    vectors — |output|-sized, never corpus-sized. Ties break on
+    vec_id; all arithmetic is the kmeans fixed-point recipe, so ranks
+    are bit-stable in both engines."""
+    points, sub, c1, a2 = _pq_train(spark, sf_dir)
+    q = sub.filter(F.col("vec_id") < _ADC_NQ).select(
+        F.col("vec_id").alias("qid"), "sub", F.col("sv").alias("qsv")
+    )
+    dtab = q.join(F.broadcast(c1), "sub").select(
+        "qid", "sub", "code", _sqdist_fp(F.col("qsv"), F.col("c")).alias("dq")
+    )
+    adc = (
+        a2.select("vec_id", "sub", "code")
+        .join(F.broadcast(dtab), ["sub", "code"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("dq").cast("bigint").alias("adc_dist"))
+    )
+    wq = Window.partitionBy("qid").orderBy("adc_dist", "vec_id")
+    top = adc.withColumn("rank", F.row_number().over(wq)).filter(
+        F.col("rank") <= _ADC_TOPK
+    )
+    pq_ = points.select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"))
+    pv = points.select(F.col("vec_id").alias("vec_id"), F.col("v").alias("nv"))
+    return (
+        top.join(pq_, "qid")
+        .join(pv, "vec_id")
+        .select(
+            F.col("qid").cast("bigint").alias("query_id"),
+            F.col("rank").cast("bigint").alias("rank"),
+            F.col("vec_id").cast("bigint").alias("neighbor_id"),
+            F.col("adc_dist").cast("bigint").alias("adc_dist_fp2"),
+            _sqdist_fp(F.col("qv"), F.col("nv"))
+            .cast("bigint")
+            .alias("exact_dist_fp2"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+pq_adc_topk.__doc__ = pq_adc_topk.__doc__.format(
+    m=_PQ_M, k=_PQ_K, topk=_ADC_TOPK
 )
