@@ -214,6 +214,15 @@ _VERIFY_FIRST = (
     "rendezvous_sharding_drift",
     "dictionary_encoding_stats",
     "pq_adc_topk",
+    "rle_encoding_stats",
+    "delta_encoding_advisor",
+    "shuffle_plan_advisor",
+    "predicate_selectivity_audit",
+    "kn_continuation_counts",
+    "item_cf_cosine2_topk",
+    "retention_hazard_curve",
+    "acf_lag_ingredients",
+    "l_diversity_audit",
 )
 
 

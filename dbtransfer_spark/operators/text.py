@@ -1570,3 +1570,89 @@ def docsim_term_overlap_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "rk")
     )
+
+
+@register(
+    "kn_continuation_counts",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+    ), bg AS (
+      SELECT ws[i] AS w1, ws[i + 1] AS w2
+      FROM toks, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+      WHERE ws[i] <> '' AND ws[i + 1] <> ''
+    ), pairs AS (
+      SELECT DISTINCT w1, w2 FROM bg
+    ), left_cont AS (
+      SELECT w2 AS word, CAST(count(*) AS BIGINT) AS n1p_left
+      FROM pairs GROUP BY w2
+    ), right_cont AS (
+      SELECT w1 AS word, CAST(count(*) AS BIGINT) AS n1p_right
+      FROM pairs GROUP BY w1
+    ), uni AS (
+      SELECT w1 AS word, CAST(count(*) AS BIGINT) AS n_uni
+      FROM bg GROUP BY w1
+    )
+    SELECT l.word, coalesce(u.n_uni, 0) AS n_uni, l.n1p_left,
+           coalesce(r.n1p_right, 0) AS n1p_right
+    FROM left_cont l
+    LEFT JOIN right_cont r ON l.word = r.word
+    LEFT JOIN uni u ON l.word = u.word
+    ORDER BY l.n1p_left DESC, l.word LIMIT 20
+    """,
+)
+def kn_continuation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney smoothing ingredients — the counts a KN-smoothed n-gram
+    LM (the classic data-quality scorer: perplexity filters in CCNet /
+    RedPajama ride on one) is estimated from: for each word, the DISTINCT
+    left-context count N1+(•w) (how many different words precede it — KN's
+    replacement for raw frequency, which over-weights words frequent only
+    inside one collocation), the distinct right-continuation N1+(w•), and
+    the raw unigram count for contrast. Emitted exact (no discounting
+    division), top-20 by N1+(•w) — the table a trainer joins against;
+    complements bigram_pmi_top (collocations) and unigram_freq_score
+    (the un-smoothed LM).
+
+    Plan: adjacent-pair explode (linear), DISTINCT pair aggregate
+    (partial-aggregated shuffle on the bigram), then three word-keyed
+    pre-aggregated frames join word-to-word (no fact-sized join); the
+    global top-20 is TakeOrdered. Same shuffle skeleton as
+    bigram_pmi_top — linear at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.split(F.lower("text"), " ", -1).alias("ws"))
+    bg = (
+        words.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1),"
+                    " i -> struct(ws[i-1] AS w1, ws[i] AS w2))"
+                )
+            ).alias("bg")
+        )
+        .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    pairs = bg.distinct()
+    left_cont = pairs.groupBy(F.col("w2").alias("word")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n1p_left")
+    )
+    right_cont = pairs.groupBy(F.col("w1").alias("word")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n1p_right")
+    )
+    uni = bg.groupBy(F.col("w1").alias("word")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_uni")
+    )
+    return (
+        left_cont.join(right_cont, "word", "left")
+        .join(uni, "word", "left")
+        .select(
+            "word",
+            F.coalesce(F.col("n_uni"), F.lit(0)).cast("bigint").alias("n_uni"),
+            "n1p_left",
+            F.coalesce(F.col("n1p_right"), F.lit(0))
+            .cast("bigint")
+            .alias("n1p_right"),
+        )
+        .orderBy(F.desc("n1p_left"), "word")
+        .limit(20)
+    )

@@ -4613,3 +4613,758 @@ def dictionary_encoding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000 div plain_bytes AS BIGINT)"
         ).alias("dict_ratio_ppm"),
     ).orderBy("col")
+
+
+@register(
+    "rle_encoding_stats",
+    """
+    WITH base AS (
+      SELECT l_orderkey, l_linenumber, l_orderkey // 512 AS rg,
+             l_returnflag, l_linestatus,
+             strftime(l_shipdate, '%Y-%m-%d') AS ship_day
+      FROM lineitem
+    ), unp AS (
+      SELECT rg, l_orderkey, l_linenumber,
+             'l_returnflag' AS col, l_returnflag AS val FROM base
+      UNION ALL SELECT rg, l_orderkey, l_linenumber,
+             'l_linestatus', l_linestatus FROM base
+      UNION ALL SELECT rg, l_orderkey, l_linenumber,
+             'ship_day', ship_day FROM base
+    ), runs AS (
+      SELECT col, val,
+             CASE WHEN lag(val) OVER w IS NULL OR lag(val) OVER w <> val
+                  THEN 1 ELSE 0 END AS run_start
+      FROM unp
+      WINDOW w AS (PARTITION BY col, rg ORDER BY l_orderkey, l_linenumber, val)
+    )
+    SELECT col,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(run_start) AS BIGINT) AS n_runs,
+           CAST(count(*) * 100 // sum(run_start) AS BIGINT)
+             AS mean_run_len_centi,
+           CAST(sum(length(val)) AS BIGINT) AS plain_bytes,
+           CAST(sum(CASE WHEN run_start = 1 THEN length(val) + 4 ELSE 0 END)
+                AS BIGINT) AS rle_bytes,
+           CAST(sum(CASE WHEN run_start = 1 THEN length(val) + 4 ELSE 0 END)
+                * 1000000 // sum(length(val)) AS BIGINT) AS rle_ratio_ppm
+    FROM runs GROUP BY col ORDER BY col
+    """,
+)
+def rle_encoding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length-encoding advisor — the second half of the parquet
+    writer's per-column-chunk encoding decision (dictionary_encoding_stats
+    covers DICT; this covers RLE, which wins on sorted/clustered layouts):
+    within each 512-row "row group" of the ingest layout (l_orderkey
+    clustering), count value runs per column and compare plain bytes
+    against run payloads (value + 4-byte run length). Low-cardinality
+    columns under a clustered layout (l_returnflag: 3 values) RLE-compress
+    hard; the ship-day column, unclustered by ship date, stays near 1:1 —
+    the advisor's ORDERING tells the writer (and a z-order/sort-layout
+    planner, cf. zorder_clustering_stats) which columns reward a sort.
+
+    Plan: one stacked scan (3× column fanout), one window per (col, rg)
+    partition — thousands of independent partitions, no global sort —
+    then a |cols|-row rollup. Runs never cross row-group boundaries,
+    exactly like the real writer, so the window partitioning IS the
+    parallelism at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr("l_orderkey div 512").alias("rg"),
+        "l_returnflag",
+        "l_linestatus",
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_day"),
+    )
+    unp = None
+    for c in ("l_returnflag", "l_linestatus", "ship_day"):
+        sel = base.select(
+            "rg", "l_orderkey", "l_linenumber",
+            F.lit(c).alias("col"), F.col(c).alias("val"),
+        )
+        unp = sel if unp is None else unp.unionByName(sel)
+    # (l_orderkey, l_linenumber) is NOT unique in the fixture; appending
+    # val makes the order total for run counting (equal-val ties are
+    # interchangeable — they can never move a run boundary).
+    w = Window.partitionBy("col", "rg").orderBy("l_orderkey", "l_linenumber", "val")
+    runs = unp.withColumn(
+        "run_start",
+        F.when(
+            F.lag("val").over(w).isNull() | (F.lag("val").over(w) != F.col("val")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    return (
+        runs.groupBy("col")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("run_start").cast("bigint").alias("n_runs"),
+            F.expr("CAST(count(*) * 100 div sum(run_start) AS BIGINT)").alias(
+                "mean_run_len_centi"
+            ),
+            F.sum(F.length("val")).cast("bigint").alias("plain_bytes"),
+            F.sum(
+                F.when(F.col("run_start") == 1, F.length("val") + 4).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("rle_bytes"),
+            F.expr(
+                "CAST(sum(CASE WHEN run_start = 1 THEN length(val) + 4 ELSE 0 END)"
+                " * 1000000 div sum(length(val)) AS BIGINT)"
+            ).alias("rle_ratio_ppm"),
+        )
+        .orderBy("col")
+    )
+
+
+@register(
+    "delta_encoding_advisor",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_orderkey // 512 AS rg, o_custkey,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS order_epoch_day
+      FROM orders
+    ), unp AS (
+      SELECT rg, o_orderkey AS k, 'o_orderkey' AS col,
+             CAST(o_orderkey AS BIGINT) AS val FROM base
+      UNION ALL SELECT rg, o_orderkey, 'o_custkey',
+             CAST(o_custkey AS BIGINT) FROM base
+      UNION ALL SELECT rg, o_orderkey, 'order_epoch_day',
+             order_epoch_day FROM base
+    ), d AS (
+      SELECT col, rg, val,
+             val - lag(val) OVER (PARTITION BY col, rg ORDER BY k) AS delta
+      FROM unp
+    ), blk AS (
+      SELECT col, rg, CAST(count(*) AS BIGINT) AS n,
+             CAST(length(bin(coalesce(greatest(max(abs(val)), 1), 1)))
+                  AS BIGINT) AS vbits,
+             CAST(length(bin(coalesce(greatest(max(2 * abs(delta)), 1), 1)))
+                  AS BIGINT) AS dbits
+      FROM d GROUP BY col, rg
+    )
+    SELECT col,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_blocks,
+           CAST(sum(n * vbits) AS BIGINT) AS packed_bits,
+           CAST(sum(128 + (n - 1) * dbits) AS BIGINT) AS delta_bits,
+           CAST(sum(128 + (n - 1) * dbits) * 1000000 // sum(n * vbits)
+                AS BIGINT) AS delta_ratio_ppm
+    FROM blk GROUP BY col ORDER BY col
+    """,
+)
+def delta_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELTA_BINARY_PACKED advisor for integer columns — the third leg of
+    the encoding-decision family (dictionary_encoding_stats: DICT,
+    rle_encoding_stats: RLE): per 512-row block in key layout order,
+    compare bit-packing the values (bits of max |value|) against delta
+    encoding (128-bit block header + bits of max zigzag delta ≈ 2|Δ| per
+    remaining value). A key laid out in insert order (o_orderkey: Δ=1 →
+    2 bits/value) crushes; a foreign key with random deltas (o_custkey)
+    gains nothing over packing — the ordering the writer needs. Bit
+    widths come from length(bin(n)), integer-exact in both engines (the
+    doclen_log2_histogram trick); zero/no-delta blocks are floored at 1
+    bit via coalesce(greatest(..,1),1), identical semantics both sides.
+
+    Plan: stacked scan (3× column fanout), per-(col, block) lag window —
+    independent 512-row partitions, embarrassingly parallel — a (col, rg)
+    partial-aggregated rollup, then a |cols|-row final. No global state
+    at any scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        F.expr("o_orderkey div 512").alias("rg"),
+        "o_custkey",
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+        .cast("bigint")
+        .alias("order_epoch_day"),
+    )
+    unp = None
+    for c in ("o_orderkey", "o_custkey", "order_epoch_day"):
+        sel = base.select(
+            "rg",
+            F.col("o_orderkey").alias("k"),
+            F.lit(c).alias("col"),
+            F.col(c).cast("bigint").alias("val"),
+        )
+        unp = sel if unp is None else unp.unionByName(sel)
+    w = Window.partitionBy("col", "rg").orderBy("k")
+    d = unp.withColumn("delta", F.col("val") - F.lag("val").over(w))
+    blk = d.groupBy("col", "rg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr(
+            "CAST(length(bin(coalesce(greatest(max(abs(val)), 1), 1))) AS BIGINT)"
+        ).alias("vbits"),
+        F.expr(
+            "CAST(length(bin(coalesce(greatest(max(2 * abs(delta)), 1), 1)))"
+            " AS BIGINT)"
+        ).alias("dbits"),
+    )
+    return (
+        blk.groupBy("col")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+            F.sum(F.col("n") * F.col("vbits")).cast("bigint").alias("packed_bits"),
+            F.sum(F.lit(128) + (F.col("n") - 1) * F.col("dbits"))
+            .cast("bigint")
+            .alias("delta_bits"),
+            F.expr(
+                "CAST(sum(128 + (n - 1) * dbits) * 1000000 div sum(n * vbits)"
+                " AS BIGINT)"
+            ).alias("delta_ratio_ppm"),
+        )
+        .orderBy("col")
+    )
+
+
+_SPA_TARGET = 1 << 18  # fixture-scaled partition target (256 KiB); prod: 128 MiB
+
+
+@register(
+    "shuffle_plan_advisor",
+    f"""
+    WITH keyed AS (
+      SELECT user_id,
+             CAST(40 + length(event_type) + length(coalesce(props, ''))
+                  AS BIGINT) AS row_bytes
+      FROM events
+    ), per_key AS (
+      SELECT user_id, CAST(sum(row_bytes) AS BIGINT) AS key_bytes,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM keyed GROUP BY user_id
+    ), tot AS (
+      SELECT CAST(sum(n_rows) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(key_bytes) AS BIGINT) AS total_bytes,
+             CAST(max(key_bytes) AS BIGINT) AS max_key_bytes
+      FROM per_key
+    ), skew AS (
+      SELECT CAST(count(*) AS BIGINT) AS skewed_keys
+      FROM per_key, tot
+      WHERE per_key.key_bytes * tot.n_keys > 2 * tot.total_bytes
+    )
+    SELECT tot.n_rows, tot.n_keys, tot.total_bytes, tot.max_key_bytes,
+           CAST((tot.total_bytes + {_SPA_TARGET - 1}) // {_SPA_TARGET}
+                AS BIGINT) AS recommended_partitions,
+           CAST((tot.max_key_bytes + {_SPA_TARGET - 1}) // {_SPA_TARGET}
+                AS BIGINT) AS max_key_salt_factor,
+           CAST(tot.max_key_bytes * 1000000 // tot.total_bytes AS BIGINT)
+             AS max_key_share_ppm,
+           skew.skewed_keys
+    FROM tot, skew
+    """,
+)
+def shuffle_plan_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-sizing pre-flight — turns the skew DIAGNOSTICS
+    (join_key_skew_profile: who is heavy; join_cardinality_preflight:
+    how big is the join output) into the CONF DECISIONS a 100 TB job
+    actually needs: ``spark.sql.shuffle.partitions`` (total shuffled
+    bytes / target partition size, ceil), the salt factor for the
+    heaviest key (its bytes / target, ceil — the replication count a
+    salted-join would use), the heaviest key's corpus share, and how
+    many keys exceed 2× the mean (AQE skew-split candidates). Row bytes
+    are estimated from the actual payload widths (fixed fields + string
+    lengths), not row counts — a key with few huge rows skews as hard
+    as one with many small rows. Target is 256 KiB fixture-scaled
+    (prod: 128 MiB — same arithmetic, one constant).
+
+    Plan: one partial-aggregated shuffle keyed on user_id builds the
+    per-key byte histogram; everything downstream is 1-row arithmetic
+    (the totals row broadcasts into the skew count — a whitelisted
+    fixed-1-row nested loop, never data-sized)."""
+    events = load_table(spark, sf_dir, "events")
+    per_key = (
+        events.select(
+            "user_id",
+            (
+                F.lit(40)
+                + F.length("event_type")
+                + F.length(F.coalesce(F.col("props"), F.lit("")))
+            )
+            .cast("bigint")
+            .alias("row_bytes"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum("row_bytes").cast("bigint").alias("key_bytes"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        )
+    )
+    tot = per_key.agg(
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("key_bytes").cast("bigint").alias("total_bytes"),
+        F.max("key_bytes").cast("bigint").alias("max_key_bytes"),
+    )
+    skew = (
+        per_key.crossJoin(
+            F.broadcast(
+                tot.select(
+                    F.col("n_keys").alias("__nk"),
+                    F.col("total_bytes").alias("__tb"),
+                )
+            )
+        )
+        .filter(F.col("key_bytes") * F.col("__nk") > 2 * F.col("__tb"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("skewed_keys"))
+    )
+    t = _SPA_TARGET
+    return tot.crossJoin(F.broadcast(skew)).select(
+        "n_rows",
+        "n_keys",
+        "total_bytes",
+        "max_key_bytes",
+        F.expr(f"CAST((total_bytes + {t - 1}) div {t} AS BIGINT)").alias(
+            "recommended_partitions"
+        ),
+        F.expr(f"CAST((max_key_bytes + {t - 1}) div {t} AS BIGINT)").alias(
+            "max_key_salt_factor"
+        ),
+        F.expr("CAST(max_key_bytes * 1000000 div total_bytes AS BIGINT)").alias(
+            "max_key_share_ppm"
+        ),
+        "skewed_keys",
+    )
+
+
+@register(
+    "predicate_selectivity_audit",
+    """
+    WITH agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN l_quantity < 10 THEN 1 ELSE 0 END) AS BIGINT)
+               AS na,
+             CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+               AS nb,
+             CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+               AS nc,
+             CAST(sum(CASE WHEN l_quantity < 10 AND l_discount > 0.05
+                           THEN 1 ELSE 0 END) AS BIGINT) AS nab,
+             CAST(sum(CASE WHEN l_quantity < 10 AND l_returnflag = 'R'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS nac,
+             CAST(sum(CASE WHEN l_discount > 0.05 AND l_returnflag = 'R'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS nbc,
+             CAST(sum(CASE WHEN l_quantity < 10 AND l_discount > 0.05
+                            AND l_returnflag = 'R'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS nabc
+      FROM lineitem
+    ), ppm AS (
+      SELECT n, na * 1000000 // n AS pa, nb * 1000000 // n AS pb,
+             nc * 1000000 // n AS pc,
+             nab * 1000000 // n AS pab, nac * 1000000 // n AS pac,
+             nbc * 1000000 // n AS pbc, nabc * 1000000 // n AS pabc
+      FROM agg
+    )
+    SELECT pred_set, CAST(est_ppm AS BIGINT) AS est_ppm,
+           CAST(actual_ppm AS BIGINT) AS actual_ppm,
+           CAST(abs(est_ppm - actual_ppm) AS BIGINT) AS err_ppm
+    FROM (
+      SELECT 'qty & disc' AS pred_set, pa * pb // 1000000 AS est_ppm,
+             pab AS actual_ppm FROM ppm
+      UNION ALL
+      SELECT 'qty & flag', pa * pc // 1000000, pac FROM ppm
+      UNION ALL
+      SELECT 'disc & flag', pb * pc // 1000000, pbc FROM ppm
+      UNION ALL
+      SELECT 'qty & disc & flag',
+             pa * pb // 1000000 * pc // 1000000, pabc FROM ppm
+    ) ORDER BY pred_set
+    """,
+)
+def predicate_selectivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-based-optimizer reality check: the independence assumption
+    every CBO (and Spark's own stats-based join reorder) uses for
+    conjunctive predicates — sel(A∧B) ≈ sel(A)·sel(B) — audited against
+    the true conjunctive counts, per predicate pair and the triple, in
+    exact ppm integer arithmetic (marginal ppms multiplied then floored,
+    the same order both engines). Correlated predicates (quantity and
+    discount are independent by construction; returnflag correlates with
+    ship date) show up as err_ppm — the signal that a column-group
+    statistic / multi-dim histogram is needed before trusting a plan at
+    100 TB (the zonemap/zorder advisors tell you how to LAY OUT;
+    this tells you when the OPTIMIZER's row estimates lie).
+
+    Plan: ONE scan computes all eight conditional counts as a 1-row
+    aggregate (no per-predicate passes); the 4-row report is a stack()
+    over that single row. Scan-bound at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    A = "l_quantity < 10"
+    B = "l_discount > 0.05"
+    C = "l_returnflag = 'R'"
+    agg = li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr(f"CAST(sum(CASE WHEN {A} THEN 1 ELSE 0 END) AS BIGINT)").alias("na"),
+        F.expr(f"CAST(sum(CASE WHEN {B} THEN 1 ELSE 0 END) AS BIGINT)").alias("nb"),
+        F.expr(f"CAST(sum(CASE WHEN {C} THEN 1 ELSE 0 END) AS BIGINT)").alias("nc"),
+        F.expr(
+            f"CAST(sum(CASE WHEN {A} AND {B} THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("nab"),
+        F.expr(
+            f"CAST(sum(CASE WHEN {A} AND {C} THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("nac"),
+        F.expr(
+            f"CAST(sum(CASE WHEN {B} AND {C} THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("nbc"),
+        F.expr(
+            f"CAST(sum(CASE WHEN {A} AND {B} AND {C} THEN 1 ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("nabc"),
+    )
+    ppm = agg.select(
+        F.expr("na * 1000000 div n").alias("pa"),
+        F.expr("nb * 1000000 div n").alias("pb"),
+        F.expr("nc * 1000000 div n").alias("pc"),
+        F.expr("nab * 1000000 div n").alias("pab"),
+        F.expr("nac * 1000000 div n").alias("pac"),
+        F.expr("nbc * 1000000 div n").alias("pbc"),
+        F.expr("nabc * 1000000 div n").alias("pabc"),
+    )
+    stacked = ppm.select(
+        F.expr(
+            "stack(4,"
+            " 'qty & disc', pa * pb div 1000000, pab,"
+            " 'qty & flag', pa * pc div 1000000, pac,"
+            " 'disc & flag', pb * pc div 1000000, pbc,"
+            " 'qty & disc & flag', pa * pb div 1000000 * pc div 1000000, pabc"
+            ") AS (pred_set, est_raw, actual_raw)"
+        )
+    )
+    return stacked.select(
+        "pred_set",
+        F.col("est_raw").cast("bigint").alias("est_ppm"),
+        F.col("actual_raw").cast("bigint").alias("actual_ppm"),
+        F.abs(F.col("est_raw") - F.col("actual_raw"))
+        .cast("bigint")
+        .alias("err_ppm"),
+    ).orderBy("pred_set")
+
+
+@register(
+    "item_cf_cosine2_topk",
+    """
+    WITH basket AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), n_item AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS n FROM basket GROUP BY 1
+    ), pair AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+             CAST(count(*) AS BIGINT) AS n_co
+      FROM basket a
+      JOIN basket b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    ), sym AS (
+      SELECT pa AS item, pb AS neighbor, n_co FROM pair
+      UNION ALL
+      SELECT pb, pa, n_co FROM pair
+    ), scored AS (
+      SELECT s.item, s.neighbor, ni.n AS n_item, nn.n AS n_neighbor, s.n_co,
+             CAST(s.n_co * s.n_co * 1000000 // (ni.n * nn.n) AS BIGINT)
+               AS cos2_ppm
+      FROM sym s
+      JOIN n_item ni ON s.item = ni.l_partkey
+      JOIN n_item nn ON s.neighbor = nn.l_partkey
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY item ORDER BY cos2_ppm DESC, neighbor) AS rk
+      FROM scored
+    )
+    SELECT item, neighbor, n_item, n_neighbor, n_co, cos2_ppm,
+           CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 3 ORDER BY item, rk
+    """,
+)
+def item_cf_cosine2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering serving table: for each part, the
+    top-3 most-similar parts by co-purchase cosine — the "users who bought
+    X also bought Y" primitive. Cosine over binary basket vectors is
+    n_co/√(n_a·n_b); to keep libm's sqrt out of the hash we rank by
+    SQUARED cosine in exact ppm (n_co²·10⁶ div n_a·n_b), monotone in
+    cosine, same trick as bigram_pmi_top's linear PMI. A co-count floor
+    (n_co ≥ 2) drops noise pairs, standard CF practice; complements
+    market_basket_pairs (support/lift of a pair) with the per-item
+    RANKED neighbor list a recommender actually serves.
+
+    Scale: candidate pairs come from the basket self-equi-join on
+    l_orderkey — Σ|basket|² bounded by order line counts (≤7 here; a cap
+    on pathological baskets is the join_cardinality_preflight check), so
+    linear in orders at any SF. The scoring joins key on pre-aggregated
+    per-item counts (dimension-sized), the per-item top-3 is one
+    item-partitioned window — no global sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    basket = li.select("l_orderkey", "l_partkey").distinct()
+    n_item = basket.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    a = basket.alias("a")
+    b = basket.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_co"))
+        .filter(F.col("n_co") >= 2)
+    )
+    sym = pair.select(
+        F.col("pa").alias("item"), F.col("pb").alias("neighbor"), "n_co"
+    ).unionByName(
+        pair.select(
+            F.col("pb").alias("item"), F.col("pa").alias("neighbor"), "n_co"
+        )
+    )
+    scored = (
+        sym.join(
+            n_item.select(
+                F.col("l_partkey").alias("item"), F.col("n").alias("n_item")
+            ),
+            "item",
+        )
+        .join(
+            n_item.select(
+                F.col("l_partkey").alias("neighbor"),
+                F.col("n").alias("n_neighbor"),
+            ),
+            "neighbor",
+        )
+        .select(
+            "item",
+            "neighbor",
+            "n_item",
+            "n_neighbor",
+            "n_co",
+            F.expr(
+                "CAST(n_co * n_co * 1000000 div (n_item * n_neighbor) AS BIGINT)"
+            ).alias("cos2_ppm"),
+        )
+    )
+    w = Window.partitionBy("item").orderBy(F.desc("cos2_ppm"), "neighbor")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 3)
+        .orderBy("item", "rk")
+    )
+
+
+@register(
+    "retention_hazard_curve",
+    """
+    WITH peru AS (
+      SELECT user_id,
+             CAST(min(CAST(ts AS DATE)) - DATE '1970-01-01' AS BIGINT) AS fd,
+             CAST(max(CAST(ts AS DATE)) - DATE '1970-01-01' AS BIGINT) AS ld
+      FROM events GROUP BY user_id
+    ), mx AS (
+      SELECT max(ld) AS maxd FROM peru
+    ), u AS (
+      SELECT ld - fd AS span, (maxd - ld > 3) AS churned FROM peru, mx
+    ), ex AS (
+      SELECT CAST(k AS BIGINT) AS day_k, span, churned
+      FROM u, UNNEST(range(0, least(span, 14) + 1)) AS t(k)
+    )
+    SELECT day_k,
+           CAST(count(*) AS BIGINT) AS n_at_risk,
+           CAST(sum(CASE WHEN churned AND span = day_k THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_churned,
+           CAST(sum(CASE WHEN churned AND span = day_k THEN 1 ELSE 0 END)
+                * 1000000 // count(*) AS BIGINT) AS hazard_ppm
+    FROM ex GROUP BY day_k ORDER BY day_k
+    """,
+)
+def retention_hazard_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier-style discrete hazard table for user retention — the
+    survival-analysis ingredients (n at risk, events, hazard) with
+    right-censoring handled correctly: a user's observed span runs from
+    first to last activity day; users still active near the corpus end
+    (last activity within 3 days of the global max) are CENSORED — they
+    count in the at-risk denominator for every day they were observed
+    but never as a churn event. Emits per day-since-first-seen k ≤ 14:
+    n_at_risk = users observed ≥ k days, n_churned = churned users whose
+    span ended exactly at k, hazard in exact ppm. No cumulative product
+    (that's the consumer's one multiplication chain over ≤15 rows), so
+    no cross-engine float drift; complements events_retention_cohorts
+    (calendar-cohort matrix) with the duration-model view.
+
+    Scale: one user-keyed aggregate (partial-aggregated), a 1-row global
+    max broadcast onto it (whitelisted fixed-size nested loop), a ≤15×
+    bounded explode, one day-keyed rollup. Linear in users."""
+    events = load_table(spark, sf_dir, "events")
+    peru = events.groupBy("user_id").agg(
+        F.datediff(F.min(F.to_date("ts")), F.lit("1970-01-01"))
+        .cast("bigint")
+        .alias("fd"),
+        F.datediff(F.max(F.to_date("ts")), F.lit("1970-01-01"))
+        .cast("bigint")
+        .alias("ld"),
+    )
+    mx = peru.agg(F.max("ld").alias("maxd"))
+    u = peru.crossJoin(F.broadcast(mx)).select(
+        (F.col("ld") - F.col("fd")).alias("span"),
+        (F.col("maxd") - F.col("ld") > 3).alias("churned"),
+    )
+    ex = u.select(
+        F.explode(F.expr("sequence(0, least(span, 14))")).alias("day_k"),
+        "span",
+        "churned",
+    ).withColumn("day_k", F.col("day_k").cast("bigint"))
+    return (
+        ex.groupBy("day_k")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_at_risk"),
+            F.sum(
+                F.when(F.col("churned") & (F.col("span") == F.col("day_k")), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_churned"),
+            F.expr(
+                "CAST(sum(CASE WHEN churned AND span = day_k THEN 1 ELSE 0 END)"
+                " * 1000000 div count(*) AS BIGINT)"
+            ).alias("hazard_ppm"),
+        )
+        .orderBy("day_k")
+    )
+
+
+@register(
+    "acf_lag_ingredients",
+    """
+    WITH daily AS (
+      SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS d,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) // 100
+                  AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ), lagk AS (
+      SELECT CAST(k AS BIGINT) AS lag_days FROM UNNEST(range(1, 8)) AS t(k)
+    ), pairs AS (
+      SELECT lagk.lag_days, a.x AS xa, b.x AS xb
+      FROM daily a, lagk
+      JOIN daily b ON b.d = a.d + lagk.lag_days
+    )
+    SELECT lag_days,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(xa) AS BIGINT) AS sum_x,
+           CAST(sum(xb) AS BIGINT) AS sum_y,
+           CAST(sum(xa * xb) AS BIGINT) AS sum_xy
+    FROM pairs GROUP BY lag_days ORDER BY lag_days
+    """,
+)
+def acf_lag_ingredients(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation sufficient statistics for the daily-revenue series,
+    lags 1–7 — the exact-integer ingredients (n, Σx, Σy, Σxy per lag)
+    from which ACF/PACF, the seasonality detector behind forecast
+    backtests (revenue_forecast_backtest) and anomaly baselines
+    (daily_volume_anomaly), is one driver-side division away. Emitting
+    the ingredients instead of r keeps the division/sqrt (libm) out of
+    the cross-engine hash — the same discipline as ols_price_on_quantity.
+    Daily revenue is floored to whole currency units so Σxy stays inside
+    BIGINT headroom (≤2^63 through sf1; documented bound, not a silent
+    wrap risk at verified scales). Lag pairs are calendar-day aligned —
+    gaps in the date spine produce no pair, the standard treatment.
+
+    Scale: the daily aggregate is |days| rows regardless of SF (one
+    partial-aggregated shuffle); the 7-lag expansion and self-equi-join
+    on (d + lag) act on that date-spine-sized frame, not the fact table.
+    Scan-bound, then constant-sized."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+        .cast("bigint")
+        .alias("d")
+    ).agg(
+        F.expr(
+            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) div 100"
+            " AS BIGINT)"
+        ).alias("x")
+    )
+    a = daily.select(
+        "d", F.col("x").alias("xa"),
+        F.explode(F.expr("sequence(1, 7)")).alias("lag_days"),
+    ).withColumn("lag_days", F.col("lag_days").cast("bigint"))
+    b = daily.select(F.col("d").alias("bd"), F.col("x").alias("xb"))
+    pairs = a.join(b, F.col("bd") == F.col("d") + F.col("lag_days"))
+    return (
+        pairs.groupBy("lag_days")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum("xa").cast("bigint").alias("sum_x"),
+            F.sum("xb").cast("bigint").alias("sum_y"),
+            F.sum(F.col("xa") * F.col("xb")).cast("bigint").alias("sum_xy"),
+        )
+        .orderBy("lag_days")
+    )
+
+
+@register(
+    "l_diversity_audit",
+    """
+    WITH joined AS (
+      SELECT c.c_nationkey, c.c_mktsegment,
+             CAST(floor(c.c_acctbal / 1000) AS BIGINT) AS bal_band,
+             c.c_custkey, o.o_orderpriority
+      FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    ), eq AS (
+      SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_mktsegment,
+             bal_band,
+             CAST(count(DISTINCT c_custkey) AS BIGINT) AS grp_size,
+             CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS l_distinct
+      FROM joined
+      GROUP BY 1, 2, 3
+    )
+    SELECT c_nationkey, c_mktsegment, bal_band, grp_size, l_distinct,
+           (l_distinct < 3) AS below_l
+    FROM eq
+    WHERE l_distinct < 3
+    ORDER BY c_nationkey, c_mktsegment, bal_band
+    """,
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the attack k-anonymity misses: a class can
+    hold ≥k customers yet leak the SENSITIVE attribute anyway if they
+    all share one value (homogeneity attack). Over the same
+    quasi-identifier classes as k_anonymity_audit (nation, market
+    segment, coarse balance band), count the distinct sensitive values
+    (order priority) observed in each class's orders; classes with
+    l < 3 are the generalize/suppress worklist a release runs AFTER the
+    k-anonymity pass. Classes with no orders carry no sensitive value
+    and are out of scope (they cannot leak what they don't hold).
+
+    Scale: one customer⋈orders equi-join on the customer key (fact-sized
+    but key-partitioned), then one multi-DISTINCT aggregate on the QI
+    tuple — Spark plans the two distincts as an expand (2× fanout) with
+    partial aggregation; class cardinality is QI-domain-bounded."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = cust.join(
+        orders, cust["c_custkey"] == orders["o_custkey"]
+    ).select(
+        F.col("c_nationkey").cast("bigint").alias("c_nationkey"),
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_band"),
+        "c_custkey",
+        "o_orderpriority",
+    )
+    eq = joined.groupBy("c_nationkey", "c_mktsegment", "bal_band").agg(
+        F.countDistinct("c_custkey").cast("bigint").alias("grp_size"),
+        F.countDistinct("o_orderpriority").cast("bigint").alias("l_distinct"),
+    )
+    return (
+        eq.filter(F.col("l_distinct") < 3)
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "bal_band",
+            "grp_size",
+            "l_distinct",
+            (F.col("l_distinct") < 3).alias("below_l"),
+        )
+        .orderBy("c_nationkey", "c_mktsegment", "bal_band")
+    )

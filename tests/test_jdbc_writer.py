@@ -23,6 +23,12 @@ def _connect_factory(path: str):
 
 def _setup(path: str):
     with sqlite3.connect(path) as conn:
+        # Switch to WAL once here: the delete->WAL conversion needs an
+        # exclusive lock, and doing it lazily from concurrent partition
+        # connections can race to "database is locked" under load. Once
+        # the database is WAL (a persistent property), the per-connection
+        # pragma is a lock-free read.
+        conn.execute("PRAGMA journal_mode=WAL")
         conn.execute('CREATE TABLE "t" ("id" INTEGER PRIMARY KEY, "name" TEXT, "bal" REAL)')
 
 

@@ -243,6 +243,11 @@ _FIXED_SIDE_CROSSJOINS = {
     "curriculum_interleave",
     # 1-row bit-load rollup broadcast beside the 1-row pass/match rollup
     "bloom_join_prefilter",
+    # two 1-row broadcasts (key-mass totals into the skew count, then the
+    # skew count beside the totals row)
+    "shuffle_plan_advisor",
+    # 1-row global-max-day broadcast onto the per-user aggregate
+    "retention_hazard_curve",
 }
 
 
