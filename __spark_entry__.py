@@ -223,6 +223,9 @@ _VERIFY_FIRST = (
     "retention_hazard_curve",
     "acf_lag_ingredients",
     "l_diversity_audit",
+    "join_order_cardinality_audit",
+    "weighted_median_by_flag",
+    "event_order_inversions",
 )
 
 

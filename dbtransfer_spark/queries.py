@@ -5368,3 +5368,231 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey", "c_mktsegment", "bal_band")
     )
+
+
+@register(
+    "join_order_cardinality_audit",
+    """
+    WITH co AS (
+      SELECT CAST(count(*) AS BIGINT) AS n
+      FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+      WHERE c.c_mktsegment = 'BUILDING'
+    ), ol AS (
+      SELECT CAST(count(*) AS BIGINT) AS n
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), fin AS (
+      SELECT CAST(count(*) AS BIGINT) AS n
+      FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE c.c_mktsegment = 'BUILDING'
+    )
+    SELECT join_tree, step, rows FROM (
+      SELECT '(customer x orders) x lineitem' AS join_tree,
+             CAST(1 AS BIGINT) AS step, n AS rows FROM co
+      UNION ALL
+      SELECT '(customer x orders) x lineitem', CAST(2 AS BIGINT), n FROM fin
+      UNION ALL
+      SELECT '(orders x lineitem) x customer', CAST(1 AS BIGINT), n FROM ol
+      UNION ALL
+      SELECT '(orders x lineitem) x customer', CAST(2 AS BIGINT), n FROM fin
+    ) ORDER BY join_tree, step
+    """,
+)
+def join_order_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-order audit — the EVIDENCE behind Catalyst's (and any CBO's)
+    join reordering, measured instead of estimated: for the filtered
+    3-table chain σ(customer)⋈orders⋈lineitem, the exact intermediate
+    cardinality of each left-deep tree's first join. Starting from the
+    filtered dimension ((c⋈o): selective, filter cuts it ~5×) versus
+    starting from the fact-fact pair ((o⋈l): every lineitem survives)
+    differ by an order of magnitude in rows carried into the second
+    join — the measurement that validates predicate_selectivity_audit's
+    estimates and the join_cardinality_preflight's decision inputs.
+    Both trees end at the same final count (join order never changes
+    the answer — only the work).
+
+    Scale: three independent equi-join counts (each partial-aggregated
+    to ONE row before any union); no materialized intermediate exceeds
+    a count's accumulator. The audit itself is the cheap way to learn
+    a chain's shape before committing a 100 TB plan."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cb = cust.filter(F.col("c_mktsegment") == "BUILDING")
+    co = (
+        cb.join(orders, cb["c_custkey"] == orders["o_custkey"])
+        .agg(F.count(F.lit(1)).cast("bigint").alias("rows"))
+    )
+    ol = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .agg(F.count(F.lit(1)).cast("bigint").alias("rows"))
+    )
+    fin = (
+        cb.join(orders, cb["c_custkey"] == orders["o_custkey"])
+        .join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .agg(F.count(F.lit(1)).cast("bigint").alias("rows"))
+    )
+    t1 = "(customer x orders) x lineitem"
+    t2 = "(orders x lineitem) x customer"
+    return (
+        co.select(F.lit(t1).alias("join_tree"), F.lit(1).cast("bigint").alias("step"), "rows")
+        .unionByName(
+            fin.select(F.lit(t1).alias("join_tree"), F.lit(2).cast("bigint").alias("step"), "rows")
+        )
+        .unionByName(
+            ol.select(F.lit(t2).alias("join_tree"), F.lit(1).cast("bigint").alias("step"), "rows")
+        )
+        .unionByName(
+            fin.select(F.lit(t2).alias("join_tree"), F.lit(2).cast("bigint").alias("step"), "rows")
+        )
+        .orderBy("join_tree", "step")
+    )
+
+
+@register(
+    "weighted_median_by_flag",
+    """
+    WITH w AS (
+      SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(l_quantity AS BIGINT) AS wt
+      FROM lineitem
+    ), cum AS (
+      SELECT l_returnflag, cents, wt,
+             sum(wt) OVER (PARTITION BY l_returnflag ORDER BY cents) AS cumw,
+             sum(wt) OVER (PARTITION BY l_returnflag) AS tot
+      FROM w
+    )
+    SELECT l_returnflag,
+           CAST(max(tot) AS BIGINT) AS total_weight,
+           CAST(min(CASE WHEN 2 * cumw >= tot THEN cents END) AS BIGINT)
+             AS median_cents
+    FROM cum GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def weighted_median_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag — the weighted
+    quantile the unweighted percentile family (percentile_stats,
+    supplier_lead_time_p95) cannot express: each lineitem counts with
+    multiplicity l_quantity, so a 50-unit line moves the median 50× as
+    far as a 1-unit line (the inventory-valuation / fair-price center).
+    Definition: smallest price p with cumulative weight(≤p) ≥ half the
+    total — computed with a peer-inclusive RANGE cumulative sum (the
+    default frame under ORDER BY in both engines), so ties on price are
+    order-independent and the hash is stable; prices are exact integer
+    cents, weights exact integer units.
+
+    Scale: one flag-partitioned cumulative window (|flags| independent
+    sorted partitions — for a high-cardinality weighting key the
+    range-repartition prefix-sum pattern of doc_global_ordinal applies
+    instead) + the whole-partition total as a frame-less window over the
+    same partitioning (no extra shuffle: same exchange feeds both), then
+    a |flags|-row rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = li.select(
+        "l_returnflag",
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("cents"),
+        F.col("l_quantity").cast("bigint").alias("wt"),
+    )
+    cumw_w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("cents")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot_w = Window.partitionBy("l_returnflag")
+    cum = w.select(
+        "l_returnflag",
+        "cents",
+        F.sum("wt").over(cumw_w).alias("cumw"),
+        F.sum("wt").over(tot_w).alias("tot"),
+    )
+    return (
+        cum.groupBy("l_returnflag")
+        .agg(
+            F.max("tot").cast("bigint").alias("total_weight"),
+            F.min(
+                F.when(2 * F.col("cumw") >= F.col("tot"), F.col("cents"))
+            )
+            .cast("bigint")
+            .alias("median_cents"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "event_order_inversions",
+    """
+    WITH seq AS (
+      SELECT event_type, epoch_us(ts) AS micros,
+             max(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS prior_max
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN prior_max > micros THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_late,
+           CAST(sum(CASE WHEN prior_max > micros THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS late_ppm,
+           CAST(coalesce(max(CASE WHEN prior_max > micros
+                                  THEN prior_max - micros END), 0) // 1000000
+                AS BIGINT) AS max_late_seconds
+    FROM seq GROUP BY event_type ORDER BY event_type
+    """,
+)
+def event_order_inversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order-arrival audit — the measurement that SIZES a
+    streaming watermark before anyone picks '2 hours' by folklore: with
+    event_id as the producer's monotone arrival sequence, an event is
+    late iff its event time precedes the running event-time maximum of
+    the same user's earlier arrivals; the worst regression (max late
+    seconds, exact integer microseconds floored to seconds) is the
+    lower bound any watermark delay must clear, and late_ppm tells you
+    what dropping shorter delays would cost. Per event type, because
+    different types ride different producer paths. Direct input to the
+    streaming module's withWatermark choices (deduped_event_stream,
+    purchases_after_view_stream).
+
+    Scale: ONE user-partitioned running-max window ordered by the
+    unique arrival sequence (ROWS to 1 PRECEDING — the strictly-prior
+    max, peer-safe by uniqueness of event_id), then a |types|-row
+    rollup. Linear, one shuffle on user_id."""
+    from dbtransfer_spark.operators.windows import epoch_micros
+
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = events.select(
+        "event_type",
+        epoch_micros(events, "ts").alias("micros"),
+        "user_id",
+        "event_id",
+    ).select(
+        "event_type",
+        "micros",
+        F.max("micros").over(w).alias("prior_max"),
+    )
+    late = F.when(F.col("prior_max") > F.col("micros"), 1).otherwise(0)
+    return (
+        seq.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(late).cast("bigint").alias("n_late"),
+            F.expr(
+                "CAST(sum(CASE WHEN prior_max > micros THEN 1 ELSE 0 END)"
+                " * 1000000 div count(*) AS BIGINT)"
+            ).alias("late_ppm"),
+            F.expr(
+                "CAST(coalesce(max(CASE WHEN prior_max > micros"
+                " THEN prior_max - micros END), 0) div 1000000 AS BIGINT)"
+            ).alias("max_late_seconds"),
+        )
+        .orderBy("event_type")
+    )
