@@ -226,6 +226,8 @@ _VERIFY_FIRST = (
     "join_order_cardinality_audit",
     "weighted_median_by_flag",
     "event_order_inversions",
+    "span_corruption_masks",
+    "token_id_encode_checksum",
 )
 
 

@@ -1656,3 +1656,218 @@ def kn_continuation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n1p_left"), "word")
         .limit(20)
     )
+
+
+def _mask_hash(engine: str, parts_sql: str, mod: int) -> str:
+    """Engine-specific md5→BIGINT hash of a concatenated key, mod ``mod``
+    (the cross-engine deterministic-randomness idiom: md5 hex prefix to
+    int, same as the bloom/bootstrap families)."""
+    if engine == "duck":
+        return f"(CAST(('0x' || substr(md5({parts_sql}), 1, 15)) AS BIGINT) % {mod})"
+    return f"(CAST(conv(substring(md5({parts_sql}), 1, 15), 16, 10) AS BIGINT) % {mod})"
+
+
+@register(
+    "span_corruption_masks",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, len(string_split(lower(text), ' ')) AS n FROM documents
+    ), pos AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS i, (i - 1) // 7 AS blk
+      FROM toks, UNNEST(range(1, n + 1)) AS t(i)
+    ), h AS (
+      SELECT doc_id, i, blk,
+             {_mask_hash("duck", "CAST(doc_id AS VARCHAR) || '#c#' || CAST(blk AS VARCHAR)", 10)} < 4
+               AS corrupt,
+             1 + {_mask_hash("duck", "CAST(doc_id AS VARCHAR) || '#l#' || CAST(blk AS VARCHAR)", 3)}
+               AS span_len
+      FROM pos
+    ), m AS (
+      SELECT doc_id, i, blk,
+             corrupt AND ((i - 1) % 7) BETWEEN
+               {_mask_hash("duck", "CAST(doc_id AS VARCHAR) || '#o#' || CAST(blk AS VARCHAR)", 8)} % (8 - span_len)
+               AND {_mask_hash("duck", "CAST(doc_id AS VARCHAR) || '#o#' || CAST(blk AS VARCHAR)", 8)} % (8 - span_len) + span_len - 1
+               AS masked
+      FROM h
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT CASE WHEN masked THEN blk END) AS BIGINT)
+             AS n_spans,
+           CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+           CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) * 1000000 // count(*)
+                AS BIGINT) AS masked_ppm,
+           CAST(coalesce(sum(CASE WHEN masked THEN
+                {_mask_hash("duck", "CAST(doc_id AS VARCHAR) || '#m#' || CAST(i AS VARCHAR)", 1000000000)}
+                END), 0) AS BIGINT) AS mask_checksum
+    FROM m GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def span_corruption_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption PLAN (Raffel et al. 2020 §3.1.4's
+    denoising objective, as the data-prep operator): for each document,
+    deterministically select non-overlapping corruption spans — token
+    positions are tiled into 7-token blocks; an md5 coin corrupts ~40%
+    of blocks; a corrupted block masks a 1–3-token span at a hashed
+    offset (non-overlap by construction, since a span never leaves its
+    block). Emits per doc the span count, masked-token count/share
+    (≈17% by construction, the T5 ballpark), and an order-independent
+    checksum over the masked positions so a downstream
+    sentinel-replacement writer can verify it applied the identical
+    plan. All "randomness" is the md5-prefix idiom — bit-identical in
+    any engine, replayable forever (the property real pretraining preps
+    need for resumable runs).
+
+    Scale: one position explode (linear in corpus tokens), all hashes
+    computed positionally (no joins), one doc-keyed rollup. The plan is
+    recomputable from (doc_id, position) alone — no stored mask state."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.size(F.split(F.lower("text"), " ", -1)).alias("n")
+    )
+    pos = toks.select(
+        "doc_id",
+        F.explode(F.expr("sequence(1, n)")).alias("i"),
+    ).select(
+        "doc_id",
+        F.col("i").cast("bigint").alias("i"),
+        F.expr("CAST((i - 1) div 7 AS BIGINT)").alias("blk"),
+    )
+    hc = _mask_hash(
+        "spark", "concat(CAST(doc_id AS STRING), '#c#', CAST(blk AS STRING))", 10
+    )
+    hl = _mask_hash(
+        "spark", "concat(CAST(doc_id AS STRING), '#l#', CAST(blk AS STRING))", 3
+    )
+    ho = _mask_hash(
+        "spark", "concat(CAST(doc_id AS STRING), '#o#', CAST(blk AS STRING))", 8
+    )
+    hm = _mask_hash(
+        "spark",
+        "concat(CAST(doc_id AS STRING), '#m#', CAST(i AS STRING))",
+        1000000000,
+    )
+    m = pos.withColumn("span_len", F.expr(f"1 + {hl}")).withColumn(
+        "masked",
+        F.expr(
+            f"{hc} < 4 AND ((i - 1) % 7) BETWEEN {ho} % (8 - span_len)"
+            f" AND {ho} % (8 - span_len) + span_len - 1"
+        ),
+    )
+    return (
+        m.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.countDistinct(F.when(F.col("masked"), F.col("blk")))
+            .cast("bigint")
+            .alias("n_spans"),
+            F.sum(F.when(F.col("masked"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_masked"),
+            F.expr(
+                "CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) * 1000000"
+                " div count(*) AS BIGINT)"
+            ).alias("masked_ppm"),
+            F.expr(
+                f"CAST(coalesce(sum(CASE WHEN masked THEN {hm} END), 0)"
+                " AS BIGINT)"
+            ).alias("mask_checksum"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "token_id_encode_checksum",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+    ), tok AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos, ws[i] AS token
+      FROM toks, UNNEST(range(1, len(ws) + 1)) AS t(i)
+      WHERE ws[i] <> ''
+    ), counts AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY token
+    ), vocab AS (
+      SELECT token,
+             CAST(row_number() OVER (ORDER BY cnt DESC, token) - 1 AS BIGINT)
+               AS id
+      FROM counts
+      QUALIFY row_number() OVER (ORDER BY cnt DESC, token) <= 256
+    ), enc AS (
+      SELECT t.doc_id, t.pos,
+             coalesce(v.id,
+                      256 + {_mask_hash("duck", "t.token", 64)}) AS id
+      FROM tok t LEFT JOIN vocab v ON t.token = v.token
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN id >= 256 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           CAST(sum(CASE WHEN id >= 256 THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS oov_ppm,
+           CAST(sum(pos * (id + 1)) AS BIGINT) AS ids_checksum
+    FROM enc GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def token_id_encode_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize-at-scale audit: encode every document against a
+    corpus-derived 256-entry vocabulary (ids by frequency rank,
+    deterministic tie-break) with hashed OOV buckets (ids 256–319, the
+    fastText/feature-hashing trick that keeps the encoder total — no
+    token unrepresentable), and emit a position-weighted checksum of the
+    id sequence per document (Σ pos·(id+1), exact BIGINT — order
+    SENSITIVE, so a shuffled or truncated encode changes it). This is
+    the verification artifact a distributed tokenization run ships with
+    its output shards so a consumer can detect drift between tokenizer
+    versions without re-reading the text; complements
+    tokenizer_fertility (how well a vocab covers) and oov_rate (how
+    often it misses) with the per-document id-stream identity.
+
+    Scale: token explode (linear), one token-keyed count shuffle, the
+    vocab is a 256-row TakeOrdered + bounded row_number (never a global
+    window over data); the encode join is fact ⋈ 256-row broadcast.
+    One doc-keyed rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.lower("text"), " ", -1)).alias("p", "token"),
+        )
+        .filter(F.col("token") != "")
+        .select("doc_id", (F.col("p") + 1).cast("bigint").alias("pos"), "token")
+    )
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    vocab = (
+        counts.orderBy(F.desc("cnt"), "token")
+        .limit(256)
+        .withColumn(
+            "id",
+            (F.row_number().over(Window.orderBy(F.desc("cnt"), "token")) - 1)
+            .cast("bigint"),
+        )
+        .select("token", "id")
+    )
+    h_oov = _mask_hash("spark", "token", 64)
+    enc = tok.join(F.broadcast(vocab), "token", "left").select(
+        "doc_id",
+        "pos",
+        F.expr(f"coalesce(id, 256 + {h_oov})").alias("id"),
+    )
+    return (
+        enc.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("id") >= 256, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+            F.expr(
+                "CAST(sum(CASE WHEN id >= 256 THEN 1 ELSE 0 END) * 1000000"
+                " div count(*) AS BIGINT)"
+            ).alias("oov_ppm"),
+            F.sum(F.col("pos") * (F.col("id") + 1))
+            .cast("bigint")
+            .alias("ids_checksum"),
+        )
+        .orderBy("doc_id")
+    )
