@@ -5088,30 +5088,37 @@ def item_cf_cosine2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     market_basket_pairs (support/lift of a pair) with the per-item
     RANKED neighbor list a recommender actually serves.
 
-    Scale: candidate pairs come from the basket self-equi-join on
-    l_orderkey — Σ|basket|² bounded by order line counts (≤7 here; a cap
-    on pathological baskets is the join_cardinality_preflight check), so
-    linear in orders at any SF. The scoring joins key on pre-aggregated
-    per-item counts (dimension-sized), the per-item top-3 is one
-    item-partitioned window — no global sort."""
+    Scale: candidate pairs are generated IN-ORDER from one
+    collect_set-per-basket shuffle (the set also dedups repeat lines, so
+    no separate distinct pass) and a lambda pair-explode — Σ|basket|²
+    rows with ZERO join exchanges, versus the naive basket self-join's
+    two fact-sized shuffles. Basket width is schema-bounded (≤7 lines
+    here); a width cap before the explode is the guard for pathological
+    baskets at 100 TB. The scoring joins key on pre-aggregated per-item
+    counts (dimension-sized), the per-item top-3 is one item-partitioned
+    window — no global sort."""
     li = load_table(spark, sf_dir, "lineitem")
-    basket = li.select("l_orderkey", "l_partkey").distinct()
-    n_item = basket.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n")
+    sets = li.select("l_orderkey", "l_partkey").groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("ps")
     )
-    a = basket.alias("a")
-    b = basket.alias("b")
     pair = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        sets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, x -> transform("
+                    "filter(ps, y -> y > x), y -> struct(x AS pa, y AS pb))))"
+                )
+            ).alias("pr")
         )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
+        .select("pr.pa", "pr.pb")
+        .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_co"))
         .filter(F.col("n_co") >= 2)
+    )
+    n_item = (
+        sets.select(F.explode("ps").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
     sym = pair.select(
         F.col("pa").alias("item"), F.col("pb").alias("neighbor"), "n_co"
@@ -5435,17 +5442,20 @@ def join_order_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t1 = "(customer x orders) x lineitem"
     t2 = "(orders x lineitem) x customer"
+    # Both trees share the identical final count; emit both step-2 rows by
+    # exploding the single fin row (one execution of the 3-join count, not
+    # one per union branch).
+    fin2 = fin.select(
+        F.explode(F.array(F.lit(t1), F.lit(t2))).alias("join_tree"),
+        F.lit(2).cast("bigint").alias("step"),
+        "rows",
+    )
     return (
         co.select(F.lit(t1).alias("join_tree"), F.lit(1).cast("bigint").alias("step"), "rows")
         .unionByName(
-            fin.select(F.lit(t1).alias("join_tree"), F.lit(2).cast("bigint").alias("step"), "rows")
-        )
-        .unionByName(
             ol.select(F.lit(t2).alias("join_tree"), F.lit(1).cast("bigint").alias("step"), "rows")
         )
-        .unionByName(
-            fin.select(F.lit(t2).alias("join_tree"), F.lit(2).cast("bigint").alias("step"), "rows")
-        )
+        .unionByName(fin2)
         .orderBy("join_tree", "step")
     )
 
