@@ -228,6 +228,8 @@ _VERIFY_FIRST = (
     "event_order_inversions",
     "span_corruption_masks",
     "token_id_encode_checksum",
+    "column_domain_overlap",
+    "column_format_profile",
 )
 
 

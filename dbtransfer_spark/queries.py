@@ -5606,3 +5606,208 @@ def event_order_inversions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_DOMAIN_COLS = (
+    ("orders", "o_custkey"),
+    ("customer", "c_custkey"),
+    ("lineitem", "l_orderkey"),
+    ("orders", "o_orderkey"),
+    ("lineitem", "l_partkey"),
+    ("part", "p_partkey"),
+    ("lineitem", "l_suppkey"),
+    ("supplier", "s_suppkey"),
+    ("customer", "c_nationkey"),
+    ("supplier", "s_nationkey"),
+    ("nation", "n_nationkey"),
+)
+
+
+@register(
+    "column_domain_overlap",
+    """
+    WITH stacked AS (
+      SELECT DISTINCT 'orders.o_custkey' AS col, CAST(o_custkey AS BIGINT) AS val FROM orders
+      UNION SELECT DISTINCT 'customer.c_custkey', CAST(c_custkey AS BIGINT) FROM customer
+      UNION SELECT DISTINCT 'lineitem.l_orderkey', CAST(l_orderkey AS BIGINT) FROM lineitem
+      UNION SELECT DISTINCT 'orders.o_orderkey', CAST(o_orderkey AS BIGINT) FROM orders
+      UNION SELECT DISTINCT 'lineitem.l_partkey', CAST(l_partkey AS BIGINT) FROM lineitem
+      UNION SELECT DISTINCT 'part.p_partkey', CAST(p_partkey AS BIGINT) FROM part
+      UNION SELECT DISTINCT 'lineitem.l_suppkey', CAST(l_suppkey AS BIGINT) FROM lineitem
+      UNION SELECT DISTINCT 'supplier.s_suppkey', CAST(s_suppkey AS BIGINT) FROM supplier
+      UNION SELECT DISTINCT 'customer.c_nationkey', CAST(c_nationkey AS BIGINT) FROM customer
+      UNION SELECT DISTINCT 'supplier.s_nationkey', CAST(s_nationkey AS BIGINT) FROM supplier
+      UNION SELECT DISTINCT 'nation.n_nationkey', CAST(n_nationkey AS BIGINT) FROM nation
+    ), ndv AS (
+      SELECT col, CAST(count(*) AS BIGINT) AS n FROM stacked GROUP BY col
+    ), common AS (
+      SELECT a.col AS col_a, b.col AS col_b, CAST(count(*) AS BIGINT) AS n_common
+      FROM stacked a JOIN stacked b ON a.val = b.val AND a.col < b.col
+      GROUP BY a.col, b.col
+    )
+    SELECT col_a, col_b, na.n AS ndv_a, nb.n AS ndv_b, n_common,
+           CAST(n_common * 1000000 // least(na.n, nb.n) AS BIGINT)
+             AS containment_ppm,
+           CAST(n_common * 1000000 // (na.n + nb.n - n_common) AS BIGINT)
+             AS jaccard_ppm
+    FROM common
+    JOIN ndv na ON common.col_a = na.col
+    JOIN ndv nb ON common.col_b = nb.col
+    ORDER BY col_a, col_b
+    """,
+)
+def column_domain_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key discovery — the data-catalog primitive that finds
+    UNDECLARED foreign keys by measuring value-domain overlap between
+    key-typed columns across the schema: for every column pair, the
+    distinct-value intersection, containment (|∩| / smaller domain — the
+    FK signal: a true FK is ≈100% contained in its PK) and Jaccard. A
+    migration tool runs this when the source schema has no FK metadata
+    (common in production MySQL/Cassandra) to decide copy order and
+    integrity checks; it separates the true edges (custkey→custkey,
+    orderkey→orderkey) from coincidental overlaps (custkey vs partkey
+    share small integers — high n_common, meaningless containment
+    pattern) exactly like Aurum/Sherlock-style discovery systems.
+
+    Scale: DISTINCT-first per column (each domain collapses to its NDV
+    BEFORE any join — the round-7 distinct-first rule), then one
+    value-keyed self-join whose per-value fanout is bounded by the
+    number of profiled columns (11), never row counts. NDV frames are
+    column-count-sized."""
+    stacked = None
+    for tbl, col in _DOMAIN_COLS:
+        sel = (
+            load_table(spark, sf_dir, tbl)
+            .select(
+                F.lit(f"{tbl}.{col}").alias("col"),
+                F.col(col).cast("bigint").alias("val"),
+            )
+            .distinct()
+        )
+        stacked = sel if stacked is None else stacked.unionByName(sel)
+    ndv = stacked.groupBy("col").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a = stacked.alias("a")
+    b = stacked.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.val") == F.col("b.val")) & (F.col("a.col") < F.col("b.col")),
+        )
+        .groupBy(F.col("a.col").alias("col_a"), F.col("b.col").alias("col_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    return (
+        common.join(
+            ndv.select(F.col("col").alias("col_a"), F.col("n").alias("ndv_a")),
+            "col_a",
+        )
+        .join(
+            ndv.select(F.col("col").alias("col_b"), F.col("n").alias("ndv_b")),
+            "col_b",
+        )
+        .select(
+            "col_a",
+            "col_b",
+            "ndv_a",
+            "ndv_b",
+            "n_common",
+            F.expr(
+                "CAST(n_common * 1000000 div least(ndv_a, ndv_b) AS BIGINT)"
+            ).alias("containment_ppm"),
+            F.expr(
+                "CAST(n_common * 1000000 div (ndv_a + ndv_b - n_common)"
+                " AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+        .orderBy("col_a", "col_b")
+    )
+
+
+# Regex atoms use character classes ([.], [{]) instead of backslash
+# escapes: Spark SQL string literals consume backslashes, DuckDB's do
+# not, so escaped forms would parse to DIFFERENT regexes per engine.
+_FMT_CASE = """
+    CASE
+      WHEN {v} IS NULL THEN 'null'
+      WHEN {v} = '' THEN 'empty'
+      WHEN {re}({v}, '^-?[0-9]+$') THEN 'int'
+      WHEN {re}({v}, '^-?[0-9]+[.][0-9]+$') THEN 'decimal'
+      WHEN {re}({v}, '^[A-Za-z ]+$') THEN 'alpha'
+      WHEN {re}({v}, '^[A-Za-z0-9#_ -]+$') THEN 'alnum'
+      WHEN {re}({v}, '^[{{].*[}}]$') THEN 'json_object'
+      ELSE 'other'
+    END
+"""
+
+
+@register(
+    "column_format_profile",
+    f"""
+    WITH unp AS (
+      SELECT 'customer.c_mktsegment' AS col, c_mktsegment AS val FROM customer
+      UNION ALL SELECT 'orders.o_orderpriority', o_orderpriority FROM orders
+      UNION ALL SELECT 'part.p_brand', p_brand FROM part
+      UNION ALL SELECT 'events.props', props FROM events
+      UNION ALL SELECT 'documents.lang', lang FROM documents
+    ), cls AS (
+      SELECT col, {_FMT_CASE.format(v="val", re="regexp_matches")} AS fmt_class
+      FROM unp
+    ), per AS (
+      SELECT col, fmt_class, CAST(count(*) AS BIGINT) AS n_rows
+      FROM cls GROUP BY col, fmt_class
+    ), tot AS (
+      SELECT col, CAST(sum(n_rows) AS BIGINT) AS t FROM per GROUP BY col
+    )
+    SELECT per.col, fmt_class, n_rows,
+           CAST(n_rows * 1000000 // t AS BIGINT) AS share_ppm
+    FROM per JOIN tot ON per.col = tot.col
+    ORDER BY per.col, fmt_class
+    """,
+)
+def column_format_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format-class profiling — the schema-inference audit a migration
+    tool runs on string columns before choosing destination types
+    (reference C5 rewrites DDL syntactically; this checks what the
+    VALUES are): each value classified by an anchored-regex cascade
+    (null / empty / int / decimal / alpha / alnum / json_object /
+    other), rolled up to per-column class shares in exact ppm. A column
+    profiling 99% 'int' + 1% 'other' is the classic dirty-numeric trap
+    that breaks a typed destination mid-copy; events.props profiling
+    'json_object' is what justifies routing it through the JSON
+    extraction operators (events_json_extract, json_schema_profile)
+    instead of opaque VARCHAR.
+
+    Scale: one stacked scan (column-count fanout), classification is
+    per-row regex in whole-stage codegen (no UDF), one (col, class)
+    partial-aggregated rollup — class cardinality ≤8 per column. The
+    totals join is |cols|-sized."""
+    parts = [
+        ("customer", "c_mktsegment"),
+        ("orders", "o_orderpriority"),
+        ("part", "p_brand"),
+        ("events", "props"),
+        ("documents", "lang"),
+    ]
+    unp = None
+    for tbl, col in parts:
+        sel = load_table(spark, sf_dir, tbl).select(
+            F.lit(f"{tbl}.{col}").alias("col"), F.col(col).alias("val")
+        )
+        unp = sel if unp is None else unp.unionByName(sel)
+    cls = unp.select(
+        "col", F.expr(_FMT_CASE.format(v="val", re="rlike")).alias("fmt_class")
+    )
+    per = cls.groupBy("col", "fmt_class").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
+    tot = per.groupBy("col").agg(F.sum("n_rows").cast("bigint").alias("t"))
+    return (
+        per.join(tot, "col")
+        .select(
+            "col",
+            "fmt_class",
+            "n_rows",
+            F.expr("CAST(n_rows * 1000000 div t AS BIGINT)").alias("share_ppm"),
+        )
+        .orderBy("col", "fmt_class")
+    )
