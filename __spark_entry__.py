@@ -230,6 +230,8 @@ _VERIFY_FIRST = (
     "token_id_encode_checksum",
     "column_domain_overlap",
     "column_format_profile",
+    "join_size_histogram_estimate",
+    "fd_violation_audit",
 )
 
 

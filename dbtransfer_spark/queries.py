@@ -5811,3 +5811,220 @@ def column_format_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("col", "fmt_class")
     )
+
+
+@register(
+    "join_size_histogram_estimate",
+    """
+    WITH ka AS (
+      SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY o_custkey
+    ), kb AS (
+      SELECT c_custkey AS k, CAST(count(*) AS BIGINT) AS n
+      FROM customer GROUP BY c_custkey
+    ), ga AS (
+      SELECT CAST(sum(n) AS BIGINT) AS rows_a,
+             CAST(count(*) AS BIGINT) AS ndv_a FROM ka
+    ), gb AS (
+      SELECT CAST(sum(n) AS BIGINT) AS rows_b,
+             CAST(count(*) AS BIGINT) AS ndv_b FROM kb
+    ), ba AS (
+      SELECT k % 16 AS b, CAST(sum(n) AS BIGINT) AS n_a,
+             CAST(count(*) AS BIGINT) AS d_a FROM ka GROUP BY k % 16
+    ), bb AS (
+      SELECT k % 16 AS b, CAST(sum(n) AS BIGINT) AS n_b,
+             CAST(count(*) AS BIGINT) AS d_b FROM kb GROUP BY k % 16
+    ), hist AS (
+      SELECT CAST(sum(n_a * n_b // greatest(d_a, d_b)) AS BIGINT) AS est
+      FROM ba JOIN bb ON ba.b = bb.b
+    ), act AS (
+      SELECT CAST(sum(ka.n * kb.n) AS BIGINT) AS n
+      FROM ka JOIN kb ON ka.k = kb.k
+    )
+    SELECT ga.rows_a, ga.ndv_a, gb.rows_b, gb.ndv_b,
+           CAST(ga.rows_a * gb.rows_b // greatest(ga.ndv_a, gb.ndv_b)
+                AS BIGINT) AS system_r_est,
+           hist.est AS histogram_est,
+           act.n AS actual_rows,
+           CAST(abs(ga.rows_a * gb.rows_b // greatest(ga.ndv_a, gb.ndv_b)
+                    - act.n) * 1000000 // act.n AS BIGINT)
+             AS system_r_err_ppm,
+           CAST(abs(hist.est - act.n) * 1000000 // act.n AS BIGINT)
+             AS histogram_err_ppm
+    FROM ga, gb, hist, act
+    """,
+)
+def join_size_histogram_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality ESTIMATION quality — the third CBO audit beside
+    predicate_selectivity_audit (conjunctions) and
+    join_cardinality_preflight (exact answer): compare the System-R
+    textbook estimate |A⋈B| ≈ |A|·|B| / max(ndv_A, ndv_B) and a
+    16-bucket key-histogram refinement (the same formula per aligned
+    bucket — what real optimizers keep in column stats) against the
+    exact join size computed from the two count tables. The histogram
+    estimate's error collapsing toward zero is the quantified case for
+    ANALYZE-style column histograms before planning a 100 TB join; the
+    System-R error is what you get with only table-level NDV.
+
+    Scale: everything runs on the per-key COUNT tables (key-domain-
+    sized, never the facts); the exact join size is the count-table
+    equi-join Σ n_a·n_b — the join_cardinality_preflight trick. The
+    final row is assembled from four 1-row frames (whitelisted
+    fixed-size crosses)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    ka = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    kb = cust.groupBy(F.col("c_custkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    ga = ka.agg(
+        F.sum("n").cast("bigint").alias("rows_a"),
+        F.count(F.lit(1)).cast("bigint").alias("ndv_a"),
+    )
+    gb = kb.agg(
+        F.sum("n").cast("bigint").alias("rows_b"),
+        F.count(F.lit(1)).cast("bigint").alias("ndv_b"),
+    )
+    ba = ka.groupBy((F.col("k") % 16).alias("b")).agg(
+        F.sum("n").cast("bigint").alias("n_a"),
+        F.count(F.lit(1)).cast("bigint").alias("d_a"),
+    )
+    bb = kb.groupBy((F.col("k") % 16).alias("b")).agg(
+        F.sum("n").cast("bigint").alias("n_b"),
+        F.count(F.lit(1)).cast("bigint").alias("d_b"),
+    )
+    hist = (
+        ba.join(bb, "b")
+        .agg(
+            F.expr("CAST(sum(n_a * n_b div greatest(d_a, d_b)) AS BIGINT)").alias(
+                "est"
+            )
+        )
+    )
+    act = (
+        ka.alias("ka")
+        .join(kb.alias("kb"), F.col("ka.k") == F.col("kb.k"))
+        .agg(
+            F.expr("CAST(sum(ka.n * kb.n) AS BIGINT)").alias("actual_rows")
+        )
+    )
+    return (
+        ga.crossJoin(F.broadcast(gb))
+        .crossJoin(F.broadcast(hist.select(F.col("est").alias("histogram_est"))))
+        .crossJoin(F.broadcast(act))
+        .select(
+            "rows_a",
+            "ndv_a",
+            "rows_b",
+            "ndv_b",
+            F.expr(
+                "CAST(rows_a * rows_b div greatest(ndv_a, ndv_b) AS BIGINT)"
+            ).alias("system_r_est"),
+            "histogram_est",
+            "actual_rows",
+            F.expr(
+                "CAST(abs(rows_a * rows_b div greatest(ndv_a, ndv_b)"
+                " - actual_rows) * 1000000 div actual_rows AS BIGINT)"
+            ).alias("system_r_err_ppm"),
+            F.expr(
+                "CAST(abs(histogram_est - actual_rows) * 1000000"
+                " div actual_rows AS BIGINT)"
+            ).alias("histogram_err_ppm"),
+        )
+    )
+
+
+_FD_CANDIDATES = (
+    ("nation", "n_nationkey", "n_regionkey"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("lineitem", "l_orderkey", "l_returnflag"),
+    ("part", "p_brand", "p_type"),
+)
+
+
+@register(
+    "fd_violation_audit",
+    """
+    WITH per AS (
+      SELECT 'nation: n_nationkey -> n_regionkey' AS fd,
+             CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating
+      FROM (SELECT n_nationkey, count(DISTINCT n_regionkey) AS d
+            FROM nation GROUP BY n_nationkey)
+      UNION ALL
+      SELECT 'customer: c_nationkey -> c_mktsegment',
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      FROM (SELECT c_nationkey, count(DISTINCT c_mktsegment) AS d
+            FROM customer GROUP BY c_nationkey)
+      UNION ALL
+      SELECT 'orders: o_custkey -> o_orderpriority',
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      FROM (SELECT o_custkey, count(DISTINCT o_orderpriority) AS d
+            FROM orders GROUP BY o_custkey)
+      UNION ALL
+      SELECT 'lineitem: l_orderkey -> l_returnflag',
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      FROM (SELECT l_orderkey, count(DISTINCT l_returnflag) AS d
+            FROM lineitem GROUP BY l_orderkey)
+      UNION ALL
+      SELECT 'part: p_brand -> p_type',
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      FROM (SELECT p_brand, count(DISTINCT p_type) AS d
+            FROM part GROUP BY p_brand)
+    )
+    SELECT fd, n_groups, n_violating,
+           CAST(n_violating * 1000000 // n_groups AS BIGINT)
+             AS violating_ppm,
+           (n_violating = 0) AS holds
+    FROM per ORDER BY fd
+    """,
+)
+def fd_violation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit — FD mining's verification half (the
+    TANE/Metanome primitive, run as a declared query): for each
+    candidate dependency X→Y, how many X-groups carry more than one Y
+    value. Exact FDs (nation key → region key) justify normalizing or
+    denormalizing safely during a migration and become dq_expectations
+    rules; near-FDs (violating_ppm just above zero) are the classic
+    data-quality smell — a handful of rows breaking a dependency the
+    rest of the corpus obeys, i.e. a dirty-write worklist. Complements
+    column_domain_overlap: that discovers JOIN edges between columns,
+    this discovers DETERMINATION edges within a table.
+
+    Scale: one partial-aggregated (X, countDistinct Y) rollup per
+    candidate FD — group cardinality is the X domain, never row count —
+    each collapsing to a 1-row summary before the 5-row union. FD
+    candidates are enumerated column pairs; at 100 TB you run the same
+    audit over the pairs a schema crawler proposes."""
+    per = None
+    for tbl, x, y in _FD_CANDIDATES:
+        grp = (
+            load_table(spark, sf_dir, tbl)
+            .groupBy(x)
+            .agg(F.countDistinct(y).alias("d"))
+            .agg(
+                F.lit(f"{tbl}: {x} -> {y}").alias("fd"),
+                F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+                F.sum(F.when(F.col("d") > 1, 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_violating"),
+            )
+        )
+        per = grp if per is None else per.unionByName(grp)
+    return per.select(
+        "fd",
+        "n_groups",
+        "n_violating",
+        F.expr("CAST(n_violating * 1000000 div n_groups AS BIGINT)").alias(
+            "violating_ppm"
+        ),
+        (F.col("n_violating") == 0).alias("holds"),
+    ).orderBy("fd")

@@ -248,6 +248,8 @@ _FIXED_SIDE_CROSSJOINS = {
     "shuffle_plan_advisor",
     # 1-row global-max-day broadcast onto the per-user aggregate
     "retention_hazard_curve",
+    # four 1-row stat frames crossed into the single report row
+    "join_size_histogram_estimate",
 }
 
 
