@@ -232,6 +232,8 @@ _VERIFY_FIRST = (
     "column_format_profile",
     "join_size_histogram_estimate",
     "fd_violation_audit",
+    "cohort_ltv_curve",
+    "snapshot_table_diff",
 )
 
 

@@ -482,3 +482,151 @@ def scd2_as_of_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+def _synth_hash(engine: str, key_sql: str, salt: str, mod: int) -> str:
+    """Deterministic per-key coin for synthesizing snapshot v2 (the
+    md5-prefix idiom, identical in both engines)."""
+    if engine == "duck":
+        return (
+            f"(CAST(('0x' || substr(md5(CAST({key_sql} AS VARCHAR) ||"
+            f" '#{salt}'), 1, 15)) AS BIGINT) % {mod})"
+        )
+    return (
+        f"(CAST(conv(substring(md5(concat(CAST({key_sql} AS STRING),"
+        f" '#{salt}')), 1, 15), 16, 10) AS BIGINT) % {mod})"
+    )
+
+
+@register(
+    "snapshot_table_diff",
+    f"""
+    WITH v1 AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), v2 AS (
+      SELECT o_orderkey,
+             CASE WHEN {_synth_hash("duck", "o_orderkey", "p", 10)} = 0
+                  THEN '9-SYNTH' ELSE o_orderpriority END AS o_orderpriority,
+             cents + CASE WHEN {_synth_hash("duck", "o_orderkey", "v", 10)} = 0
+                          THEN 123 ELSE 0 END AS cents
+      FROM v1
+      WHERE {_synth_hash("duck", "o_orderkey", "d", 20)} <> 0
+    ), joined AS (
+      SELECT v1.o_orderkey AS k1, v2.o_orderkey AS k2,
+             v1.o_orderpriority AS p1, v2.o_orderpriority AS p2,
+             v1.cents AS c1, v2.cents AS c2
+      FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+    )
+    SELECT CAST(sum(CASE WHEN k1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_v1,
+           CAST(sum(CASE WHEN k2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_v2,
+           CAST(sum(CASE WHEN k2 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_deleted,
+           CAST(sum(CASE WHEN k1 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_added,
+           CAST(sum(CASE WHEN k1 IS NOT NULL AND k2 IS NOT NULL
+                          AND (p1 <> p2 OR c1 <> c2)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+           CAST(sum(CASE WHEN k1 IS NOT NULL AND k2 IS NOT NULL
+                          AND p1 <> p2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS chg_o_orderpriority,
+           CAST(sum(CASE WHEN k1 IS NOT NULL AND k2 IS NOT NULL
+                          AND c1 <> c2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS chg_o_totalprice
+    FROM joined
+    """,
+)
+def snapshot_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-diff report — the verification step after any CDC apply or
+    re-copy (the data-diff tool a migration signs off with): given two
+    snapshots of a keyed table, count rows added, deleted, changed, and
+    the PER-COLUMN change breakdown. Snapshot v2 is synthesized
+    deterministically from v1 with the md5-coin idiom (≈5% deletes,
+    ≈10% priority rewrites, ≈10% price bumps), so the diff machinery —
+    one full-outer key join + conditional aggregate — is exercised with
+    a known expected profile and the oracle replays it bit-exactly.
+    The per-column counts are what turns "something changed" into a
+    routable worklist (price drift → finance pipeline; priority drift
+    → status-machine audit).
+
+    Scale: ONE key-partitioned full-outer join (both snapshots shuffle
+    once on the key) collapsing directly into a 1-row conditional
+    aggregate — no materialized diff rows unless you ask for them; at
+    100 TB you run the same plan per key-range partition and union the
+    1-row summaries (table_bucket_checksum is the cheap pre-check that
+    skips unchanged buckets entirely)."""
+    orders = load_table(spark, sf_dir, "orders")
+    v1 = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    hp = _synth_hash("spark", "o_orderkey", "p", 10)
+    hv = _synth_hash("spark", "o_orderkey", "v", 10)
+    hd = _synth_hash("spark", "o_orderkey", "d", 20)
+    v2 = v1.filter(F.expr(f"{hd} <> 0")).select(
+        "o_orderkey",
+        F.expr(
+            f"CASE WHEN {hp} = 0 THEN '9-SYNTH' ELSE o_orderpriority END"
+        ).alias("o_orderpriority"),
+        F.expr(f"cents + CASE WHEN {hv} = 0 THEN 123 ELSE 0 END").alias("cents"),
+    )
+    joined = v1.alias("a").join(
+        v2.alias("b"),
+        F.col("a.o_orderkey") == F.col("b.o_orderkey"),
+        "full_outer",
+    ).select(
+        F.col("a.o_orderkey").alias("k1"),
+        F.col("b.o_orderkey").alias("k2"),
+        F.col("a.o_orderpriority").alias("p1"),
+        F.col("b.o_orderpriority").alias("p2"),
+        F.col("a.cents").alias("c1"),
+        F.col("b.cents").alias("c2"),
+    )
+    return joined.agg(
+        F.sum(F.when(F.col("k1").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_v1"),
+        F.sum(F.when(F.col("k2").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_v2"),
+        F.sum(F.when(F.col("k2").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_deleted"),
+        F.sum(F.when(F.col("k1").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_added"),
+        F.sum(
+            F.when(
+                F.col("k1").isNotNull()
+                & F.col("k2").isNotNull()
+                & ((F.col("p1") != F.col("p2")) | (F.col("c1") != F.col("c2"))),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_changed"),
+        F.sum(
+            F.when(
+                F.col("k1").isNotNull()
+                & F.col("k2").isNotNull()
+                & (F.col("p1") != F.col("p2")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("chg_o_orderpriority"),
+        F.sum(
+            F.when(
+                F.col("k1").isNotNull()
+                & F.col("k2").isNotNull()
+                & (F.col("c1") != F.col("c2")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("chg_o_totalprice"),
+    )

@@ -6028,3 +6028,79 @@ def fd_violation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("n_violating") == 0).alias("holds"),
     ).orderBy("fd")
+
+
+@register(
+    "cohort_ltv_curve",
+    """
+    WITH firstm AS (
+      SELECT o_custkey,
+             min(CAST(strftime(o_orderdate, '%Y') AS BIGINT) * 12
+                 + CAST(strftime(o_orderdate, '%m') AS BIGINT) - 1)
+               AS cohort_m
+      FROM orders GROUP BY o_custkey
+    ), rev AS (
+      SELECT f.cohort_m,
+             CAST(strftime(o.o_orderdate, '%Y') AS BIGINT) * 12
+               + CAST(strftime(o.o_orderdate, '%m') AS BIGINT) - 1
+               - f.cohort_m AS month_index,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o JOIN firstm f ON o.o_custkey = f.o_custkey
+    ), per AS (
+      SELECT cohort_m, month_index,
+             CAST(sum(cents) AS BIGINT) AS month_cents
+      FROM rev WHERE month_index <= 11 GROUP BY cohort_m, month_index
+    )
+    SELECT cohort_m, month_index, month_cents,
+           CAST(sum(month_cents) OVER (
+             PARTITION BY cohort_m ORDER BY month_index) AS BIGINT)
+             AS cum_cents
+    FROM per ORDER BY cohort_m, month_index
+    """,
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve — the revenue twin of
+    events_retention_cohorts: customers grouped by FIRST-order month,
+    each cohort's revenue accumulated per month since acquisition
+    (months 0–11). The curve's shape (front-loaded vs compounding) is
+    what a unit-economics model reads off; the calendar bucketing is
+    integer month arithmetic (year·12 + month) and revenue is exact
+    integer cents, so the cumulative window hashes identically across
+    engines.
+
+    Scale: one customer-keyed min-aggregate (first order), a fact ⋈
+    first-order join keyed on the customer (both sides key-partitioned),
+    one (cohort, month) partial-aggregated rollup — cohort×12-sized —
+    and the cumulative sum runs per cohort partition over ≤12 rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    mexpr = (
+        F.year("o_orderdate").cast("bigint") * 12
+        + F.month("o_orderdate").cast("bigint")
+        - 1
+    )
+    withm = orders.select(
+        "o_custkey",
+        mexpr.alias("m"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    firstm = withm.groupBy("o_custkey").agg(F.min("m").alias("cohort_m"))
+    per = (
+        withm.join(firstm, "o_custkey")
+        .select(
+            "cohort_m", (F.col("m") - F.col("cohort_m")).alias("month_index"), "cents"
+        )
+        .filter(F.col("month_index") <= 11)
+        .groupBy("cohort_m", "month_index")
+        .agg(F.sum("cents").cast("bigint").alias("month_cents"))
+    )
+    w = (
+        Window.partitionBy("cohort_m")
+        .orderBy("month_index")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return per.select(
+        "cohort_m",
+        "month_index",
+        "month_cents",
+        F.sum("month_cents").over(w).cast("bigint").alias("cum_cents"),
+    ).orderBy("cohort_m", "month_index")
