@@ -234,6 +234,7 @@ _VERIFY_FIRST = (
     "fd_violation_audit",
     "cohort_ltv_curve",
     "snapshot_table_diff",
+    "watermark_cost_curve",
 )
 
 

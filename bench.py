@@ -57,6 +57,10 @@ HEADLINE = [
     "bloom_join_prefilter",    # declarative bloom semi-join reduction (round 7)
     "zorder_clustering_stats", # 2-D zone-map pruning comparison (round 7)
     "image_ahash_neardup",     # perceptual-hash banded near-dup (round 7)
+    "item_cf_cosine2_topk",    # basket-pair CF via collect_set explode (r7 s2)
+    "span_corruption_masks",   # T5 denoising mask plan, positional hashes (r7 s2)
+    "column_domain_overlap",   # distinct-first FK discovery self-join (r7 s2)
+    "rle_encoding_stats",      # per-row-group run counting windows (r7 s2)
 ]
 
 

@@ -6104,3 +6104,123 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "month_cents",
         F.sum("month_cents").over(w).cast("bigint").alias("cum_cents"),
     ).orderBy("cohort_m", "month_index")
+
+
+@register(
+    "watermark_cost_curve",
+    """
+    WITH seq AS (
+      SELECT event_type, epoch_us(ts) AS micros,
+             CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hr,
+             max(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS prior_max
+      FROM events
+    ), lateness AS (
+      SELECT hr,
+             CASE WHEN prior_max > micros THEN prior_max - micros
+                  ELSE 0 END AS late_us
+      FROM seq
+    ), agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CASE WHEN late_us > 60000000 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS d60,
+             CAST(sum(CASE WHEN late_us > 300000000 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS d300,
+             CAST(sum(CASE WHEN late_us > 900000000 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS d900,
+             CAST(sum(CASE WHEN late_us > 3600000000 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS d3600,
+             CAST(count(DISTINCT CASE WHEN late_us > 60000000 THEN hr END)
+                  AS BIGINT) AS h60,
+             CAST(count(DISTINCT CASE WHEN late_us > 300000000 THEN hr END)
+                  AS BIGINT) AS h300,
+             CAST(count(DISTINCT CASE WHEN late_us > 900000000 THEN hr END)
+                  AS BIGINT) AS h900,
+             CAST(count(DISTINCT CASE WHEN late_us > 3600000000 THEN hr END)
+                  AS BIGINT) AS h3600
+      FROM lateness
+    )
+    SELECT wm_seconds, n_events, n_dropped, affected_hours,
+           CAST(n_dropped * 1000000 // n_events AS BIGINT) AS dropped_ppm
+    FROM (
+      SELECT CAST(60 AS BIGINT) AS wm_seconds, n_events, d60 AS n_dropped,
+             h60 AS affected_hours FROM agg
+      UNION ALL SELECT 300, n_events, d300, h300 FROM agg
+      UNION ALL SELECT 900, n_events, d900, h900 FROM agg
+      UNION ALL SELECT 3600, n_events, d3600, h3600 FROM agg
+    ) ORDER BY wm_seconds
+    """,
+)
+def watermark_cost_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark decision table — event_order_inversions measures HOW
+    late events arrive; this prices each candidate watermark delay (60 s
+    / 5 min / 15 min / 1 h): how many events would arrive behind the
+    watermark (dropped or DLQ'd by the streaming aggregations) and how
+    many hourly partitions they touch (the reprocessing bill if you
+    instead backfill them in batch). The curve's knee is the delay to
+    configure in withWatermark; the affected-hours column is the cost of
+    choosing shorter — exactly the trade a 100 TB event lake makes
+    between state size and completeness.
+
+    Scale: reuses the one user-partitioned running-max window; all four
+    thresholds are conditional aggregates over the SAME pass (one scan,
+    one shuffle — never a pass per candidate); the 4-row report stacks
+    off the single aggregate row."""
+    from dbtransfer_spark.operators.windows import epoch_micros
+
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = events.select(
+        epoch_micros(events, "ts").alias("micros"),
+        "user_id",
+        "event_id",
+    ).select(
+        "micros",
+        F.expr("CAST(micros div 3600000000 AS BIGINT)").alias("hr"),
+        F.max("micros").over(w).alias("prior_max"),
+    )
+    lateness = seq.select(
+        "hr",
+        F.expr(
+            "CASE WHEN prior_max > micros THEN prior_max - micros ELSE 0 END"
+        ).alias("late_us"),
+    )
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_events")]
+    for s in (60, 300, 900, 3600):
+        us = s * 1_000_000
+        aggs.append(
+            F.sum(F.when(F.col("late_us") > us, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"d{s}")
+        )
+        aggs.append(
+            F.countDistinct(F.when(F.col("late_us") > us, F.col("hr")))
+            .cast("bigint")
+            .alias(f"h{s}")
+        )
+    agg = lateness.agg(*aggs)
+    stacked = agg.select(
+        F.expr(
+            "stack(4,"
+            " CAST(60 AS BIGINT), n_events, d60, h60,"
+            " CAST(300 AS BIGINT), n_events, d300, h300,"
+            " CAST(900 AS BIGINT), n_events, d900, h900,"
+            " CAST(3600 AS BIGINT), n_events, d3600, h3600"
+            ") AS (wm_seconds, n_events, n_dropped, affected_hours)"
+        )
+    )
+    return stacked.select(
+        "wm_seconds",
+        "n_events",
+        "n_dropped",
+        "affected_hours",
+        F.expr("CAST(n_dropped * 1000000 div n_events AS BIGINT)").alias(
+            "dropped_ppm"
+        ),
+    ).orderBy("wm_seconds")
