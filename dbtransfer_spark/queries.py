@@ -5673,7 +5673,11 @@ def column_domain_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     BEFORE any join — the round-7 distinct-first rule), then one
     value-keyed self-join whose per-value fanout is bounded by the
     number of profiled columns (11), never row counts. NDV frames are
-    column-count-sized."""
+    column-count-sized. The stacked distinct frame feeds three
+    consumers (ndv, both join sides), so it is persisted — each source
+    table is scanned ONCE and the profile is served from the staged
+    domain frame, the same staging a 100 TB discovery run would write
+    to disk."""
     stacked = None
     for tbl, col in _DOMAIN_COLS:
         sel = (
@@ -5685,6 +5689,7 @@ def column_domain_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
         )
         stacked = sel if stacked is None else stacked.unionByName(sel)
+    stacked = stacked.persist()
     ndv = stacked.groupBy("col").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     a = stacked.alias("a")
     b = stacked.alias("b")
