@@ -235,6 +235,9 @@ _VERIFY_FIRST = (
     "cohort_ltv_curve",
     "snapshot_table_diff",
     "watermark_cost_curve",
+    "price_volume_mix_decomposition",
+    "brand_return_rate_shrunk",
+    "abc_inventory_classes",
 )
 
 

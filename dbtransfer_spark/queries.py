@@ -6229,3 +6229,248 @@ def watermark_cost_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dropped_ppm"
         ),
     ).orderBy("wm_seconds")
+
+
+@register(
+    "price_volume_mix_decomposition",
+    """
+    WITH per AS (
+      SELECT p.p_brand,
+             CAST(strftime(l.l_shipdate, '%Y') AS BIGINT) AS yr,
+             CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty,
+             CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE strftime(l.l_shipdate, '%Y') IN ('1998', '1999')
+      GROUP BY p.p_brand, yr
+    ), wide AS (
+      SELECT p_brand,
+             CAST(sum(CASE WHEN yr = 1998 THEN qty ELSE 0 END) AS BIGINT)
+               AS q1,
+             CAST(sum(CASE WHEN yr = 1999 THEN qty ELSE 0 END) AS BIGINT)
+               AS q2,
+             CAST(sum(CASE WHEN yr = 1998 THEN cents ELSE 0 END) AS BIGINT)
+               AS r1_cents,
+             CAST(sum(CASE WHEN yr = 1999 THEN cents ELSE 0 END) AS BIGINT)
+               AS r2_cents
+      FROM per GROUP BY p_brand
+    )
+    SELECT p_brand, q1, q2, r1_cents, r2_cents,
+           CAST(r2_cents - r1_cents AS BIGINT) AS delta_cents,
+           round(CAST((q2 - q1) * r1_cents AS DOUBLE) / q1, 2)
+             AS volume_effect,
+           round(r2_cents - r1_cents
+                 - CAST((q2 - q1) * r1_cents AS DOUBLE) / q1, 2)
+             AS price_mix_effect
+    FROM wide WHERE q1 > 0 AND q2 > 0
+    ORDER BY p_brand
+    """,
+)
+def price_volume_mix_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-volume-mix variance decomposition — the finance-analytics
+    staple behind every "why did revenue move" review: per brand, the
+    1998→1999 revenue delta split into a volume effect (quantity change
+    at last year's realized price, Laspeyres convention) and the
+    price/mix residual. All inputs are exact integers (unit counts,
+    cents); each effect is ONE IEEE division of exact integers
+    ((q2−q1)·r1 / q1 — cross-multiplied before dividing, the
+    bigram_pmi_top determinism trick) rounded to 2 dp on both engines,
+    and the residual is a subtraction of those identical doubles.
+
+    Scale: one year-filtered fact scan (predicate reaches parquet) ⋈
+    part dimension, one (brand, year) partial-aggregated rollup pivoted
+    by conditional sums — brand×2-sized — then pure arithmetic. No
+    windows, no second scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    per = (
+        li.filter(F.date_format("l_shipdate", "yyyy").isin("1998", "1999"))
+        .join(part, li["l_partkey"] == part["p_partkey"])
+        .groupBy(
+            "p_brand",
+            F.date_format("l_shipdate", "yyyy").cast("bigint").alias("yr"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("qty"),
+            F.sum(F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    wide = per.groupBy("p_brand").agg(
+        F.sum(F.when(F.col("yr") == 1998, F.col("qty")).otherwise(0))
+        .cast("bigint")
+        .alias("q1"),
+        F.sum(F.when(F.col("yr") == 1999, F.col("qty")).otherwise(0))
+        .cast("bigint")
+        .alias("q2"),
+        F.sum(F.when(F.col("yr") == 1998, F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("r1_cents"),
+        F.sum(F.when(F.col("yr") == 1999, F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("r2_cents"),
+    )
+    return (
+        wide.filter((F.col("q1") > 0) & (F.col("q2") > 0))
+        .select(
+            "p_brand",
+            "q1",
+            "q2",
+            "r1_cents",
+            "r2_cents",
+            (F.col("r2_cents") - F.col("r1_cents"))
+            .cast("bigint")
+            .alias("delta_cents"),
+            F.expr(
+                "round(CAST((q2 - q1) * r1_cents AS DOUBLE) / q1, 2)"
+            ).alias("volume_effect"),
+            F.expr(
+                "round(r2_cents - r1_cents"
+                " - CAST((q2 - q1) * r1_cents AS DOUBLE) / q1, 2)"
+            ).alias("price_mix_effect"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@register(
+    "brand_return_rate_shrunk",
+    """
+    WITH per AS (
+      SELECT p.p_brand,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_brand
+    ), g AS (
+      SELECT CAST(sum(n) AS BIGINT) AS gn, CAST(sum(x) AS BIGINT) AS gx
+      FROM per
+    )
+    SELECT p_brand, n, x,
+           CAST(x * 1000000 // n AS BIGINT) AS raw_ppm,
+           CAST((x * gn + 20 * gx) * 1000000 // ((n + 20) * gn) AS BIGINT)
+             AS shrunk_ppm
+    FROM per, g ORDER BY p_brand
+    """,
+)
+def brand_return_rate_shrunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-brand return rates — the
+    small-sample correction every per-segment rate report needs: a brand
+    with 3 lineitems and 1 return is NOT a 333k-ppm-return brand; its
+    rate is shrunk toward the global rate with a pseudo-count prior
+    (α = 20, i.e. each brand starts with 20 phantom lineitems at the
+    corpus rate — the beta-binomial posterior mean). The shrunk rate is
+    computed entirely in integer arithmetic by cross-multiplying the
+    global ratio into the numerator ((x·N + α·X)·10⁶ div (n+α)·N), so
+    no float enters the hash. Raw rate emitted beside it — the spread
+    between columns IS the shrinkage diagnostic.
+
+    Scale: one fact ⋈ part join, one brand rollup, a 1-row global
+    aggregate broadcast onto the brand rows (whitelisted fixed-size
+    cross). Brand cardinality bounds everything downstream."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    per = (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("bigint")
+            .alias("x"),
+        )
+    )
+    g = per.agg(
+        F.sum("n").cast("bigint").alias("gn"),
+        F.sum("x").cast("bigint").alias("gx"),
+    )
+    return (
+        per.crossJoin(F.broadcast(g))
+        .select(
+            "p_brand",
+            "n",
+            "x",
+            F.expr("CAST(x * 1000000 div n AS BIGINT)").alias("raw_ppm"),
+            F.expr(
+                "CAST((x * gn + 20 * gx) * 1000000 div ((n + 20) * gn)"
+                " AS BIGINT)"
+            ).alias("shrunk_ppm"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@register(
+    "abc_inventory_classes",
+    """
+    WITH rev AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM lineitem GROUP BY l_partkey
+    ), tot AS (
+      SELECT CAST(sum(cents) AS BIGINT) AS total FROM rev
+    ), cum AS (
+      SELECT l_partkey, cents,
+             sum(cents) OVER (ORDER BY cents DESC, l_partkey) AS running,
+             total
+      FROM rev, tot
+    ), classed AS (
+      SELECT CASE WHEN running * 1000000 // total <= 800000 THEN 'A'
+                  WHEN running * 1000000 // total <= 950000 THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             cents
+      FROM cum
+    )
+    SELECT abc_class,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(cents) AS BIGINT) AS class_cents
+    FROM classed GROUP BY abc_class ORDER BY abc_class
+    """,
+)
+def abc_inventory_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification — the operations staple (A: parts
+    covering the first 80% of revenue, B: to 95%, C: the tail) that
+    needs an EXACT global cumulative revenue in descending order. The
+    oracle writes the textbook single-partition window; the Spark side
+    runs the same cumulative through ``distributed_prefix_sum`` —
+    range-repartition on the (−revenue, partkey) order key, partition-
+    local running sums, per-partition offsets from a |partitions|-row
+    probe — so no task ever sees more than 1/N of the part domain (the
+    supplier_pareto / doc_global_ordinal scale pattern; a plain
+    unpartitioned window here would funnel every part through one
+    task). Classification thresholds are exact integer ppm of the
+    1-row total broadcast.
+
+    Scale: one fact rollup to the part domain, the prefix-sum machinery
+    (sampled range exchange + bounded offset collect), one 3-row class
+    rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.expr(
+            "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)"
+        ).alias("cents")
+    )
+    tot = rev.agg(F.sum("cents").cast("bigint").alias("total"))
+    ordered = rev.withColumn("neg_cents", -F.col("cents"))
+    cum = distributed_prefix_sum(
+        ordered, ["neg_cents", "l_partkey"], "cents"
+    ).withColumnRenamed("__cum", "running")
+    classed = cum.crossJoin(F.broadcast(tot)).select(
+        F.expr(
+            "CASE WHEN running * 1000000 div total <= 800000 THEN 'A'"
+            " WHEN running * 1000000 div total <= 950000 THEN 'B'"
+            " ELSE 'C' END"
+        ).alias("abc_class"),
+        "cents",
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum("cents").cast("bigint").alias("class_cents"),
+        )
+        .orderBy("abc_class")
+    )

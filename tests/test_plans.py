@@ -250,6 +250,10 @@ _FIXED_SIDE_CROSSJOINS = {
     "retention_hazard_curve",
     # four 1-row stat frames crossed into the single report row
     "join_size_histogram_estimate",
+    # 1-row global-rate broadcast onto the brand rows
+    "brand_return_rate_shrunk",
+    # 1-row revenue-total broadcast onto the part-domain cumulative
+    "abc_inventory_classes",
 }
 
 
@@ -618,3 +622,64 @@ def test_countmin_sketch_state_is_constant(spark):
     # estimate is an upper bound on the exact count for every probe key
     assert all(r["overcount"] >= 0 for r in out)
     assert all(r["cms_est"] >= r["exact_n"] for r in out)
+
+
+def test_r7s2_operator_plan_shapes(spark):
+    """Round-7 session-2 operators' scale contracts, plan-asserted."""
+    import re
+
+    import dbtransfer_spark.queries as Q2
+    from dbtransfer_spark.operators import text as T
+
+    # item_cf_cosine2_topk: candidate generation must carry NO join —
+    # pairs explode from the per-basket collect_set; the only joins are
+    # against the dimension-sized per-item count table
+    plan = formatted_plan(Q2.QUERIES["item_cf_cosine2_topk"](spark, SF_SMOKE))
+    tree = plan.split("\n\n")[0]
+    # bounded static lineage: sets feeds pair (mirrored twice in the sym
+    # union) and n_item (joined twice) — 4 scan references, runtime
+    # reuses the exchange; a join-based pair generator would add
+    # SortMergeJoin nodes before the pair aggregate instead
+    assert tree.count("Scan parquet") <= 4, tree
+    assert "CartesianProduct" not in plan
+
+    # column_domain_overlap: the staged domain frame serves every
+    # consumer — static plan shows cached scans, one parquet scan per
+    # profiled column entry only
+    plan = formatted_plan(Q2.QUERIES["column_domain_overlap"](spark, SF_SMOKE))
+    assert "InMemoryTableScan" in plan, "domain frame must be staged"
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert n_scans <= 12, n_scans
+
+    # watermark_cost_curve: ALL four thresholds ride ONE window pass —
+    # exactly one Window node, one scan
+    plan = formatted_plan(Q2.QUERIES["watermark_cost_curve"](spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1, plan
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1, tree
+
+    # predicate_selectivity_audit: one scan computes all eight counts
+    plan = formatted_plan(
+        Q2.QUERIES["predicate_selectivity_audit"](spark, SF_SMOKE)
+    )
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1, tree
+    assert "Join" not in plan, plan
+
+    # snapshot_table_diff: exactly one join (the full-outer key join),
+    # collapsing into a single-row aggregate — no second pass
+    from dbtransfer_spark.operators import cdc as C
+
+    plan = formatted_plan(C.QUERIES["snapshot_table_diff"](spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) SortMergeJoin", plan)) == 1, plan
+    assert "FullOuter" in plan, plan
+
+    # token_id_encode_checksum: the vocab side must BROADCAST onto the
+    # token stream (256 rows), never shuffle the fact side for the join
+    df = T.QUERIES["token_id_encode_checksum"](spark, SF_SMOKE)
+    assert has_broadcast_join(df)
+
+    # weighted_median_by_flag: both window frames share ONE exchange on
+    # the flag partitioning (no second shuffle for the totals window)
+    df = Q2.QUERIES["weighted_median_by_flag"](spark, SF_SMOKE)
+    assert count_exchanges(df) <= 2, formatted_plan(df)
