@@ -238,6 +238,7 @@ _VERIFY_FIRST = (
     "price_volume_mix_decomposition",
     "brand_return_rate_shrunk",
     "abc_inventory_classes",
+    "theil_sen_trend_banded",
 )
 
 

@@ -6474,3 +6474,72 @@ def abc_inventory_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class")
     )
+
+
+@register(
+    "theil_sen_trend_banded",
+    """
+    WITH daily AS (
+      SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS d,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) // 100
+                  AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ), lagk AS (
+      SELECT CAST(k AS BIGINT) AS k FROM UNNEST(range(1, 31)) AS t(k)
+    ), slopes AS (
+      SELECT (b.x - a.x) * 1000000 // lagk.k AS slope_scaled
+      FROM daily a, lagk
+      JOIN daily b ON b.d = a.d + lagk.k
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           quantile_cont(slope_scaled, 0.25) AS slope_p25,
+           quantile_cont(slope_scaled, 0.5) AS slope_median,
+           quantile_cont(slope_scaled, 0.75) AS slope_p75
+    FROM slopes
+    """,
+)
+def theil_sen_trend_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded Theil-Sen trend estimator for the daily-revenue series —
+    the robust alternative to the OLS slope (ols_price_on_quantity):
+    the median of pairwise slopes shrugs off the revenue spikes that
+    drag a least-squares line (up to ~29% outliers tolerated). Classic
+    Theil-Sen is all-pairs O(n²); the banded variant uses only pairs
+    ≤30 days apart — linear in the date spine with a constant 30×
+    fanout, the standard scale-out compromise (and a better trend
+    reader anyway: long-baseline pairs dilute recent trend). Slopes are
+    exact scaled integers (Δrevenue·10⁶ div Δdays, the floor-ppm
+    idiom); the quartiles interpolate integers, which both engines do
+    bit-identically. The p25/p75 spread doubles as the slope's
+    confidence band.
+
+    Scale: the daily rollup is |days|-sized regardless of SF; the
+    30-lag expansion + self-equi-join on (d + k) act on that spine
+    (the acf_lag_ingredients skeleton); one exact-percentile aggregate
+    ends it. Never a cartesian, never an unpartitioned window."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+        .cast("bigint")
+        .alias("d")
+    ).agg(
+        F.expr(
+            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) div 100"
+            " AS BIGINT)"
+        ).alias("x")
+    )
+    a = daily.select(
+        "d",
+        F.col("x").alias("xa"),
+        F.explode(F.expr("sequence(1, 30)")).alias("k"),
+    ).withColumn("k", F.col("k").cast("bigint"))
+    b = daily.select(F.col("d").alias("bd"), F.col("x").alias("xb"))
+    slopes = a.join(b, F.col("bd") == F.col("d") + F.col("k")).select(
+        F.expr("(xb - xa) * 1000000 div k").alias("slope_scaled")
+    )
+    return slopes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.expr("percentile(slope_scaled, 0.25)").alias("slope_p25"),
+        F.expr("percentile(slope_scaled, 0.5)").alias("slope_median"),
+        F.expr("percentile(slope_scaled, 0.75)").alias("slope_p75"),
+    )
