@@ -239,6 +239,7 @@ _VERIFY_FIRST = (
     "brand_return_rate_shrunk",
     "abc_inventory_classes",
     "theil_sen_trend_banded",
+    "partition_scheme_advisor",
 )
 
 

@@ -6543,3 +6543,97 @@ def theil_sen_trend_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(slope_scaled, 0.5)").alias("slope_median"),
         F.expr("percentile(slope_scaled, 0.75)").alias("slope_p75"),
     )
+
+
+@register(
+    "partition_scheme_advisor",
+    """
+    WITH e AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+             CAST(40 + length(event_type) + length(coalesce(props, ''))
+                  AS BIGINT) AS row_bytes
+      FROM events
+    ), by_day AS (
+      SELECT 'day' AS scheme, day AS pkey,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(row_bytes) AS BIGINT) AS bytes
+      FROM e GROUP BY day
+    ), by_day_type AS (
+      SELECT 'day_type' AS scheme, day || '/' || event_type AS pkey,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(row_bytes) AS BIGINT) AS bytes
+      FROM e GROUP BY day, event_type
+    ), stacked AS (
+      SELECT * FROM by_day UNION ALL SELECT * FROM by_day_type
+    )
+    SELECT scheme,
+           CAST(count(*) AS BIGINT) AS n_partitions,
+           CAST(min(bytes) AS BIGINT) AS min_bytes,
+           CAST(max(bytes) AS BIGINT) AS max_bytes,
+           CAST(sum(bytes) // count(*) AS BIGINT) AS avg_bytes,
+           CAST(max(bytes) * count(*) * 1000000 // sum(bytes) AS BIGINT)
+             AS skew_x_ppm,
+           CAST(sum(CASE WHEN bytes < 16384 THEN 1 ELSE 0 END) AS BIGINT)
+             AS small_partitions
+    FROM stacked GROUP BY scheme ORDER BY scheme
+    """,
+)
+def partition_scheme_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lake partition-layout advisor — the directory-scheme decision
+    every event lake makes once and lives with for years: for each
+    candidate Hive partitioning (by day vs by day/type), the partition
+    count, byte-size distribution, skew (max over mean, ppm), and the
+    small-partition count under a fixture-scaled 16 KiB floor (prod:
+    the 128 MiB small-file threshold — same arithmetic). Finer schemes
+    buy partition pruning (test_date_partitioned_layout_prunes_partitions
+    proves the pruning side) but multiply partition count and shrink
+    files — this query prices that trade with data instead of folklore.
+    Complements compaction_bin_packing (fixing small files after the
+    fact) and zonemap/zorder (intra-file layout).
+
+    Scale: two partial-aggregated rollups over one stacked lineage (the
+    finer scheme's cardinality is day×type — still metadata-sized), a
+    |schemes|-row report. At 100 TB the same query runs on the file
+    manifest instead of raw rows; the arithmetic is unchanged."""
+    events = load_table(spark, sf_dir, "events")
+    e = events.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        (
+            F.lit(40)
+            + F.length("event_type")
+            + F.length(F.coalesce(F.col("props"), F.lit("")))
+        )
+        .cast("bigint")
+        .alias("row_bytes"),
+    )
+    by_day = e.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("row_bytes").cast("bigint").alias("bytes"),
+    ).select(F.lit("day").alias("scheme"), F.col("day").alias("pkey"), "n_rows", "bytes")
+    by_day_type = e.groupBy("day", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("row_bytes").cast("bigint").alias("bytes"),
+    ).select(
+        F.lit("day_type").alias("scheme"),
+        F.concat_ws("/", "day", "event_type").alias("pkey"),
+        "n_rows",
+        "bytes",
+    )
+    stacked = by_day.unionByName(by_day_type)
+    return (
+        stacked.groupBy("scheme")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_partitions"),
+            F.min("bytes").cast("bigint").alias("min_bytes"),
+            F.max("bytes").cast("bigint").alias("max_bytes"),
+            F.expr("CAST(sum(bytes) div count(*) AS BIGINT)").alias("avg_bytes"),
+            F.expr(
+                "CAST(max(bytes) * count(*) * 1000000 div sum(bytes) AS BIGINT)"
+            ).alias("skew_x_ppm"),
+            F.sum(F.when(F.col("bytes") < 16384, 1).otherwise(0))
+            .cast("bigint")
+            .alias("small_partitions"),
+        )
+        .orderBy("scheme")
+    )
