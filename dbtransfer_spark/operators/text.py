@@ -1711,7 +1711,7 @@ def span_corruption_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
     of blocks; a corrupted block masks a 1–3-token span at a hashed
     offset (non-overlap by construction, since a span never leaves its
     block). Emits per doc the span count, masked-token count/share
-    (≈17% by construction, the T5 ballpark), and an order-independent
+    (≈12% by construction: 40% of blocks × mean span 2 of 7 — the T5 corruption-rate ballpark), and an order-independent
     checksum over the masked positions so a downstream
     sentinel-replacement writer can verify it applied the identical
     plan. All "randomness" is the md5-prefix idiom — bit-identical in

@@ -6418,8 +6418,8 @@ def brand_return_rate_shrunk(spark: SparkSession, sf_dir: str) -> DataFrame:
              total
       FROM rev, tot
     ), classed AS (
-      SELECT CASE WHEN running * 1000000 // total <= 800000 THEN 'A'
-                  WHEN running * 1000000 // total <= 950000 THEN 'B'
+      SELECT CASE WHEN running * 5 <= total * 4 THEN 'A'
+                  WHEN running * 20 <= total * 19 THEN 'B'
                   ELSE 'C' END AS abc_class,
              cents
       FROM cum
@@ -6441,8 +6441,11 @@ def abc_inventory_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe — so no task ever sees more than 1/N of the part domain (the
     supplier_pareto / doc_global_ordinal scale pattern; a plain
     unpartitioned window here would funnel every part through one
-    task). Classification thresholds are exact integer ppm of the
-    1-row total broadcast.
+    task). Classification thresholds are CROSS-MULTIPLIED integer
+    comparisons against the 1-row total broadcast (running·5 ≤ total·4),
+    never running·10⁶ — a monetary cumulative times a ppm scale
+    overflows BIGINT already at sf1 (caught by the sf1 rehearsal under
+    ANSI mode); small multipliers keep ~10⁴× headroom at 100 TB.
 
     Scale: one fact rollup to the part domain, the prefix-sum machinery
     (sampled range exchange + bounded offset collect), one 3-row class
@@ -6460,8 +6463,8 @@ def abc_inventory_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("__cum", "running")
     classed = cum.crossJoin(F.broadcast(tot)).select(
         F.expr(
-            "CASE WHEN running * 1000000 div total <= 800000 THEN 'A'"
-            " WHEN running * 1000000 div total <= 950000 THEN 'B'"
+            "CASE WHEN running * 5 <= total * 4 THEN 'A'"
+            " WHEN running * 20 <= total * 19 THEN 'B'"
             " ELSE 'C' END"
         ).alias("abc_class"),
         "cents",
