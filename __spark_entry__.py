@@ -240,6 +240,7 @@ _VERIFY_FIRST = (
     "abc_inventory_classes",
     "theil_sen_trend_banded",
     "partition_scheme_advisor",
+    "neardup_transitivity_audit",
 )
 
 

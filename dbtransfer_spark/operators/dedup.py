@@ -1770,3 +1770,113 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 winnow_fingerprints.__doc__ = winnow_fingerprints.__doc__.format(
     k=_WN_K, w=_WN_W, kw=_WN_K + _WN_W - 1, exp=2 * 1000000 // (_WN_W + 1)
 )
+
+
+@register(
+    "neardup_transitivity_audit",
+    r"""
+    WITH contents AS (
+      SELECT min(doc_id) AS cid, text FROM documents GROUP BY text
+    ), shingled AS (
+      SELECT cid, unnest(list_distinct([
+               array_to_string(words[i:i+2], ' ')
+               FOR i IN range(1, greatest(len(words) - 2, 0) + 1)
+             ])) AS shingle
+      FROM (SELECT cid, string_split(text, ' ') AS words FROM contents)
+    ), sizes AS (
+      SELECT cid, count(*) AS n_sh FROM shingled GROUP BY cid
+    ), inter AS (
+      SELECT a.cid AS x, b.cid AS y, count(*) AS n_common
+      FROM shingled a JOIN shingled b
+        ON a.shingle = b.shingle AND a.cid < b.cid
+      GROUP BY a.cid, b.cid
+    ), edges AS (
+      SELECT x, y FROM inter
+      JOIN sizes sa ON sa.cid = x
+      JOIN sizes sb ON sb.cid = y
+      WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+    ), sym AS (
+      SELECT x AS c, y AS nb FROM edges UNION ALL SELECT y, x FROM edges
+    ), wedges AS (
+      SELECT w1.nb AS x1, w2.nb AS x2
+      FROM sym w1 JOIN sym w2 ON w1.c = w2.c AND w1.nb < w2.nb
+    )
+    SELECT CAST((SELECT count(*) FROM contents) AS BIGINT) AS n_contents,
+           CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_edges,
+           CAST((SELECT count(*) FROM wedges) AS BIGINT) AS n_wedges,
+           CAST((SELECT count(*) FROM wedges w
+                 JOIN edges e ON e.x = w.x1 AND e.y = w.x2) AS BIGINT)
+             AS n_closed,
+           CAST(CASE WHEN (SELECT count(*) FROM wedges) = 0 THEN 0
+                ELSE (SELECT count(*) FROM wedges w
+                      JOIN edges e ON e.x = w.x1 AND e.y = w.x2) * 1000000
+                     // (SELECT count(*) FROM wedges) END AS BIGINT)
+             AS closure_ppm
+    """,
+)
+def neardup_transitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitivity audit of the near-duplicate relation — the number
+    that decides whether CLUSTER-level dedup (dedup_clusters: connected
+    components, one survivor per component) is safe: near-duplicate is
+    not transitive (a~b and b~c at Jaccard 0.5 can leave a,c at 0.2),
+    and a LOW closure rate means components chain together documents
+    that are NOT near-duplicates of each other — the classic
+    over-merging failure of CC-based dedup on sliding content. Computed
+    on the DISTINCT-CONTENT graph (exact replicas collapse to one node
+    first — the r7 distinct-first rule; replica cliques would otherwise
+    inflate wedges CUBICALLY), as global clustering coefficient:
+    closed wedges / all wedges, exact ppm.
+
+    Scale: content collapse (one hash shuffle), the verified
+    inverted-index Jaccard join builds edges, the edge list is persisted
+    (graph-sized, tiny relative to the corpus) and wedges come from the
+    degree-bounded neighbor self-join — Σ deg² on the content graph,
+    the copurchase_triangles bound; at 100 TB a degree cap on hub
+    contents bounds the worst case. Report assembly is four 1-row
+    aggregates crossed (whitelisted fixed-size)."""
+    docs = load_table(spark, sf_dir, "documents")
+    contents = (
+        docs.groupBy("text")
+        .agg(F.min("doc_id").alias("cid"))
+        .select("cid", "text")
+        .persist()
+    )
+    edges = _ngram_jaccard_pairs_rowlevel(
+        contents, "cid", "text", shingle_len=3, threshold=0.5
+    ).select(F.col("doc_a").alias("x"), F.col("doc_b").alias("y")).persist()
+    sym = edges.select(F.col("x").alias("c"), F.col("y").alias("nb")).unionByName(
+        edges.select(F.col("y").alias("c"), F.col("x").alias("nb"))
+    )
+    w1 = sym.alias("w1")
+    w2 = sym.alias("w2")
+    wedges = w1.join(
+        w2,
+        (F.col("w1.c") == F.col("w2.c")) & (F.col("w1.nb") < F.col("w2.nb")),
+    ).select(F.col("w1.nb").alias("x1"), F.col("w2.nb").alias("x2")).persist()
+    n_contents = contents.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_contents")
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    n_wedges = wedges.agg(F.count(F.lit(1)).cast("bigint").alias("n_wedges"))
+    n_closed = (
+        wedges.join(
+            edges,
+            (F.col("x") == F.col("x1")) & (F.col("y") == F.col("x2")),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_closed"))
+    )
+    return (
+        n_contents.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(n_wedges))
+        .crossJoin(F.broadcast(n_closed))
+        .select(
+            "n_contents",
+            "n_edges",
+            "n_wedges",
+            "n_closed",
+            F.expr(
+                "CAST(CASE WHEN n_wedges = 0 THEN 0"
+                " ELSE n_closed * 1000000 div n_wedges END AS BIGINT)"
+            ).alias("closure_ppm"),
+        )
+    )

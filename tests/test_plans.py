@@ -254,6 +254,8 @@ _FIXED_SIDE_CROSSJOINS = {
     "brand_return_rate_shrunk",
     # 1-row revenue-total broadcast onto the part-domain cumulative
     "abc_inventory_classes",
+    # four 1-row graph-stat frames crossed into the single report row
+    "neardup_transitivity_audit",
 }
 
 
