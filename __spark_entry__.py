@@ -241,6 +241,7 @@ _VERIFY_FIRST = (
     "theil_sen_trend_banded",
     "partition_scheme_advisor",
     "neardup_transitivity_audit",
+    "ks_drift_exact",
 )
 
 

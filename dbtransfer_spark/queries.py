@@ -6640,3 +6640,120 @@ def partition_scheme_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("scheme")
     )
+
+
+@register(
+    "ks_drift_exact",
+    """
+    WITH tagged AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CASE WHEN strftime(o_orderdate, '%Y') <= '1997' THEN 'a'
+                  ELSE 'b' END AS side
+      FROM orders
+    ), per_val AS (
+      SELECT cents,
+             CAST(sum(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+               AS ca,
+             CAST(sum(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+               AS cb
+      FROM tagged GROUP BY cents
+    ), cum AS (
+      SELECT cents,
+             sum(ca) OVER (ORDER BY cents) AS cum_a,
+             sum(cb) OVER (ORDER BY cents) AS cum_b
+      FROM per_val
+    ), tot AS (
+      SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+      FROM per_val
+    )
+    SELECT tot.na, tot.nb,
+           CAST(max(abs(cum_a * tot.nb - cum_b * tot.na)) AS BIGINT)
+             AS d_num,
+           round(CAST(max(abs(cum_a * tot.nb - cum_b * tot.na)) AS DOUBLE)
+                 / (tot.na * tot.nb), 6) AS ks_stat
+    FROM cum, tot GROUP BY tot.na, tot.nb
+    """,
+)
+def ks_drift_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT two-sample Kolmogorov-Smirnov drift between early
+    (≤1997) and late (≥1998) order-value distributions — the
+    distribution-shift detector that needs no binning choice
+    (feature_drift_bins' chi-square is its binned cousin; KS catches
+    shifts chi-square's bin edges can hide). D = max |F_a − F_b| over
+    the merged support, computed as an exact integer numerator
+    (|cum_a·n_b − cum_b·n_a|, cross-multiplied so no division enters
+    the max) and ONE final IEEE division for the reported statistic.
+
+    Scale: both empirical CDFs ride ONE pass of the scale-safe global
+    cumulative (distributed_prefix_sum over the distinct-value frame —
+    value-domain-sized, never row-sized — carrying both sides' counts
+    through the same range-repartition, so the two CDFs share one
+    exchange); the totals are a 1-row broadcast (whitelisted). The
+    oracle writes the textbook single-window form."""
+    orders = load_table(spark, sf_dir, "orders")
+    tagged = orders.select(
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        F.when(F.date_format("o_orderdate", "yyyy") <= "1997", "a")
+        .otherwise("b")
+        .alias("side"),
+    )
+    per_val = tagged.groupBy("cents").agg(
+        F.sum(F.when(F.col("side") == "a", 1).otherwise(0))
+        .cast("bigint")
+        .alias("ca"),
+        F.sum(F.when(F.col("side") == "b", 1).otherwise(0))
+        .cast("bigint")
+        .alias("cb"),
+    )
+    # Both CDFs must ride ONE pinned range-repartition: two independent
+    # distributed_prefix_sum calls would each sample their own partition
+    # boundaries, so their rows could not be joined back consistently.
+    # Inline the helper's pattern with TWO running sums over the same
+    # pid window and a two-offset probe (the helper exposes only one
+    # value column).
+    parts = per_val.repartitionByRange(32, F.col("cents")).sortWithinPartitions(
+        "cents"
+    )
+    withpid = parts.withColumn("__pid", F.spark_partition_id()).persist()
+    psums = (
+        withpid.groupBy("__pid")
+        .agg(F.sum("ca").alias("sa"), F.sum("cb").alias("sb"))
+        .collect()
+    )
+    offs, acc_a, acc_b = [], 0, 0
+    for r in sorted((r["__pid"], r["sa"] or 0, r["sb"] or 0) for r in psums):
+        offs.append((r[0], acc_a, acc_b))
+        acc_a += r[1]
+        acc_b += r[2]
+    off_df = spark.createDataFrame(offs, "__pid int, __oa long, __ob long")
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        withpid.join(F.broadcast(off_df), "__pid")
+        .select(
+            "cents",
+            (F.sum("ca").over(w) + F.col("__oa")).alias("cum_a"),
+            (F.sum("cb").over(w) + F.col("__ob")).alias("cum_b"),
+        )
+    )
+    tot = per_val.agg(
+        F.sum("ca").cast("bigint").alias("na"),
+        F.sum("cb").cast("bigint").alias("nb"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("na", "nb")
+        .agg(
+            F.max(F.abs(F.col("cum_a") * F.col("nb") - F.col("cum_b") * F.col("na")))
+            .cast("bigint")
+            .alias("d_num"),
+            F.expr(
+                "round(CAST(max(abs(cum_a * nb - cum_b * na)) AS DOUBLE)"
+                " / (na * nb), 6)"
+            ).alias("ks_stat"),
+        )
+        .select("na", "nb", "d_num", "ks_stat")
+    )

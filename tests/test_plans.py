@@ -256,6 +256,8 @@ _FIXED_SIDE_CROSSJOINS = {
     "abc_inventory_classes",
     # four 1-row graph-stat frames crossed into the single report row
     "neardup_transitivity_audit",
+    # 1-row sample-totals broadcast onto the value-domain CDF frame
+    "ks_drift_exact",
 }
 
 
