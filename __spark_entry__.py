@@ -242,6 +242,7 @@ _VERIFY_FIRST = (
     "partition_scheme_advisor",
     "neardup_transitivity_audit",
     "ks_drift_exact",
+    "mannwhitney_auc_drift",
 )
 
 

@@ -6642,6 +6642,48 @@ def partition_scheme_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _two_sample_cdf(spark, per_val: DataFrame, order_col: str):
+    """Both empirical CDFs of a two-sample comparison over ONE pinned
+    range-repartition (two independent distributed_prefix_sum calls
+    would each SAMPLE their own partition boundaries, so their rows
+    could not be joined back consistently): the distinct-value frame
+    (order_col, ca, cb) gains inclusive cumulative counts cum_a/cum_b
+    via two running sums over the same pid window plus a two-offset
+    |partitions|-row probe. Returns (cum_frame, 1-row totals na/nb)."""
+    parts = per_val.repartitionByRange(
+        32, F.col(order_col)
+    ).sortWithinPartitions(order_col)
+    withpid = parts.withColumn("__pid", F.spark_partition_id()).persist()
+    psums = (
+        withpid.groupBy("__pid")
+        .agg(F.sum("ca").alias("sa"), F.sum("cb").alias("sb"))
+        .collect()
+    )
+    offs, acc_a, acc_b = [], 0, 0
+    for r in sorted((r["__pid"], r["sa"] or 0, r["sb"] or 0) for r in psums):
+        offs.append((r[0], acc_a, acc_b))
+        acc_a += r[1]
+        acc_b += r[2]
+    off_df = spark.createDataFrame(offs, "__pid int, __oa long, __ob long")
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = withpid.join(F.broadcast(off_df), "__pid").select(
+        order_col,
+        "ca",
+        "cb",
+        (F.sum("ca").over(w) + F.col("__oa")).alias("cum_a"),
+        (F.sum("cb").over(w) + F.col("__ob")).alias("cum_b"),
+    )
+    tot = per_val.agg(
+        F.sum("ca").cast("bigint").alias("na"),
+        F.sum("cb").cast("bigint").alias("nb"),
+    )
+    return cum, tot
+
+
 @register(
     "ks_drift_exact",
     """
@@ -6705,44 +6747,7 @@ def ks_drift_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cb"),
     )
-    # Both CDFs must ride ONE pinned range-repartition: two independent
-    # distributed_prefix_sum calls would each sample their own partition
-    # boundaries, so their rows could not be joined back consistently.
-    # Inline the helper's pattern with TWO running sums over the same
-    # pid window and a two-offset probe (the helper exposes only one
-    # value column).
-    parts = per_val.repartitionByRange(32, F.col("cents")).sortWithinPartitions(
-        "cents"
-    )
-    withpid = parts.withColumn("__pid", F.spark_partition_id()).persist()
-    psums = (
-        withpid.groupBy("__pid")
-        .agg(F.sum("ca").alias("sa"), F.sum("cb").alias("sb"))
-        .collect()
-    )
-    offs, acc_a, acc_b = [], 0, 0
-    for r in sorted((r["__pid"], r["sa"] or 0, r["sb"] or 0) for r in psums):
-        offs.append((r[0], acc_a, acc_b))
-        acc_a += r[1]
-        acc_b += r[2]
-    off_df = spark.createDataFrame(offs, "__pid int, __oa long, __ob long")
-    w = (
-        Window.partitionBy("__pid")
-        .orderBy("cents")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = (
-        withpid.join(F.broadcast(off_df), "__pid")
-        .select(
-            "cents",
-            (F.sum("ca").over(w) + F.col("__oa")).alias("cum_a"),
-            (F.sum("cb").over(w) + F.col("__ob")).alias("cum_b"),
-        )
-    )
-    tot = per_val.agg(
-        F.sum("ca").cast("bigint").alias("na"),
-        F.sum("cb").cast("bigint").alias("nb"),
-    )
+    cum, tot = _two_sample_cdf(spark, per_val, "cents")
     return (
         cum.crossJoin(F.broadcast(tot))
         .groupBy("na", "nb")
@@ -6756,4 +6761,97 @@ def ks_drift_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ks_stat"),
         )
         .select("na", "nb", "d_num", "ks_stat")
+    )
+
+
+@register(
+    "mannwhitney_auc_drift",
+    """
+    WITH tagged AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CASE WHEN strftime(o_orderdate, '%Y') <= '1997' THEN 'a'
+                  ELSE 'b' END AS side
+      FROM orders
+    ), per_val AS (
+      SELECT cents,
+             CAST(sum(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+               AS ca,
+             CAST(sum(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+               AS cb
+      FROM tagged GROUP BY cents
+    ), cum AS (
+      SELECT cents, ca, cb,
+             sum(ca) OVER (ORDER BY cents) AS cum_a,
+             sum(cb) OVER (ORDER BY cents) AS cum_b
+      FROM per_val
+    ), tot AS (
+      SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+      FROM per_val
+    ), r AS (
+      SELECT CAST(sum(ca * (2 * (cum_a + cum_b - ca - cb) + ca + cb + 1))
+                  AS BIGINT) AS r2a
+      FROM cum
+    )
+    SELECT tot.na, tot.nb,
+           CAST(r.r2a - tot.na * (tot.na + 1) AS BIGINT) AS u2_a,
+           round(CAST(r.r2a - tot.na * (tot.na + 1) AS DOUBLE)
+                 / (2 * tot.na * tot.nb), 6) AS auc_early_gt_late
+    FROM tot, r
+    """,
+)
+def mannwhitney_auc_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U / AUC effect size for the same early-vs-late
+    order-value comparison as ks_drift_exact — KS says WHETHER the
+    distributions differ; the rank-sum AUC says HOW MUCH and in WHICH
+    DIRECTION (P(early order > late order), ties counted half — 0.5 =
+    no shift, the probabilistic effect size a report can act on).
+    Tie-corrected midranks are kept exact by DOUBLING (2·midrank =
+    2·cum_before + c + 1 — always integer), so the doubled rank sum and
+    doubled U are exact BIGINTs; ONE final IEEE division reports AUC.
+
+    Scale: rides the same _two_sample_cdf machinery as the KS query —
+    one pinned range-repartitioned pass over the distinct-value frame
+    carries both sides' counts and cumulative counts; the rank-sum is
+    one aggregate over that value-domain-sized frame; totals are a
+    1-row broadcast (whitelisted)."""
+    orders = load_table(spark, sf_dir, "orders")
+    tagged = orders.select(
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        F.when(F.date_format("o_orderdate", "yyyy") <= "1997", "a")
+        .otherwise("b")
+        .alias("side"),
+    )
+    per_val = tagged.groupBy("cents").agg(
+        F.sum(F.when(F.col("side") == "a", 1).otherwise(0))
+        .cast("bigint")
+        .alias("ca"),
+        F.sum(F.when(F.col("side") == "b", 1).otherwise(0))
+        .cast("bigint")
+        .alias("cb"),
+    )
+    cum, tot = _two_sample_cdf(spark, per_val, "cents")
+    r = cum.agg(
+        F.sum(
+            F.col("ca")
+            * (
+                2 * (F.col("cum_a") + F.col("cum_b") - F.col("ca") - F.col("cb"))
+                + F.col("ca")
+                + F.col("cb")
+                + 1
+            )
+        )
+        .cast("bigint")
+        .alias("r2a")
+    )
+    return (
+        tot.crossJoin(F.broadcast(r))
+        .select(
+            "na",
+            "nb",
+            F.expr("CAST(r2a - na * (na + 1) AS BIGINT)").alias("u2_a"),
+            F.expr(
+                "round(CAST(r2a - na * (na + 1) AS DOUBLE)"
+                " / (2 * na * nb), 6)"
+            ).alias("auc_early_gt_late"),
+        )
     )

@@ -258,6 +258,8 @@ _FIXED_SIDE_CROSSJOINS = {
     "neardup_transitivity_audit",
     # 1-row sample-totals broadcast onto the value-domain CDF frame
     "ks_drift_exact",
+    # 1-row rank-sum broadcast beside the 1-row totals
+    "mannwhitney_auc_drift",
 }
 
 
