@@ -243,6 +243,7 @@ _VERIFY_FIRST = (
     "neardup_transitivity_audit",
     "ks_drift_exact",
     "mannwhitney_auc_drift",
+    "bot_user_heuristic",
 )
 
 

@@ -6855,3 +6855,119 @@ def mannwhitney_auc_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("auc_early_gt_late"),
         )
     )
+
+
+@register(
+    "bot_user_heuristic",
+    """
+    WITH gaps AS (
+      SELECT user_id, event_type, epoch_us(ts) AS micros,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) AS gap_us
+      FROM events
+    ), per_user AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+             CAST(max(micros) - min(micros) AS BIGINT) AS span_us,
+             CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+             CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+             CAST(sum(gap_us) AS BIGINT) AS sum_gap_us,
+             CAST(count(gap_us) AS BIGINT) AS n_gaps
+      FROM gaps GROUP BY user_id
+    ), flags AS (
+      SELECT user_id, n_events, n_types,
+             (span_us > 0 AND n_events * CAST(3600000000000 AS BIGINT)
+                > 100 * span_us) AS high_rate,
+             (n_events >= 50 AND n_types <= 2) AS low_diversity,
+             (n_gaps >= 20 AND (max_gap_us - min_gap_us) * n_gaps * 10
+                < 30 * sum_gap_us) AS metronomic
+      FROM per_user
+    )
+    SELECT user_id, n_events, n_types, high_rate, low_diversity, metronomic,
+           CAST(CASE WHEN high_rate THEN 1 ELSE 0 END
+                + CASE WHEN low_diversity THEN 1 ELSE 0 END
+                + CASE WHEN metronomic THEN 1 ELSE 0 END AS BIGINT)
+             AS bot_score
+    FROM flags
+    WHERE (CASE WHEN high_rate THEN 1 ELSE 0 END
+           + CASE WHEN low_diversity THEN 1 ELSE 0 END
+           + CASE WHEN metronomic THEN 1 ELSE 0 END) >= 1
+    ORDER BY user_id
+    """,
+)
+def bot_user_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot/automation detector over the event stream — the traffic-
+    quality gate that runs before any engagement metric is trusted
+    (a scraper in the corpus inflates retention, funnels, and training
+    labels alike): three integer-exact heuristics — sustained rate
+    above 0.1 events/hour (cross-multiplied in milli-events; the
+    fixture-scaled knob — a prod stream sets its own rate), low action
+    diversity at volume (≥50 events over ≤2 types), and metronomic
+    timing (gap range under 3× the mean gap, cross-multiplied — human
+    arrivals are bursty, cron jobs are not; cf. interevent_gap_stats
+    for the corpus-level arrival profile). Users with ANY flag are
+    emitted with the full flag vector and additive score, so the
+    downstream filter picks its own strictness instead of inheriting a
+    baked-in verdict.
+
+    Scale: one user-partitioned lag window (ordered by the unique
+    (event-time, event_id)), one per-user aggregate carrying min/max/
+    sum of gaps — O(1) state per user, no percentile sort — then a
+    user-domain-sized filter. Linear, one shuffle."""
+    from dbtransfer_spark.operators.windows import epoch_micros
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("micros", "event_id")
+    gaps = events.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        epoch_micros(events, "ts").alias("micros"),
+    ).withColumn("gap_us", F.col("micros") - F.lag("micros").over(w))
+    per_user = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct("event_type").cast("bigint").alias("n_types"),
+        (F.max("micros") - F.min("micros")).cast("bigint").alias("span_us"),
+        F.min("gap_us").cast("bigint").alias("min_gap_us"),
+        F.max("gap_us").cast("bigint").alias("max_gap_us"),
+        F.sum("gap_us").cast("bigint").alias("sum_gap_us"),
+        F.count("gap_us").cast("bigint").alias("n_gaps"),
+    )
+    flags = per_user.select(
+        "user_id",
+        "n_events",
+        "n_types",
+        (
+            (F.col("span_us") > 0)
+            & (F.col("n_events") * F.lit(3600000000000).cast("bigint")
+               > 100 * F.col("span_us"))
+        ).alias("high_rate"),
+        ((F.col("n_events") >= 50) & (F.col("n_types") <= 2)).alias(
+            "low_diversity"
+        ),
+        (
+            (F.col("n_gaps") >= 20)
+            & (
+                (F.col("max_gap_us") - F.col("min_gap_us"))
+                * F.col("n_gaps")
+                * 10
+                < 30 * F.col("sum_gap_us")
+            )
+        ).alias("metronomic"),
+    )
+    score = (
+        F.when(F.col("high_rate"), 1).otherwise(0)
+        + F.when(F.col("low_diversity"), 1).otherwise(0)
+        + F.when(F.col("metronomic"), 1).otherwise(0)
+    )
+    return (
+        flags.withColumn("bot_score", score.cast("bigint"))
+        .filter(F.col("bot_score") >= 1)
+        .select(
+            "user_id", "n_events", "n_types",
+            "high_rate", "low_diversity", "metronomic", "bot_score",
+        )
+        .orderBy("user_id")
+    )
