@@ -266,3 +266,95 @@ def part_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ancestor")
     )
+
+
+@register(
+    "khop_reach",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    sym AS (
+      SELECT u AS s, v AS t FROM pairs
+      UNION ALL SELECT v AS s, u AS t FROM pairs
+    ),
+    seeds AS (SELECT DISTINCT s AS seed FROM sym ORDER BY seed LIMIT 20),
+    h1 AS (
+      SELECT DISTINCT seeds.seed, sym.t AS n
+      FROM seeds JOIN sym ON sym.s = seeds.seed
+    ),
+    h2 AS (
+      SELECT DISTINCT h1.seed, sym.t AS n
+      FROM h1 JOIN sym ON sym.s = h1.n
+    ),
+    reach2 AS (
+      SELECT seed, n FROM h1 UNION SELECT seed, n FROM h2
+    )
+    SELECT a.seed,
+           CAST(a.n_hop1 AS BIGINT) AS n_hop1,
+           CAST(b.n_reach2 AS BIGINT) AS n_reach2
+    FROM (SELECT seed, count(*) AS n_hop1 FROM h1 GROUP BY seed) a
+    JOIN (SELECT seed, count(*) AS n_reach2 FROM reach2
+          WHERE n <> seed GROUP BY seed) b USING (seed)
+    ORDER BY a.seed
+    """,
+)
+def khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source k-hop reachability (k = 2) over the part
+    co-purchase graph — the neighborhood-size probe behind influence
+    estimation, recommendation candidate pools, and fraud-ring radius
+    checks. For the 20 lowest-id parts: distinct neighbors at hop 1 and
+    distinct nodes within <= 2 hops (seed excluded).
+
+    Algorithm = frontier BFS as joins: each hop is ONE edge-keyed
+    equi-join of the frontier with the symmetrized edge list, followed
+    by a (seed, node) DISTINCT — the dedup is what keeps the frontier
+    from exploding through hubs (a node reached ten ways carries once
+    into the next hop). Reached sets stay distributed end-to-end;
+    counts are per-seed partial aggregates. More hops = more of the
+    same plan, O(diameter) stages, state never on the driver (the same
+    iterate-by-extending-the-plan discipline as pagerank_bipartite and
+    dedup_clusters' label propagation).
+
+    Scale: frontier size is bounded by |seeds| x max-degree per hop
+    BEFORE dedup and by |seeds| x |V| after; seeds are a fixed-size
+    sort-limit (TakeOrdered, no global sort). The edge build reuses the
+    copurchase_triangles dedup-at-the-scan pattern; `sym` and `h1` are
+    persisted because two hops and the union consume them twice."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("s"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("t"))
+    sym = (
+        a.join(b, "ok")
+        .filter(F.col("s") != F.col("t"))
+        .select("s", "t")
+        .distinct()
+        .persist()  # one frontier probe per hop reads it
+    )
+    seeds = (
+        sym.select(F.col("s").alias("seed")).distinct().orderBy("seed").limit(20)
+    )
+    # frontiers are tiny (<= |seeds| * degree after dedup): BROADCAST them
+    # onto the partitioned edge list so each hop shuffles nothing but its
+    # own (seed, node) distinct
+    h1 = (
+        sym.join(F.broadcast(seeds), sym.s == F.col("seed"))
+        .select("seed", F.col("t").alias("n"))
+        .distinct()
+        .persist()  # hop-2 probe + union + hop-1 count
+    )
+    h2 = (
+        sym.join(F.broadcast(h1), sym.s == h1.n)
+        .select("seed", sym.t.alias("n"))
+        .distinct()
+    )
+    reach2 = h1.union(h2).distinct()
+    n1 = h1.groupBy("seed").agg(F.count(F.lit(1)).cast("bigint").alias("n_hop1"))
+    n2 = (
+        reach2.filter(F.col("n") != F.col("seed"))
+        .groupBy("seed")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_reach2"))
+    )
+    return n1.join(n2, "seed").orderBy("seed")

@@ -2118,3 +2118,117 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 pq_adc_topk.__doc__ = pq_adc_topk.__doc__.format(
     m=_PQ_M, k=_PQ_K, topk=_ADC_TOPK
 )
+
+
+@register(
+    "embedding_matryoshka_recall",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id < 10
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_inner_product(
+               list_transform(q.qv, x -> CAST(x AS DOUBLE)),
+               list_transform(e.embedding, x -> CAST(x AS DOUBLE)))
+             / (sqrt(list_inner_product(list_transform(q.qv, x -> CAST(x AS DOUBLE)),
+                                        list_transform(q.qv, x -> CAST(x AS DOUBLE))))
+              * sqrt(list_inner_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                                        list_transform(e.embedding, x -> CAST(x AS DOUBLE)))))
+               AS cos_full,
+             list_inner_product(
+               list_transform(q.qv[1:16], x -> CAST(x AS DOUBLE)),
+               list_transform(e.embedding[1:16], x -> CAST(x AS DOUBLE)))
+             / (sqrt(list_inner_product(list_transform(q.qv[1:16], x -> CAST(x AS DOUBLE)),
+                                        list_transform(q.qv[1:16], x -> CAST(x AS DOUBLE))))
+              * sqrt(list_inner_product(list_transform(e.embedding[1:16], x -> CAST(x AS DOUBLE)),
+                                        list_transform(e.embedding[1:16], x -> CAST(x AS DOUBLE)))))
+               AS cos_trunc
+      FROM embeddings e, q WHERE e.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_full DESC, neighbor_id) AS r_full,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_trunc DESC, neighbor_id) AS r_trunc
+      FROM scored
+    )
+    SELECT query_id,
+           CAST(sum(CASE WHEN r_full <= 5 AND r_trunc <= 5 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_overlap,
+           CAST(20 * sum(CASE WHEN r_full <= 5 AND r_trunc <= 5 THEN 1 ELSE 0 END)
+                AS BIGINT) AS recall_pct
+    FROM ranked GROUP BY query_id ORDER BY query_id
+    """,
+)
+def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation audit (Kusupati et al., NeurIPS'22 — the
+    MRL serving trick): recall@5 of cosine top-k computed on the FIRST
+    16 of 64 dimensions against the full-dimension ranking, per query.
+    This is the go/no-go measurement before switching an ANN serving
+    tier to truncated prefixes (4x less memory/bandwidth): if prefix
+    recall holds, the cheap index serves candidates and the full vector
+    only re-ranks.
+
+    ONE scored pass: a single corpus x broadcast(queries) join computes
+    BOTH cosines per row (the truncated vector is a zero-copy slice —
+    no second embedding scan, no second shuffle), then two row_number
+    windows over the SAME (query_id)-keyed exchange rank both metrics.
+    Overlap therefore needs no self-join: it is a conditional aggregate
+    over rows where both ranks clear k. Recall is exact integer
+    (n_overlap, 20*n_overlap percent).
+
+    Ranking determinism: both engines order by raw double cosine with
+    neighbor-id tie-break; the dot products fold left-to-right over the
+    same values in both engines (the knn_bruteforce_cosine discipline).
+
+    Scale: identical shape to knn_bruteforce_cosine — the exact-anchor
+    path (O(n·q)); a production sweep would run it on a stratified
+    query sample, then flip serving to knn_ivf/knn_lsh with the prefix
+    dims once the recall clears the bar."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                F.expr(sql_dot("qv", "embedding"))
+                / (F.expr(sql_norm("qv")) * F.expr(sql_norm("embedding")))
+            ).alias("cos_full"),
+            (
+                F.expr(sql_dot("slice(qv, 1, 16)", "slice(embedding, 1, 16)"))
+                / (
+                    F.expr(sql_norm("slice(qv, 1, 16)"))
+                    * F.expr(sql_norm("slice(embedding, 1, 16)"))
+                )
+            ).alias("cos_trunc"),
+        )
+    )
+    w_full = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_full"), "neighbor_id"
+    )
+    w_trunc = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_trunc"), "neighbor_id"
+    )
+    both = (
+        (F.col("r_full") <= 5) & (F.col("r_trunc") <= 5)
+    )
+    return (
+        scored.withColumn("r_full", F.row_number().over(w_full))
+        .withColumn("r_trunc", F.row_number().over(w_trunc))
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.when(both, 1).otherwise(0)).cast("bigint").alias("n_overlap"),
+            (20 * F.sum(F.when(both, 1).otherwise(0))).cast("bigint").alias(
+                "recall_pct"
+            ),
+        )
+        .orderBy("query_id")
+    )

@@ -1871,3 +1871,100 @@ def token_id_encode_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "rrf_fusion_topk",
+    """
+    WITH feat AS (
+      SELECT doc_id, source,
+             CAST(length(text) AS BIGINT) AS n_chars_calc,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+               AS n_distinct_tokens
+      FROM documents WHERE length(text) > 0
+    ),
+    ranked AS (
+      SELECT doc_id, source, n_chars_calc, n_distinct_tokens,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars_calc DESC, doc_id) AS r_len,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_distinct_tokens DESC, doc_id)
+               AS r_vocab
+      FROM feat
+    ),
+    fused AS (
+      SELECT *,
+             CAST(1000000000000 // (60 + r_len)
+                + 1000000000000 // (60 + r_vocab) AS BIGINT) AS rrf_e12
+      FROM ranked
+    )
+    SELECT source, doc_id,
+           CAST(r_len AS BIGINT) AS r_len,
+           CAST(r_vocab AS BIGINT) AS r_vocab,
+           rrf_e12,
+           CAST(fused_rank AS BIGINT) AS fused_rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY rrf_e12 DESC, doc_id) AS fused_rank
+      FROM fused
+    ) WHERE fused_rank <= 10
+    ORDER BY source, fused_rank
+    """,
+)
+def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR'09 — the hybrid-
+    retrieval combiner): fuse two per-source document rankings (by
+    length and by distinct-token vocabulary — stand-ins for the lexical
+    and dense scores a retrieval stack fuses) into one top-10 via
+    RRF(d) = Σ 1/(k + rank_i(d)), k = 60. The same operator fuses BM25
+    with embedding ANN lists in a production RAG pipeline; only the
+    input rankings change.
+
+    Exactness: RRF terms are scaled-integer 10^12 // (60 + r) — the sum
+    is BIGINT, so fusion order cannot produce float drift and the fused
+    rank has a deterministic doc-id tie-break.
+
+    Scale: both input rankings ride ONE (source)-keyed exchange (two
+    row_number windows over the same partitioning — Catalyst collapses
+    them into one Window node chain, no second shuffle); the fused
+    top-10 is a third window on the same key with WindowGroupLimit
+    pushing the cut below any sort. Nothing is global: every window is
+    partitioned by source."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    feat = docs.select(
+        "doc_id",
+        "source",
+        F.length("text").cast("bigint").alias("n_chars_calc"),
+        F.size(F.array_distinct(F.split("text", " ", -1)))
+        .cast("bigint")
+        .alias("n_distinct_tokens"),
+    )
+    w_len = Window.partitionBy("source").orderBy(F.desc("n_chars_calc"), "doc_id")
+    w_voc = Window.partitionBy("source").orderBy(
+        F.desc("n_distinct_tokens"), "doc_id"
+    )
+    fused = (
+        feat.withColumn("r_len", F.row_number().over(w_len))
+        .withColumn("r_vocab", F.row_number().over(w_voc))
+        .withColumn(
+            "rrf_e12",
+            (
+                F.expr("1000000000000 div (60 + r_len)")
+                + F.expr("1000000000000 div (60 + r_vocab)")
+            ).cast("bigint"),
+        )
+    )
+    w_fused = Window.partitionBy("source").orderBy(F.desc("rrf_e12"), "doc_id")
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w_fused))
+        .filter(F.col("fused_rank") <= 10)
+        .select(
+            "source",
+            "doc_id",
+            F.col("r_len").cast("bigint").alias("r_len"),
+            F.col("r_vocab").cast("bigint").alias("r_vocab"),
+            "rrf_e12",
+            F.col("fused_rank").cast("bigint").alias("fused_rank"),
+        )
+        .orderBy("source", "fused_rank")
+    )

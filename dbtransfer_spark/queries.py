@@ -6971,3 +6971,317 @@ def bot_user_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "t_closeness_audit",
+    """
+    WITH qi AS (
+      SELECT o.o_orderkey,
+             c.c_nationkey, c.c_mktsegment,
+             CAST(floor(c.c_acctbal / 1000) AS BIGINT) AS bal_band,
+             CAST(substr(o.o_orderpriority, 1, 1) AS BIGINT) AS p
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    per_class AS (
+      SELECT c_nationkey, c_mktsegment, bal_band,
+             CAST(count(*) AS BIGINT) AS n_g,
+             CAST(sum(CASE WHEN p <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN p <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+             CAST(sum(CASE WHEN p <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+             CAST(sum(CASE WHEN p <= 4 THEN 1 ELSE 0 END) AS BIGINT) AS c4
+      FROM qi GROUP BY c_nationkey, c_mktsegment, bal_band
+    ),
+    overall AS (
+      SELECT CAST(sum(n_g) AS BIGINT) AS n_all,
+             CAST(sum(c1) AS BIGINT) AS g1, CAST(sum(c2) AS BIGINT) AS g2,
+             CAST(sum(c3) AS BIGINT) AS g3, CAST(sum(c4) AS BIGINT) AS g4
+      FROM per_class
+    ),
+    scored AS (
+      SELECT p.c_nationkey, p.c_mktsegment, p.bal_band, p.n_g,
+             CAST(abs(p.c1 * g.n_all - g.g1 * p.n_g)
+                + abs(p.c2 * g.n_all - g.g2 * p.n_g)
+                + abs(p.c3 * g.n_all - g.g3 * p.n_g)
+                + abs(p.c4 * g.n_all - g.g4 * p.n_g) AS BIGINT) AS emd_num,
+             g.n_all
+      FROM per_class p CROSS JOIN overall g
+    )
+    SELECT c_nationkey, c_mktsegment, bal_band,
+           n_g AS n_orders, emd_num,
+           round(CAST(emd_num AS DOUBLE) / (4.0 * n_g * n_all), 6) AS emd,
+           TRUE AS above_t
+    FROM scored
+    WHERE 5 * emd_num > 4 * n_g * n_all
+    ORDER BY c_nationkey, c_mktsegment, bal_band
+    """,
+)
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the privacy gate AFTER k_anonymity_audit and
+    l_diversity_audit: a class can be large AND diverse yet still leak if
+    its sensitive-value DISTRIBUTION sits far from the table-wide one
+    (skewness attack). Sensitive attribute = order priority (ordered,
+    rank 1..5); distance = Earth Mover's Distance under the ordered
+    metric, which for 1-D distributions is the mean absolute gap between
+    the two CDFs. Classes with EMD > t = 0.2 are the generalize/suppress
+    worklist.
+
+    Exactness: both CDFs stay INTEGER. The per-class cumulative counts at
+    the m-1 = 4 boundaries come from conditional aggregation (no bucket
+    densify, no window), and the gap |c_i/n_g - g_i/N| cross-multiplies
+    to |c_i*N - g_i*n_g| — pure BIGINT, so the t-threshold compare
+    (5*emd_num > 4*n_g*N) has zero float risk; the reported `emd` double
+    is display-only, one identical expression in both engines.
+    Magnitudes: c_i*N <= n_g*N; at 100 TB (N ~ 1e11, class sizes ~ 1e6)
+    the products stay ~1e17 < 2^63.
+
+    Scale: one customer⋈orders equi-join on the customer key (the same
+    fact-sized join l_diversity_audit pays), ONE partial-aggregated
+    groupBy to |QI classes| rows, and a 1-row broadcast of the global
+    moments RE-AGGREGATED from the class frame (no second fact scan).
+    Nothing after the first aggregate scales with row count."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    qi = orders.join(
+        cust, orders.o_custkey == cust.c_custkey
+    ).select(
+        F.col("c_nationkey").cast("bigint").alias("c_nationkey"),
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_band"),
+        F.substring("o_orderpriority", 1, 1).cast("bigint").alias("p"),
+    )
+    cum = [
+        F.sum(F.when(F.col("p") <= i, 1).otherwise(0)).cast("bigint").alias(f"c{i}")
+        for i in range(1, 5)
+    ]
+    per_class = (
+        qi.groupBy("c_nationkey", "c_mktsegment", "bal_band")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_g"), *cum)
+        .persist()  # global moments re-aggregate this frame (no 2nd fact scan)
+    )
+    glob = per_class.agg(
+        F.sum("n_g").cast("bigint").alias("n_all"),
+        *[F.sum(f"c{i}").cast("bigint").alias(f"g{i}") for i in range(1, 5)],
+    )
+    emd_num = sum(
+        F.abs(F.col(f"c{i}") * F.col("n_all") - F.col(f"g{i}") * F.col("n_g"))
+        for i in range(1, 5)
+    ).cast("bigint")
+    return (
+        per_class.crossJoin(F.broadcast(glob))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "bal_band",
+            F.col("n_g").alias("n_orders"),
+            emd_num.alias("emd_num"),
+            F.round(
+                emd_num.cast("double") / (4.0 * F.col("n_g") * F.col("n_all")),
+                6,
+            ).alias("emd"),
+            F.lit(True).alias("above_t"),
+            (5 * emd_num > 4 * F.col("n_g") * F.col("n_all")).alias("_keep"),
+        )
+        .filter(F.col("_keep"))
+        .drop("_keep")
+        .orderBy("c_nationkey", "c_mktsegment", "bal_band")
+    )
+
+
+@register(
+    "apportion_largest_remainder",
+    """
+    WITH counts AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM counts),
+    quota AS (
+      SELECT c.source, c.n_docs,
+             (1000 * c.n_docs) // t.n_total AS floor_alloc,
+             (1000 * c.n_docs) % t.n_total AS rem_num,
+             t.n_total
+      FROM counts c CROSS JOIN tot t
+    ),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (ORDER BY rem_num DESC, source) AS rem_rank,
+             1000 - sum(floor_alloc) OVER () AS leftover
+      FROM quota
+    )
+    SELECT source, n_docs,
+           CAST(floor_alloc AS BIGINT) AS floor_alloc,
+           CAST(rem_num AS BIGINT) AS rem_num,
+           (rem_rank <= leftover) AS got_extra,
+           CAST(floor_alloc + CASE WHEN rem_rank <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc
+    FROM ranked ORDER BY source
+    """,
+)
+def apportion_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a fixed sample
+    budget (B = 1000) across sources proportional to document count —
+    the exact integer allocator behind per-source sampling quotas,
+    shard budgets, and eval-set composition. Floor every quota
+    B*n_i/N, then hand the leftover seats to the largest fractional
+    remainders (source name breaks ties): Σ alloc == B exactly, no
+    float quota ever computed.
+
+    Scale: one partial-aggregated count to |sources| rows; the total is
+    re-aggregated from that frame (1-row broadcast, no second scan) and
+    the rank/leftover windows run over the domain-bounded aggregate —
+    the same bounded-window idiom as source_temperature_allocation."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    tot = counts.agg(F.sum("n_docs").cast("bigint").alias("n_total"))
+    quota = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.expr("(1000 * n_docs) div n_total").alias("floor_alloc"),
+        F.expr("(1000 * n_docs) % n_total").alias("rem_num"),
+    )
+    ranked = quota.select(
+        "*",
+        F.row_number()
+        .over(Window.partitionBy().orderBy(F.desc("rem_num"), "source"))
+        .alias("rem_rank"),
+        (F.lit(1000) - F.sum("floor_alloc").over(Window.partitionBy())).alias(
+            "leftover"
+        ),
+    )
+    return ranked.select(
+        "source",
+        "n_docs",
+        F.col("floor_alloc").cast("bigint").alias("floor_alloc"),
+        F.col("rem_num").cast("bigint").alias("rem_num"),
+        (F.col("rem_rank") <= F.col("leftover")).alias("got_extra"),
+        (
+            F.col("floor_alloc")
+            + F.when(F.col("rem_rank") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("alloc"),
+    ).orderBy("source")
+
+
+@register(
+    "cuped_adjusted_lift",
+    """
+    WITH per_cust AS (
+      SELECT o_custkey % 2 AS t,
+             CAST(sum(CASE WHEN o_orderdate < DATE '1998-01-01'
+                      THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                      ELSE 0 END) AS DECIMAL(19,0)) AS x,
+             CAST(sum(CASE WHEN o_orderdate >= DATE '1998-01-01'
+                      THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                      ELSE 0 END) AS DECIMAL(19,0)) AS y
+      FROM orders GROUP BY o_custkey
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(x) AS DOUBLE) AS sx,
+             CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(x * x) AS DOUBLE) AS sxx,
+             CAST(sum(x * y) AS DOUBLE) AS sxy,
+             CAST(sum(y * y) AS DOUBLE) AS syy,
+             CAST(sum(CASE WHEN t = 1 THEN x ELSE CAST(0 AS DECIMAL(19,0)) END)
+                  AS DOUBLE) AS sx1,
+             CAST(sum(CASE WHEN t = 1 THEN y ELSE CAST(0 AS DECIMAL(19,0)) END)
+                  AS DOUBLE) AS sy1
+      FROM per_cust
+    )
+    SELECT n1 AS n_treat, n - n1 AS n_ctrl,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS theta,
+           round(sy1 / n1 - (sy - sy1) / (n - n1), 4) AS lift_raw_cents,
+           round(sy1 / n1 - (sy - sy1) / (n - n1)
+                 - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                   * (sx1 / n1 - (sx - sx1) / (n - n1)), 4)
+             AS lift_cuped_cents,
+           round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+             AS var_reduction
+    FROM m
+    """,
+)
+def cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B lift (Deng et al., WSDM'13 — the
+    standard experimentation-platform estimator): adjust each unit's
+    post-period metric by θ·(pre-period covariate − mean) with
+    θ = cov(x,y)/var(x), shrinking the lift's variance by ρ² without
+    biasing it. Units = customers; x = pre-1998 spend (cents), y =
+    1998+ spend; arms = custkey parity (a deterministic stand-in for
+    the assignment column a real platform carries).
+
+    Float discipline (the ols_price_on_quantity pattern): per-customer
+    cents are exact BIGINT folded to DECIMAL(19,0); the five pooled
+    moments and two per-arm sums accumulate in DECIMAL (order-
+    independent, bit-identical across engines); ONLY the closed-form
+    θ/lift arithmetic runs in double, as one identical expression tree
+    on both sides. DECIMAL(19,0)² products stay far inside the
+    38-precision cap at any SF.
+
+    Scale: one partial-aggregated groupBy(custkey) over the fact table,
+    then ONE global aggregate to a single row (arm splits via
+    conditional aggregation — no second pass, no window, no pivot)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(
+            F.when(F.col("o_orderdate") < F.lit("1998-01-01").cast("date"), cents)
+            .otherwise(F.lit(0))
+        )
+        .cast("decimal(19,0)")
+        .alias("x"),
+        F.sum(
+            F.when(F.col("o_orderdate") >= F.lit("1998-01-01").cast("date"), cents)
+            .otherwise(F.lit(0))
+        )
+        .cast("decimal(19,0)")
+        .alias("y"),
+    ).select((F.col("o_custkey") % 2).alias("t"), "x", "y")
+    zero = F.lit(0).cast("decimal(19,0)")
+    m = per_cust.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("t") == 1, 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        F.sum(F.when(F.col("t") == 1, F.col("x")).otherwise(zero))
+        .cast("double")
+        .alias("sx1"),
+        F.sum(F.when(F.col("t") == 1, F.col("y")).otherwise(zero))
+        .cast("double")
+        .alias("sy1"),
+    )
+    theta = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    lift_raw = F.col("sy1") / F.col("n1") - (F.col("sy") - F.col("sy1")) / (
+        F.col("n") - F.col("n1")
+    )
+    pre_gap = F.col("sx1") / F.col("n1") - (F.col("sx") - F.col("sx1")) / (
+        F.col("n") - F.col("n1")
+    )
+    return m.select(
+        F.col("n1").alias("n_treat"),
+        (F.col("n") - F.col("n1")).alias("n_ctrl"),
+        F.round(theta, 6).alias("theta"),
+        F.round(lift_raw, 4).alias("lift_raw_cents"),
+        F.round(lift_raw - theta * pre_gap, 4).alias("lift_cuped_cents"),
+        F.round(
+            (
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                * (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            )
+            / (
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("var_reduction"),
+    )

@@ -260,6 +260,13 @@ _FIXED_SIDE_CROSSJOINS = {
     "ks_drift_exact",
     # 1-row rank-sum broadcast beside the 1-row totals
     "mannwhitney_auc_drift",
+    # 1-row global-CDF-moments broadcast onto the QI-class frame
+    "t_closeness_audit",
+    # 1-row doc-count-total broadcast onto the |sources| quota frame
+    "apportion_largest_remainder",
+    # fixed 10-query broadcast against the corpus (the knn exact-anchor
+    # shape), scoring full + truncated cosine in one pass
+    "embedding_matryoshka_recall",
 }
 
 
