@@ -630,3 +630,161 @@ def snapshot_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("chg_o_totalprice"),
     )
+
+
+@register(
+    "fellegi_sunter_weights",
+    """
+    WITH cand AS (
+      SELECT a.p_name = b.p_name AS is_match,
+             a.p_type = b.p_type AS agree_type,
+             floor(a.p_retailprice / 10) = floor(b.p_retailprice / 10)
+               AS agree_price,
+             string_split(a.p_name, ' ')[1] = string_split(b.p_name, ' ')[1]
+               AS agree_tok
+      FROM part a JOIN part b
+        ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+       AND a.p_partkey < b.p_partkey
+    ),
+    tot AS (
+      SELECT CAST(sum(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT) AS n_m,
+             CAST(sum(CASE WHEN is_match THEN 0 ELSE 1 END) AS BIGINT) AS n_u
+      FROM cand
+    ),
+    per_field AS (
+      SELECT c.field,
+             CAST(sum(CASE WHEN c.is_match AND c.agree THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_agree_m,
+             CAST(sum(CASE WHEN NOT c.is_match AND c.agree THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_agree_u
+      FROM (
+        SELECT is_match, 'type' AS field, agree_type AS agree FROM cand
+        UNION ALL SELECT is_match, 'price_band', agree_price FROM cand
+        UNION ALL SELECT is_match, 'name_token', agree_tok FROM cand
+      ) c
+      GROUP BY c.field
+    )
+    SELECT field, n_m AS n_match_pairs, n_u AS n_unmatch_pairs,
+           n_agree_m, n_agree_u,
+           CASE WHEN n_m > 0
+                THEN CAST(1000000 * n_agree_m // n_m AS BIGINT) END AS m_ppm,
+           CASE WHEN n_u > 0
+                THEN CAST(1000000 * n_agree_u // n_u AS BIGINT) END AS u_ppm,
+           CASE WHEN n_m > 0 AND n_agree_u > 0
+                THEN CAST((1000000 * n_agree_m // n_m) * 1000000
+                          // (1000000 * n_agree_u // n_u) AS BIGINT)
+                ELSE NULL END AS mu_ratio_ppm
+    FROM per_field CROSS JOIN tot
+    ORDER BY field
+    """,
+)
+def fellegi_sunter_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter probabilistic record-linkage weights (JASA 1969 —
+    the foundation under Splink and every production ER scorer): from the
+    blocked candidate-pair set, estimate per-comparison-field m = P(agree
+    | match) and u = P(agree | non-match), whose ratio is the field's
+    match weight. Labels come from a deterministic ground-truth proxy
+    (exact p_name equality — the synthetic data carries genuine name
+    duplicates); fields scored: type equality, price band (10-unit),
+    first name token. Blocking on (brand, size) bounds the pair space —
+    the same sum-of-squared-block-sizes guarantee as
+    fuzzy_part_linkage.
+
+    Exactness: m/u land as integer ppm and the weight as the integer
+    ppm ratio m_ppm*10^6 // u_ppm — no libm log in the hash (the
+    doclen_log2_histogram discipline); a caller wanting log2 weights
+    divides/logs ppm integers driver-side.
+
+    Scale: ONE blocked self-equi-join (candidates bounded by
+    sum of block-size squared — the pre-flight `banded_candidate_estimate`
+    prices it), then a 3x literal-array unpivot of the agreement bits and
+    one partial-aggregated groupBy(field). The 1-row match/unmatch totals
+    broadcast onto the 3-row field frame."""
+    part = load_table(spark, sf_dir, "part")
+    a = part.select(
+        F.col("p_partkey").alias("ka"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_size").alias("size"),
+        F.col("p_name").alias("name_a"),
+        F.col("p_type").alias("type_a"),
+        F.floor(F.col("p_retailprice") / 10).alias("band_a"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("tok_a"),
+    )
+    b = part.select(
+        F.col("p_partkey").alias("kb"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_size").alias("size"),
+        F.col("p_name").alias("name_b"),
+        F.col("p_type").alias("type_b"),
+        F.floor(F.col("p_retailprice") / 10).alias("band_b"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("tok_b"),
+    )
+    cand = (
+        a.join(b, ["brand", "size"])
+        .filter(F.col("ka") < F.col("kb"))
+        .select(
+            (F.col("name_a") == F.col("name_b")).alias("is_match"),
+            (F.col("type_a") == F.col("type_b")).alias("agree_type"),
+            (F.col("band_a") == F.col("band_b")).alias("agree_price"),
+            (F.col("tok_a") == F.col("tok_b")).alias("agree_tok"),
+        )
+        .persist()  # totals + the 3-field unpivot both consume it
+    )
+    tot = cand.agg(
+        F.sum(F.when(F.col("is_match"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_m"),
+        F.sum(F.when(F.col("is_match"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("n_u"),
+    )
+    unpivoted = cand.select(
+        "is_match",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("type").alias("field"), F.col("agree_type").alias("agree")
+                ),
+                F.struct(
+                    F.lit("price_band").alias("field"),
+                    F.col("agree_price").alias("agree"),
+                ),
+                F.struct(
+                    F.lit("name_token").alias("field"),
+                    F.col("agree_tok").alias("agree"),
+                ),
+            )
+        ).alias("fa"),
+    ).select("is_match", "fa.field", "fa.agree")
+    per_field = unpivoted.groupBy("field").agg(
+        F.sum(F.when(F.col("is_match") & F.col("agree"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_agree_m"),
+        F.sum(F.when((~F.col("is_match")) & F.col("agree"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_agree_u"),
+    )
+    m_ppm = F.expr("CASE WHEN n_m > 0 THEN 1000000 * n_agree_m div n_m END")
+    u_ppm = F.expr("CASE WHEN n_u > 0 THEN 1000000 * n_agree_u div n_u END")
+    return (
+        per_field.crossJoin(F.broadcast(tot))
+        .select(
+            "field",
+            F.col("n_m").alias("n_match_pairs"),
+            F.col("n_u").alias("n_unmatch_pairs"),
+            "n_agree_m",
+            "n_agree_u",
+            m_ppm.cast("bigint").alias("m_ppm"),
+            u_ppm.cast("bigint").alias("u_ppm"),
+            F.when(
+                (F.col("n_m") > 0) & (F.col("n_agree_u") > 0),
+                F.expr(
+                    "(1000000 * n_agree_m div n_m) * 1000000"
+                    " div (1000000 * n_agree_u div n_u)"
+                ).cast("bigint"),
+            )
+            .otherwise(F.lit(None).cast("bigint"))
+            .alias("mu_ratio_ppm"),
+        )
+        .orderBy("field")
+    )

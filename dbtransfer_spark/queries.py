@@ -7285,3 +7285,266 @@ def cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("var_reduction"),
     )
+
+
+@register(
+    "seasonal_decomposition_classical",
+    """
+    WITH monthly AS (
+      SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS ym,
+             CAST(month(o_orderdate) AS BIGINT) AS cal_month,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM orders GROUP BY 1, 2
+    ),
+    contrib AS (
+      SELECT m.ym + o.off AS t,
+             CAST(CASE WHEN abs(o.off) = 6 THEN 1 ELSE 2 END * m.y AS BIGINT)
+               AS wy
+      FROM monthly m, UNNEST(range(-6, 7)) AS o(off)
+    ),
+    trend AS (
+      SELECT t AS ym, CAST(sum(wy) AS BIGINT) AS trend_x24
+      FROM contrib GROUP BY t HAVING count(*) = 13
+    ),
+    dev AS (
+      SELECT m.ym, m.cal_month,
+             t.trend_x24, 24 * m.y - t.trend_x24 AS dev_x24
+      FROM monthly m JOIN trend t USING (ym)
+    ),
+    seas AS (
+      SELECT cal_month, CAST(sum(dev_x24) AS BIGINT) AS seasonal_num,
+             CAST(count(*) AS BIGINT) AS seasonal_cnt
+      FROM dev GROUP BY cal_month
+    )
+    SELECT m.ym, m.cal_month, m.y AS y_cents,
+           d.trend_x24, d.dev_x24,
+           s.seasonal_num, s.seasonal_cnt,
+           d.dev_x24 * s.seasonal_cnt - s.seasonal_num AS remainder_num
+    FROM monthly m
+    LEFT JOIN (SELECT ym, trend_x24, dev_x24 FROM dev) d USING (ym)
+    LEFT JOIN seas s ON m.cal_month = s.cal_month
+    ORDER BY m.ym
+    """,
+)
+def seasonal_decomposition_classical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the monthly revenue
+    series (trend = centered 2x12 moving average, seasonal = per-calendar-
+    month mean deviation, remainder = what's left) — the workhorse
+    decomposition behind seasonality-aware forecasting and anomaly
+    baselines, feeding the same consumers as acf_lag_ingredients.
+
+    Exactness (the emit-the-ingredients discipline): the 2x12 MA has
+    integer weights (1,2,...,2,1)/24, so trend rides as trend_x24 =
+    Σ w·y_cents (BIGINT, defined only where all 13 contributions exist —
+    series edges are NULL, the classical treatment); deviation as
+    dev_x24 = 24·y − trend_x24; the seasonal component as the exact
+    rational (seasonal_num, seasonal_cnt); and the remainder as the
+    cross-multiplied integer dev_x24·cnt − num. No float enters the
+    hash; one driver-side division renders the curves.
+
+    Scale: the monthly aggregate is ONE partial-aggregated shuffle to
+    |months| rows regardless of SF; the centered MA is a 13x literal
+    offset explode + re-aggregate on that bounded frame (the
+    acf_lag_ingredients self-alignment pattern, no window, no sort);
+    seasonal is a 12-row broadcast joined back."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = (
+        orders.groupBy(
+            F.expr(
+                "CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)"
+            ).alias("ym"),
+            F.month("o_orderdate").cast("bigint").alias("cal_month"),
+        )
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)"
+            ).alias("y")
+        )
+        .persist()  # MA explode + two joins back consume it
+    )
+    contrib = monthly.select(
+        "ym", "y", F.explode(F.expr("sequence(-6, 6)")).alias("off")
+    ).select(
+        (F.col("ym") + F.col("off")).alias("t"),
+        (
+            F.when(F.abs("off") == 6, 1).otherwise(2) * F.col("y")
+        )
+        .cast("bigint")
+        .alias("wy"),
+    )
+    trend = (
+        contrib.groupBy("t")
+        .agg(
+            F.sum("wy").cast("bigint").alias("trend_x24"),
+            F.count(F.lit(1)).alias("n_contrib"),
+        )
+        .filter(F.col("n_contrib") == 13)
+        .select(F.col("t").alias("ym"), "trend_x24")
+    )
+    dev = monthly.join(trend, "ym").select(
+        "ym",
+        "cal_month",
+        "trend_x24",
+        (24 * F.col("y") - F.col("trend_x24")).alias("dev_x24"),
+    )
+    seas = dev.groupBy("cal_month").agg(
+        F.sum("dev_x24").cast("bigint").alias("seasonal_num"),
+        F.count(F.lit(1)).cast("bigint").alias("seasonal_cnt"),
+    )
+    return (
+        monthly.join(dev.select("ym", "trend_x24", "dev_x24"), "ym", "left")
+        .join(F.broadcast(seas), "cal_month", "left")
+        .select(
+            "ym",
+            "cal_month",
+            F.col("y").alias("y_cents"),
+            "trend_x24",
+            "dev_x24",
+            "seasonal_num",
+            "seasonal_cnt",
+            (
+                F.col("dev_x24") * F.col("seasonal_cnt") - F.col("seasonal_num")
+            ).alias("remainder_num"),
+        )
+        .orderBy("ym")
+    )
+
+
+@register(
+    "frequent_triples_apriori",
+    """
+    WITH basket AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    freq_item AS (
+      SELECT l_partkey FROM basket GROUP BY 1 HAVING count(*) >= 3
+    ),
+    pruned AS (
+      SELECT b.l_orderkey, b.l_partkey FROM basket b
+      JOIN freq_item f USING (l_partkey)
+    ),
+    triple AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2, c.l_partkey AS p3
+      FROM pruned a
+      JOIN pruned b ON a.l_orderkey = b.l_orderkey
+                   AND a.l_partkey < b.l_partkey
+      JOIN pruned c ON b.l_orderkey = c.l_orderkey
+                   AND b.l_partkey < c.l_partkey
+    )
+    SELECT p1, p2, p3, CAST(count(*) AS BIGINT) AS support
+    FROM triple GROUP BY p1, p2, p3 HAVING count(*) >= 2
+    ORDER BY support DESC, p1, p2, p3
+    """,
+)
+def frequent_triples_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-itemsets with Apriori pruning — the market-basket level
+    above market_basket_pairs (pair support/lift) and item_cf_cosine2_topk
+    (ranked neighbors): triples co-purchased in >= 2 baskets, after
+    dropping items whose own support < 3 (the Apriori monotonicity cut —
+    an infrequent ITEM cannot appear in a frequent triple, so the prune
+    is lossless).
+
+    Scale: the prune is the whole story at 100 TB. Candidate volume is
+    Σ C(|pruned basket|, 3); without the item-frequency cut a single
+    mega-basket of rare items explodes cubically, with it the basket
+    width only counts frequent items. Generation is the item_cf
+    collect_set + in-order lambda explode — Σ C(w,3) rows from ONE
+    basket-keyed shuffle, zero join exchanges (the SQL oracle spells the
+    same set as a 3-way self-join) — then one partial-aggregated count
+    on the (p1,p2,p3) key. A basket-width cap before the explode is the
+    documented guard for pathological baskets."""
+    li = load_table(spark, sf_dir, "lineitem")
+    basket = li.select("l_orderkey", "l_partkey").distinct()
+    freq_item = (
+        basket.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 3)
+        .select("l_partkey")
+    )
+    pruned = basket.join(freq_item, "l_partkey")
+    sets = pruned.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("ps")
+    )
+    triples = sets.select(
+        F.explode(
+            F.expr(
+                "flatten(flatten(transform(ps, x -> transform("
+                "filter(ps, y -> y > x), y -> transform("
+                "filter(ps, z -> z > y), z ->"
+                " struct(x AS p1, y AS p2, z AS p3))))))"
+            )
+        ).alias("tr")
+    ).select("tr.p1", "tr.p2", "tr.p3")
+    return (
+        triples.groupBy("p1", "p2", "p3")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+        .filter(F.col("support") >= 2)
+        .orderBy(F.desc("support"), "p1", "p2", "p3")
+    )
+
+
+@register(
+    "overdispersion_audit",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           CAST(sum(n * n) AS BIGINT) AS sum_sq,
+           CAST((count(*) * sum(n * n) - sum(n) * sum(n)) * 1000000
+                // (count(*) * sum(n)) AS BIGINT) AS vmr_x1e6_times_n,
+           ((count(*) * sum(n * n) - sum(n) * sum(n))
+             > 2 * count(*) * sum(n)) AS overdispersed_2x
+    FROM daily GROUP BY event_type ORDER BY event_type
+    """,
+)
+def overdispersion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overdispersion (variance-to-mean ratio) audit of daily event
+    counts per type — the Poisson sanity check behind alert thresholds:
+    a type whose daily counts have variance >> mean is bursty, and any
+    alerting/capacity model assuming Poisson arrivals will page falsely.
+    Flags types where the (population) variance exceeds 2x the mean.
+
+    Exactness: VMR = (n·Σx² − (Σx)²) / (n·Σx) cross-multiplies to pure
+    BIGINT — the flag compares n·Σx² − (Σx)² > 2·n·Σx with zero float;
+    the scaled vmr_x1e6_times_n integer is the same ratio ×10⁶·n for
+    display. (Σx)² needs care at 100 TB: Σx ≤ 2^31 per type keeps the
+    square in BIGINT; beyond that the sums move to DECIMAL(38,0) — the
+    cuped_adjusted_lift pattern.
+
+    Scale: two partial-aggregated shuffles ((type, day), then type) —
+    the user_type_diversity shape; nothing else scales with SF."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.sum(F.col("n") * F.col("n")).cast("bigint").alias("sum_sq"),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            "n_events",
+            "sum_sq",
+            F.expr(
+                "CAST((n_days * sum_sq - n_events * n_events) * 1000000"
+                " div (n_days * n_events) AS BIGINT)"
+            ).alias("vmr_x1e6_times_n"),
+            (
+                (
+                    F.col("n_days") * F.col("sum_sq")
+                    - F.col("n_events") * F.col("n_events")
+                )
+                > 2 * F.col("n_days") * F.col("n_events")
+            ).alias("overdispersed_2x"),
+        )
+        .orderBy("event_type")
+    )

@@ -267,6 +267,8 @@ _FIXED_SIDE_CROSSJOINS = {
     # fixed 10-query broadcast against the corpus (the knn exact-anchor
     # shape), scoring full + truncated cosine in one pass
     "embedding_matryoshka_recall",
+    # 1-row match/unmatch-totals broadcast onto the 3-row field frame
+    "fellegi_sunter_weights",
 }
 
 
