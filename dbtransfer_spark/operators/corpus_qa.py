@@ -1577,3 +1577,92 @@ def curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 curriculum_interleave.__doc__ = curriculum_interleave.__doc__.format(k=_CUR_TOPK)
+
+
+@register(
+    "quantile_normalize_by_source",
+    """
+    WITH feat AS (
+      SELECT doc_id, source, n_chars,
+             CAST(n_chars * 1000000000 + doc_id AS BIGINT) AS ck
+      FROM documents
+    ),
+    g AS (
+      SELECT n_chars AS gval,
+             row_number() OVER (ORDER BY ck) AS g_rank
+      FROM feat
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM feat),
+    src AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source ORDER BY ck) AS src_rank,
+             count(*) OVER (PARTITION BY source) AS n_src
+      FROM feat
+    )
+    SELECT s.doc_id, s.source, s.n_chars,
+           CAST(s.src_rank AS BIGINT) AS src_rank,
+           CAST((s.src_rank * t.n_all + s.n_src - 1) // s.n_src AS BIGINT)
+             AS target_rank,
+           CAST(g.gval AS BIGINT) AS normalized_n_chars
+    FROM src s CROSS JOIN tot t
+    JOIN g ON g.g_rank = (s.src_rank * t.n_all + s.n_src - 1) // s.n_src
+    ORDER BY s.doc_id
+    """,
+)
+def quantile_normalize_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of a per-document feature (n_chars) across
+    sources — the distribution-matching transform (Bolstad et al.,
+    Bioinformatics'03; the same trick normalizes feature columns across
+    heterogeneous crawl snapshots): each document's value is replaced by
+    the GLOBAL value at its within-source quantile (nearest-rank,
+    ceil(r·N/n_s)), so every source ends up with an identical value
+    distribution while preserving within-source order.
+
+    Determinism: ranks order by the composite key n_chars·10⁹ + doc_id —
+    strictly unique on both engines, so tied feature values cannot make
+    row_number engine-dependent (the determinism-trap rule: every ORDER
+    BY chain ends in a row-unique key).
+
+    Scale: the global rank comes from ``global_ordinal`` (range
+    repartition + per-partition offsets — NO single-reducer window); the
+    per-source rank is one source-keyed window; source sizes join in as
+    a stats-gated broadcast, and the final rank→value lookup is an
+    equi-join on target_rank against the |N|-row global rank frame."""
+    from dbtransfer_spark.queries import broadcast_if_small
+
+    docs = load_table(spark, sf_dir, "documents")
+    feat = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        (F.col("n_chars") * F.lit(1000000000) + F.col("doc_id"))
+        .cast("bigint")
+        .alias("ck"),
+    )
+    g = global_ordinal(feat.select(F.col("n_chars").alias("gval"), "ck"), "ck").select(
+        "gval", F.col("ordinal").alias("g_rank")
+    )
+    tot = feat.agg(F.count(F.lit(1)).cast("bigint").alias("n_all"))
+    n_src = feat.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    w_src = Window.partitionBy("source").orderBy("ck")
+    src = (
+        feat.withColumn("src_rank", F.row_number().over(w_src))
+        .join(broadcast_if_small(n_src), "source")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "target_rank",
+            F.expr("(src_rank * n_all + n_src - 1) div n_src").cast("bigint"),
+        )
+    )
+    return (
+        src.join(g, src.target_rank == g.g_rank)
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.col("src_rank").cast("bigint").alias("src_rank"),
+            "target_rank",
+            F.col("gval").cast("bigint").alias("normalized_n_chars"),
+        )
+        .orderBy("doc_id")
+    )

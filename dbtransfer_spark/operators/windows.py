@@ -1882,3 +1882,94 @@ def daily_user_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_active") - F.col("n_new")).cast("bigint").alias("n_returning"),
         F.sum("n_new").over(w).cast("bigint").alias("cum_distinct_users"),
     ).orderBy("day")
+
+
+@register(
+    "events_funnel_windowed",
+    """
+    WITH v AS (
+      SELECT user_id, min(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN v ON e.user_id = v.user_id
+       AND e.ts > v.t AND e.ts <= v.t + INTERVAL 1 HOUR
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN c ON e.user_id = c.user_id
+       AND e.ts > c.t AND e.ts <= c.t + INTERVAL 1 HOUR
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT stage, n_users,
+           round(CAST(n_users AS DOUBLE)
+                 / lag(n_users) OVER (ORDER BY ord), 4) AS pct_of_prev
+    FROM (
+      SELECT 1 AS ord, 'view' AS stage, (SELECT count(*) FROM v) AS n_users
+      UNION ALL SELECT 2, 'click_within_1h', (SELECT count(*) FROM c)
+      UNION ALL SELECT 3, 'purchase_within_1h', (SELECT count(*) FROM p)
+    ) ORDER BY ord
+    """,
+)
+def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-constrained conversion funnel: first 'view' → first 'click'
+    WITHIN ONE HOUR of it → first 'purchase' within one hour of that —
+    the product-analytics funnel semantics (Amplitude/Mixpanel-style
+    conversion windows) that the unbounded events_funnel deliberately
+    omits. The conversion window is what makes the metric actionable: a
+    purchase three weeks after a view is not attributable to it.
+
+    Scale shape = events_funnel's: each stage is a per-user MIN aggregate
+    joined to the previous stage's watermark (≤ one row per user per
+    side, shared user_id key across all three shuffles); the window
+    bound adds only a non-equi residual condition to the same equi-join
+    — no range-join explosion, because the equi key carries the join and
+    the interval check filters residually."""
+    events = load_table(spark, sf_dir, "events")
+    hour = F.expr("INTERVAL 1 HOUR")
+
+    def first_within(event_type: str, prev: DataFrame | None) -> DataFrame:
+        df = events.filter(F.col("event_type") == event_type)
+        if prev is not None:
+            df = (
+                df.join(prev, "user_id")
+                .filter(
+                    (F.col("ts") > F.col("t")) & (F.col("ts") <= F.col("t") + hour)
+                )
+                .drop("t")
+            )
+        return df.groupBy("user_id").agg(F.min("ts").alias("t")).persist()
+
+    v = first_within("view", None)
+    c = first_within("click", v)
+    p = first_within("purchase", c)
+
+    stages = (
+        v.agg(F.count(F.lit(1)).alias("n_users"))
+        .select(F.lit(1).alias("ord"), F.lit("view").alias("stage"), "n_users")
+        .unionByName(
+            c.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(2).alias("ord"),
+                F.lit("click_within_1h").alias("stage"),
+                "n_users",
+            )
+        )
+        .unionByName(
+            p.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(3).alias("ord"),
+                F.lit("purchase_within_1h").alias("stage"),
+                "n_users",
+            )
+        )
+    )
+    w = Window.orderBy("ord")
+    return (
+        stages.withColumn(
+            "pct_of_prev",
+            F.round(
+                F.col("n_users").cast("double") / F.lag("n_users").over(w), 4
+            ),
+        )
+        .orderBy("ord")
+        .select("stage", "n_users", "pct_of_prev")
+    )

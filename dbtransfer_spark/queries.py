@@ -7548,3 +7548,166 @@ def overdispersion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "generalization_ladder_audit",
+    """
+    WITH lvl AS (
+      SELECT c_custkey, lv,
+             CASE lv
+               WHEN 0 THEN concat(c_nationkey, '|', c_mktsegment, '|',
+                                  CAST(floor(c_acctbal / 1000) AS BIGINT))
+               WHEN 1 THEN concat(c_nationkey, '|', c_mktsegment, '|',
+                                  CAST(floor(c_acctbal / 5000) AS BIGINT))
+               ELSE concat(c_nationkey, '|', c_mktsegment)
+             END AS qi
+      FROM customer, UNNEST([0, 1, 2]) AS t(lv)
+    ),
+    classes AS (
+      SELECT lv, qi, CAST(count(*) AS BIGINT) AS grp
+      FROM lvl GROUP BY lv, qi
+    )
+    SELECT CAST(lv AS BIGINT) AS level,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(sum(CASE WHEN grp < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating_classes,
+           CAST(sum(CASE WHEN grp < 5 THEN grp ELSE 0 END) AS BIGINT)
+             AS n_rows_at_risk,
+           CAST(min(grp) AS BIGINT) AS min_class_size,
+           (sum(CASE WHEN grp < 5 THEN 1 ELSE 0 END) = 0) AS satisfies_k
+    FROM classes GROUP BY lv ORDER BY level
+    """,
+)
+def generalization_ladder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalization-ladder pricing for k-anonymity (the Samarati
+    lattice walk, priced in one pass): evaluate ALL candidate
+    generalization levels of the quasi-identifier — level 0 = fine
+    balance bands (1000s), level 1 = coarse bands (5000s), level 2 =
+    drop the balance attribute — and report each level's violating-class
+    count, rows at risk, and whether k=5 is satisfied. The release
+    pipeline picks the LOWEST satisfying level (max utility); this emits
+    the whole ladder so the utility-vs-privacy trade is visible, not
+    just the winner. Completes the privacy family: k_anonymity_audit
+    (one level), l_diversity_audit (homogeneity), t_closeness_audit
+    (distribution distance).
+
+    Scale: a 3x literal explode at the scan (constant fanout), ONE
+    partial-aggregated groupBy on (level, qi-string) — cardinality
+    bounded by the QI domain per level, not row count — and a 3-row
+    rollup. No joins, no windows; the same one-pass multi-config shape
+    as watermark_cost_curve."""
+    cust = load_table(spark, sf_dir, "customer")
+    lvl = cust.select(
+        "c_custkey",
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("lv"),
+        "c_nationkey",
+        "c_mktsegment",
+        "c_acctbal",
+    ).select(
+        "lv",
+        F.when(
+            F.col("lv") == 0,
+            F.concat(
+                F.col("c_nationkey").cast("string"),
+                F.lit("|"),
+                F.col("c_mktsegment"),
+                F.lit("|"),
+                F.floor(F.col("c_acctbal") / 1000).cast("bigint").cast("string"),
+            ),
+        )
+        .when(
+            F.col("lv") == 1,
+            F.concat(
+                F.col("c_nationkey").cast("string"),
+                F.lit("|"),
+                F.col("c_mktsegment"),
+                F.lit("|"),
+                F.floor(F.col("c_acctbal") / 5000).cast("bigint").cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.col("c_nationkey").cast("string"),
+                F.lit("|"),
+                F.col("c_mktsegment"),
+            )
+        )
+        .alias("qi"),
+    )
+    classes = lvl.groupBy("lv", "qi").agg(
+        F.count(F.lit(1)).cast("bigint").alias("grp")
+    )
+    return (
+        classes.groupBy(F.col("lv").cast("bigint").alias("level"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+            F.sum(F.when(F.col("grp") < 5, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_violating_classes"),
+            F.sum(F.when(F.col("grp") < 5, F.col("grp")).otherwise(0))
+            .cast("bigint")
+            .alias("n_rows_at_risk"),
+            F.min("grp").cast("bigint").alias("min_class_size"),
+            (
+                F.sum(F.when(F.col("grp") < 5, 1).otherwise(0)) == 0
+            ).alias("satisfies_k"),
+        )
+        .orderBy("level")
+    )
+
+
+@register(
+    "pseudonym_token_profile",
+    """
+    WITH tok AS (
+      SELECT DISTINCT c_name,
+             substr(md5(concat('pseudo.v1|', c_name)), 1, 16) AS token
+      FROM customer
+    )
+    SELECT substr(token, 1, 1) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_names,
+           CAST(count(DISTINCT token) AS BIGINT) AS n_tokens,
+           CAST(count(*) - count(DISTINCT token) AS BIGINT) AS n_collisions
+    FROM tok GROUP BY bucket ORDER BY bucket
+    """,
+)
+def pseudonym_token_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent pseudonymization audit: replace each customer name with
+    a deterministic salted-hash token (md5 of a versioned salt + name,
+    truncated to 16 hex chars) and profile the token space by first hex
+    digit — the referential-integrity anonymization pii_redact does NOT
+    give (redaction destroys joinability; a consistent token preserves
+    it across every table that carries the name, run over run). The
+    per-bucket distinct-vs-name counts surface truncation collisions
+    (none expected at 16 hex chars below ~10^9 names — birthday bound)
+    and skew in the token space (uniform by construction; a non-uniform
+    profile means a broken salt pipeline).
+
+    The salt is a pipeline VERSION STRING, not a secret — md5 here is a
+    deterministic tokenizer (the dataset_split/stratified_sample md5
+    discipline), not cryptographic protection; swap an HMAC via the same
+    expression shape where the threat model needs one.
+
+    Scale: one DISTINCT on the name domain (dimension-sized), one
+    partial-aggregated groupBy over 16 buckets; tokenization is a
+    codegen'd hash expression at the scan — no UDF, no shuffle beyond
+    the dedup."""
+    cust = load_table(spark, sf_dir, "customer")
+    tok = cust.select(
+        "c_name",
+        F.substring(
+            F.md5(F.concat(F.lit("pseudo.v1|"), F.col("c_name"))), 1, 16
+        ).alias("token"),
+    ).distinct()
+    return (
+        tok.groupBy(F.substring("token", 1, 1).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_names"),
+            F.countDistinct("token").cast("bigint").alias("n_tokens"),
+            (F.count(F.lit(1)) - F.countDistinct("token"))
+            .cast("bigint")
+            .alias("n_collisions"),
+        )
+        .orderBy("bucket")
+    )

@@ -269,6 +269,8 @@ _FIXED_SIDE_CROSSJOINS = {
     "embedding_matryoshka_recall",
     # 1-row match/unmatch-totals broadcast onto the 3-row field frame
     "fellegi_sunter_weights",
+    # 1-row corpus-total broadcast onto the per-source rank frame
+    "quantile_normalize_by_source",
 }
 
 
