@@ -2232,3 +2232,231 @@ def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+_SEMDEDUP_ORACLE = f"""
+    WITH pts AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS cluster, v AS c FROM pts WHERE vec_id < {_KMEANS_K}),
+    d1 AS (
+      SELECT p.vec_id, p.v, c.cluster,
+             CAST(list_sum(list_transform(range(1, {_KMEANS_DIM + 1}),
+               i -> (p.v[i] - c.c[i]) * (p.v[i] - c.c[i]))) AS BIGINT) AS dist
+      FROM pts p CROSS JOIN c0 c
+    ),
+    a1 AS (
+      SELECT vec_id, v, cluster FROM d1
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) = 1
+    ),
+    dup AS (
+      SELECT a.cluster, a.vec_id AS keep_id, b.vec_id AS drop_id
+      FROM a1 a JOIN a1 b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE CAST(list_sum(list_transform(range(1, {_KMEANS_DIM + 1}),
+              i -> a.v[i] * b.v[i])) AS BIGINT) > 0
+        AND CAST(list_sum(list_transform(range(1, {_KMEANS_DIM + 1}),
+              i -> a.v[i] * b.v[i])) AS DECIMAL(38,0))
+            * CAST(list_sum(list_transform(range(1, {_KMEANS_DIM + 1}),
+              i -> a.v[i] * b.v[i])) AS BIGINT) * 100
+          > CAST(list_sum(list_transform(range(1, {_KMEANS_DIM + 1}),
+              i -> a.v[i] * a.v[i])) AS DECIMAL(38,0))
+            * CAST(list_sum(list_transform(range(1, {_KMEANS_DIM + 1}),
+              i -> b.v[i] * b.v[i])) AS BIGINT) * 16
+    )
+    SELECT drop_id AS vec_id,
+           CAST(min(cluster) AS BIGINT) AS cluster,
+           CAST(min(keep_id) AS BIGINT) AS kept_witness
+    FROM dup GROUP BY drop_id ORDER BY vec_id
+"""
+
+
+@register("semdedup_cluster_prune", _SEMDEDUP_ORACLE)
+def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al., 2023 — semantic deduplication for LLM
+    training data): cluster the embeddings, then drop every vector that
+    has a higher-cosine-than-threshold neighbor WITH A LOWER ID inside
+    its own cluster (keep-the-minimum survivorship). Clustering is what
+    makes semantic dedup tractable: the quadratic pair scan runs within
+    clusters only — Σ|cluster|² work instead of N², the same bound the
+    blocked linkage ops live by. Emits the dropped ids with their
+    cluster and the minimal kept witness.
+
+    Determinism: the cluster assignment is kmeans_lloyd's fixed-point
+    integer argmin (first-k seed centroids, floor·10⁶ quantization); the
+    cosine test cross-multiplies to DECIMAL(38,0) — cos(a,b) > 0.4 ⟺
+    dot>0 ∧ dot²·100 > |a|²·|b|²·16 — no sqrt, no float. (0.4 suits the
+    synthetic fixture's random vectors, whose max intra-cluster cosine
+    is ~0.49; production text embeddings run 0.95+. The threshold is the
+    one tunable.)
+
+    Scale: one broadcast k×d assignment pass (kmeans machinery), one
+    cluster-keyed self-equi-join (bounded by cluster sizes — at 100 TB,
+    k scales with N to cap clusters, and an oversized cluster gets a
+    width cap + re-cluster, the documented guard), one groupBy(drop_id)
+    min-aggregate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    points = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1000000.0).cast("long"),
+        ).alias("v"),
+    ).persist()
+    cents = points.filter(F.col("vec_id") < _KMEANS_K).select(
+        F.col("vec_id").alias("cluster"), F.col("v").alias("c")
+    )
+    assigned = _kmeans_assign(points, cents).select("vec_id", "v", "cluster")
+    a = assigned.select(
+        "cluster", F.col("vec_id").alias("keep_id"), F.col("v").alias("va")
+    )
+    b = assigned.select(
+        "cluster", F.col("vec_id").alias("drop_id"), F.col("v").alias("vb")
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    na = F.aggregate(
+        F.transform("va", lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    nb = F.aggregate(
+        F.transform("vb", lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    dup = (
+        a.join(b, "cluster")
+        .filter(F.col("keep_id") < F.col("drop_id"))
+        .withColumn("dot", dot)
+        .withColumn("na", na)
+        .withColumn("nb", nb)
+        .filter(
+            (F.col("dot") > 0)
+            & (
+                F.col("dot").cast("decimal(38,0)") * F.col("dot") * 100
+                > F.col("na").cast("decimal(38,0)") * F.col("nb") * 16
+            )
+        )
+    )
+    return (
+        dup.groupBy(F.col("drop_id").alias("vec_id"))
+        .agg(
+            F.min("cluster").cast("bigint").alias("cluster"),
+            F.min("keep_id").cast("bigint").alias("kept_witness"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _kcenter_oracle() -> str:
+    sqd = (
+        "CAST(list_sum(list_transform(range(1, {d}), "
+        "i -> (p.v[i] - c.v[i]) * (p.v[i] - c.v[i]))) AS BIGINT)"
+    ).format(d=_KMEANS_DIM + 1)
+    rounds = []
+    prev = "c1"
+    rounds.append(
+        "c1 AS (SELECT CAST(1 AS BIGINT) AS round, vec_id,"
+        " CAST(0 AS BIGINT) AS mind, v FROM pts WHERE vec_id = 0)"
+    )
+    for t in range(2, 6):
+        rounds.append(
+            f"""m{t} AS (
+      SELECT p.vec_id, p.v, min({sqd}) AS mind
+      FROM pts p JOIN {prev} c ON TRUE
+      WHERE p.vec_id NOT IN (SELECT vec_id FROM {prev})
+      GROUP BY p.vec_id, p.v
+    ),
+    c{t} AS (
+      SELECT round, vec_id, mind, v FROM {prev}
+      UNION ALL
+      SELECT CAST({t} AS BIGINT), vec_id, mind, v FROM m{t}
+      QUALIFY row_number() OVER (ORDER BY mind DESC, vec_id) = 1
+    )"""
+        )
+        prev = f"c{t}"
+    return (
+        """
+    WITH pts AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    """
+        + ",\n    ".join(rounds)
+        + """
+    SELECT round, vec_id, mind AS dist_fp2 FROM c5 ORDER BY round
+    """
+    )
+
+
+@register("coreset_kcenter_greedy", _kcenter_oracle())
+def coreset_kcenter_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center / farthest-first traversal (Gonzalez 1985 — the
+    2-approximation behind coreset selection, diverse-subset sampling,
+    and k-means++-style seeding for training-data curation): start from
+    vec_id 0, then four times pick the point FARTHEST from the chosen
+    set (max over points of min squared distance to any center, vec_id
+    tie-break). Emits the 5 centers in selection order with the covering
+    radius each one closed — the radius sequence IS the coverage curve a
+    curation pipeline reads to choose k.
+
+    Determinism: fixed-point integer coordinates and exact BIGINT
+    squared distances (the kmeans_lloyd discipline) make every argmax
+    decision engine-stable.
+
+    Scale: each round is one scan of the persisted quantized points
+    against a BROADCAST ≤k-row center set (min-dist partial aggregate,
+    then a 1-row TakeOrdered argmax — no global sort, no driver
+    round-trip between rounds: the next center joins back into the plan
+    as a 1-row frame). k rounds = k such passes, the standard
+    distributed farthest-first; at 100 TB swap the exact argmax for the
+    sampled variant (argmax over a per-partition top-1 union), same
+    plan shape."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    points = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1000000.0).cast("long"),
+        ).alias("v"),
+    ).persist()
+    centers = points.filter(F.col("vec_id") == 0).select(
+        F.lit(1).cast("bigint").alias("round"),
+        "vec_id",
+        F.lit(0).cast("bigint").alias("mind"),
+        "v",
+    )
+    for t in range(2, 6):
+        cand = (
+            points.join(
+                centers.select(F.col("vec_id").alias("cid")),
+                points.vec_id == F.col("cid"),
+                "left_anti",
+            )
+            .crossJoin(
+                F.broadcast(centers.select(F.col("v").alias("cv")))
+            )
+            .withColumn("d", _sqdist_fp(F.col("v"), F.col("cv")))
+            .groupBy("vec_id", "v")
+            .agg(F.min("d").alias("mind"))
+        )
+        chosen = (
+            cand.orderBy(F.desc("mind"), "vec_id")
+            .limit(1)
+            .select(
+                F.lit(t).cast("bigint").alias("round"), "vec_id", "mind", "v"
+            )
+        )
+        centers = centers.unionByName(chosen)
+    return centers.select(
+        "round", "vec_id", F.col("mind").alias("dist_fp2")
+    ).orderBy("round")

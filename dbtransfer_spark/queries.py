@@ -7711,3 +7711,136 @@ def pseudonym_token_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "dp_sensitivity_audit",
+    """
+    WITH per_user_day AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS d, user_id,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT d,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           CAST(max(n) AS BIGINT) AS max_user_contrib,
+           CAST(sum(CASE WHEN n > 10 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_users_over_clip,
+           CAST(sum(CASE WHEN n > 10 THEN n - 10 ELSE 0 END) AS BIGINT)
+             AS clipped_mass,
+           CAST(sum(CASE WHEN n > 10 THEN n - 10 ELSE 0 END) * 1000000
+                // sum(n) AS BIGINT) AS clipped_ppm
+    FROM per_user_day GROUP BY d ORDER BY d
+    """,
+)
+def dp_sensitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-privacy contribution-bounding audit: per day, the
+    max single-user contribution to the event count (the L1 sensitivity
+    a DP release of that count must calibrate noise to) and the cost of
+    clipping at C = 10 — users over the bound and the event mass the
+    clip discards. This is the measurement BEFORE any DP mechanism: the
+    clip bound trades bias (clipped_ppm) against noise scale (C/ε), and
+    choosing C from data like this is how production DP aggregation
+    pipelines (LinkedIn/Google style) size it. Deterministic — the audit
+    is exact; only the eventual release adds noise.
+
+    Scale: two partial-aggregated shuffles ((day, user), then day) —
+    bounded by the (day x active-user) domain; the clip arithmetic is
+    pure BIGINT conditional aggregation."""
+    events = load_table(spark, sf_dir, "events")
+    per = events.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("d"), "user_id"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    over = F.when(F.col("n") > 10, F.col("n") - 10).otherwise(0)
+    return (
+        per.groupBy("d")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.max("n").cast("bigint").alias("max_user_contrib"),
+            F.sum(F.when(F.col("n") > 10, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_users_over_clip"),
+            F.sum(over).cast("bigint").alias("clipped_mass"),
+            F.expr(
+                "CAST(sum(CASE WHEN n > 10 THEN n - 10 ELSE 0 END) * 1000000"
+                " div sum(n) AS BIGINT)"
+            ).alias("clipped_ppm"),
+        )
+        .orderBy("d")
+    )
+
+
+@register(
+    "slo_burn_rate_windows",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN "value" > 90 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bad
+      FROM events GROUP BY 1
+    ),
+    windows AS (
+      SELECT h, n, n_bad,
+             CAST(sum(n) OVER w6 AS BIGINT) AS n_6h,
+             CAST(sum(n_bad) OVER w6 AS BIGINT) AS bad_6h
+      FROM hourly
+      WINDOW w6 AS (ORDER BY h RANGE BETWEEN INTERVAL 5 HOURS PRECEDING
+                    AND CURRENT ROW)
+    )
+    SELECT h, n, n_bad,
+           CAST(n_bad * 1000000 // n AS BIGINT) AS bad_ppm_1h,
+           CAST(bad_6h * 1000000 // n_6h AS BIGINT) AS bad_ppm_6h,
+           (n_bad * 100 > n * 5 AND bad_6h * 100 > n_6h * 5) AS page_alert
+    FROM windows ORDER BY h
+    """,
+)
+def slo_burn_rate_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window SLO burn-rate alerting (the Google SRE workbook
+    recipe): treating events with value > 90 as SLO violations, compute
+    the 1-hour and trailing-6-hour bad fractions and page only when BOTH
+    windows burn above the threshold (5%) — the two-window AND is what
+    kills flappy pages (a 1h spike that the 6h window absorbs) while
+    still catching sustained burns fast. The ops-side twin of
+    events_error_burst (which detects bursts; this prices them against
+    an error budget).
+
+    Exactness: burn fractions are integer ppm and the page condition is
+    the cross-multiplied integer compare n_bad·100 > n·5 — no float in
+    the hash.
+
+    Scale: one partial-aggregated hourly rollup (|hours| rows regardless
+    of SF), then a RANGE window over the bounded hourly frame keyed on
+    the hour — at 100 TB the hourly frame is still tiny; the fact-table
+    pass is the only SF-scaling cost."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("value") > 90, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bad"),
+    )
+    w6 = (
+        Window.orderBy(F.unix_timestamp("h"))
+        .rangeBetween(-5 * 3600, Window.currentRow)
+    )
+    win = hourly.select(
+        "h",
+        "n",
+        "n_bad",
+        F.sum("n").over(w6).cast("bigint").alias("n_6h"),
+        F.sum("n_bad").over(w6).cast("bigint").alias("bad_6h"),
+    )
+    return win.select(
+        "h",
+        "n",
+        "n_bad",
+        F.expr("CAST(n_bad * 1000000 div n AS BIGINT)").alias("bad_ppm_1h"),
+        F.expr("CAST(bad_6h * 1000000 div n_6h AS BIGINT)").alias("bad_ppm_6h"),
+        (
+            (F.col("n_bad") * 100 > F.col("n") * 5)
+            & (F.col("bad_6h") * 100 > F.col("n_6h") * 5)
+        ).alias("page_alert"),
+    ).orderBy("h")

@@ -271,6 +271,11 @@ _FIXED_SIDE_CROSSJOINS = {
     "fellegi_sunter_weights",
     # 1-row corpus-total broadcast onto the per-source rank frame
     "quantile_normalize_by_source",
+    # k x d centroid broadcast (the kmeans_lloyd assignment shape)
+    "semdedup_cluster_prune",
+    # <=k-row center-set broadcast per farthest-first round (static
+    # lineage unrolls all k rounds)
+    "coreset_kcenter_greedy",
 }
 
 
