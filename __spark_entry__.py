@@ -63,9 +63,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #      previous round);
 #   2. the remaining slots fill oldest-driver-row-first (staleness
 #      rotation), so no query's newest driver row ages past ~3 rounds.
-# Round-7 window: the 17 r6 queries (judge-local green at r6 HEAD; all
-# green here → 217/217 ever-driver-green) + the 33 stalest rows (newest
-# driver row r2, then r3: q14_promo_revenue .. multimodal_resize).
+# Round-7 window: 50 never-driver-verified queries — the 17 r6 ships
+# (judge diffcheck 17/17 green at r6 HEAD) + the 33 earliest r7 ships.
+# Policy #1 outranks staleness rotation: this round added 83 queries
+# past the 217 the driver has seen, so every slot goes to a query with
+# no driver row ever (217 → 250 ever-driver-green if the window holds).
+# The r2/r3 stale rows queue below the boundary behind the remaining
+# r7 ships for the r8 rotation.
 # Every query, first-50 or not, is verified locally against the same
 # DuckDB oracles by tools/diffcheck.py (results: CORRECTNESS_LOCAL.md).
 _VERIFY_FIRST = (
@@ -87,7 +91,46 @@ _VERIFY_FIRST = (
     "setjoin_prefix_jaccard",
     "distribution_functions",
     "attribution_position_based",
-    # stale rotation: newest driver row is round 2 (10)
+    # never driver-verified (33 earliest round-7 ships, ship order; all
+    # diffcheck-green at HEAD — fills the window to exactly 50)
+    "ewma_daily_revenue",
+    "gap_fill_interpolate",
+    "part_hierarchy_rollup",
+    "sorted_neighborhood_pairs",
+    "golden_record_survivorship",
+    "countmin_heavy_hitters",
+    "join_cardinality_preflight",
+    "multimodal_patch_grid",
+    "timeseries_cv_folds",
+    "daily_user_composition",
+    "hard_negative_mining",
+    "k_anonymity_audit",
+    "sql_recursive_month_series",
+    "url_functions",
+    "docsim_term_overlap_topk",
+    "bootstrap_mean_ci",
+    "leakage_safe_split",
+    "token_budget_pack",
+    "table_bucket_checksum",
+    "zonemap_pruning_stats",
+    "image_ahash_neardup",
+    "winnow_fingerprints",
+    "calibration_ece_bins",
+    "feature_drift_bins",
+    "compaction_bin_packing",
+    "categorical_chi2_association",
+    "curriculum_interleave",
+    "zorder_clustering_stats",
+    "bloom_join_prefilter",
+    "scd2_as_of_snapshot",
+    "embedding_pq_codebook",
+    "clamped_running_balance",
+    "rendezvous_sharding_drift",
+    # ---- slot 50 boundary: everything below is out of the r7 driver
+    # window. Order for the r8 rotation: remaining never-driver-verified
+    # r7 ships first (they continue past the stale block further down),
+    # then stale rows oldest-driver-row-first. ----
+    # stale rotation queue: newest driver row is round 2 (10)
     "q14_promo_revenue",
     "q15_top_supplier",
     "q17_small_quantity_revenue",
@@ -98,8 +141,7 @@ _VERIFY_FIRST = (
     "q7_nation_volume",
     "q8_market_share",
     "stratified_sample",
-    # stale rotation: newest driver row is round 3 (23 — fills the window
-    # to exactly 50)
+    # stale rotation queue: newest driver row is round 3 (23)
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
@@ -123,8 +165,6 @@ _VERIFY_FIRST = (
     "multimodal_frame_sample",
     "multimodal_payload_stats",
     "multimodal_resize",
-    # ---- slot 50 boundary: everything below is out of the r7 driver
-    # window (kept in staleness order for the r8 rotation) ----
     # newest driver row is round 4
     "corpus_curation",
     "doc_fingerprint",
@@ -177,41 +217,9 @@ _VERIFY_FIRST = (
     "string_functions",
     "q10_returned_items",
     "q13_customer_distribution",
-    # new round-7 queries (ship order; past slot 50 -> they rotate to the
-    # r8 window head, verified locally by diffcheck this round)
-    "ewma_daily_revenue",
-    "gap_fill_interpolate",
-    "part_hierarchy_rollup",
-    "sorted_neighborhood_pairs",
-    "golden_record_survivorship",
-    "countmin_heavy_hitters",
-    "join_cardinality_preflight",
-    "multimodal_patch_grid",
-    "timeseries_cv_folds",
-    "daily_user_composition",
-    "hard_negative_mining",
-    "k_anonymity_audit",
-    "sql_recursive_month_series",
-    "url_functions",
-    "docsim_term_overlap_topk",
-    "bootstrap_mean_ci",
-    "leakage_safe_split",
-    "token_budget_pack",
-    "table_bucket_checksum",
-    "zonemap_pruning_stats",
-    "image_ahash_neardup",
-    "winnow_fingerprints",
-    "calibration_ece_bins",
-    "feature_drift_bins",
-    "compaction_bin_packing",
-    "categorical_chi2_association",
-    "curriculum_interleave",
-    "zorder_clustering_stats",
-    "bloom_join_prefilter",
-    "scd2_as_of_snapshot",
-    "embedding_pq_codebook",
-    "clamped_running_balance",
-    "rendezvous_sharding_drift",
+    # remaining round-7 ships past the window (ship order; never
+    # driver-verified — NOTE for r8: these rotate to the window head
+    # BEFORE the stale queue above, per policy #1)
     "dictionary_encoding_stats",
     "pq_adc_topk",
     "rle_encoding_stats",
