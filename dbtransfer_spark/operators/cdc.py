@@ -788,3 +788,288 @@ def fellegi_sunter_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("field")
     )
+
+
+@register(
+    "ivm_delta_rollup",
+    """
+    WITH final_state AS (
+      -- the post-CDC table the view must reflect: inserts are the
+      -- keyid%7=0 rows, deletes remove keyid%13=0 base rows, updates
+      -- add 500 cents to keyid%11=0 survivors
+      SELECT o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT)
+               + CASE WHEN o_orderkey % 7 <> 0 AND o_orderkey % 11 = 0
+                      THEN 500 ELSE 0 END AS cents
+      FROM orders
+      WHERE o_orderkey % 7 = 0
+         OR (o_orderkey % 13 <> 0)
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents
+    FROM final_state
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def ivm_delta_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: refresh a materialized rollup from
+    a CDC delta batch WITHOUT rescanning the fact table — the lakehouse
+    pattern that turns an O(|table|) nightly rebuild into an O(|delta|)
+    merge. The view is revenue per order priority; the delta batch is
+    derived deterministically from orders (keyid%7=0 → insert,
+    %13=0 → delete, %11=0 → update +500 cents). Each change row becomes
+    a SIGNED contribution (+1/+cents for insert, −1/−old_cents for
+    delete, 0/+500 for update), the prior snapshot contributes its
+    aggregated rows verbatim, and ONE re-aggregation over
+    (snapshot ∪ signed deltas) yields the new view — count and sum are
+    self-maintainable aggregates, no base-table access.
+
+    The oracle recomputes the view from the FINAL table state from
+    scratch; hash equality is the IVM correctness proof (delta-merge ≡
+    full rebuild). Exact integer cents throughout.
+
+    Plan: snapshot aggregation + delta aggregation + a union re-agg over
+    |groups| rows — three shuffles TOTAL here because the snapshot is
+    derived inline; in production the snapshot is a stored |groups|-row
+    table and the whole refresh touches only the delta. At 100 TB with
+    a daily 0.1% churn that is a 1000× scan saving, which is the entire
+    point of IVM. Deletes that empty a group drop out via HAVING n>0
+    (count is the group's liveness witness)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    key = F.col("o_orderkey")
+    base = orders.filter(key % 7 != 0)
+    # the materialized view before the batch (stored state in production)
+    snapshot = base.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("cents"),
+    )
+    # signed delta contributions — one narrow projection of the batch
+    inserts = orders.filter(key % 7 == 0).select(
+        "o_orderpriority",
+        F.lit(1).cast("bigint").alias("n"),
+        F.col("cents"),
+    )
+    deletes = base.filter(key % 13 == 0).select(
+        "o_orderpriority",
+        F.lit(-1).cast("bigint").alias("n"),
+        (-F.col("cents")).alias("cents"),
+    )
+    updates = base.filter((key % 13 != 0) & (key % 11 == 0)).select(
+        "o_orderpriority",
+        F.lit(0).cast("bigint").alias("n"),
+        F.lit(500).cast("bigint").alias("cents"),
+    )
+    merged = snapshot.unionByName(inserts).unionByName(deletes).unionByName(updates)
+    return (
+        merged.groupBy("o_orderpriority")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+        )
+        .filter(F.col("n_orders") > 0)
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "late_arriving_dim_resolution",
+    """
+    WITH states AS (
+      SELECT user_id, ts, event_type FROM (
+        SELECT user_id, ts, event_type,
+               row_number() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type <> 'purchase'
+      ) WHERE rn = 1
+    ), firsts AS (
+      SELECT user_id, min(ts) AS first_ts FROM states GROUP BY user_id
+    ), facts AS (
+      SELECT p.event_id, p.user_id, p.value,
+             s.event_type AS asof_state, f.first_ts
+      FROM (SELECT event_id, user_id, ts, value
+            FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN states s
+        ON p.user_id = s.user_id AND p.ts >= s.ts
+      LEFT JOIN firsts f ON p.user_id = f.user_id
+    )
+    SELECT
+      CASE WHEN asof_state IS NOT NULL THEN 'resolved'
+           WHEN first_ts IS NOT NULL THEN 'backdated'
+           ELSE 'unknown_member' END AS resolution,
+      CAST(count(*) AS BIGINT) AS n_facts,
+      CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+      CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM facts
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def late_arriving_dim_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-arriving-dimension accounting: every purchase fact is
+    point-in-time joined to the user's SCD2 state versions, and each
+    fact is classed by HOW it resolved — 'resolved' (a version was in
+    effect at fact time), 'backdated' (the fact precedes the user's
+    first version: the standard fallback is the earliest known state,
+    and this class counts how often that fallback fires), or
+    'unknown_member' (no dimension row exists at all — the row a
+    warehouse parks on the unknown member until the dimension catches
+    up). PIT lookup alone is purchase_pit_state; this is the
+    data-reliability layer above it that a production dimensional load
+    audits on every batch.
+
+    Plan: the asof union-merge and the first-version aggregate both
+    shuffle on user_id, then one left join (same key — co-partitioned
+    under AQE) and a 3-group rollup. No range explosion; cost ∝ events
+    per user exactly like every per-user operator here. Exact integer
+    cents for the measure."""
+    from dbtransfer_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    states = (
+        ev.filter(F.col("event_type") != "purchase")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("ts").alias("state_ts"), "event_type")
+    )
+    firsts = states.groupBy("user_id").agg(F.min("state_ts").alias("first_ts"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    joined = asof_join(
+        purchases,
+        states,
+        on="user_id",
+        left_time="ts",
+        right_time="state_ts",
+        right_values=["event_type"],
+    )
+    classed = joined.join(firsts, "user_id", "left").select(
+        "user_id",
+        "value",
+        F.when(F.col("asof_event_type").isNotNull(), F.lit("resolved"))
+        .when(F.col("first_ts").isNotNull(), F.lit("backdated"))
+        .otherwise(F.lit("unknown_member"))
+        .alias("resolution"),
+    )
+    return (
+        classed.groupBy("resolution")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_facts"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("value_cents"),
+        )
+        .orderBy("resolution")
+    )
+
+
+@register(
+    "data_vault_hashkeys",
+    """
+    WITH hub_c AS (
+      SELECT DISTINCT md5(upper(trim(CAST(c_custkey AS VARCHAR)))) AS hk
+      FROM customer
+    ), hub_o AS (
+      SELECT DISTINCT md5(upper(trim(CAST(o_orderkey AS VARCHAR)))) AS hk
+      FROM orders
+    ), lnk AS (
+      SELECT DISTINCT md5(upper(trim(CAST(o_custkey AS VARCHAR))) || '||'
+                       || upper(trim(CAST(o_orderkey AS VARCHAR)))) AS hk
+      FROM orders
+    ), sat AS (
+      SELECT md5(upper(trim(CAST(c_custkey AS VARCHAR)))) AS hk,
+             md5(coalesce(c_name, '') || '|' || coalesce(c_mktsegment, '')
+                 || '|' || CAST(CAST(round(c_acctbal * 100) AS BIGINT)
+                                AS VARCHAR)) AS hashdiff
+      FROM customer
+    ), satstats AS (
+      SELECT count(*) AS n_rows, count(DISTINCT hk) AS n_hk,
+             count(DISTINCT hashdiff) AS n_hd
+      FROM sat
+    )
+    SELECT entity, n_keys, n_distinct_hk FROM (
+      SELECT 'hub_customer' AS entity,
+             CAST((SELECT count(*) FROM customer) AS BIGINT) AS n_keys,
+             CAST((SELECT count(*) FROM hub_c) AS BIGINT) AS n_distinct_hk
+      UNION ALL
+      SELECT 'hub_order',
+             CAST((SELECT count(*) FROM orders) AS BIGINT),
+             CAST((SELECT count(*) FROM hub_o) AS BIGINT)
+      UNION ALL
+      SELECT 'link_customer_order',
+             CAST((SELECT count(*) FROM orders) AS BIGINT),
+             CAST((SELECT count(*) FROM lnk) AS BIGINT)
+      UNION ALL
+      SELECT 'sat_customer',
+             CAST((SELECT n_hk FROM satstats) AS BIGINT),
+             CAST((SELECT n_hd FROM satstats) AS BIGINT)
+    ) ORDER BY entity
+    """,
+)
+def data_vault_hashkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-vault 2.0 key derivation — hub hash keys from normalized
+    business keys (upper(trim(cast))), the customer↔order link key from
+    the '||'-joined key pair, and the customer satellite's HASHDIFF
+    over its descriptive payload (name, segment, balance in exact
+    cents) — plus the load-integrity counts a vault loader asserts
+    before committing: every hub/link key distinct per business key
+    (md5 collision watch) and the satellite's distinct-hashdiff count
+    (how many attribute versions actually exist). This is the
+    deterministic-key layer that makes a 100 TB raw vault load
+    idempotent and parallel: hash keys join without sequence
+    generators, so every loader task is stateless.
+
+    Plan: three distinct-aggregates (hash-partial map-side) + one
+    4-row literal union — no joins at all; each source table is
+    scanned once with only its key/payload columns read (column
+    pruning reaches the parquet scan). md5 of normalized strings is
+    bit-identical cross-engine."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+
+    def norm(c):
+        return F.upper(F.trim(F.col(c).cast("string")))
+
+    hub_customer = cust.select(F.md5(norm("c_custkey")).alias("hk")).agg(
+        F.lit("hub_customer").alias("entity"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.countDistinct("hk").cast("bigint").alias("n_distinct_hk"),
+    )
+    hub_order = orders.select(F.md5(norm("o_orderkey")).alias("hk")).agg(
+        F.lit("hub_order").alias("entity"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.countDistinct("hk").cast("bigint").alias("n_distinct_hk"),
+    )
+    link = orders.select(
+        F.md5(F.concat(norm("o_custkey"), F.lit("||"), norm("o_orderkey"))).alias("hk")
+    ).agg(
+        F.lit("link_customer_order").alias("entity"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.countDistinct("hk").cast("bigint").alias("n_distinct_hk"),
+    )
+    sat = cust.select(
+        F.md5(norm("c_custkey")).alias("hk"),
+        F.md5(
+            F.concat(
+                F.coalesce(F.col("c_name"), F.lit("")),
+                F.lit("|"),
+                F.coalesce(F.col("c_mktsegment"), F.lit("")),
+                F.lit("|"),
+                F.expr("CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS STRING)"),
+            )
+        ).alias("hashdiff"),
+    ).agg(
+        F.lit("sat_customer").alias("entity"),
+        F.countDistinct("hk").cast("bigint").alias("n_keys"),
+        F.countDistinct("hashdiff").cast("bigint").alias("n_distinct_hk"),
+    )
+    return (
+        hub_customer.unionByName(hub_order).unionByName(link).unionByName(sat)
+    ).orderBy("entity")
