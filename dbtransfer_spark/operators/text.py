@@ -1968,3 +1968,72 @@ def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "fused_rank")
     )
+
+
+@register(
+    "classifier_agreement_kappa",
+    """
+    WITH labeled AS (
+      SELECT (n_chars >= 300) AS a,
+             (length(text) - length(replace(text, ' ', '')) + 1 >= 55) AS b
+      FROM documents
+    ), cm AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) FILTER (a AND b) AS BIGINT) AS n11,
+             CAST(count(*) FILTER (a AND NOT b) AS BIGINT) AS n10,
+             CAST(count(*) FILTER (NOT a AND b) AS BIGINT) AS n01,
+             CAST(count(*) FILTER (NOT a AND NOT b) AS BIGINT) AS n00
+      FROM labeled
+    )
+    SELECT n, n11, n10, n01, n00,
+           CAST(1000000 * (n11 + n00) // n AS BIGINT) AS po_ppm,
+           CAST(1000000 * ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00))
+                // (n*n) AS BIGINT) AS pe_ppm,
+           CAST(n * (n11 + n00)
+                - ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00)) AS DOUBLE)
+             / CAST(n * n
+                - ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00)) AS DOUBLE)
+             AS kappa
+    FROM cm
+    """,
+)
+def classifier_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two document-quality classifiers — the
+    inter-annotator/heuristic-agreement statistic every labeling
+    pipeline reports before trusting a cheap filter as a proxy for an
+    expensive one. Classifier A flags long docs (n_chars ≥ 300);
+    classifier B flags word-rich docs (whitespace word count ≥ 55).
+    The 2×2 confusion counts are one conditional-aggregate pass; kappa's
+    exact rational form (n·(n11+n00) − Σ row·col marginal products) over
+    (n² − Σ marginals) is kept in BIGINT to the last step and the single
+    final division is a correctly-rounded double — bit-identical
+    cross-engine, with po/pe also reported as floor-ppm integers (both
+    nonnegative, so `div` semantics agree).
+
+    Plan: one scan, one partial-aggregated 1-row reduce — the
+    moment-sketch shape; at 100 TB this is a map-side-combined
+    scan-only job with a 5-value shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    labeled = docs.select(
+        (F.col("n_chars") >= 300).alias("a"),
+        (
+            F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1 >= 55
+        ).alias("b"),
+    )
+    cm = labeled.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count_if(F.col("a") & F.col("b")).cast("bigint").alias("n11"),
+        F.count_if(F.col("a") & ~F.col("b")).cast("bigint").alias("n10"),
+        F.count_if(~F.col("a") & F.col("b")).cast("bigint").alias("n01"),
+        F.count_if(~F.col("a") & ~F.col("b")).cast("bigint").alias("n00"),
+    )
+    pe_raw = "((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00))"
+    return cm.select(
+        "n", "n11", "n10", "n01", "n00",
+        F.expr("CAST(1000000 * (n11 + n00) div n AS BIGINT)").alias("po_ppm"),
+        F.expr(f"CAST(1000000 * {pe_raw} div (n*n) AS BIGINT)").alias("pe_ppm"),
+        F.expr(
+            f"CAST(n * (n11 + n00) - {pe_raw} AS DOUBLE)"
+            f" / CAST(n * n - {pe_raw} AS DOUBLE)"
+        ).alias("kappa"),
+    )

@@ -7844,3 +7844,86 @@ def slo_burn_rate_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("bad_6h") * 100 > F.col("n_6h") * 5)
         ).alias("page_alert"),
     ).orderBy("h")
+
+
+@register(
+    "spearman_rank_corr",
+    """
+    WITH ranked AS (
+      SELECT l_returnflag AS flag,
+             -- 2*average-rank as an exact integer: for a tie block at
+             -- positions [a,b], avg=(a+b)/2 and b = n - rank_desc + 1,
+             -- so 2*avg = rank_asc + n - rank_desc + 1
+             CAST(rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+                  - rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC)
+                  + count(*) OVER (PARTITION BY l_returnflag) + 1
+                  AS DECIMAL(18,0)) AS rx,
+             CAST(rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+                  - rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice DESC)
+                  + count(*) OVER (PARTITION BY l_returnflag) + 1
+                  AS DECIMAL(18,0)) AS ry
+      FROM lineitem
+    ), s AS (
+      SELECT flag, CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(rx) AS DOUBLE) AS sx, CAST(sum(ry) AS DOUBLE) AS sy,
+             CAST(sum(rx*rx) AS DOUBLE) AS sxx, CAST(sum(ry*ry) AS DOUBLE) AS syy,
+             CAST(sum(rx*ry) AS DOUBLE) AS sxy
+      FROM ranked GROUP BY flag
+    )
+    SELECT flag, CAST(n AS BIGINT) AS n_rows,
+           (n*sxy - sx*sy)
+             / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)) AS spearman
+    FROM s ORDER BY flag
+    """,
+)
+def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (quantity vs extendedprice per return
+    flag) with textbook tie handling — average ranks — computed EXACTLY:
+    2·avg_rank is an integer via the identity 2·avg = rank_asc −
+    rank_desc + n + 1 (the tie block [a,b] has avg (a+b)/2 and
+    b = n − rank_desc + 1), so no fractional ranks ever materialize;
+    Pearson on the doubled ranks (the ×2 cancels in the correlation)
+    runs on exact DECIMAL moment sums and only the final closed form
+    drops to correctly-rounded doubles — bit-identical cross-engine,
+    same discipline as correlation_matrix. Spearman is the robust
+    drift/monotonicity statistic feature-QA runs where Pearson is
+    outlier-fragile.
+
+    Plan: all six windows (three per measure) share the ONE l_returnflag
+    hash partition — a single shuffle, two in-partition sorts — then a
+    partial-aggregated moment pass. No join, no second scan. At 100 TB
+    the partition count scales with flag cardinality; for
+    high-cardinality group keys this same plan shape applies unchanged."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wf = Window.partitionBy("l_returnflag")
+
+    def r2(col: str):
+        asc = F.rank().over(wf.orderBy(F.col(col).asc()))
+        desc = F.rank().over(wf.orderBy(F.col(col).desc()))
+        n = F.count(F.lit(1)).over(wf)
+        return (asc - desc + n + F.lit(1)).cast("decimal(18,0)")
+
+    ranked = li.select(
+        F.col("l_returnflag").alias("flag"),
+        r2("l_quantity").alias("rx"),
+        r2("l_extendedprice").alias("ry"),
+    )
+    s = ranked.groupBy("flag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("rx").cast("double").alias("sx"),
+        F.sum("ry").cast("double").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).cast("double").alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).cast("double").alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).cast("double").alias("sxy"),
+    )
+    return s.select(
+        "flag",
+        F.col("n").cast("bigint").alias("n_rows"),
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            )
+        ).alias("spearman"),
+    ).orderBy("flag")
