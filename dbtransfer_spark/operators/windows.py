@@ -2040,3 +2040,97 @@ def did_lift_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (F.col("s_c1") / F.col("n_c1") - F.col("s_c0") / F.col("n_c0"))
         ).alias("did_cents"),
     )
+
+
+@register(
+    "markov_stationary_power",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    counts AS (
+      SELECT prev_type AS i, event_type AS j, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY i, j
+    ),
+    p AS (
+      SELECT i, j,
+             CAST(n * 1000000 //
+                  CAST(sum(n) OVER (PARTITION BY i) AS BIGINT) AS BIGINT)
+               AS p_ppm
+      FROM counts
+    ),
+    states AS (SELECT DISTINCT i AS state FROM p),
+    pi0 AS (
+      SELECT state,
+             CAST(1000000000000 // (SELECT count(*) FROM states) AS BIGINT)
+               AS pi
+      FROM states
+    ),
+    pi1 AS (
+      SELECT p.j AS state, CAST(sum(pi0.pi * p.p_ppm) // 1000000 AS BIGINT) AS pi
+      FROM pi0 JOIN p ON p.i = pi0.state GROUP BY p.j
+    ),
+    pi2 AS (
+      SELECT p.j AS state, CAST(sum(pi1.pi * p.p_ppm) // 1000000 AS BIGINT) AS pi
+      FROM pi1 JOIN p ON p.i = pi1.state GROUP BY p.j
+    ),
+    pi3 AS (
+      SELECT p.j AS state, CAST(sum(pi2.pi * p.p_ppm) // 1000000 AS BIGINT) AS pi
+      FROM pi2 JOIN p ON p.i = pi2.state GROUP BY p.j
+    )
+    SELECT state AS event_type, pi AS pi_e12 FROM pi3 ORDER BY state
+    """,
+)
+def markov_stationary_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the event-type Markov chain by THREE
+    power-iteration steps over the ppm transition matrix — the
+    eigenvector computation behind steady-state session mix, PageRank,
+    and MCMC burn-in diagnostics, run as an iterative broadcast join
+    exactly like kmeans_lloyd/pagerank_bipartite: state NEVER
+    round-trips through the driver, each step extends the logical plan
+    with one (join + partial-agg) over the ≤|types|² = 25-row matrix.
+    Fixed-point arithmetic at two scales — π at 1e12, P at ppm — keeps
+    every product ≤ 1e18 inside BIGINT and the trace bit-identical
+    cross-engine (floor division on nonnegative values agrees between
+    Spark's div and DuckDB's //).
+
+    Plan: the big scan feeds the lag window once (user-partitioned);
+    the matrix is persisted (consumed by each iteration) so events is
+    scanned exactly once. Iterations shuffle 25 rows. At 100 TB the
+    chain-building pass dominates and is scan-bound; iteration cost is
+    independent of data size — the property that makes power iteration
+    on an aggregated transition matrix scale where per-row iterative
+    methods would not."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("j"),
+        F.lag("event_type").over(w).alias("i"),
+    ).filter(F.col("i").isNotNull())
+    counts = seq.groupBy("i", "j").agg(F.count(F.lit(1)).alias("n"))
+    tot = F.sum("n").over(Window.partitionBy("i"))
+    p = (
+        counts.select("i", "j", F.expr("n * 1000000").alias("num"), tot.alias("t"))
+        .select("i", "j", F.expr("num div t").cast("bigint").alias("p_ppm"))
+        .persist()  # 1 + 3 consumers; events scans once
+    )
+    states = p.select(F.col("i").alias("state")).distinct()
+    k = states.agg(F.count(F.lit(1)).alias("k"))
+    pi = states.crossJoin(F.broadcast(k)).select(
+        "state", F.expr("CAST(1000000000000 div k AS BIGINT)").alias("pi")
+    )
+    for _ in range(3):
+        pi = (
+            p.join(pi, p["i"] == pi["state"])
+            .groupBy("j")
+            .agg(
+                F.expr("CAST(sum(pi * p_ppm) div 1000000 AS BIGINT)").alias("pi")
+            )
+            .select(F.col("j").alias("state"), "pi")
+        )
+    return pi.select(
+        F.col("state").alias("event_type"), F.col("pi").alias("pi_e12")
+    ).orderBy("event_type")

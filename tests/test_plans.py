@@ -226,6 +226,9 @@ _FIXED_SIDE_CROSSJOINS = {
     "timeseries_cv_folds",
     # two 1-row side-total broadcasts beside the 1-row pair rollup
     "join_cardinality_preflight",
+    # 1-row state-count broadcast seeding the uniform pi0 (π iteration
+    # joins are equi-joins on the 25-row matrix)
+    "markov_stationary_power",
     # 1-row lazy-total broadcast per foreign_key expectation (r7: replaced
     # the eager count() the r6 ADVICE flagged)
     "dq_expectations_orders",
