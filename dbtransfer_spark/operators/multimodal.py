@@ -756,3 +756,85 @@ def image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_docs_a").cast("bigint"),
         F.col("n_docs_b").cast("bigint"),
     ).orderBy("doc_a", "rank")
+
+
+_SHOT_FRAME_BYTES = 32
+_SHOT_THRESHOLD = 200
+
+_SHOT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("luma", T.LongType()),
+    ]
+)
+
+
+@register(
+    "multimodal_shot_boundaries",
+    f"""
+    WITH media AS (
+      SELECT doc_id, text, length(text) AS n FROM documents
+      WHERE doc_id % 3 = 2 AND length(text) > 0
+    ), frames AS (
+      SELECT doc_id, CAST(s // {_SHOT_FRAME_BYTES} AS BIGINT) AS frame_idx,
+             CAST(list_sum(list_transform(
+                    range(s + 1, least(s + {_SHOT_FRAME_BYTES}, n) + 1),
+                    i -> ascii(text[i]))) AS BIGINT) AS luma
+      FROM media, UNNEST(range(0, n, {_SHOT_FRAME_BYTES})) AS t(s)
+    ), d AS (
+      SELECT doc_id, frame_idx, luma,
+             luma - lag(luma) OVER (PARTITION BY doc_id
+                                    ORDER BY frame_idx) AS delta
+      FROM frames
+    )
+    SELECT doc_id, frame_idx, luma, delta
+    FROM d WHERE abs(delta) > {_SHOT_THRESHOLD}
+    ORDER BY doc_id, frame_idx
+    """,
+)
+def multimodal_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection over video payloads — the two-stage shape
+    a real media pipeline schedules: an Arrow-batched Python kernel
+    extracts a per-frame feature (here the fake decoder's byte-sum
+    "luma" over fixed {fb}-byte frames; a real one runs the codec), then
+    DECLARATIVE temporal logic finds the cuts — a doc-partitioned lag
+    window flags frames whose luma jumps past the threshold, exactly
+    how ffmpeg-based keyframe pickers threshold inter-frame histogram
+    distance. Keeping the analytics out of the kernel matters at
+    100 TB: the UDF stays a stateless 1→N fanout (no cross-frame state
+    in Python), and Catalyst owns the window, the filter, and anything
+    composed downstream.
+
+    Oracle replays the byte sums via ascii() over the pure-ASCII
+    fixture text (same trick as multimodal_features_fake) and the same
+    SQL window — exact integers end to end."""
+    media = documents_as_media(spark, sf_dir).filter(
+        (F.col("media_type") == "video") & (F.col("n_bytes") > 0)
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fb = _SHOT_FRAME_BYTES
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "frame_idx": [], "luma": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for idx in range(0, len(payload), fb):
+                    chunk = payload[idx : idx + fb]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx // fb)
+                    out["luma"].append(sum(chunk))
+            yield pd.DataFrame(out)
+
+    frames = media.select("doc_id", "payload").mapInPandas(run, _SHOT_SCHEMA)
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    d = frames.withColumn("delta", F.col("luma") - F.lag("luma").over(w))
+    return (
+        d.filter(F.abs("delta") > _SHOT_THRESHOLD)
+        .select("doc_id", "frame_idx", "luma", "delta")
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
+multimodal_shot_boundaries.__doc__ = multimodal_shot_boundaries.__doc__.format(
+    fb=_SHOT_FRAME_BYTES
+)

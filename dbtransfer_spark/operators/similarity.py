@@ -2460,3 +2460,88 @@ def coreset_kcenter_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return centers.select(
         "round", "vec_id", F.col("mind").alias("dist_fp2")
     ).orderBy("round")
+
+
+_COV_DIMS = 8
+_COV_PAIRS = [(i, j) for i in range(1, _COV_DIMS + 1) for j in range(i, _COV_DIMS + 1)]
+
+
+def _cov_oracle() -> str:
+    terms = []
+    for i in range(1, _COV_DIMS + 1):
+        terms.append(
+            f"CAST(floor(CAST(embedding[{i}] AS DOUBLE) * 1000 + 0.5)"
+            f" AS BIGINT) AS q{i}"
+        )
+    aggs = ["CAST(count(*) AS BIGINT) AS n"]
+    for i in range(1, _COV_DIMS + 1):
+        aggs.append(f"CAST(sum(q{i}) AS BIGINT) AS s{i}")
+    for i, j in _COV_PAIRS:
+        aggs.append(f"CAST(sum(q{i} * q{j}) AS BIGINT) AS s{i}_{j}")
+    rows = []
+    for i, j in _COV_PAIRS:
+        rows.append(
+            f"SELECT {i} AS dim_i, {j} AS dim_j, n,"
+            f" s{i} AS sx, s{j} AS sy, s{i}_{j} AS sxy,"
+            f" CAST(n * s{i}_{j} - s{i} * s{j} AS DOUBLE)"
+            f" / CAST(n * n AS DOUBLE) AS cov FROM m"
+        )
+    return (
+        "WITH q AS (SELECT "
+        + ", ".join(terms)
+        + " FROM embeddings), m AS (SELECT "
+        + ", ".join(aggs)
+        + " FROM q) "
+        + " UNION ALL ".join(rows)
+        + " ORDER BY dim_i, dim_j"
+    )
+
+
+@register("embedding_covariance_quantized", _cov_oracle())
+def embedding_covariance_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle covariance block of the first 8 embedding
+    dimensions — the co-moment matrix PCA/whitening/ZCA starts from,
+    computed the way a 100 TB embedding lake has to: ONE
+    partial-aggregated scan accumulating n + 8 sums + 36 exact product
+    sums (map-side combine reduces every partition to a 45-value row),
+    never a per-pair shuffle or a d²-fanout explode. Dimensions are
+    quantized to exact integers first (floor(x·1000 + 0.5) — the
+    round-half-up idiom from embedding_quantize_int8, bit-stable
+    cross-engine), so every co-moment is a BIGINT and only the final
+    covariance closed form (n·Sxy − SxSy)/n² drops to two
+    correctly-rounded double ops.
+
+    At full d=64 the same plan carries d(d+1)/2 = 2080 sums — wide but
+    still one scan-reduce; the quantized-int trick is what keeps the
+    result reproducible across engines, executors, and retry orders
+    (float sums are order-dependent; integer sums are not)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qcols = [
+        F.expr(
+            f"CAST(floor(CAST(element_at(embedding, {i}) AS DOUBLE) * 1000 + 0.5)"
+            f" AS BIGINT)"
+        ).alias(f"q{i}")
+        for i in range(1, _COV_DIMS + 1)
+    ]
+    q = emb.select(*qcols)
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    for i in range(1, _COV_DIMS + 1):
+        aggs.append(F.sum(F.col(f"q{i}")).cast("bigint").alias(f"s{i}"))
+    for i, j in _COV_PAIRS:
+        aggs.append(
+            F.sum(F.col(f"q{i}") * F.col(f"q{j}")).cast("bigint").alias(f"s{i}_{j}")
+        )
+    m = q.agg(*aggs)
+    stack_args = []
+    for i, j in _COV_PAIRS:
+        stack_args.append(
+            f"{i}L, {j}L, n, s{i}, s{j}, s{i}_{j},"
+            f" CAST(n * s{i}_{j} - s{i} * s{j} AS DOUBLE) / CAST(n * n AS DOUBLE)"
+        )
+    out = m.select(
+        F.expr(
+            f"stack({len(_COV_PAIRS)}, {', '.join(stack_args)})"
+            " AS (dim_i, dim_j, n, sx, sy, sxy, cov)"
+        )
+    )
+    return out.orderBy("dim_i", "dim_j")
