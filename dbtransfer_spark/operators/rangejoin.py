@@ -15,7 +15,7 @@ output-proportional instead of |points|×|intervals|.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dbtransfer_spark.catalog import load_table
@@ -128,3 +128,156 @@ def range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("cust").alias("o_custkey"), "n_orders_in_window")
         .orderBy("o_custkey")
     )
+
+
+# FIFO bin width: l_quantity <= 50, so every cumulative-axis interval
+# spans at most two 64-unit bins.
+_FIFO_BIN = 64
+
+
+@register(
+    "fifo_cost_allocation",
+    """
+    WITH lines AS (
+      SELECT l_partkey AS part, l_returnflag <> 'R' AS is_receipt,
+             CAST(l_quantity AS BIGINT) AS qty,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+             l_shipdate, l_orderkey, l_linenumber
+      FROM lineitem
+    ), receipts AS (
+      SELECT part, qty, price_cents,
+             sum(qty) OVER (PARTITION BY part
+                            ORDER BY l_shipdate, l_orderkey, l_linenumber
+                            ROWS UNBOUNDED PRECEDING) AS hi
+      FROM lines WHERE is_receipt
+    ), issues AS (
+      SELECT part, qty,
+             sum(qty) OVER (PARTITION BY part
+                            ORDER BY l_shipdate, l_orderkey, l_linenumber
+                            ROWS UNBOUNDED PRECEDING) AS hi
+      FROM lines WHERE NOT is_receipt
+    ), matches AS (
+      SELECT r.part,
+             least(r.hi, i.hi) - greatest(r.hi - r.qty, i.hi - i.qty)
+               AS m_qty,
+             (least(r.hi, i.hi) - greatest(r.hi - r.qty, i.hi - i.qty))
+               * r.price_cents // r.qty AS m_cents
+      FROM receipts r JOIN issues i
+        ON r.part = i.part
+       AND r.hi - r.qty < i.hi AND i.hi - i.qty < r.hi
+    ), magg AS (
+      SELECT part, CAST(count(*) AS BIGINT) AS n_matches,
+             CAST(sum(m_qty) AS BIGINT) AS matched_qty,
+             CAST(sum(m_cents) AS BIGINT) AS alloc_cost_cents
+      FROM matches GROUP BY part
+    ), totals AS (
+      SELECT part,
+             CAST(sum(CASE WHEN is_receipt THEN qty ELSE 0 END) AS BIGINT)
+               AS received_qty,
+             CAST(sum(CASE WHEN NOT is_receipt THEN qty ELSE 0 END) AS BIGINT)
+               AS issued_qty
+      FROM lines GROUP BY part
+    )
+    SELECT t.part AS partkey, t.received_qty, t.issued_qty,
+           coalesce(m.n_matches, 0) AS n_matches,
+           coalesce(m.matched_qty, 0) AS matched_qty,
+           coalesce(m.alloc_cost_cents, 0) AS alloc_cost_cents,
+           t.issued_qty - coalesce(m.matched_qty, 0) AS short_qty
+    FROM totals t LEFT JOIN magg m ON t.part = m.part
+    ORDER BY partkey
+    """,
+)
+def fifo_cost_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO inventory cost allocation — the classically-hard SQL shape
+    (matching each issue against the oldest unconsumed receipts) solved
+    as INTERVAL INTERSECTION on the cumulative-quantity axis: receipts
+    and issues each get [cum−qty, cum) spans from a per-part running
+    sum, and a receipt funds an issue exactly where their spans overlap
+    — overlap length × receipt unit cost is the allocation, floor-exact
+    in integer cents. No procedural loop, no recursive CTE: FIFO's
+    sequential semantics are fully encoded by the two monotone axes.
+
+    Scale: the overlap join has no equality key beyond part, so the
+    Spark plan bins the cumulative axis ({bin}-unit bins ≥ the max
+    line quantity: every span touches ≤2 bins) and equi-joins on
+    (part, bin) with a meet-once rule (a pair is emitted only in the
+    bin of its later start) — candidate volume is output-proportional,
+    the same discipline as binned_range_join, and FIFO pair count is
+    Θ(receipts + issues) per part by monotonicity. The oracle uses
+    DuckDB's native IEJoin on the raw inequality — an independent
+    implementation of the same semantics. Windows order by
+    (shipdate, orderkey, linenumber) — row-unique, so the running sums
+    are deterministic (round-5 trap)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    lines = li.select(
+        F.col("l_partkey").alias("part"),
+        (F.col("l_returnflag") != "R").alias("is_receipt"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("price_cents"),
+        "l_shipdate", "l_orderkey", "l_linenumber",
+    )
+    w = (
+        Window.partitionBy("part")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    receipts = (
+        lines.filter("is_receipt")
+        .withColumn("hi", F.sum("qty").over(w))
+        .select("part", "qty", "price_cents", "hi", (F.col("hi") - F.col("qty")).alias("lo"))
+    )
+    issues = (
+        lines.filter(~F.col("is_receipt"))
+        .withColumn("hi", F.sum("qty").over(w))
+        .select("part", F.col("qty").alias("i_qty"), F.col("hi").alias("i_hi"),
+                (F.col("hi") - F.col("qty")).alias("i_lo"))
+    )
+    b = _FIFO_BIN
+    r_binned = receipts.withColumn(
+        "bin", F.explode(F.expr(f"sequence(lo div {b}, (hi - 1) div {b})"))
+    )
+    i_binned = issues.withColumn(
+        "bin", F.explode(F.expr(f"sequence(i_lo div {b}, (i_hi - 1) div {b})"))
+    )
+    cand = r_binned.join(i_binned, ["part", "bin"]).filter(
+        (F.col("lo") < F.col("i_hi"))
+        & (F.col("i_lo") < F.col("hi"))
+        # meet-once: emit the pair only in the bin holding the later start
+        & (F.col("bin") == F.greatest(F.expr(f"lo div {b}"), F.expr(f"i_lo div {b}")))
+    )
+    m_qty = F.least("hi", "i_hi") - F.greatest("lo", "i_lo")
+    matches = cand.select(
+        "part",
+        m_qty.alias("m_qty"),
+        F.expr(
+            f"(least(hi, i_hi) - greatest(lo, i_lo)) * price_cents div qty"
+        ).alias("m_cents"),
+    )
+    magg = matches.groupBy("part").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matches"),
+        F.sum("m_qty").cast("bigint").alias("matched_qty"),
+        F.sum("m_cents").cast("bigint").alias("alloc_cost_cents"),
+    )
+    totals = lines.groupBy("part").agg(
+        F.sum(F.when(F.col("is_receipt"), F.col("qty")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("received_qty"),
+        F.sum(F.when(~F.col("is_receipt"), F.col("qty")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("issued_qty"),
+    )
+    out = totals.join(magg, "part", "left").select(
+        F.col("part").alias("partkey"),
+        "received_qty",
+        "issued_qty",
+        F.coalesce("n_matches", F.lit(0)).cast("bigint").alias("n_matches"),
+        F.coalesce("matched_qty", F.lit(0)).cast("bigint").alias("matched_qty"),
+        F.coalesce("alloc_cost_cents", F.lit(0)).cast("bigint").alias("alloc_cost_cents"),
+        (F.col("issued_qty") - F.coalesce("matched_qty", F.lit(0)))
+        .cast("bigint")
+        .alias("short_qty"),
+    )
+    return out.orderBy("partkey")
+
+
+fifo_cost_allocation.__doc__ = fifo_cost_allocation.__doc__.format(bin=_FIFO_BIN)
