@@ -452,3 +452,101 @@ def link_prediction_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFr
     return non_adjacent.orderBy(
         F.desc("n_common"), F.desc("w_sum"), "a", "c"
     ).limit(50)
+
+
+@register(
+    "degree_assortativity",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+        SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs
+      ) GROUP BY node
+    ), stubs AS (
+      -- both orientations: Newman's assortativity sums over directed stubs
+      SELECT du.d AS x, dv.d AS y
+      FROM pairs p JOIN deg du ON du.node = p.u JOIN deg dv ON dv.node = p.v
+      UNION ALL
+      SELECT dv.d, du.d
+      FROM pairs p JOIN deg du ON du.node = p.u JOIN deg dv ON dv.node = p.v
+    ), s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(x*x) AS DOUBLE) AS sxx, CAST(sum(y*y) AS DOUBLE) AS syy,
+             CAST(sum(x*y) AS DOUBLE) AS sxy
+      FROM stubs
+    )
+    SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST((SELECT count(*) FROM pairs) AS BIGINT) AS n_edges,
+           (n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy))
+             AS assortativity
+    FROM s
+    """,
+)
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph — Newman's r, the
+    hub-mixing statistic that predicts whether skew mitigation is even
+    needed downstream (disassortative graphs concentrate wedge volume
+    on hub-leaf joins; assortative ones spread it). Computed as Pearson
+    over directed degree stubs (each undirected edge contributes both
+    orientations): degrees are exact BIGINTs from one partial-aggregated
+    pass, the five moment sums accumulate exactly, and only the final
+    closed form drops to correctly-rounded doubles — the same
+    bit-stable discipline as correlation_matrix/spearman_rank_corr.
+
+    Plan: the pair build dedups the per-order explosion immediately
+    (DISTINCT before graph work, bounded by order size); two equi-joins
+    decorate edges with endpoint degrees; the stub union is narrow and
+    the moment reduce is 1-row. Degree joins broadcast at small SF and
+    shuffle-hash at scale — AQE's call, both equi-keyed."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .persist()  # degree pass + two decorating joins + edge count
+    )
+    deg = (
+        pairs.select(F.col("u").alias("node"))
+        .unionByName(pairs.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+        .persist()
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("dx"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dy"))
+    decorated = pairs.join(du, "u").join(dv, "v")
+    stubs = decorated.select(
+        F.col("dx").alias("x"), F.col("dy").alias("y")
+    ).unionByName(decorated.select(F.col("dy").alias("x"), F.col("dx").alias("y")))
+    s = stubs.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    n_nodes = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    n_edges = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    return (
+        n_nodes.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(s))
+        .select(
+            "n_nodes",
+            "n_edges",
+            (
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / (
+                    F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                    * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+                )
+            ).alias("assortativity"),
+        )
+    )

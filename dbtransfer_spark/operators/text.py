@@ -2037,3 +2037,98 @@ def classifier_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" / CAST(n * n - {pe_raw} AS DOUBLE)"
         ).alias("kappa"),
     )
+
+
+@register(
+    "retrieval_mrr_eval",
+    """
+    WITH probes AS (
+      SELECT doc_id, source FROM documents WHERE doc_id % 7 = 0
+    ), toks AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE doc_id % 7 = 0
+    ), tf AS (
+      SELECT doc_id, tok FROM toks WHERE tok <> ''
+    ), df AS (
+      SELECT tok, count(*) AS df FROM tf GROUP BY tok
+    ), kept AS (
+      SELECT tf.doc_id, tf.tok FROM tf JOIN df USING (tok) WHERE df.df <= 100
+    ), pair_dot AS (
+      SELECT a.doc_id AS q, b.doc_id AS cand, count(*) AS overlap
+      FROM kept a JOIN kept b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+      GROUP BY q, cand
+    ), ranked AS (
+      SELECT p.q, p.cand, p.overlap,
+             row_number() OVER (PARTITION BY p.q
+                                ORDER BY p.overlap DESC, p.cand) AS rk,
+             (qs.source = cs.source) AS rel
+      FROM pair_dot p
+      JOIN probes qs ON qs.doc_id = p.q
+      JOIN probes cs ON cs.doc_id = p.cand
+    )
+    SELECT CAST(q AS BIGINT) AS query_doc,
+           CAST(min(CASE WHEN rel THEN rk END) AS BIGINT) AS first_rel_rank,
+           CAST(coalesce(1000000 // min(CASE WHEN rel THEN rk END), 0)
+                AS BIGINT) AS rr_ppm,
+           CAST(count(*) FILTER (rel AND rk <= 5) AS BIGINT) AS rel_at5
+    FROM ranked GROUP BY q ORDER BY query_doc
+    """,
+)
+def retrieval_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation over the inverted-index related-docs
+    ranker (docsim_term_overlap_topk's scorer, evaluated instead of just
+    reported): with same-source membership as the relevance label, each
+    probe document gets its first-relevant rank, reciprocal rank in
+    exact floor-ppm (1e6 // rank — no float MRR drift), and
+    precision@5's numerator. Aggregating rr_ppm over probes IS
+    mean-reciprocal-rank; keeping per-query rows is how eval dashboards
+    drill into which slices the ranker fails. The pattern generalizes
+    verbatim to ANN rankers — knn_recall_eval checks overlap against a
+    brute-force oracle, this scores against LABELS.
+
+    Scale shape: identical candidate discipline to the ranker under
+    eval (df-capped inverted-index self-join — Σ df² bounded, never
+    all-pairs), one rank window per probe partition, and the label
+    joins are equi-joins on doc_id. Exact integers end to end."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    probes = docs.select("doc_id", "source").persist()
+    toks = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    df = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    kept = toks.join(df.filter(F.col("df") <= 100), "tok").select("doc_id", "tok")
+    a = kept.select(F.col("doc_id").alias("q"), "tok")
+    b = kept.select(F.col("doc_id").alias("cand"), "tok")
+    pair_dot = (
+        a.join(b, "tok")
+        .filter(F.col("q") != F.col("cand"))
+        .groupBy("q", "cand")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    qs = probes.select(F.col("doc_id").alias("q"), F.col("source").alias("q_src"))
+    cs = probes.select(
+        F.col("doc_id").alias("cand"), F.col("source").alias("c_src")
+    )
+    w = Window.partitionBy("q").orderBy(F.desc("overlap"), "cand")
+    ranked = (
+        pair_dot.join(qs, "q")
+        .join(cs, "cand")
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn("rel", F.col("q_src") == F.col("c_src"))
+    )
+    return (
+        ranked.groupBy("q")
+        .agg(
+            F.min(F.when(F.col("rel"), F.col("rk"))).cast("bigint").alias("first_rel_rank"),
+            F.coalesce(
+                F.expr("1000000 div min(CASE WHEN rel THEN rk END)"), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("rr_ppm"),
+            F.count_if(F.col("rel") & (F.col("rk") <= 5)).cast("bigint").alias("rel_at5"),
+        )
+        .select(F.col("q").alias("query_doc"), "first_rel_rank", "rr_ppm", "rel_at5")
+        .orderBy("query_doc")
+    )

@@ -229,6 +229,8 @@ _FIXED_SIDE_CROSSJOINS = {
     # 1-row state-count broadcast seeding the uniform pi0 (π iteration
     # joins are equi-joins on the 25-row matrix)
     "markov_stationary_power",
+    # two 1-row broadcasts (node/edge counts) beside the 1-row moment frame
+    "degree_assortativity",
     # 1-row lazy-total broadcast per foreign_key expectation (r7: replaced
     # the eager count() the r6 ADVICE flagged)
     "dq_expectations_orders",
