@@ -2545,3 +2545,115 @@ def embedding_covariance_quantized(spark: SparkSession, sf_dir: str) -> DataFram
         )
     )
     return out.orderBy("dim_i", "dim_j")
+
+
+def _pca_oracle() -> str:
+    d = _COV_DIMS
+    qterms = ", ".join(
+        f"CAST(floor(CAST(embedding[{i}] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS q{i}"
+        for i in range(1, d + 1)
+    )
+    aggs = ["CAST(count(*) AS BIGINT) AS n"] + [
+        f"CAST(sum(q{i}) AS BIGINT) AS s{i}" for i in range(1, d + 1)
+    ] + [f"CAST(sum(q{i} * q{j}) AS BIGINT) AS s{i}_{j}" for i, j in _COV_PAIRS]
+    mat_rows = []
+    for i, j in _COV_PAIRS:
+        mat_rows.append(f"SELECT {i} AS i, {j} AS j, n*s{i}_{j} - s{i}*s{j} AS c FROM m")
+        if i != j:
+            mat_rows.append(
+                f"SELECT {j}, {i}, n*s{i}_{j} - s{i}*s{j} FROM m"
+            )
+    v0_rows = " UNION ALL ".join(
+        f"SELECT {i} AS dim, CAST(1000000 AS BIGINT) AS v" for i in range(1, d + 1)
+    )
+    its = []
+    prev = "v0"
+    for t in (1, 2, 3):
+        its.append(
+            f"it{t} AS (SELECT matn.i AS dim, CAST(sum(matn.mval * {prev}.v) AS BIGINT) AS u"
+            f" FROM matn JOIN {prev} ON matn.j = {prev}.dim GROUP BY matn.i),"
+            f" mx{t} AS (SELECT greatest(max(abs(u)), 1) AS mx FROM it{t}),"
+            f" v{t} AS (SELECT dim, CAST(u * 1000000 // mx AS BIGINT) AS v"
+            f" FROM it{t}, mx{t})"
+        )
+        prev = f"v{t}"
+    return (
+        f"WITH q AS (SELECT {qterms} FROM embeddings),"
+        f" m AS (SELECT {', '.join(aggs)} FROM q),"
+        f" mat AS ({' UNION ALL '.join(mat_rows)}),"
+        " mxc AS (SELECT greatest(max(abs(c)) // 1000000 + 1, 1) AS dvr FROM mat),"
+        " matn AS (SELECT i, j, CAST(c // dvr AS BIGINT) AS mval FROM mat, mxc),"
+        f" v0 AS ({v0_rows}),"
+        f" {', '.join(its)}"
+        " SELECT dim, v AS eigvec_e6 FROM v3 ORDER BY dim"
+    )
+
+
+@register("embedding_pca_power_top1", _pca_oracle())
+def embedding_pca_power_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the (8-dim block) embedding covariance
+    by THREE fixed-point power-iteration steps — PCA's inner loop, run
+    entirely as integer dataflow so the eigenvector trace is
+    bit-identical cross-engine and across executor/retry orders. Builds
+    on embedding_covariance_quantized's one-scan co-moment sketch: the
+    64 exact c_ij = n·Sij − SiSj entries self-normalize through divisor
+    (max|c| div 1e6 + 1) — the OVERFLOW GOVERNOR that keeps every later
+    product ≤ 8e18 inside BIGINT at ANY scale factor (matrix entries
+    grow ∝ n², so a fixed divisor would overflow at 100 TB; dividing by
+    the matrix's own magnitude is scale-free). Each step is
+    v ← normalize(M·v): an 8×8 join-aggregate plus a max|u| rescale,
+    iterating by plan extension exactly like kmeans_lloyd and
+    markov_stationary_power.
+
+    The heavy lifting — the co-moment scan — is ONE partial-aggregated
+    pass over the vectors; iterations cost O(d²) regardless of data
+    size. This is how PCA/whitening actually runs on a 100 TB embedding
+    lake: sketch once, iterate on the driver-sized matrix (here kept in
+    dataflow for the exactness proof)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = _COV_DIMS
+    qcols = [
+        F.expr(
+            f"CAST(floor(CAST(element_at(embedding, {i}) AS DOUBLE) * 1000 + 0.5)"
+            f" AS BIGINT)"
+        ).alias(f"q{i}")
+        for i in range(1, d + 1)
+    ]
+    q = emb.select(*qcols)
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    for i in range(1, d + 1):
+        aggs.append(F.sum(F.col(f"q{i}")).cast("bigint").alias(f"s{i}"))
+    for i, j in _COV_PAIRS:
+        aggs.append(
+            F.sum(F.col(f"q{i}") * F.col(f"q{j}")).cast("bigint").alias(f"s{i}_{j}")
+        )
+    m = q.agg(*aggs)
+    stack_args = []
+    for i, j in _COV_PAIRS:
+        stack_args.append(f"{i}L, {j}L, n*s{i}_{j} - s{i}*s{j}")
+        if i != j:
+            stack_args.append(f"{j}L, {i}L, n*s{i}_{j} - s{i}*s{j}")
+    mat = m.select(
+        F.expr(f"stack({d * d}, {', '.join(stack_args)}) AS (i, j, c)")
+    ).persist()  # divisor scan + normalized-matrix reuse across 3 steps
+    mxc = mat.agg(
+        F.expr("greatest(max(abs(c)) div 1000000 + 1, 1L)").alias("dvr")
+    )
+    matn = mat.crossJoin(F.broadcast(mxc)).select(
+        "i", "j", F.expr("CAST(c div dvr AS BIGINT)").alias("mval")
+    ).persist()
+    v = matn.select(F.col("i").alias("dim")).distinct().select(
+        "dim", F.lit(1000000).cast("bigint").alias("v")
+    )
+    for _ in range(3):
+        it = (
+            matn.join(v, matn["j"] == v["dim"])
+            .groupBy("i")
+            .agg(F.sum(F.col("mval") * F.col("v")).cast("bigint").alias("u"))
+        )
+        mx = it.agg(F.expr("greatest(max(abs(u)), 1L)").alias("mx"))
+        v = it.crossJoin(F.broadcast(mx)).select(
+            F.col("i").alias("dim"),
+            F.expr("CAST(u * 1000000 div mx AS BIGINT)").alias("v"),
+        )
+    return v.select("dim", F.col("v").alias("eigvec_e6")).orderBy("dim")

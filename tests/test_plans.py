@@ -231,6 +231,8 @@ _FIXED_SIDE_CROSSJOINS = {
     "markov_stationary_power",
     # two 1-row broadcasts (node/edge counts) beside the 1-row moment frame
     "degree_assortativity",
+    # 1-row divisor + per-step 1-row max broadcasts over the 64-entry matrix
+    "embedding_pca_power_top1",
     # 1-row lazy-total broadcast per foreign_key expectation (r7: replaced
     # the eager count() the r6 ADVICE flagged)
     "dq_expectations_orders",
