@@ -61,6 +61,10 @@ HEADLINE = [
     "span_corruption_masks",   # T5 denoising mask plan, positional hashes (r7 s2)
     "column_domain_overlap",   # distinct-first FK discovery self-join (r7 s2)
     "rle_encoding_stats",      # per-row-group run counting windows (r7 s2)
+    "fifo_cost_allocation",    # cumulative-axis binned interval join (r7 s3)
+    "link_prediction_common_neighbors",  # reciprocal-kNN wedge scoring (r7 s3)
+    "embedding_pca_power_top1",  # one-scan co-moment sketch + power iter (r7 s3)
+    "ivm_delta_rollup",        # incremental view maintenance merge (r7 s3)
 ]
 
 

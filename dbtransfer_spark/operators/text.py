@@ -2043,10 +2043,11 @@ def classifier_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     "retrieval_mrr_eval",
     """
     WITH probes AS (
-      SELECT doc_id, source FROM documents WHERE doc_id % 7 = 0
+      SELECT doc_id, source FROM documents
+      WHERE doc_id % 7 = 0 AND doc_id < 3500
     ), toks AS (
       SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
-      FROM documents WHERE doc_id % 7 = 0
+      FROM documents WHERE doc_id % 7 = 0 AND doc_id < 3500
     ), tf AS (
       SELECT doc_id, tok FROM toks WHERE tok <> ''
     ), df AS (
@@ -2084,13 +2085,19 @@ def retrieval_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean-reciprocal-rank; keeping per-query rows is how eval dashboards
     drill into which slices the ranker fails. The pattern generalizes
     verbatim to ANN rankers — knn_recall_eval checks overlap against a
-    brute-force oracle, this scores against LABELS.
+    brute-force oracle, this scores against LABELS. The probe panel is
+    FIXED-SIZE (doc_id % 7 = 0, id < 3500 — ≤500 docs at any SF): eval
+    sets do not grow with the corpus, which also keeps the df≤100
+    literal meaningful as the corpus scales (a growing slice would need
+    a fractional cap; see docsim_term_overlap_topk's caveat).
 
     Scale shape: identical candidate discipline to the ranker under
     eval (df-capped inverted-index self-join — Σ df² bounded, never
     all-pairs), one rank window per probe partition, and the label
     joins are equi-joins on doc_id. Exact integers end to end."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 7 == 0) & (F.col("doc_id") < 3500)
+    )
     probes = docs.select("doc_id", "source").persist()
     toks = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
