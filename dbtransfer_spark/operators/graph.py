@@ -550,3 +550,120 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("assortativity"),
         )
     )
+
+
+def _kcore_oracle() -> str:
+    # MATERIALIZED: every CTE is referenced by multiple UNION branches /
+    # scalar subqueries; DuckDB would otherwise re-evaluate the whole
+    # peel chain per reference (measured: minutes at sf1, seconds with
+    # materialization)
+    head = """
+    WITH pairs AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), deg0 AS MATERIALIZED (
+      SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+        SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs
+      ) GROUP BY node
+    ), kth AS (
+      SELECT CAST(sum(d) // count(*) + 1 AS BIGINT) AS k FROM deg0
+    )"""
+    body = []
+    prev_edges, prev_deg = "pairs", "deg0"
+    for r in (1, 2, 3):
+        body.append(f"""
+    keep{r} AS MATERIALIZED (
+      SELECT node FROM {prev_deg}, kth WHERE d >= k
+    ), e{r} AS MATERIALIZED (
+      SELECT u, v FROM {prev_edges}
+      WHERE u IN (SELECT node FROM keep{r})
+        AND v IN (SELECT node FROM keep{r})
+    ), deg{r} AS MATERIALIZED (
+      SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+        SELECT u AS node FROM e{r} UNION ALL SELECT v FROM e{r}
+      ) GROUP BY node
+    )""")
+        prev_edges, prev_deg = f"e{r}", f"deg{r}"
+    selects = ["""
+    SELECT 0 AS round, CAST((SELECT count(*) FROM deg0) AS BIGINT) AS n_nodes,
+           CAST((SELECT count(*) FROM pairs) AS BIGINT) AS n_edges,
+           (SELECT k FROM kth) AS k"""]
+    for r in (1, 2, 3):
+        selects.append(f"""
+    SELECT {r}, CAST((SELECT count(*) FROM deg{r}) AS BIGINT),
+           CAST((SELECT count(*) FROM e{r}) AS BIGINT),
+           (SELECT k FROM kth)""")
+    return head + "," + ",".join(body) + " UNION ALL ".join(selects) + " ORDER BY round"
+
+
+@register("kcore_peel_rounds", _kcore_oracle())
+def kcore_peel_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three rounds of k-core peeling on the co-purchase graph at
+    k = mean degree + 1 — the dense-core extraction that separates the
+    structurally-connected catalog from long-tail attachments before
+    community detection or embedding propagation. Each round drops
+    below-threshold nodes and their incident edges, then re-derives
+    degrees; the shrinking (nodes, edges) trace per round is the
+    classic core-decomposition convergence diagnostic. The threshold is
+    2m/n + 1 — exact integer arithmetic from two counts, scale-free
+    (a fixed literal k would pin to one SF's density).
+
+    Plan: iteration by plan extension (the kmeans/markov/pagerank
+    discipline) — each round is two semi-joins (endpoint membership)
+    and one partial-aggregated degree pass, all equi-keyed on node ids;
+    survivors shrink monotonically so later rounds cost less. The base
+    edge set is persisted once; nothing round-trips the driver. True
+    k-core runs peels to fixpoint — O(peel-depth) rounds of exactly
+    this plan."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .persist()
+    )
+
+    def degrees(edges: DataFrame) -> DataFrame:
+        return (
+            edges.select(F.col("u").alias("node"))
+            .unionByName(edges.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+        )
+
+    deg0 = degrees(pairs).persist()
+    kth = deg0.agg(
+        F.expr("CAST(sum(d) div count(*) + 1 AS BIGINT)").alias("k")
+    )
+
+    def stats(round_no: int, edges: DataFrame, deg: DataFrame) -> DataFrame:
+        nn = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        ne = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+        return (
+            nn.crossJoin(F.broadcast(ne))
+            .crossJoin(F.broadcast(kth))
+            .select(
+                F.lit(round_no).cast("bigint").alias("round"),
+                "n_nodes",
+                "n_edges",
+                "k",
+            )
+        )
+
+    out = stats(0, pairs, deg0)
+    edges, deg = pairs, deg0
+    for r in (1, 2, 3):
+        keep = deg.join(F.broadcast(kth), F.col("d") >= F.col("k")).select("node")
+        edges = (
+            edges.join(keep.select(F.col("node").alias("u")), "u", "left_semi")
+            .join(keep.select(F.col("node").alias("v")), "v", "left_semi")
+            .select("u", "v")
+            .persist()
+        )
+        deg = degrees(edges)
+        out = out.unionByName(stats(r, edges, deg))
+    return out.orderBy("round")

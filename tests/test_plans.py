@@ -233,6 +233,8 @@ _FIXED_SIDE_CROSSJOINS = {
     "degree_assortativity",
     # 1-row divisor + per-step 1-row max broadcasts over the 64-entry matrix
     "embedding_pca_power_top1",
+    # 1-row threshold broadcast per peel + per-round 1-row stat broadcasts
+    "kcore_peel_rounds",
     # 1-row lazy-total broadcast per foreign_key expectation (r7: replaced
     # the eager count() the r6 ADVICE flagged)
     "dq_expectations_orders",
