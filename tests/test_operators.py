@@ -838,3 +838,113 @@ def test_winnowing_guarantee_on_shared_substring(spark):
     for r in sel.collect():
         fps[r.doc_id].add(r.fp)
     assert fps[1] & fps[2], "57-char shared run must share a fingerprint (k+w-1=11)"
+
+
+# ---- round-7 session-4 operators: invariants beyond the oracle hash ----
+
+
+def test_fifo_allocation_conservation(spark):
+    """FIFO matching conserves quantity: per part, matched <= min(received,
+    issued), short = issued - matched, and a part with zero issues
+    allocates nothing."""
+    from dbtransfer_spark.operators.rangejoin import fifo_cost_allocation
+
+    rows = fifo_cost_allocation(spark, SF_SMOKE).collect()
+    assert rows, "no parts"
+    for r in rows:
+        assert r.matched_qty <= min(r.received_qty, r.issued_qty)
+        assert r.short_qty == r.issued_qty - r.matched_qty
+        assert r.short_qty >= 0
+        if r.issued_qty == 0:
+            assert r.matched_qty == 0 and r.alloc_cost_cents == 0
+    # global mass balance: everything issued is either matched or short
+    assert sum(r.matched_qty + r.short_qty for r in rows) == sum(
+        r.issued_qty for r in rows
+    )
+
+
+def test_kappa_bounds_and_marginals(spark):
+    """Cohen's kappa lies in [-1, 1]; the confusion cells partition n."""
+    from dbtransfer_spark.operators.text import classifier_agreement_kappa
+
+    r = classifier_agreement_kappa(spark, SF_SMOKE).collect()[0]
+    assert r.n == r.n11 + r.n10 + r.n01 + r.n00
+    assert -1.0 <= r.kappa <= 1.0
+    assert 0 <= r.po_ppm <= 1_000_000 and 0 <= r.pe_ppm <= 1_000_000
+
+
+def test_markov_stationary_mass(spark):
+    """Fixed-point power iteration loses only floor-division mass: the
+    stationary vector stays within 1% of the 1e12 budget and nonneg."""
+    from dbtransfer_spark.operators.windows import markov_stationary_power
+
+    rows = markov_stationary_power(spark, SF_SMOKE).collect()
+    total = sum(r.pi_e12 for r in rows)
+    assert all(r.pi_e12 >= 0 for r in rows)
+    assert 0.99e12 <= total <= 1.0e12  # floor losses only shrink mass
+
+
+def test_pca_power_normalization(spark):
+    """After each normalize step max|v| == 1e6 exactly (the renormalizer
+    divides by max|u|), and the returned vector is the full 8 dims."""
+    from dbtransfer_spark.operators.similarity import embedding_pca_power_top1
+
+    rows = embedding_pca_power_top1(spark, SF_SMOKE).collect()
+    assert [r.dim for r in rows] == list(range(1, 9))
+    assert max(abs(r.eigvec_e6) for r in rows) == 1_000_000
+
+
+def test_ivm_matches_full_rebuild(spark):
+    """The delta-merge refresh equals a from-scratch rebuild of the view
+    over the post-CDC state (the IVM correctness property, asserted
+    engine-side in addition to the DuckDB oracle)."""
+    from pyspark.sql import functions as F
+
+    from dbtransfer_spark.catalog import load_table
+    from dbtransfer_spark.operators.cdc import ivm_delta_rollup
+
+    got = {
+        r.o_orderpriority: (r.n_orders, r.revenue_cents)
+        for r in ivm_delta_rollup(spark, SF_SMOKE).collect()
+    }
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    k = F.col("o_orderkey")
+    final = orders.filter((k % 7 == 0) | (k % 13 != 0)).select(
+        "o_orderpriority",
+        (
+            F.col("cents")
+            + F.when((k % 7 != 0) & (k % 11 == 0), F.lit(500)).otherwise(F.lit(0))
+        ).alias("cents"),
+    )
+    want = {
+        r.o_orderpriority: (r.n, r.cents)
+        for r in final.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("cents"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_link_prediction_candidates_nonadjacent(spark):
+    """Every predicted pair is absent from the edge set and scored by at
+    least one shared neighbor."""
+    from dbtransfer_spark.operators.graph import (
+        link_prediction_common_neighbors,
+    )
+    from dbtransfer_spark.catalog import load_table
+
+    preds = link_prediction_common_neighbors(spark, SF_SMOKE).collect()
+    assert preds and all(p.n_common >= 1 for p in preds)
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.selectExpr("l_orderkey AS ok", "l_partkey AS u")
+    b = li.selectExpr("l_orderkey AS ok", "l_partkey AS v")
+    edges = {
+        (r.u, r.v)
+        for r in a.join(b, "ok").filter("u < v").select("u", "v").distinct().collect()
+    }
+    for p in preds:
+        assert (p.a, p.c) not in edges
