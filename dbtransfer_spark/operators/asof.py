@@ -178,3 +178,107 @@ def asof_next_purchase_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(within, F.col("asof_p_ts")).alias("next_ts"),
         F.when(within, F.col("asof_value")).alias("next_value"),
     )
+
+
+@register(
+    "fx_conversion_asof",
+    """
+    WITH facts AS (
+      SELECT o_orderkey,
+             ['EUR','GBP','JPY'][CAST(o_custkey % 3 AS INTEGER) + 1] AS ccy,
+             CAST(datediff('day', DATE '1970-01-01',
+                           CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             extract(year FROM o_orderdate) AS yr
+      FROM orders
+    ), rate_days AS (
+      SELECT DISTINCT ccy, day FROM facts WHERE day % 7 < 5
+    ), rates AS (
+      -- deterministic synthetic daily fix: 1.0 + ((day*7919 + ccy-salt)
+      -- mod 0.25), published weekdays only
+      SELECT ccy, day AS rate_day,
+             1000000 + (day * 7919 + length(ccy) * 131) % 250000 AS rate_e6
+      FROM rate_days
+    ), joined AS (
+      SELECT f.o_orderkey, f.ccy, f.yr, f.cents, r.rate_e6
+      FROM facts f
+      ASOF LEFT JOIN rates r
+        ON f.ccy = r.ccy AND f.day >= r.rate_day
+    )
+    SELECT ccy, CAST(yr AS BIGINT) AS yr,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(*) FILTER (rate_e6 IS NULL) AS BIGINT) AS n_unrated,
+           CAST(sum(CASE WHEN rate_e6 IS NOT NULL
+                         THEN cents * 1000000 // rate_e6 END) AS BIGINT)
+             AS converted_cents
+    FROM joined GROUP BY ccy, yr ORDER BY ccy, yr
+    """,
+)
+def fx_conversion_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Currency conversion with as-of rate resolution — the warehouse
+    staple: every order converts at the LATEST published rate at or
+    before its date (rates publish on weekdays only, so weekend facts
+    reach back across the gap — exactly what the as-of join exists
+    for), with unrated facts (before the first fix) surfaced as a
+    quality count instead of silently dropped. The rate table is a
+    deterministic synthetic daily fix (1e6-scaled integers); conversion
+    is exact floor arithmetic (cents·1e6 div rate_e6 — nonneg, so both
+    engines' integer division agrees).
+
+    Plan: the rate build is one dedup-aggregate off the fact scan; the
+    as-of is the union-merge formulation (one shuffle on the currency
+    key, in-partition sort) — at 100 TB rates are tiny but the SAME
+    plan works when the right side is per-instrument tick data with
+    billions of rows, which is why the union-merge beats a
+    broadcast-range join as the default."""
+    orders = load_table(spark, sf_dir, "orders")
+    facts = orders.select(
+        "o_orderkey",
+        F.expr(
+            "element_at(array('EUR','GBP','JPY'), CAST(o_custkey % 3 AS INT) + 1)"
+        ).alias("ccy"),
+        F.expr(
+            "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT)"
+        ).alias("day"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+    )
+    rates = (
+        facts.filter(F.col("day") % 7 < 5)
+        .select("ccy", "day")
+        .distinct()
+        .select(
+            "ccy",
+            F.col("day").alias("rate_day"),
+            F.expr(
+                "CAST(1000000 + (day * 7919 + length(ccy) * 131) % 250000"
+                " AS BIGINT)"
+            ).alias("rate_e6"),
+        )
+    )
+    joined = asof_join(
+        facts,
+        rates,
+        on="ccy",
+        left_time="day",
+        right_time="rate_day",
+        right_values=["rate_e6"],
+    )
+    return (
+        joined.groupBy("ccy", "yr")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.count_if(F.col("asof_rate_e6").isNull())
+            .cast("bigint")
+            .alias("n_unrated"),
+            F.sum(
+                F.when(
+                    F.col("asof_rate_e6").isNotNull(),
+                    F.expr("cents * 1000000 div asof_rate_e6"),
+                )
+            )
+            .cast("bigint")
+            .alias("converted_cents"),
+        )
+        .orderBy("ccy", "yr")
+    )

@@ -2139,3 +2139,96 @@ def retrieval_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("q").alias("query_doc"), "first_rel_rank", "rr_ppm", "rel_at5")
         .orderBy("query_doc")
     )
+
+
+@register(
+    "bpe_iterative_merges",
+    """
+    WITH wc AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> '' GROUP BY w
+    ), p1 AS (
+      SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM (
+        SELECT unnest(list_transform(range(1, length(w)),
+                                     i -> substr(w, i, 2))) AS pair, n
+        FROM wc WHERE length(w) >= 2
+      ) GROUP BY pair
+    ), b1 AS (SELECT pair, cnt FROM p1 ORDER BY cnt DESC, pair LIMIT 1),
+    wc2 AS (
+      SELECT replace(w, (SELECT pair FROM b1), '0') AS w, n FROM wc
+    ), p2 AS (
+      SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM (
+        SELECT unnest(list_transform(range(1, length(w)),
+                                     i -> substr(w, i, 2))) AS pair, n
+        FROM wc2 WHERE length(w) >= 2
+      ) GROUP BY pair
+    ), b2 AS (SELECT pair, cnt FROM p2 ORDER BY cnt DESC, pair LIMIT 1)
+    SELECT CAST(1 AS BIGINT) AS round, pair AS merged_pair,
+           cnt AS weighted_count FROM b1
+    UNION ALL
+    SELECT 2, pair, cnt FROM b2
+    ORDER BY round
+    """,
+)
+def bpe_iterative_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two rounds of the BPE tokenizer-training inner loop: count
+    adjacent symbol pairs weighted by word frequency, merge the most
+    frequent pair corpus-wide (rewritten with a surrogate symbol '0' —
+    the corpus is [a-z]+, so the surrogate is collision-free), recount,
+    merge again. This is iterative STRING rewriting by plan extension —
+    each round is a pair-explode aggregate (narrow 1→len-1 fanout at
+    the scan) plus a 1-row argmax broadcast into the rewrite — the same
+    no-driver-round-trip discipline as kmeans/markov/pagerank applied
+    to the tokenizer-training domain. bpe_merge_candidates ranks round
+    1's table; this EXECUTES the merges, which is where the iteration
+    subtlety lives (round 2's pairs include the merged symbol, exactly
+    BPE's definition). replace() is leftmost non-overlapping in both
+    engines (verified: 'aaa' → '0a'), matching BPE's greedy left-scan.
+
+    Scale: pair tables are vocabulary-bounded (≤ |alphabet|² + rounds);
+    the word-count table is the standard one-shuffle wordcount. A real
+    30k-merge train is O(rounds) of this plan — production trainers
+    keep the pair table in memory for exactly the reason this stays
+    tiny here."""
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+    def best_pair(words: DataFrame) -> DataFrame:
+        pairs = (
+            words.filter(F.length("w") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, length(w) - 1),"
+                        " i -> substring(w, i, 2))"
+                    )
+                ).alias("pair"),
+                "n",
+            )
+            .groupBy("pair")
+            .agg(F.sum("n").cast("bigint").alias("cnt"))
+        )
+        return pairs.orderBy(F.desc("cnt"), "pair").limit(1)
+
+    b1 = best_pair(wc)
+    wc2 = wc.crossJoin(F.broadcast(b1.select(F.col("pair").alias("__p")))).select(
+        F.expr("replace(w, __p, '0')").alias("w"), "n"
+    )
+    b2 = best_pair(wc2)
+    one = b1.select(
+        F.lit(1).cast("bigint").alias("round"),
+        F.col("pair").alias("merged_pair"),
+        F.col("cnt").alias("weighted_count"),
+    )
+    two = b2.select(
+        F.lit(2).cast("bigint").alias("round"),
+        F.col("pair").alias("merged_pair"),
+        F.col("cnt").alias("weighted_count"),
+    )
+    return one.unionByName(two).orderBy("round")

@@ -7927,3 +7927,79 @@ def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("spearman"),
     ).orderBy("flag")
+
+
+@register(
+    "null_key_join_audit",
+    """
+    WITH facts AS (
+      SELECT o_orderkey,
+             CASE WHEN o_custkey % 97 = 0 THEN NULL ELSE o_custkey END AS k,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM facts),
+    classed AS (
+      SELECT CASE WHEN f.k IS NULL THEN 'null_key'
+                  WHEN c.c_custkey IS NULL THEN 'orphan'
+                  ELSE 'matched' END AS class,
+             f.cents
+      FROM facts f LEFT JOIN customer c ON f.k = c.c_custkey
+    )
+    SELECT class,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(1000000 * count(*) // (SELECT n FROM tot) AS BIGINT)
+             AS share_ppm,
+           CAST(sum(cents) AS BIGINT) AS cents
+    FROM classed GROUP BY class ORDER BY class
+    """,
+)
+def null_key_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key quality audit for the null-island trap: before a big
+    fact-dimension join, classify every fact as matched / orphan
+    (non-null key, no dimension row — an FK break) / null_key (SQL
+    equality never matches NULL, and in a naive pre-partitioned layout
+    all null keys HASH TO ONE PARTITION — the classic straggler at
+    100 TB). Shares are floor-ppm integers; a deterministic synthetic
+    null injection (custkey % 97) stands in for the feed's real nulls.
+    The remediation this audit prices: route the null_key class AROUND
+    the join (they can never match) and union it back — which is
+    exactly what Spark's own null-aware anti-join rewrite does, made
+    explicit as dataflow.
+
+    Plan: one equi left join (nulls short-circuit to no-match without
+    shuffling to a single reducer under hash partitioning of the
+    non-null domain) + a 3-group rollup; the total is a 1-row scalar
+    reused by the ppm projection."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    facts = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_custkey") % 97 == 0, F.lit(None))
+        .otherwise(F.col("o_custkey"))
+        .alias("k"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    classed = facts.join(cust, facts["k"] == cust["c_custkey"], "left").select(
+        F.when(F.col("k").isNull(), F.lit("null_key"))
+        .when(F.col("c_custkey").isNull(), F.lit("orphan"))
+        .otherwise(F.lit("matched"))
+        .alias("class"),
+        "cents",
+    )
+    tot = facts.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return (
+        classed.groupBy("class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "class",
+            "n_rows",
+            F.expr("CAST(1000000 * n_rows div n AS BIGINT)").alias("share_ppm"),
+            "cents",
+        )
+        .select("class", "n_rows", "share_ppm", "cents")
+        .orderBy("class")
+    )

@@ -235,6 +235,10 @@ _FIXED_SIDE_CROSSJOINS = {
     "embedding_pca_power_top1",
     # 1-row threshold broadcast per peel + per-round 1-row stat broadcasts
     "kcore_peel_rounds",
+    # 1-row fact-total broadcast beside the 3-class rollup
+    "null_key_join_audit",
+    # 1-row best-pair broadcast per merge round (argmax of the pair table)
+    "bpe_iterative_merges",
     # 1-row lazy-total broadcast per foreign_key expectation (r7: replaced
     # the eager count() the r6 ADVICE flagged)
     "dq_expectations_orders",
