@@ -282,3 +282,109 @@ def fx_conversion_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ccy", "yr")
     )
+
+
+@register(
+    "asof_nearest_event",
+    """
+    WITH p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), s AS (
+      SELECT user_id, ts, event_type FROM events WHERE event_type <> 'purchase'
+    ), back AS (
+      SELECT p.event_id, p.user_id, p.ts,
+             s.ts AS prev_ts, s.event_type AS prev_type
+      FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts
+    ), fwd AS (
+      SELECT p.event_id, s.ts AS next_ts, s.event_type AS next_type
+      FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts <= s.ts
+    )
+    SELECT b.event_id, b.user_id,
+           CASE WHEN f.next_ts IS NULL
+                  OR (b.prev_ts IS NOT NULL
+                      AND epoch_us(b.ts) - epoch_us(b.prev_ts)
+                          <= epoch_us(f.next_ts) - epoch_us(b.ts))
+                THEN 'backward' ELSE 'forward' END AS direction,
+           CASE WHEN f.next_ts IS NULL
+                  OR (b.prev_ts IS NOT NULL
+                      AND epoch_us(b.ts) - epoch_us(b.prev_ts)
+                          <= epoch_us(f.next_ts) - epoch_us(b.ts))
+                THEN b.prev_type ELSE f.next_type END AS nearest_type,
+           CASE WHEN f.next_ts IS NULL
+                  OR (b.prev_ts IS NOT NULL
+                      AND epoch_us(b.ts) - epoch_us(b.prev_ts)
+                          <= epoch_us(f.next_ts) - epoch_us(b.ts))
+                THEN epoch_us(b.ts) - epoch_us(b.prev_ts)
+                ELSE epoch_us(f.next_ts) - epoch_us(b.ts) END AS gap_us
+    FROM back b JOIN fwd f ON b.event_id = f.event_id
+    ORDER BY b.event_id
+    """,
+)
+def asof_nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-neighbor-in-time join (either direction, backward wins
+    ties) — the sensor-fusion/alignment variant the plain as-of pair
+    can't express alone: each purchase gets the temporally closest
+    non-purchase event of its user. Composition of the two verified
+    primitives: one backward union-merge as-of plus one forward (same
+    machinery on negated time), then a per-row arbiter on the exact
+    microsecond gaps. Every user with a purchase has SOME event, but
+    either side alone can be NULL (purchase before first / after last
+    state) — the arbiter's NULL handling is the operator's actual
+    contract.
+
+    Plan: two user-keyed union-merge sorts + an event_id equi-join of
+    the two 1-row-per-purchase frames; cost linear in events per user,
+    never a range join."""
+    from dbtransfer_spark.operators.windows import epoch_micros
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    s = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id", F.col("ts").alias("s_ts"), F.col("event_type").alias("s_type")
+    )
+    back = asof_join(
+        p.withColumn("t_us", epoch_micros(p, "ts")),
+        s.withColumn("st_us", epoch_micros(s, "s_ts")).select(
+            "user_id", "st_us", F.col("s_type").alias("prev_type")
+        ),
+        on="user_id",
+        left_time="t_us",
+        right_time="st_us",
+        right_values=["prev_type", "st_us"],
+    ).select(
+        "event_id",
+        "user_id",
+        "t_us",
+        F.col("asof_prev_type").alias("prev_type"),
+        F.col("asof_st_us").alias("prev_us"),
+    )
+    fwd = asof_join(
+        p.withColumn("nt_us", -epoch_micros(p, "ts")),
+        s.withColumn("nst_us", -epoch_micros(s, "s_ts")).select(
+            "user_id", "nst_us", F.col("s_type").alias("next_type")
+        ),
+        on="user_id",
+        left_time="nt_us",
+        right_time="nst_us",
+        right_values=["next_type", "nst_us"],
+    ).select(
+        "event_id",
+        F.col("asof_next_type").alias("next_type"),
+        (-F.col("asof_nst_us")).alias("next_us"),
+    )
+    j = back.join(fwd, "event_id")
+    backward_wins = F.col("next_us").isNull() | (
+        F.col("prev_us").isNotNull()
+        & (F.col("t_us") - F.col("prev_us") <= F.col("next_us") - F.col("t_us"))
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.when(backward_wins, F.lit("backward")).otherwise(F.lit("forward")).alias("direction"),
+        F.when(backward_wins, F.col("prev_type")).otherwise(F.col("next_type")).alias("nearest_type"),
+        F.when(backward_wins, F.col("t_us") - F.col("prev_us"))
+        .otherwise(F.col("next_us") - F.col("t_us"))
+        .alias("gap_us"),
+    ).orderBy("event_id")

@@ -2134,3 +2134,152 @@ def markov_stationary_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pi.select(
         F.col("state").alias("event_type"), F.col("pi").alias("pi_e12")
     ).orderBy("event_type")
+
+
+@register(
+    "error_before_purchase_window_join",
+    """
+    WITH p AS (
+      SELECT event_id, user_id, epoch_us(ts) AS t
+      FROM events WHERE event_type = 'purchase'
+    ), e AS (
+      SELECT user_id, epoch_us(ts) AS t
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT p.event_id, p.user_id,
+           CAST(count(*) AS BIGINT) AS n_errors_30m,
+           CAST(min(p.t - e.t) AS BIGINT) AS last_error_gap_us
+    FROM p JOIN e
+      ON p.user_id = e.user_id
+     AND e.t <= p.t AND e.t > p.t - 1800000000
+    GROUP BY p.event_id, p.user_id
+    ORDER BY p.event_id
+    """,
+)
+def error_before_purchase_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join across event types — purchases decorated with the
+    errors their user hit in the preceding 30 minutes (the "failed then
+    retried and converted" funnel diagnosis; in Structured Streaming
+    terms, the stream-stream join with a time-bound buffer, expressed
+    here as its exact batch parity). The join is EQUI-keyed on user_id
+    with the window as a residual predicate: per-user event counts are
+    small and user-hash-partitioned, so candidate volume is
+    Σ_user |purchases|·|errors| — skew-governed by the user key like
+    every per-user operator; for a pathological hot key, compose with
+    the time-bin discipline of binned_range_join (bin = 30-minute
+    buckets) to restore an output-proportional bound.
+
+    Exact microsecond arithmetic both engines; half-open window
+    (gap 0 inclusive, 30 min exclusive) so a same-instant error counts
+    once."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", epoch_micros(ev, "ts").alias("t")
+    )
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"), epoch_micros(ev, "ts").alias("e_t")
+    )
+    joined = p.join(
+        e,
+        (p["user_id"] == e["e_user"])
+        & (e["e_t"] <= p["t"])
+        & (e["e_t"] > p["t"] - F.lit(1_800_000_000)),
+    )
+    return (
+        joined.groupBy("event_id", "user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_errors_30m"),
+            F.min(F.col("t") - F.col("e_t")).cast("bigint").alias("last_error_gap_us"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "attribution_time_decay",
+    """
+    WITH conv AS (
+      SELECT event_id, user_id, epoch_us(ts) AS t,
+             CAST(round("value" * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ), touch AS (
+      SELECT user_id, event_type, epoch_us(ts) AS t
+      FROM events WHERE event_type <> 'purchase'
+    ), weighted AS (
+      SELECT c.event_id, c.cents, h.event_type,
+             CASE WHEN (c.t - h.t) // 21600000000 <= 40
+                  THEN 1000000000000 // CAST(pow(2, (c.t - h.t)
+                                                     // 21600000000)
+                                           AS BIGINT)
+                  ELSE 0 END AS w
+      FROM conv c JOIN touch h
+        ON c.user_id = h.user_id AND h.t <= c.t
+    ), summed AS (
+      SELECT event_id, cents, event_type, w,
+             sum(w) OVER (PARTITION BY event_id) AS wsum
+      FROM weighted
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(sum(CASE WHEN wsum > 0 THEN cents * w // wsum ELSE 0 END)
+                AS BIGINT) AS attributed_cents
+    FROM summed GROUP BY event_type ORDER BY event_type
+    """,
+)
+def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution — each conversion's value
+    splits across the user's PRIOR touches with weight halving every
+    6 hours (the exponential-decay model between last-touch and
+    position-based, completing the attribution family). Weights are
+    exact integers: exponent = gap div 6h, weight = 1e12 div 2^e
+    (pow(2, e) is exact in doubles for e ≤ 40; older touches get
+    weight 0 — the numerically honest cutoff), and each touch's share
+    is floor(cents·w / Σw) per conversion — allocation never exceeds
+    the conversion value, all BIGINT.
+
+    Plan: one user-keyed equi-join (touch history vs conversions,
+    residual h.t <= c.t), one conversion-partitioned window for the
+    weight normalizer, one |types|-row rollup. Same skew profile as
+    every per-user operator; the decay cutoff also BOUNDS the join in
+    production (touches older than 10 days carry weight 0 and prune at
+    the scan with a watermark predicate)."""
+    ev = load_table(spark, sf_dir, "events")
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        epoch_micros(ev, "ts").alias("t"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    touch = ev.filter(F.col("event_type") != "purchase").select(
+        F.col("user_id").alias("h_user"),
+        F.col("event_type").alias("h_type"),
+        epoch_micros(ev, "ts").alias("h_t"),
+    )
+    joined = conv.join(
+        touch, (conv["user_id"] == touch["h_user"]) & (touch["h_t"] <= conv["t"])
+    ).select(
+        "event_id",
+        "cents",
+        F.col("h_type").alias("event_type"),
+        F.expr(
+            "CASE WHEN (t - h_t) div 21600000000 <= 40"
+            " THEN 1000000000000 div CAST(pow(2, (t - h_t) div 21600000000)"
+            " AS BIGINT) ELSE 0 END"
+        ).alias("w"),
+    )
+    wsum = F.sum("w").over(Window.partitionBy("event_id"))
+    summed = joined.withColumn("wsum", wsum)
+    return (
+        summed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+            F.sum(
+                F.when(F.col("wsum") > 0, F.expr("cents * w div wsum")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("bigint")
+            .alias("attributed_cents"),
+        )
+        .orderBy("event_type")
+    )
