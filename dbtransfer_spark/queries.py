@@ -8003,3 +8003,128 @@ def null_key_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("class", "n_rows", "share_ppm", "cents")
         .orderBy("class")
     )
+
+
+@register(
+    "equidepth_histogram_exact",
+    """
+    WITH vals AS (
+      SELECT 'quantity' AS col,
+             CAST(round(l_quantity * 100) AS BIGINT) AS v
+      FROM lineitem
+      UNION ALL
+      SELECT 'extendedprice', CAST(round(l_extendedprice * 100) AS BIGINT)
+      FROM lineitem
+    ), ranked AS (
+      SELECT col, v,
+             row_number() OVER (PARTITION BY col ORDER BY v) - 1 AS rk,
+             count(*) OVER (PARTITION BY col) AS n
+      FROM vals
+    )
+    SELECT col, CAST(rk * 8 // n AS BIGINT) AS bucket,
+           CAST(min(v) AS BIGINT) AS lo,
+           CAST(max(v) AS BIGINT) AS hi,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT v) AS BIGINT) AS n_distinct
+    FROM ranked GROUP BY col, bucket ORDER BY col, bucket
+    """,
+)
+def equidepth_histogram_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-DEPTH histogram (8 buckets per measure) — the CBO
+    statistic ANALYZE actually builds (equi-depth bounds selectivity
+    error by 1/buckets regardless of skew, where the equi-width
+    histogram of join_size_histogram_estimate degrades on skewed
+    columns). Bucket = rank·8 div n over the exact integer-cents
+    domain; per-bucket lo/hi/count/NDV is what a Selinger-style
+    estimator consumes. Ties may straddle buckets (rank-defined, the
+    ANALYZE convention) — deterministic because rank orders a total
+    integer domain per column partition.
+
+    Plan: one union scan, ONE window shuffle partitioned by column name
+    (each partition sorts its measure — for a single huge column the
+    range-repartition prefix-sum pattern of doc_global_ordinal applies
+    instead; at 8 buckets production samples first, this is the exact
+    reference), one rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    vals = li.select(
+        F.lit("quantity").alias("col"),
+        F.expr("CAST(round(l_quantity * 100) AS BIGINT)").alias("v"),
+    ).unionByName(
+        li.select(
+            F.lit("extendedprice").alias("col"),
+            F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("v"),
+        )
+    )
+    w = Window.partitionBy("col")
+    ranked = vals.select(
+        "col",
+        "v",
+        (F.row_number().over(w.orderBy("v")) - 1).alias("rk"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    return (
+        ranked.select("col", "v", F.expr("CAST(rk * 8 div n AS BIGINT)").alias("bucket"))
+        .groupBy("col", "bucket")
+        .agg(
+            F.min("v").cast("bigint").alias("lo"),
+            F.max("v").cast("bigint").alias("hi"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct("v").cast("bigint").alias("n_distinct"),
+        )
+        .orderBy("col", "bucket")
+    )
+
+
+@register(
+    "segment_conversion_wilson",
+    """
+    WITH seg AS (
+      SELECT user_id % 10 AS segment,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS k
+      FROM events GROUP BY segment
+    )
+    SELECT CAST(segment AS BIGINT) AS segment, n, k,
+           CAST(1000000 * k // n AS BIGINT) AS rate_ppm,
+           (CAST(k AS DOUBLE) / n + 1.9208 / n
+            - 1.96 * sqrt((CAST(k AS DOUBLE) / n)
+                          * (1.0 - CAST(k AS DOUBLE) / n) / n
+                          + 0.9604 / (n * n)))
+             / (1.0 + 3.8416 / n) AS wilson_lb
+    FROM seg ORDER BY wilson_lb DESC, segment
+    """,
+)
+def segment_conversion_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment conversion rates ranked by the Wilson score LOWER BOUND —
+    the estimator that fixes naive-rate ranking (a 1/1 segment beats a
+    980/1000 one on raw rate; Wilson's shrinkage orders them sanely
+    without a prior, the standard 'sort by confidence-adjusted rate'
+    pattern for dashboards and bandit warm starts). Counts are one
+    conditional-aggregate pass; the closed form (z=1.96: z²=3.8416,
+    z²/2=1.9208, z⁴/4=0.9604 as exact literals) is evaluated in a fixed
+    double dag from exact integers — every op correctly rounded, so the
+    ranking and the hash are bit-stable cross-engine, same discipline
+    as correlation_matrix.
+
+    Plan: one scan, |segments|-row partial-aggregated shuffle, sort on
+    the derived bound — scan-bound at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    seg = ev.groupBy((F.col("user_id") % 10).alias("segment")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count_if(F.col("event_type") == "purchase").cast("bigint").alias("k"),
+    )
+    p = F.col("k").cast("double") / F.col("n")
+    nn = F.col("n")
+    wilson = (
+        p
+        + F.lit(1.9208) / nn
+        - F.lit(1.96)
+        * F.sqrt(p * (F.lit(1.0) - p) / nn + F.lit(0.9604) / (nn * nn))
+    ) / (F.lit(1.0) + F.lit(3.8416) / nn)
+    return seg.select(
+        F.col("segment").cast("bigint").alias("segment"),
+        "n",
+        "k",
+        F.expr("CAST(1000000 * k div n AS BIGINT)").alias("rate_ppm"),
+        wilson.alias("wilson_lb"),
+    ).orderBy(F.desc("wilson_lb"), "segment")
