@@ -1073,3 +1073,108 @@ def data_vault_hashkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         hub_customer.unionByName(hub_order).unionByName(link).unionByName(sat)
     ).orderBy("entity")
+
+
+@register(
+    "cdc_at_least_once_dedup",
+    """
+    WITH delivered AS (
+      -- at-least-once transport: every 37th change replays once
+      SELECT event_id, user_id, ts, event_type, "value" FROM events
+      UNION ALL
+      SELECT event_id, user_id, ts, event_type, "value" FROM events
+      WHERE event_id % 37 = 0
+    ), deduped AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY event_id
+                                     ORDER BY ts, user_id) AS rn
+        FROM delivered
+      ) WHERE rn = 1
+    ), state AS (
+      SELECT user_id, event_type, "value" FROM (
+        SELECT user_id, event_type, "value",
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM deduped
+      ) WHERE rn = 1
+    )
+    SELECT CAST((SELECT count(*) FROM delivered) AS BIGINT) AS n_delivered,
+           CAST((SELECT count(*) FROM deduped) AS BIGINT) AS n_effective,
+           CAST((SELECT count(*) FROM delivered) -
+                (SELECT count(*) FROM deduped) AS BIGINT) AS n_suppressed,
+           CAST((SELECT count(*) FROM state) AS BIGINT) AS n_keys,
+           (SELECT md5(string_agg(s, ',' ORDER BY s)) FROM (
+              SELECT user_id || ':' || event_type || ':' ||
+                     CAST(round("value" * 100) AS BIGINT) AS s
+              FROM state)) AS state_digest
+    FROM (SELECT 1)
+    """,
+)
+def cdc_at_least_once_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once EFFECT from at-least-once delivery — the core claim
+    of every idempotent CDC consumer, proven as dataflow: a transport
+    that replays a deterministic subset of changes (every 37th), a
+    message-id dedup (row_number over the idempotency key), and the
+    digest of the resulting per-key latest-state — which must equal the
+    clean log's state regardless of duplication. The suppressed-count
+    and the order-independent md5 state digest are exactly the metrics
+    the streaming router's batch_id-keyed idempotent writes rely on,
+    here checkable against the oracle end to end.
+
+    Plan: the replay union is a second filtered scan; dedup and state
+    are two windows on different keys (event_id, then user_id — two
+    shuffles, both equi-keyed); the digest aggregates a sorted
+    string_agg over ≤|users| rows. Duplicate suppression is
+    key-partitioned, so at 100 TB the dedup cost rides the same user/id
+    hash partitioning as every CDC op — no global coordination, which
+    is WHY idempotent consumers beat transactional transports at
+    scale."""
+    ev = load_table(spark, sf_dir, "events")
+    delivered = ev.unionByName(ev.filter(F.col("event_id") % 37 == 0))
+    w_id = Window.partitionBy("event_id").orderBy("ts", "user_id")
+    deduped = (
+        delivered.withColumn("rn", F.row_number().over(w_id))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    w_user = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    state = (
+        deduped.withColumn("rn", F.row_number().over(w_user))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "value")
+    )
+    n_del = delivered.agg(F.count(F.lit(1)).cast("bigint").alias("n_delivered"))
+    n_eff = deduped.agg(F.count(F.lit(1)).cast("bigint").alias("n_effective"))
+    digest = state.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.md5(
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(
+                        F.concat_ws(
+                            ":",
+                            F.col("user_id").cast("string"),
+                            "event_type",
+                            F.expr(
+                                "CAST(CAST(round(value * 100) AS BIGINT) AS STRING)"
+                            ),
+                        )
+                    )
+                ),
+                ",",
+            )
+        ).alias("state_digest"),
+    )
+    return (
+        n_del.crossJoin(F.broadcast(n_eff))
+        .crossJoin(F.broadcast(digest))
+        .select(
+            "n_delivered",
+            "n_effective",
+            (F.col("n_delivered") - F.col("n_effective")).alias("n_suppressed"),
+            "n_keys",
+            "state_digest",
+        )
+    )

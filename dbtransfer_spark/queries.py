@@ -8128,3 +8128,73 @@ def segment_conversion_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(1000000 * k div n AS BIGINT)").alias("rate_ppm"),
         wilson.alias("wilson_lb"),
     ).orderBy(F.desc("wilson_lb"), "segment")
+
+
+@register(
+    "sampled_join_estimate",
+    """
+    WITH s_li AS (
+      SELECT l_orderkey FROM lineitem
+      WHERE CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))
+                 AS BIGINT) % 100 < 5
+    ), est AS (
+      -- correlated-key sampling: sampling BOTH sides on the JOIN KEY's
+      -- md5 (cross-engine identical) keeps matching pairs together, so
+      -- the estimate scales by 1/p (not 1/p²) — the end-biased sample
+      SELECT CAST(count(*) * 20 AS BIGINT) AS est_rows
+      FROM (SELECT o_orderkey FROM orders
+            WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+                       AS BIGINT) % 100 < 5) o
+      JOIN s_li l ON o.o_orderkey = l.l_orderkey
+    ), exact AS (
+      SELECT CAST(count(*) AS BIGINT) AS true_rows
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT est_rows, true_rows,
+           CAST(1000000 * abs(est_rows - true_rows) // true_rows AS BIGINT)
+             AS err_ppm
+    FROM est, exact
+    """,
+)
+def sampled_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation by CORRELATED key sampling — the
+    third estimator beside the System-R formula and the histogram
+    method (join_size_histogram_estimate): hash-sample BOTH sides on
+    the join key with the SAME hash (xxhash64 seed 42 in both engines,
+    so the sample is deterministic and cross-engine identical), join
+    the 5% samples, scale by 1/p once. Sampling on the key (not
+    per-row Bernoulli) is what makes the estimator work: matching rows
+    survive or die together, so E[sample join] = p·|join| instead of
+    p²·|join| — the end-biased/correlated sampling trick every
+    production CBO sampler uses. Error vs truth reported in floor ppm.
+
+    Plan: the sample predicates push to the scans (hash of a scan
+    column — filters at the parquet reader), the 5% join is ~400×
+    cheaper than the full one, and the exact join here is only the
+    audit's ground truth. At 100 TB you run ONLY the sampled branch;
+    that is the point."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    def keyhash(col: str):
+        return F.pmod(
+            F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10)
+            .cast("long"),
+            F.lit(100),
+        )
+
+    so = orders.filter(keyhash("o_orderkey") < 5).select("o_orderkey")
+    sl = li.filter(keyhash("l_orderkey") < 5).select("l_orderkey")
+    est = so.join(sl, so["o_orderkey"] == sl["l_orderkey"]).agg(
+        (F.count(F.lit(1)) * 20).cast("bigint").alias("est_rows")
+    )
+    exact = orders.select("o_orderkey").join(
+        li.select("l_orderkey"),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("true_rows"))
+    return est.crossJoin(F.broadcast(exact)).select(
+        "est_rows",
+        "true_rows",
+        F.expr(
+            "CAST(1000000 * abs(est_rows - true_rows) div true_rows AS BIGINT)"
+        ).alias("err_ppm"),
+    )

@@ -237,6 +237,10 @@ _FIXED_SIDE_CROSSJOINS = {
     "kcore_peel_rounds",
     # 1-row fact-total broadcast beside the 3-class rollup
     "null_key_join_audit",
+    # two 1-row count broadcasts beside the 1-row digest frame
+    "cdc_at_least_once_dedup",
+    # 1-row ground-truth broadcast beside the 1-row estimate
+    "sampled_join_estimate",
     # 1-row best-pair broadcast per merge round (argmax of the pair table)
     "bpe_iterative_merges",
     # 1-row lazy-total broadcast per foreign_key expectation (r7: replaced
