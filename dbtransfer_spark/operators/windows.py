@@ -2283,3 +2283,63 @@ def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "rate_limit_admission_audit",
+    """
+    WITH stamped AS (
+      SELECT user_id, event_id,
+             epoch_us(ts) // 60000000 AS win,
+             row_number() OVER (PARTITION BY user_id,
+                                             epoch_us(ts) // 60000000
+                                ORDER BY epoch_us(ts), event_id) AS slot
+      FROM events
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(*) FILTER (slot <= 5) AS BIGINT) AS n_admitted,
+           CAST(count(*) FILTER (slot > 5) AS BIGINT) AS n_rejected,
+           CAST(count(DISTINCT user_id) FILTER (slot > 5) AS BIGINT)
+             AS n_throttled_users,
+           CAST(max(slot) AS BIGINT) AS peak_burst
+    FROM stamped
+    """,
+)
+def rate_limit_admission_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's rate limiter (R3, governance.go windowed limiter;
+    mirrored at runtime in governance.py:26) expressed as DATAFLOW — a
+    fixed-window admission policy (≤5 events per user per minute)
+    replayed over the historical log to audit what a given limit WOULD
+    have throttled: admitted/rejected counts, distinct throttled users,
+    and the peak burst. This is how you size a production limit before
+    deploying it — replay, not guesswork — and the window+row_number
+    shape is the same admission logic a streaming enforcement job runs
+    per micro-batch.
+
+    Plan: ONE window keyed (user, minute) with a deterministic
+    (ts, event_id) slot order, then a conditional-aggregate 1-row
+    reduce. Minute bucketing is epoch-integer division (TZ-free).
+    Scale: admission state is per (user, window) — embarrassingly
+    key-partitioned, the property that makes windowed limits the only
+    kind that distribute (token buckets need coordination; the
+    reference's own limiter is windowed for the same reason)."""
+    ev = load_table(spark, sf_dir, "events")
+    stamped = ev.select(
+        "user_id",
+        "event_id",
+        (epoch_micros(ev, "ts") / F.lit(60_000_000))
+        .cast("long")
+        .alias("win"),
+        epoch_micros(ev, "ts").alias("t_us"),
+    )
+    w = Window.partitionBy("user_id", "win").orderBy("t_us", "event_id")
+    slotted = stamped.withColumn("slot", F.row_number().over(w))
+    return slotted.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.count_if(F.col("slot") <= 5).cast("bigint").alias("n_admitted"),
+        F.count_if(F.col("slot") > 5).cast("bigint").alias("n_rejected"),
+        F.countDistinct(F.when(F.col("slot") > 5, F.col("user_id")))
+        .cast("bigint")
+        .alias("n_throttled_users"),
+        F.max("slot").cast("bigint").alias("peak_burst"),
+    )

@@ -8198,3 +8198,115 @@ def sampled_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(1000000 * abs(est_rows - true_rows) div true_rows AS BIGINT)"
         ).alias("err_ppm"),
     )
+
+
+@register(
+    "fair_share_allocation",
+    """
+    WITH demand AS (
+      SELECT n.n_name AS tenant,
+             CAST(sum(round(o.o_totalprice * 100)) AS BIGINT) AS d
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name
+    ), cap AS (
+      SELECT CAST(sum(d) * 4 // 5 AS BIGINT) AS c,
+             CAST(count(*) AS BIGINT) AS n
+      FROM demand
+    ), ranked AS (
+      SELECT tenant, d,
+             row_number() OVER (ORDER BY d, tenant) AS rk,
+             sum(d) OVER (ORDER BY d, tenant
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS below
+      FROM demand
+    ), flagged AS (
+      -- water-filling: tenant fully served iff its demand fits the
+      -- equal split of what remains after all smaller demands
+      -- (cross-multiplied: exact BIGINT, no division)
+      SELECT tenant, d, rk, coalesce(below, 0) AS below,
+             d * (n - rk + 1) <= c - coalesce(below, 0) AS served
+      FROM ranked, cap
+    ), cut AS (
+      SELECT CAST(coalesce(sum(CASE WHEN served THEN d END), 0) AS BIGINT)
+               AS served_sum,
+             CAST(count(*) FILTER (served) AS BIGINT) AS m
+      FROM flagged
+    )
+    SELECT tenant, d AS demand_cents,
+           CAST(CASE WHEN served THEN d
+                     ELSE (c - served_sum) // (n - m) END AS BIGINT)
+             AS allocated_cents,
+           served AS fully_served
+    FROM flagged, cap, cut
+    ORDER BY tenant
+    """,
+)
+def fair_share_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-min fair (water-filling) allocation of a global quota across
+    tenants (capacity = 80% of total demand) — the scheduler math behind Spark's own fair pools, YARN
+    queues, and every multi-tenant ingest budget: the fill serves the smallest demands first; whoever fits the
+    equal split of the remainder is fully served, everyone larger gets
+    the common level. Declarative and EXACT: the served test
+    cross-multiplies (d·(n−rk+1) ≤ C−below) so no division happens
+    until the single final level floor — monotone in rank, so the
+    served set is a prefix by construction, no iteration needed.
+
+    Plan: the demand rollup is the 3-table star join (the heavy part,
+    scan-bound); the water-fill itself runs ONE ordered window over the
+    |tenants|-row aggregate (domain-bounded — 25 nations here; for
+    million-tenant fills the range-repartition prefix-sum pattern
+    applies) plus two 1-row broadcasts. Floor remainders stay
+    unallocated — the conservative budget convention."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    demand = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(nation, cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy(F.col("n_name").alias("tenant"))
+        .agg(
+            F.sum(F.expr("round(o_totalprice * 100)")).cast("bigint").alias("d")
+        )
+    )
+    cap = demand.agg(
+        F.expr("CAST(sum(d) * 4 div 5 AS BIGINT)").alias("c"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    w = Window.orderBy("d", "tenant")
+    ranked = demand.select(
+        "tenant",
+        "d",
+        F.row_number().over(w).alias("rk"),
+        F.coalesce(
+            F.sum("d").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("below"),
+    )
+    flagged = ranked.crossJoin(F.broadcast(cap)).withColumn(
+        "served",
+        F.col("d") * (F.col("n") - F.col("rk") + 1)
+        <= F.col("c") - F.col("below"),
+    )
+    cut = flagged.agg(
+        F.coalesce(F.sum(F.when(F.col("served"), F.col("d"))), F.lit(0))
+        .cast("bigint")
+        .alias("served_sum"),
+        F.count_if(F.col("served")).cast("bigint").alias("m"),
+    )
+    return (
+        flagged.crossJoin(F.broadcast(cut))
+        .select(
+            "tenant",
+            F.col("d").alias("demand_cents"),
+            F.when(F.col("served"), F.col("d"))
+            .otherwise(
+                F.expr("(c - served_sum) div (n - m)")
+            )
+            .cast("bigint")
+            .alias("allocated_cents"),
+            F.col("served").alias("fully_served"),
+        )
+        .orderBy("tenant")
+    )

@@ -241,6 +241,8 @@ _FIXED_SIDE_CROSSJOINS = {
     "cdc_at_least_once_dedup",
     # 1-row ground-truth broadcast beside the 1-row estimate
     "sampled_join_estimate",
+    # 1-row capacity + 1-row cut broadcasts onto the |tenants|-row fill
+    "fair_share_allocation",
     # 1-row best-pair broadcast per merge round (argmax of the pair table)
     "bpe_iterative_merges",
     # 1-row lazy-total broadcast per foreign_key expectation (r7: replaced
