@@ -948,3 +948,79 @@ def test_link_prediction_candidates_nonadjacent(spark):
     }
     for p in preds:
         assert (p.a, p.c) not in edges
+
+
+def test_fair_share_properties(spark):
+    """Max-min fairness invariants: allocation never exceeds capacity,
+    nobody gets more than their demand, served demands sit at or below
+    the common level, and the served set is a prefix of the demand
+    order."""
+    from dbtransfer_spark.queries import fair_share_allocation
+
+    rows = fair_share_allocation(spark, SF_SMOKE).collect()
+    total_demand = sum(r.demand_cents for r in rows)
+    cap = total_demand * 4 // 5
+    assert sum(r.allocated_cents for r in rows) <= cap
+    for r in rows:
+        assert r.allocated_cents <= r.demand_cents or r.fully_served
+        assert 0 <= r.allocated_cents
+    served = [r for r in rows if r.fully_served]
+    unserved = [r for r in rows if not r.fully_served]
+    if served and unserved:
+        level = min(r.allocated_cents for r in unserved)
+        assert max(r.demand_cents for r in served) <= level + 1
+        # unserved all share the same level (equal split of remainder)
+        assert len({r.allocated_cents for r in unserved}) == 1
+
+
+def test_rate_limit_conservation(spark):
+    """Admitted + rejected == total; peak burst is at least the admit
+    cap whenever anything was rejected."""
+    from dbtransfer_spark.operators.windows import rate_limit_admission_audit
+
+    r = rate_limit_admission_audit(spark, SF_SMOKE).collect()[0]
+    assert r.n_admitted + r.n_rejected == r.n_events
+    if r.n_rejected:
+        assert r.peak_burst > 5
+        assert r.n_throttled_users >= 1
+
+
+def test_cdc_dedup_matches_clean_log(spark):
+    """The deduped state digest equals the digest computed from the
+    UN-duplicated log — exactly-once effect, engine-side."""
+    from pyspark.sql import functions as F
+
+    from dbtransfer_spark.catalog import load_table
+    from dbtransfer_spark.operators.cdc import cdc_at_least_once_dedup
+
+    got = cdc_at_least_once_dedup(spark, SF_SMOKE).collect()[0]
+    ev = load_table(spark, SF_SMOKE, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    clean_state = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "value")
+    )
+    clean_digest = clean_state.agg(
+        F.md5(
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(
+                        F.concat_ws(
+                            ":",
+                            F.col("user_id").cast("string"),
+                            "event_type",
+                            F.expr(
+                                "CAST(CAST(round(value * 100) AS BIGINT) AS STRING)"
+                            ),
+                        )
+                    )
+                ),
+                ",",
+            )
+        ).alias("d")
+    ).collect()[0].d
+    assert got.state_digest == clean_digest
+    assert got.n_suppressed == got.n_delivered - got.n_effective
