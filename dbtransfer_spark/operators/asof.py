@@ -290,7 +290,12 @@ def fx_conversion_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH p AS (
       SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
     ), s AS (
-      SELECT user_id, ts, event_type FROM events WHERE event_type <> 'purchase'
+      SELECT user_id, ts, event_type FROM (
+        SELECT user_id, ts, event_type,
+               row_number() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type <> 'purchase'
+      ) WHERE rn = 1
     ), back AS (
       SELECT p.event_id, p.user_id, p.ts,
              s.ts AS prev_ts, s.event_type AS prev_type
@@ -334,15 +339,28 @@ def asof_nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: two user-keyed union-merge sorts + an event_id equi-join of
     the two 1-row-per-purchase frames; cost linear in events per user,
-    never a range join."""
+    never a range join.
+
+    States are deduped per (user_id, ts) with an event_id DESC
+    tie-break BEFORE the as-of merge (mirrored in the oracle): if two
+    state rows share a timestamp, asof_join's last()-over-(__t, __side)
+    carry — like DuckDB's ASOF — picks arbitrarily, so the carried
+    nearest_type would be nondeterministic across engines (r7 ADVICE)."""
     from dbtransfer_spark.operators.windows import epoch_micros
 
     ev = load_table(spark, sf_dir, "events")
     p = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
     )
-    s = ev.filter(F.col("event_type") != "purchase").select(
-        "user_id", F.col("ts").alias("s_ts"), F.col("event_type").alias("s_type")
+    state_rn = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    s = (
+        ev.filter(F.col("event_type") != "purchase")
+        .select("event_id", "user_id", "ts", "event_type")
+        .withColumn("__rn", F.row_number().over(state_rn))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id", F.col("ts").alias("s_ts"), F.col("event_type").alias("s_type")
+        )
     )
     back = asof_join(
         p.withColumn("t_us", epoch_micros(p, "ts")),

@@ -1153,10 +1153,15 @@ def cdc_at_least_once_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(
                 F.array_sort(
                     F.collect_list(
-                        F.concat_ws(
-                            ":",
+                        # F.concat NULL-propagates like the oracle's '||'
+                        # (concat_ws would silently SKIP a NULL field and
+                        # diverge — r7 ADVICE); collect_list then drops the
+                        # NULL row exactly as DuckDB's string_agg does.
+                        F.concat(
                             F.col("user_id").cast("string"),
-                            "event_type",
+                            F.lit(":"),
+                            F.col("event_type"),
+                            F.lit(":"),
                             F.expr(
                                 "CAST(CAST(round(value * 100) AS BIGINT) AS STRING)"
                             ),

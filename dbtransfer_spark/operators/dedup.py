@@ -1608,6 +1608,77 @@ def golden_record_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WN_K = 8   # k-gram length over the normalized alnum stream
 _WN_W = 4   # winnowing window (guarantee: any match >= k+w-1 chars shares a fp)
 
+# Exact base-128 gram packing (r8, replacing per-gram md5 — r7 VERDICT #3):
+# norm is strictly [a-z0-9] (ascii 48-122 < 128), so Σ ascii(c_j)·128^(k-1-j)
+# is an INJECTIVE 56-bit encoding of the k=8-gram — a collision-free
+# "hash", cheaper than md5 by an order of magnitude, and spelled as the
+# same integer arithmetic in both engines (max value ≈ 6.9e16 < 2^63).
+# the Spark-side zip ladder below is specialized to these widths
+# (three pack-doubling rounds = k 8, two least-rounds = w 4)
+assert _WN_K == 8 and _WN_W == 4
+
+_WN_POW = [128**e for e in range(_WN_K - 1, -1, -1)]
+_WN_ORACLE_GRAM = " + ".join(
+    f"ascii(substr(norm, CAST(pos + {j} AS INT), 1)) * CAST({p} AS BIGINT)"
+    for j, p in enumerate(_WN_POW)
+)
+
+
+def winnow_select_fps(content: DataFrame, key: str) -> DataFrame:
+    """Winnowing fingerprint selection, entirely in-array per row:
+    ``content`` carries ``key``, ``norm`` ([a-z0-9] stream) and
+    ``n_grams`` (= length - k + 1, ≥ w); returns the exploded
+    (``key``, ``fp``) selected-fingerprint pairs.
+
+    A ZIP LADDER, each stage its own projection (HOF rule, SCALE.md):
+    pack 2-grams, then 4-grams (shift 2), then 8-grams (shift 4) — the
+    doubling construction — and take the width-4 winnowing min the same
+    way (two least-rounds at shifts 1 and 2). ~6n simple lambda evals
+    per doc vs 13n for the naive per-position forms (measured 2.6s →
+    1.2s on the sf0.1 candidate stage). zip_with pads the shorter
+    (sliced) side with NULLs; every slot inside the final
+    slice(1, n_grams−w+1) bound is provably NULL-free, and the tail
+    slots the NULLs can corrupt are exactly the ones sliced off.
+
+    The final explode is explode_OUTER, deliberately: plain explode
+    makes the optimizer infer ``size(fps) > 0``
+    (InferFiltersFromGenerate) and push it to the SCAN with the whole
+    nested HOF chain inlined — the inferred filter then re-evaluates
+    the inner arrays per element_at, an exponential-shaped blowup
+    (measured: 500 docs went from >110 s to ~1 s). fps is provably
+    non-empty here (n_grams ≥ w), so OUTER changes nothing
+    semantically; it just suppresses the inferred filter."""
+    chars = content.selectExpr(key, "n_grams", "split(norm, '') AS ch")
+    g2 = chars.selectExpr(
+        key,
+        "n_grams",
+        "zip_with(ch, slice(ch, 2, size(ch)),"
+        " (x, y) -> ascii(x) * 128L + ascii(y)) AS a1",
+    )
+    g4 = g2.selectExpr(
+        key,
+        "n_grams",
+        "zip_with(a1, slice(a1, 3, size(a1)),"
+        " (x, y) -> x * 16384L + y) AS a2",
+    )
+    g8 = g4.selectExpr(
+        key,
+        "n_grams",
+        "slice(zip_with(a2, slice(a2, 5, size(a2)),"
+        " (x, y) -> x * 268435456L + y), 1, n_grams) AS hs",
+    )
+    m1 = g8.selectExpr(
+        key,
+        "n_grams",
+        "zip_with(hs, slice(hs, 2, size(hs)), (x, y) -> least(x, y)) AS m1",
+    )
+    fps = m1.selectExpr(
+        key,
+        "array_distinct(slice(zip_with(m1, slice(m1, 3, size(m1)),"
+        f" (x, y) -> least(x, y)), 1, n_grams - {_WN_W - 1})) AS fps",
+    )
+    return fps.select(key, F.explode_outer("fps").alias("fp"))
+
 
 @register(
     "winnow_fingerprints",
@@ -1621,8 +1692,7 @@ _WN_W = 4   # winnowing window (guarantee: any match >= k+w-1 chars shares a fp)
       FROM d WHERE length(norm) >= {_WN_K + _WN_W - 1}
     ), g AS (
       SELECT doc_id, source, n_grams, pos,
-             CAST(('0x' || substr(md5(substr(norm, CAST(pos AS INT), {_WN_K})), 1, 15))
-                  AS BIGINT) AS h
+             {_WN_ORACLE_GRAM} AS h
       FROM m, UNNEST(range(1, n_grams + 1)) AS t(pos)
     ), wmins AS (
       SELECT doc_id, source, n_grams, pos,
@@ -1668,21 +1738,28 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprints also occur in another document (the cross-doc overlap
     signal a containment/plagiarism pass would chase).
 
-    Plan shape at 100 TB: DISTINCT-FIRST — the gram explode (~|text|
-    rows per text, shingle-pipeline shape) and the winnowing min (ONE
-    window partitioned by content hash, never global) run once per
-    distinct normalized content; documents join the per-content
-    fingerprint set back by content hash, so duplicate-heavy corpora
-    pay |distinct content|, not |docs| (the ×10-replicated sf1
-    rehearsal GC-thrashed the row-level form). Cross-doc sharing is an
-    fp-keyed
-    equi-join of the selected set against its own |distinct fp|-sized
-    histogram — no pair explosion anywhere; candidate *pairs* are
-    deliberately left to the banded pipelines (`dedup_ngram_jaccard`,
+    Plan shape at 100 TB: DISTINCT-FIRST — fingerprint selection runs
+    once per distinct normalized content; documents join the
+    per-content fingerprint set back by content hash, so
+    duplicate-heavy corpora pay |distinct content|, not |docs| (the
+    ×10-replicated sf1 rehearsal GC-thrashed the row-level form). The
+    gram hashing + winnowing min run ENTIRELY IN-ARRAY per content row
+    (a zip_with pack-doubling ladder: chars → 2-gram → 4-gram → 8-gram
+    packs, two least-rounds → array_distinct → explode of only the
+    SELECTED ~2/(w+1) share):
+    no gram explode, no winnowing Window shuffle — the r8 rewrite of
+    the r7 shape, which exploded |chars| rows and shuffled them into a
+    content-keyed Window (6.1s sf0.1, the slowest headline query; r7
+    VERDICT #3). Per the HOF rule (SCALE.md) each array stage is its
+    own projection. Cross-doc sharing is an fp-keyed equi-join of the
+    selected set against its own |distinct fp|-sized histogram — no
+    pair explosion anywhere; candidate *pairs* are deliberately left to
+    the banded pipelines (`dedup_ngram_jaccard`,
     `block_containment_pairs`), this operator is the fingerprint layer
-    under them. The md5-derived 60-bit gram hash is the portable-hash
-    trick used across the repo (identical in DuckDB), not Spark's
-    engine-local xxhash."""
+    under them. The gram hash is an exact base-128 packing (injective
+    over the [a-z0-9] alphabet — see _WN_POW), identical integer
+    arithmetic in DuckDB; it replaced the r7 per-gram md5, which was
+    the measured cost floor."""
     docs = load_table(spark, sf_dir, "documents")
     m = (
         docs.select(
@@ -1694,45 +1771,15 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.length("norm") >= _WN_K + _WN_W - 1)
     )
     # distinct-first (SCALE.md blanket rule): fingerprints depend only
-    # on the normalized content, so the gram explode + winnowing window
-    # run once per DISTINCT norm and docs join the result back by
-    # content hash. On the ×10-replicated sf1 fixture the row-level
-    # form exploded 10× the grams and GC-thrashed to the 120 s cap;
-    # this form's fanout is |distinct content| — exactly the dup-heavy
-    # 100 TB corpus case.
+    # on the normalized content, so selection runs once per DISTINCT
+    # norm and docs join the result back by content hash. On the
+    # ×10-replicated sf1 fixture the row-level form exploded 10× the
+    # grams and GC-thrashed to the 120 s cap; this form's fanout is
+    # |distinct content| — exactly the dup-heavy 100 TB corpus case.
     content = m.select("norm", "n_grams").distinct().withColumn(
         "nh", F.md5("norm")
     )
-    g = content.select(
-        "nh",
-        "n_grams",
-        F.explode(F.sequence(F.lit(1), F.col("n_grams"))).alias("pos"),
-        "norm",
-    ).select(
-        "nh",
-        "n_grams",
-        "pos",
-        F.conv(
-            F.substring(
-                F.md5(F.expr(f"substring(norm, CAST(pos AS INT), {_WN_K})")), 1, 15
-            ),
-            16,
-            10,
-        )
-        .cast("long")
-        .alias("h"),
-    )
-    win = (
-        Window.partitionBy("nh")
-        .orderBy("pos")
-        .rowsBetween(Window.currentRow, _WN_W - 1)
-    )
-    cfp = (
-        g.withColumn("fp", F.min("h").over(win))
-        .filter(F.col("pos") <= F.col("n_grams") - _WN_W + 1)
-        .select("nh", "fp")
-        .distinct()
-    )
+    cfp = winnow_select_fps(content, key="nh")
     sel = m.withColumn("nh", F.md5("norm")).select("doc_id", "source", "nh").join(
         cfp, "nh"
     ).select("doc_id", "source", "fp")

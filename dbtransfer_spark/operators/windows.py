@@ -2327,10 +2327,12 @@ def rate_limit_admission_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     stamped = ev.select(
         "user_id",
         "event_id",
-        (epoch_micros(ev, "ts") / F.lit(60_000_000))
-        .cast("long")
-        .alias("win"),
         epoch_micros(ev, "ts").alias("t_us"),
+    ).withColumn(
+        # integer `div`, not double `/`-then-cast-to-long: exact at any
+        # epoch magnitude and identical to the oracle's `//` (r7 ADVICE)
+        "win",
+        F.expr("t_us div 60000000"),
     )
     w = Window.partitionBy("user_id", "win").orderBy("t_us", "event_id")
     slotted = stamped.withColumn("slot", F.row_number().over(w))

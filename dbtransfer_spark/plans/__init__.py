@@ -6,7 +6,9 @@ plan shape a *tested invariant* rather than something eyeballed once.
 """
 
 from dbtransfer_spark.plans.checks import (
+    DOMAIN_BOUNDED_GLOBAL_WINDOWS,
     count_exchanges,
+    count_unpartitioned_windows,
     formatted_plan,
     has_broadcast_join,
     has_operator,
@@ -21,4 +23,6 @@ __all__ = [
     "has_broadcast_join",
     "has_operator",
     "count_exchanges",
+    "count_unpartitioned_windows",
+    "DOMAIN_BOUNDED_GLOBAL_WINDOWS",
 ]

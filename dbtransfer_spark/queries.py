@@ -8160,8 +8160,10 @@ def sampled_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-cardinality estimation by CORRELATED key sampling — the
     third estimator beside the System-R formula and the histogram
     method (join_size_histogram_estimate): hash-sample BOTH sides on
-    the join key with the SAME hash (xxhash64 seed 42 in both engines,
-    so the sample is deterministic and cross-engine identical), join
+    the join key with the SAME hash (the first 15 hex digits of
+    md5(key) parsed base-16 then mod 100 — md5 is the one keyed hash
+    both engines spell identically, so the sample is deterministic and
+    cross-engine identical), join
     the 5% samples, scale by 1/p once. Sampling on the key (not
     per-row Bernoulli) is what makes the estimator work: matching rows
     survive or die together, so E[sample join] = p·|join| instead of

@@ -18,6 +18,22 @@ def spark():
 
 
 @pytest.fixture(scope="session")
+def all_query_plans(spark):
+    """Formatted physical plan of every declared query at SF_SMOKE,
+    compiled once per session — shared by the global plan sweeps
+    (cartesian/BNLJ and unpartitioned-window) so each doesn't pay its
+    own 327-plan compile."""
+    import __spark_entry__ as entry
+
+    from dbtransfer_spark.plans import formatted_plan
+
+    return {
+        name: formatted_plan(fn(spark, SF_SMOKE))
+        for name, fn in entry.queries().items()
+    }
+
+
+@pytest.fixture(scope="session")
 def duck():
     import duckdb
 

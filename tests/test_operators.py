@@ -803,41 +803,37 @@ def test_bloom_prefilter_has_no_false_negatives(spark):
 def test_winnowing_guarantee_on_shared_substring(spark):
     """The winnowing theorem: two documents sharing a verbatim run of
     ≥ k+w-1 normalized characters select at least one common
-    fingerprint. Checked on the fixture: replicate the selection for
-    two synthetic docs sharing a 60-char run via the same SQL
-    expressions the operator uses."""
+    fingerprint — checked through the operator's OWN selection helper
+    (the zip-ladder `winnow_select_fps`), plus the base-128 packing's
+    injectivity: the selected fingerprints must decode back to real
+    8-grams of the input."""
     from pyspark.sql import functions as F
+
+    from dbtransfer_spark.operators.dedup import winnow_select_fps
 
     shared = "thequickbrownfoxjumpsoverthelazydogandgrabsthesilverspoon"  # 57 chars
     a = "zzzz" + shared + "aaaa"
     b = "qqqqqq" + shared + "bbbbbb"
     df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
-    m = df.select(
+    content = df.select(
         "doc_id", F.col("text").alias("norm"),
         (F.length("text") - 8 + 1).alias("n_grams"),
     )
-    g = m.select(
-        "doc_id", "n_grams",
-        F.explode(F.sequence(F.lit(1), F.col("n_grams"))).alias("pos"), "norm",
-    ).select(
-        "doc_id", "n_grams", "pos",
-        F.conv(
-            F.substring(F.md5(F.expr("substring(norm, CAST(pos AS INT), 8)")), 1, 15),
-            16, 10,
-        ).cast("long").alias("h"),
-    )
-    from pyspark.sql import Window
-
-    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
-    sel = (
-        g.withColumn("fp", F.min("h").over(win))
-        .filter(F.col("pos") <= F.col("n_grams") - 4 + 1)
-        .select("doc_id", "fp").distinct()
-    )
-    fps = {r.doc_id: set() for r in sel.collect()}
-    for r in sel.collect():
-        fps[r.doc_id].add(r.fp)
+    sel = winnow_select_fps(content, key="doc_id").collect()
+    fps: dict[int, set] = {}
+    for r in sel:
+        fps.setdefault(r.doc_id, set()).add(r.fp)
     assert fps[1] & fps[2], "57-char shared run must share a fingerprint (k+w-1=11)"
+    # injectivity of the base-128 packing: decode each fp to chars and
+    # check the 8-gram actually occurs in the source doc
+    texts = {1: a, 2: b}
+    for r in sel:
+        v, chars = r.fp, []
+        for _ in range(8):
+            chars.append(chr(v % 128))
+            v //= 128
+        gram = "".join(reversed(chars))
+        assert gram in texts[r.doc_id], (r.fp, gram)
 
 
 # ---- round-7 session-4 operators: invariants beyond the oracle hash ----

@@ -298,15 +298,12 @@ _FIXED_SIDE_CROSSJOINS = {
 }
 
 
-def test_no_query_has_unbounded_cartesian(spark):
+def test_no_query_has_unbounded_cartesian(all_query_plans):
     """Sweep every declared query: no CartesianProduct anywhere, and
     nested-loop joins only in the whitelisted fixed-broadcast-side cases —
     the 'no quadratic trap at 100 TB' invariant, enforced globally."""
-    import __spark_entry__ as entry
-
     offenders = []
-    for name, fn in entry.queries().items():
-        plan = formatted_plan(fn(spark, SF_SMOKE))
+    for name, plan in all_query_plans.items():
         if "CartesianProduct" in plan:
             offenders.append((name, "CartesianProduct"))
         if (
@@ -315,6 +312,67 @@ def test_no_query_has_unbounded_cartesian(spark):
         ):
             offenders.append((name, "BroadcastNestedLoopJoin"))
     assert offenders == []
+
+
+def test_no_query_has_row_level_global_window(all_query_plans):
+    """Sweep every declared query: unpartitioned (single-reducer) Window
+    nodes may appear ONLY in the whitelisted domain-bounded shapes
+    (DOMAIN_BOUNDED_GLOBAL_WINDOWS in plans/checks.py — post-aggregate
+    |days|/|months|/histogram frames and post-limit ≤k frames, each entry
+    naming its bounded input; the SCALE.md global-window rule).
+    Exact-set equality both directions: a new row-level global window
+    fails (the 100 TB single-task funnel), and a whitelist entry whose
+    window disappeared rots out instead of masking a future offender."""
+    from dbtransfer_spark.plans import (
+        DOMAIN_BOUNDED_GLOBAL_WINDOWS,
+        count_unpartitioned_windows,
+    )
+
+    flagged = {
+        name
+        for name, plan in all_query_plans.items()
+        if count_unpartitioned_windows(plan) > 0
+    }
+    unexpected = flagged - set(DOMAIN_BOUNDED_GLOBAL_WINDOWS)
+    stale = set(DOMAIN_BOUNDED_GLOBAL_WINDOWS) - flagged
+    assert unexpected == set(), f"row-level global window? {sorted(unexpected)}"
+    assert stale == set(), f"stale whitelist entries: {sorted(stale)}"
+
+
+def test_unpartitioned_window_detector_fires(spark):
+    """The detector itself (r7 VERDICT: the old regex NEVER fired): an
+    injected row-level global window must be counted, partitioned and
+    partition-only windows must not, across all four formatted
+    Arguments shapes including nested brackets in the functions group."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from dbtransfer_spark.plans import count_unpartitioned_windows
+
+    df = spark.range(10).withColumn("g", F.col("id") % 2)
+    cases = [
+        (df.withColumn("r", F.row_number().over(W.partitionBy("g").orderBy("id"))), 0),
+        (df.withColumn("r", F.row_number().over(W.orderBy("id"))), 1),
+        (df.withColumn("s", F.sum("id").over(W.partitionBy("g"))), 0),
+        (df.withColumn("s", F.sum("id").over(W.partitionBy())), 1),
+        # nested brackets in the functions group (array literal)
+        (
+            df.withColumn(
+                "a",
+                F.collect_list(F.array(F.lit(1), F.col("id"))).over(W.orderBy("id")),
+            ),
+            1,
+        ),
+        # mixed: one global + one partitioned window in the same plan
+        (
+            df.withColumn("r", F.row_number().over(W.orderBy("id"))).withColumn(
+                "r2", F.row_number().over(W.partitionBy("g").orderBy("id"))
+            ),
+            1,
+        ),
+    ]
+    got = [count_unpartitioned_windows(formatted_plan(d)) for d, _ in cases]
+    assert got == [want for _, want in cases], got
 
 
 def test_date_partitioned_layout_prunes_partitions(spark, tmp_path):
