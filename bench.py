@@ -190,15 +190,45 @@ def main() -> int:
         total += med
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    # Raw samples go to a side file: the driver captures ONE stdout line
-    # with a length limit (BENCH_r06's "parsed": null was a truncated
-    # line), so the printed payload stays compact (medians only).
+    # Full per-query history goes to a repo-committed side file: the
+    # driver captures ONE stdout line with a length limit (BENCH_r06's
+    # "parsed": null was a truncated line, which left only 19/47 r6→r7
+    # queries comparable — r7 VERDICT #5), so the printed payload stays
+    # compact (medians only) while BENCH_RUNS_LOCAL.json accumulates
+    # append-only entries keyed by tag AND canary, letting any future
+    # round reconstruct canary-normalized deltas via
+    # tools/bench_compare.py --history.
     try:
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "BENCH_RUNS_LOCAL.json"), "w"
-        ) as f:
-            json.dump({"runs": all_runs, "canary_runs": canary_runs}, f)
+        hist_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_RUNS_LOCAL.json"
+        )
+        try:
+            with open(hist_path) as f:
+                existing = json.load(f)
+        except (OSError, ValueError):
+            existing = {}
+        history = existing.get("history", [])
+        if "runs" in existing and not history:  # legacy single-run format
+            history = [
+                {
+                    "tag": "r7",
+                    "runs": existing["runs"],
+                    "canary_runs": existing.get("canary_runs", []),
+                }
+            ]
+        history.append(
+            {
+                "tag": os.environ.get("SPARK_GRAFT_BENCH_TAG", "untagged"),
+                "sf": sf,
+                "canary_sec": canary_sec,
+                "canary_runs": canary_runs,
+                "ingest_sec": round(ingest_sec, 3),
+                "queries": timings,
+                "runs": all_runs,
+            }
+        )
+        with open(hist_path, "w") as f:
+            json.dump({"history": history[-24:]}, f)
     except OSError:
         pass
     print(

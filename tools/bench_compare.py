@@ -1,6 +1,14 @@
-"""Compare two bench JSON files with canary normalization.
+"""Compare two bench results with canary normalization.
 
 Usage: python tools/bench_compare.py OLD.json NEW.json
+       python tools/bench_compare.py --history OLD_TAG NEW_TAG
+
+The second form reads the repo-committed BENCH_RUNS_LOCAL.json history
+(appended by every bench.py run, keyed by $SPARK_GRAFT_BENCH_TAG and the
+run's canary), so cross-round deltas stay reconstructible even when a
+driver BENCH_r{N}.json stdout line was truncated (r7 VERDICT #5). A tag
+matching several entries picks the newest; medians are recomputed from
+raw runs for legacy entries that lack them.
 
 The r6 post-mortem (VERDICT #2): BENCH_r06 read uniformly ~1.4× slower
 than BENCH_r05 — trivial queries and ingest included — which was sandbox
@@ -17,12 +25,41 @@ import json
 import sys
 
 
+def _from_history(tag: str) -> dict:
+    import os
+    import statistics
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH_RUNS_LOCAL.json",
+    )
+    with open(path) as f:
+        doc = json.load(f)
+    entries = [e for e in doc.get("history", []) if e.get("tag") == tag]
+    if not entries:
+        known = sorted({e.get("tag") for e in doc.get("history", [])})
+        raise SystemExit(f"tag {tag!r} not in history; known tags: {known}")
+    e = entries[-1]  # newest wins
+    if "queries" not in e and "runs" in e:  # legacy: medians from raw runs
+        e = dict(e)
+        e["queries"] = {
+            q: round(statistics.median(r), 3) for q, r in e["runs"].items()
+        }
+        if e.get("canary_runs") and "canary_sec" not in e:
+            e["canary_sec"] = round(statistics.median(e["canary_runs"]), 3)
+    return e
+
+
 def main() -> int:
-    if len(sys.argv) != 3:
+    if len(sys.argv) == 4 and sys.argv[1] == "--history":
+        old = _from_history(sys.argv[2])
+        new = _from_history(sys.argv[3])
+    elif len(sys.argv) == 3:
+        old = json.load(open(sys.argv[1]))
+        new = json.load(open(sys.argv[2]))
+    else:
         print(__doc__)
         return 2
-    old = json.load(open(sys.argv[1]))
-    new = json.load(open(sys.argv[2]))
     # driver BENCH_r files nest the payload under "parsed" when present
     old = old.get("parsed") or old
     new = new.get("parsed") or new
