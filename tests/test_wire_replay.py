@@ -1,0 +1,337 @@
+"""Recorded-wire-format replay for the Mongo and Cassandra read paths
+(r7 VERDICT #6): the S3/S4 connector lifecycles driven from transcripts
+of the actual wire shapes — Mongo extended-JSON cursor batches with
+schema drift, a CQL statement→rows transcript with the TTL projection
+and token-resume statements recorded verbatim — so connector read,
+schema inference, and watermark pushdown are verified against what a
+live server would really send, without containers.
+
+The replay layer is STRICT: any statement/filter the connector emits
+that is not in the recording fails the test, which pins the exact wire
+contract (statement text, resume predicate, cursor options). True
+live-service verification remains environment-gated (no containers in
+this sandbox); the Cassandra transcript reads as id-ordered tokens for
+readability, i.e. as recorded from a ByteOrderedPartitioner cluster —
+token ORDER is partitioner-defined, the statement SHAPES are not.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+
+import pytest
+
+from dbtransfer_spark.checkpoint import Checkpoint, CheckpointStore
+from dbtransfer_spark.config import DBConfig, TableMapping
+from dbtransfer_spark.governance import MigrationStats
+from dbtransfer_spark.sources import cassandra as cass
+from dbtransfer_spark.sources import mongodb as mongo
+
+FIXTURES = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
+
+
+# ---------------------------------------------------------------------------
+# Mongo: extended-JSON wire decoding + replay collection
+# ---------------------------------------------------------------------------
+
+
+def _decode_extjson(v):
+    """Decode the MongoDB extended-JSON (v2) type wrappers a wire capture
+    carries: $numberLong/$numberInt (→ int), $numberDouble (→ float),
+    $date (→ datetime), $oid (→ hex string)."""
+    if isinstance(v, dict):
+        if len(v) == 1:
+            ((k, inner),) = v.items()
+            if k in ("$numberLong", "$numberInt"):
+                return int(inner)
+            if k == "$numberDouble":
+                return float(inner)
+            if k == "$date":
+                return datetime.datetime.fromisoformat(inner.replace("Z", "+00:00"))
+            if k == "$oid":
+                return str(inner)
+        return {k: _decode_extjson(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_decode_extjson(x) for x in v]
+    return v
+
+
+def _load_mongo_recording() -> list[dict]:
+    with open(os.path.join(FIXTURES, "mongo_orders_wire.jsonl")) as f:
+        return [_decode_extjson(json.loads(line)) for line in f if line.strip()]
+
+
+class ReplayMongoCollection:
+    """Serves a recorded cursor capture. Natural order is the RECORDED
+    order (deliberately not _id order — the capture interleaves inserts),
+    so resume correctness genuinely depends on the connector requesting
+    the _id sort. Asserts the cursor options the reference sets."""
+
+    def __init__(self, docs: list[dict]):
+        self.docs = list(docs)
+        self.find_calls: list[dict] = []
+        self.written: dict = {}
+        self.bulk_calls = 0
+
+    def _match(self, filter: dict) -> list[dict]:
+        if not filter:
+            return list(self.docs)
+        gt = filter["_id"]["$gt"]
+        return [d for d in self.docs if d["_id"] > gt]
+
+    def count_documents(self, filter: dict) -> int:
+        return len(self._match(filter))
+
+    def find(self, filter, batch_size=1000, no_cursor_timeout=True, sort=None):
+        self.find_calls.append(
+            {
+                "filter": filter,
+                "batch_size": batch_size,
+                "no_cursor_timeout": no_cursor_timeout,
+                "sort": sort,
+            }
+        )
+        matched = self._match(filter)
+        if sort:
+            key, direction = sort[0]
+            matched = sorted(matched, key=lambda d: d[key], reverse=direction < 0)
+        return iter(matched)
+
+    def bulk_write(self, models, ordered=False):
+        self.bulk_calls += 1
+        assert ordered is False
+        for m in models:
+            if isinstance(m, dict):
+                self.written[m["filter"]["_id"]] = dict(m["update"]["$set"])
+            else:
+                self.written[m._filter["_id"]] = dict(m._doc["u"]["$set"])
+
+
+STABLE = ["user", "total", "created"]
+
+
+def test_mongo_wire_replay_full_migration_normalizes_drift(tmp_path):
+    """Full S3 lifecycle over the recorded cursor: every document lands
+    with the SAME pinned field set despite the capture's schema drift
+    (coupon/shipping/note/session appear on some docs only), extras
+    round-trip losslessly, and the cursor was driven with the reference's
+    options (batched, no timeout, _id-sorted)."""
+    docs = _load_mongo_recording()
+    src = ReplayMongoCollection(docs)
+    dest = ReplayMongoCollection([])
+    store = CheckpointStore(str(tmp_path), engine="mongodb")
+    stats = MigrationStats()
+
+    res = mongo.migrate_collection(
+        src, dest, "orders", store, stats,
+        batch_size=4, parse_id=int, stable_fields=STABLE,
+    )
+    assert res == {"rows": 10, "resumed_from": None}
+    assert store.is_complete("orders")
+    # 10 docs / batch 4 → 3 bulk writes
+    assert dest.bulk_calls == 3
+    # cursor options pinned (mongodb.go:313-320 + the _id-sort fix)
+    call = src.find_calls[-1]
+    assert call["batch_size"] == 4
+    assert call["no_cursor_timeout"] is True
+    assert call["sort"] == [("_id", 1)]
+
+    # one stable shape for every doc, drift folded into _extra_json
+    shapes = {tuple(sorted(d)) for d in dest.written.values()}
+    assert shapes == {tuple(sorted(["_id", *STABLE, "_extra_json"]))}
+    # lossless extras: the drifted fields round-trip via json.loads
+    d1001 = dest.written[1001]
+    extras = json.loads(d1001["_extra_json"])
+    assert extras["coupon"] == "WINTER10"
+    assert {i["sku"] for i in extras["items"]} == {"A1", "B2"}
+    d1006 = json.loads(dest.written[1006]["_extra_json"])
+    assert d1006["shipping"]["carrier"] == "dhl"
+    # declared-but-absent fields materialize as None, never missing
+    assert dest.written[1007]["total"] == pytest.approx(0.99)
+    assert all("created" in d for d in dest.written.values())
+
+
+def test_mongo_wire_replay_watermark_pushdown(tmp_path):
+    """R9/P5 resume: with a checkpoint watermark, the $gt filter must be
+    pushed INTO the wire find (not applied client-side) and only the tail
+    documents transfer."""
+    docs = _load_mongo_recording()
+    src = ReplayMongoCollection(docs)
+    dest = ReplayMongoCollection([])
+    store = CheckpointStore(str(tmp_path), engine="mongodb")
+    store.save("orders", Checkpoint(last_key={"_id": "1005"}, complete=False))
+
+    res = mongo.migrate_collection(
+        src, dest, "orders", store, batch_size=4, parse_id=int,
+        stable_fields=STABLE,
+    )
+    assert res == {"rows": 5, "resumed_from": "1005"}
+    # the filter reached the wire, typed via parse_id (int, not "1005")
+    assert src.find_calls[-1]["filter"] == {"_id": {"$gt": 1005}}
+    assert set(dest.written) == {1006, 1007, 1008, 1009, 1010}
+
+
+def test_mongo_wire_replay_spark_schema_is_drift_free(spark):
+    """Schema inference parity: the normalized recording infers ONE Spark
+    schema no matter which prefix of the capture is sampled — the property
+    `sampleSize`-based inference lacks and `stable_fields` guarantees."""
+    docs = [
+        mongo.normalize_document(d, ["_id", *STABLE])
+        for d in _load_mongo_recording()
+    ]
+    head = spark.createDataFrame(docs[:3])
+    full = spark.createDataFrame(docs)
+    assert head.schema == full.schema
+    assert set(full.columns) == {"_id", "user", "total", "created", "_extra_json"}
+    assert full.count() == 10
+
+
+def test_mongo_connector_read_options_pinned():
+    """The options handed to the Spark Mongo connector (S3 scale path) —
+    the read contract a live server would receive."""
+    cfg = DBConfig(
+        type="mongodb", hosts=["mongo1:27017"], database="shop",
+        username="app", password="pw",
+    )
+    cfg.set_defaults()
+    opts = mongo.read_options(cfg, TableMapping(name="orders"))
+    assert opts == {
+        "connection.uri": "mongodb://app:pw@mongo1:27017/?authSource=admin",
+        "database": "shop",
+        "collection": "orders",
+        "sampleSize": "1000",
+        "batchSize": "1000",
+    }
+
+
+# ---------------------------------------------------------------------------
+# Cassandra: CQL transcript replay
+# ---------------------------------------------------------------------------
+
+
+def _load_cql_transcript() -> dict:
+    with open(os.path.join(FIXTURES, "cassandra_orders_wire.json")) as f:
+        return json.load(f)
+
+
+class ReplayCQLSession:
+    """Strict statement-level replay: execute() serves only statements
+    present in the transcript; anything else is an unrecorded wire
+    interaction and fails the test."""
+
+    def __init__(self, transcript: dict):
+        self.t = transcript
+        self.statements: list[str] = []
+
+    def execute(self, statement: str, parameters: tuple = ()):  # noqa: D102
+        self.statements.append(statement)
+        if statement.startswith("SELECT column_name, kind, position"):
+            assert parameters == (self.t["keyspace"], self.t["table"])
+            return iter([dict(r) for r in self.t["system_schema.columns"]])
+        if statement in self.t["pages"]:
+            assert parameters == ()
+            return iter([dict(r) for r in self.t["pages"][statement]])
+        raise AssertionError(f"unrecorded wire statement: {statement!r}")
+
+
+class RecordingBatchDest:
+    def __init__(self):
+        self.batches: list[list[tuple[str, tuple]]] = []
+
+    def execute(self, statement: str, parameters: tuple = ()):  # pragma: no cover
+        raise AssertionError("dest only receives batches")
+
+    def execute_batch(self, statements):
+        self.batches.append(list(statements))
+
+
+def _transcript_columns(t: dict) -> list[tuple[str, str]]:
+    return [(r["column_name"], r["type"]) for r in t["system_schema.columns"]]
+
+
+def test_cassandra_wire_replay_detect_keys_and_full_copy(tmp_path):
+    """C3 + S4/S5 against the recorded transcript: key detection from the
+    recorded system_schema rows, then a full copy whose SELECT — TTL
+    projection included — must be byte-identical to the recorded wire
+    statement (the strict session raises otherwise)."""
+    t = _load_cql_transcript()
+    src = ReplayCQLSession(t)
+    pks, cks = cass.detect_keys(src, t["keyspace"], t["table"])
+    assert (pks, cks) == (["order_id"], ["line_no"])
+
+    dest = RecordingBatchDest()
+    store = CheckpointStore(str(tmp_path), engine="cassandra")
+    stats = MigrationStats()
+    res = cass.copy_data(
+        src, dest,
+        source_keyspace=t["keyspace"], source_name=t["table"],
+        target_name="orders_v2",
+        columns=_transcript_columns(t),
+        partition_keys=pks, key_columns=pks + cks,
+        store=store, stats=stats, batch_size=3,
+    )
+    assert res == {"rows": 8, "resumed_from": None}
+    assert store.is_complete(t["table"])
+    # 8 rows / batch 3 → 3 batches
+    assert [len(b) for b in dest.batches] == [3, 3, 2]
+    # INSERT carries every column + USING TTL (text cols eligible,
+    # set<text> excluded from the TTL projection)
+    stmt = dest.batches[0][0][0]
+    assert stmt == (
+        "INSERT INTO orders_v2 (order_id, line_no, user, total, tags) "
+        "VALUES (?, ?, ?, ?, ?) USING TTL ?"
+    )
+    # row TTL = first eligible column's recorded remaining TTL; NULL → 0
+    first_params = dest.batches[0][0][1]
+    assert first_params[-1] == 86400
+    bob = next(p for b in dest.batches for s, p in b if p[2] == "bob")
+    assert bob[-1] == 0
+    # checkpoint watermark is the last partition key seen
+    assert store.load(t["table"]).last_key == {"order_id": "9"}
+
+
+def test_cassandra_wire_replay_token_resume_pushdown(tmp_path):
+    """P6: resuming from a checkpoint must emit the recorded
+    token-WHERE statement — the predicate travels on the wire, never as
+    a client-side filter — and only the tail page transfers."""
+    t = _load_cql_transcript()
+    src = ReplayCQLSession(t)
+    dest = RecordingBatchDest()
+    store = CheckpointStore(str(tmp_path), engine="cassandra")
+    store.save(
+        t["table"], Checkpoint(last_key={"order_id": "5"}, complete=False)
+    )
+    res = cass.copy_data(
+        src, dest,
+        source_keyspace=t["keyspace"], source_name=t["table"],
+        target_name="orders_v2",
+        columns=_transcript_columns(t),
+        partition_keys=["order_id"], key_columns=["order_id", "line_no"],
+        store=store, batch_size=3,
+    )
+    assert res == {"rows": 4, "resumed_from": {"order_id": "5"}}
+    assert any("WHERE token(order_id) >= token(5)" in s for s in src.statements)
+    moved = {p[0] for b in dest.batches for s, p in b}
+    assert moved == {5, 7, 8, 9}
+
+
+def test_cassandra_connector_options_pinned():
+    """The option dicts handed to the Spark Cassandra connector (S4/W4
+    scale path): §2.7 consistency + paging/batching knobs."""
+    cfg = DBConfig(
+        type="cassandra", hosts=["cass1:9042"], keyspace="shop",
+        username="app", password="pw",
+    )
+    table = TableMapping(name="orders", target_name="orders_v2")
+    r = cass.read_options(cfg, table)
+    assert r["spark.cassandra.connection.host"] == "cass1"
+    assert r["spark.cassandra.input.consistency.level"] == "QUORUM"
+    assert r["spark.cassandra.input.fetch.sizeInRows"] == "1000"
+    assert (r["keyspace"], r["table"]) == ("shop", "orders")
+    w = cass.write_options(cfg, table, ttl_seconds=3600)
+    assert w["spark.cassandra.output.consistency.level"] == "QUORUM"
+    assert w["spark.cassandra.output.batch.grouping.key"] == "partition"
+    assert w["spark.cassandra.output.ttl"] == "3600"
+    assert w["table"] == "orders_v2"
