@@ -407,17 +407,36 @@ def link_prediction_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFr
     min-weight-sum tiebreak, anti-joined against the edge set, top-50
     deterministic.
 
-    Plan: one per-order pair aggregation (never a cross join — per-order
-    C(items,2) bounded by order size), two row_number windows over the
-    SAME edge frame (one shuffle each on src/dst), the wedge equi-join
-    on the shared neighbor, and a left-anti probe. All shuffles
-    equi-keyed; the 50-row limit is a TakeOrdered, no global sort."""
+    Plan: the per-order pair generation is the item_cf_cosine2_topk
+    shape — ONE basket aggregation (partial-agg shuffle on l_orderkey)
+    and an in-array sorted-pair explode, ZERO join exchanges, instead of
+    the r7 self-join that shuffled lineitem twice and joined (measured
+    2× on the sf1 pairs stage, byte-identical counts: position pairs
+    i<j with strict value inequality reproduce the join's cx·cy
+    multiplicity exactly). C(items,2) stays bounded by order size.
+    Then two row_number windows over the SAME edge frame (one shuffle
+    each on src/dst), the wedge equi-join on the shared neighbor, and a
+    left-anti probe. All shuffles equi-keyed; the 50-row limit is a
+    TakeOrdered, no global sort. explode_OUTER + post-filter, not plain
+    explode: InferFiltersFromGenerate would push size(prs)>0 — with the
+    whole pair-construction expression inlined — down into the scan
+    filter (the winnow_fingerprints lesson, dedup.py)."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    baskets = li.groupBy("l_orderkey").agg(
+        F.expr("sort_array(collect_list(l_partkey))").alias("ps")
+    )
     pairs = (
-        a.join(b, "ok")
-        .filter(F.col("u") < F.col("v"))
+        baskets.selectExpr(
+            "filter(flatten(transform(sequence(1, size(ps)), i ->"
+            " transform(slice(ps, i+1, size(ps)-i), y ->"
+            " IF(element_at(ps, i) < y,"
+            " struct(element_at(ps, i) AS u, y AS v),"
+            " CAST(NULL AS struct<u:bigint,v:bigint>))))),"
+            " s -> s IS NOT NULL) AS prs"
+        )
+        .select(F.explode_outer("prs").alias("p"))
+        .filter("p IS NOT NULL")
+        .select("p.u", "p.v")
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
         .persist()  # adjacency build + anti-join probe
