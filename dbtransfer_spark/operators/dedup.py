@@ -642,10 +642,75 @@ def dedup_simhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _simhash_impl(spark, sf_dir, bits=64, portable_hash=False)
 
 
+def _hamming_profile_oracle(bits: int = 60, chunks: int = 4,
+                            max_hamming: int = 8) -> str:
+    chunk_bits = bits // chunks
+    mask = (1 << chunk_bits) - 1
+    votes = " + ".join(
+        f"CASE WHEN sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+        f"THEN {1 << i} ELSE 0 END"
+        for i in range(bits)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, CAST(('0x' || substr(md5(t.tok), 1, 15)) AS BIGINT) AS h
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t
+    ), sig AS (
+      SELECT doc_id, ({votes}) AS simhash FROM tok GROUP BY doc_id
+    ), chunked AS (
+      SELECT doc_id, simhash, chunk, (simhash >> (chunk * {chunk_bits})) & {mask} AS val
+      FROM sig CROSS JOIN (SELECT unnest(range(0, {chunks})) AS chunk) c
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             bit_count(xor(a.simhash, b.simhash)) AS hamming
+      FROM chunked a JOIN chunked b
+        ON a.chunk = b.chunk AND a.val = b.val AND a.doc_id < b.doc_id
+    )
+    SELECT CAST(hamming AS BIGINT) AS hamming,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           hamming <= {max_hamming} AS admitted
+    FROM cand GROUP BY hamming ORDER BY hamming
+    """
+
+
+@register("simhash_hamming_profile", _hamming_profile_oracle())
+def simhash_hamming_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-distance histogram of ALL SimHash chunk-collision
+    candidates (dedup_simhash BEFORE its ≤8 admission filter) — the
+    threshold-calibration readout: where the candidate mass sits tells
+    you whether the admission bound is cutting through a dup cluster
+    (mass hugging the threshold → raise it or add chunks) or through
+    random-collision noise (a clear valley → the bound is safe). The
+    4 × 15-bit chunking guarantees every pair with Hamming ≤ 3 appears
+    here (pigeonhole: 3 flipped bits cannot touch all 4 chunks), so the
+    low-distance histogram is EXACT, not sampled — the property that
+    makes this a calibration tool rather than an estimate.
+
+    Plan: identical candidate generation to dedup_simhash (signature
+    pass is narrow; pair volume bounded by chunk-bucket collisions,
+    never |docs|²), one extra partial-aggregated shuffle on the ≤61-row
+    hamming domain."""
+    cand = _simhash_impl(
+        spark, sf_dir, bits=60, portable_hash=True, max_hamming=None
+    )
+    return (
+        cand.groupBy("hamming")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .select(
+            F.col("hamming").cast("bigint").alias("hamming"),
+            "n_pairs",
+            (F.col("hamming") <= 8).alias("admitted"),
+        )
+        .orderBy("hamming")
+    )
+
+
 def _simhash_impl(
     spark: SparkSession, sf_dir: str, bits: int, portable_hash: bool,
-    n_chunks: int = 4, max_hamming: int = 8,
+    n_chunks: int = 4, max_hamming: int | None = 8,
 ) -> DataFrame:
+    """``max_hamming=None`` returns the unfiltered candidate set (the
+    hamming-profile calibration query)."""
     chunk_bits = bits // n_chunks
     mask = (1 << chunk_bits) - 1
     df = load_table(spark, sf_dir, "documents")
@@ -670,7 +735,7 @@ def _simhash_impl(
     a = chunks.alias("a")
     b = chunks.alias("b")
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (
+    cand = (
         a.join(
             b,
             (F.col("a.chunk") == F.col("b.chunk"))
@@ -683,8 +748,10 @@ def _simhash_impl(
             hamming.alias("hamming"),
         )
         .distinct()
-        .filter(F.col("hamming") <= max_hamming)
     )
+    if max_hamming is None:
+        return cand
+    return cand.filter(F.col("hamming") <= max_hamming)
 
 
 # ---------------------------------------------------------------------------
@@ -1624,6 +1691,38 @@ _WN_ORACLE_GRAM = " + ".join(
 )
 
 
+def gram_hash_arrays(content: DataFrame, key: str) -> DataFrame:
+    """Per-row packed 8-gram hash array ``hs`` over ``norm`` (requires
+    ``n_grams`` = length - 7): the zip_with pack-doubling ladder
+    (chars → 2-gram → 4-gram → 8-gram packs), each stage its own
+    projection (HOF rule, SCALE.md). Shared by winnowing fingerprints
+    and content-defined chunking; the base-128 packing is injective
+    over [a-z0-9] and spelled as the same integer arithmetic in DuckDB
+    (_WN_ORACLE_GRAM)."""
+    chars = content.selectExpr(key, "norm", "n_grams", "split(norm, '') AS ch")
+    g2 = chars.selectExpr(
+        key,
+        "norm",
+        "n_grams",
+        "zip_with(ch, slice(ch, 2, size(ch)),"
+        " (x, y) -> ascii(x) * 128L + ascii(y)) AS a1",
+    )
+    g4 = g2.selectExpr(
+        key,
+        "norm",
+        "n_grams",
+        "zip_with(a1, slice(a1, 3, size(a1)),"
+        " (x, y) -> x * 16384L + y) AS a2",
+    )
+    return g4.selectExpr(
+        key,
+        "norm",
+        "n_grams",
+        "slice(zip_with(a2, slice(a2, 5, size(a2)),"
+        " (x, y) -> x * 268435456L + y), 1, n_grams) AS hs",
+    )
+
+
 def winnow_select_fps(content: DataFrame, key: str) -> DataFrame:
     """Winnowing fingerprint selection, entirely in-array per row:
     ``content`` carries ``key``, ``norm`` ([a-z0-9] stream) and
@@ -1648,25 +1747,7 @@ def winnow_select_fps(content: DataFrame, key: str) -> DataFrame:
     (measured: 500 docs went from >110 s to ~1 s). fps is provably
     non-empty here (n_grams ≥ w), so OUTER changes nothing
     semantically; it just suppresses the inferred filter."""
-    chars = content.selectExpr(key, "n_grams", "split(norm, '') AS ch")
-    g2 = chars.selectExpr(
-        key,
-        "n_grams",
-        "zip_with(ch, slice(ch, 2, size(ch)),"
-        " (x, y) -> ascii(x) * 128L + ascii(y)) AS a1",
-    )
-    g4 = g2.selectExpr(
-        key,
-        "n_grams",
-        "zip_with(a1, slice(a1, 3, size(a1)),"
-        " (x, y) -> x * 16384L + y) AS a2",
-    )
-    g8 = g4.selectExpr(
-        key,
-        "n_grams",
-        "slice(zip_with(a2, slice(a2, 5, size(a2)),"
-        " (x, y) -> x * 268435456L + y), 1, n_grams) AS hs",
-    )
+    g8 = gram_hash_arrays(content, key)
     m1 = g8.selectExpr(
         key,
         "n_grams",
@@ -1817,6 +1898,297 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 winnow_fingerprints.__doc__ = winnow_fingerprints.__doc__.format(
     k=_WN_K, w=_WN_W, kw=_WN_K + _WN_W - 1, exp=2 * 1000000 // (_WN_W + 1)
 )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (Gear/rsync-style boundaries)
+# ---------------------------------------------------------------------------
+
+_CDC_MOD = 64  # boundary when gram_hash % MOD == 0 → expected chunk ~64 chars
+
+
+@register(
+    "content_defined_chunking",
+    f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS norm
+      FROM documents
+    ), m AS (
+      SELECT doc_id, source, norm, length(norm) - {_WN_K} + 1 AS n_grams
+      FROM d WHERE length(norm) >= {_WN_K}
+    ), c AS (
+      SELECT DISTINCT norm, n_grams FROM m
+    ), g AS (
+      SELECT norm, pos, {_WN_ORACLE_GRAM} AS h
+      FROM c, UNNEST(range(1, n_grams + 1)) AS t(pos)
+    ), b AS (
+      SELECT norm, list_sort(list(pos + {_WN_K - 1})) AS bounds
+      FROM g WHERE h % {_CDC_MOD} = 0 GROUP BY norm
+    ), e AS (
+      SELECT c.norm,
+             list_append(
+               list_filter(coalesce(b.bounds, CAST([] AS BIGINT[])),
+                           x -> x < length(c.norm)),
+               CAST(length(c.norm) AS BIGINT)) AS ends
+      FROM c LEFT JOIN b USING (norm)
+    ), ck AS (
+      SELECT norm, unnest([
+               struct_pack(
+                 ch := md5(substr(norm,
+                    CAST(CASE WHEN i = 1 THEN 1 ELSE ends[i-1] + 1 END AS INT),
+                    CAST(ends[i] - CASE WHEN i = 1 THEN 0 ELSE ends[i-1] END AS INT))),
+                 clen := ends[i] - CASE WHEN i = 1 THEN 0 ELSE ends[i-1] END)
+               FOR i IN range(1, len(ends) + 1)]) AS s
+      FROM e
+    ), sel AS (
+      SELECT m.doc_id, m.source, ck.s.ch AS ch, ck.s.clen AS clen
+      FROM m JOIN ck ON ck.norm = m.norm
+    ), per_chunk AS (
+      SELECT source, ch,
+             count(*) AS cnt, sum(clen) AS len_sum,
+             count(DISTINCT doc_id) AS nd
+      FROM sel GROUP BY source, ch
+    ), docs_per_source AS (
+      SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM m GROUP BY source
+    )
+    SELECT p.source,
+           d.n_docs,
+           CAST(sum(p.cnt) AS BIGINT) AS n_chunks,
+           CAST(count(*) AS BIGINT) AS n_distinct_chunks,
+           CAST(sum(CASE WHEN p.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared_chunks,
+           CAST(sum(p.len_sum) * 1000000 // sum(p.cnt) AS BIGINT)
+             AS avg_chunk_len_ppm
+    FROM per_chunk p JOIN docs_per_source d USING (source)
+    GROUP BY p.source, d.n_docs
+    ORDER BY p.source
+    """,
+)
+def content_defined_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (the rsync/Gear/FastCDC family): a chunk
+    boundary wherever the rolling 8-gram hash ≡ 0 mod {mod} (expected
+    chunk ~{mod} chars), so chunk boundaries RESYNCHRONIZE after an
+    insertion — the property fixed-size blocks lack and the reason CDC
+    chunking is the standard sub-document dedup unit for long-document
+    corpora (only the chunks containing an edit change; the rest dedup
+    away). Reported per source: chunk count, distinct/shared chunk
+    hashes (shared = the sub-document redundancy a chunk-level store
+    would reclaim), and the achieved mean chunk length against the
+    1/{mod} boundary-probability design point.
+
+    Plan shape at 100 TB: DISTINCT-FIRST (chunks depend only on
+    normalized content); the gram-hash ladder is the shared
+    `gram_hash_arrays` zip ladder (one projection chain per distinct
+    content, no explode, no window); boundary selection + chunk slicing
+    run in-array, exploding only the ~len/{mod} chunks per content; one
+    md5 per CHUNK (not per gram). Rollups are two partial-aggregated
+    shuffles (source×chunk, then source). The boundary hash and chunk
+    hashes are engine-portable (base-128 packing + md5), so DuckDB
+    replays the exact chunking."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.regexp_replace(F.lower("text"), "[^a-z0-9]", "").alias("norm"),
+        )
+        .withColumn("n_grams", F.length("norm") - _WN_K + 1)
+        .filter(F.length("norm") >= _WN_K)
+    )
+    content = m.select("norm", "n_grams").distinct().withColumn("nh", F.md5("norm"))
+    g = gram_hash_arrays(content.select("nh", "norm", "n_grams"), "nh")
+    ends = g.selectExpr(
+        "nh",
+        "norm",
+        "concat(filter(transform(filter(sequence(1, n_grams),"
+        f" p -> element_at(hs, p) % {_CDC_MOD} = 0), p -> p + {_WN_K - 1}),"
+        " e -> e < length(norm)), array(CAST(length(norm) AS BIGINT))) AS ends",
+    )
+    chunks = ends.selectExpr(
+        "nh",
+        "transform(sequence(1, size(ends)), i -> struct("
+        " md5(substring(norm, CAST(IF(i = 1, 1, element_at(ends, i-1) + 1) AS INT),"
+        " CAST(element_at(ends, i) - IF(i = 1, 0, element_at(ends, i-1)) AS INT)))"
+        " AS ch,"
+        " element_at(ends, i) - IF(i = 1, 0, element_at(ends, i-1)) AS clen)) AS cks",
+    )
+    # explode_outer + post-filter: the InferFiltersFromGenerate lesson
+    # (see winnow_select_fps) — cks is never empty (ends always has the
+    # final length entry), OUTER just suppresses the inferred filter.
+    ex = (
+        chunks.select("nh", F.explode_outer("cks").alias("c"))
+        .filter("c IS NOT NULL")
+        .select("nh", F.col("c.ch").alias("ch"), F.col("c.clen").alias("clen"))
+    )
+    sel = (
+        m.withColumn("nh", F.md5("norm"))
+        .select("doc_id", "source", "nh")
+        .join(ex, "nh")
+    )
+    per_chunk = sel.groupBy("source", "ch").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("clen").alias("len_sum"),
+        F.countDistinct("doc_id").alias("nd"),
+    )
+    docs_per_source = m.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs")
+    )
+    return (
+        per_chunk.groupBy("source")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_chunks"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct_chunks"),
+            F.count_if(F.col("nd") >= 2).cast("bigint").alias("n_shared_chunks"),
+            F.expr("CAST(sum(len_sum) * 1000000 div sum(cnt) AS BIGINT)").alias(
+                "avg_chunk_len_ppm"
+            ),
+        )
+        .join(docs_per_source, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_chunks",
+            "n_distinct_chunks",
+            "n_shared_chunks",
+            "avg_chunk_len_ppm",
+        )
+        .orderBy("source")
+    )
+
+
+content_defined_chunking.__doc__ = content_defined_chunking.__doc__.format(
+    mod=_CDC_MOD
+)
+
+
+# ---------------------------------------------------------------------------
+# MinHash mergeability proof (the algebra incremental dedup relies on)
+# ---------------------------------------------------------------------------
+
+
+def _union_merge_oracle(num_hashes: int = 32, shingle_len: int = 3,
+                        seed: int = 42) -> str:
+    coeffs = _minhash_coeffs(num_hashes, seed)
+    coeff_lit = "[" + ",".join(f"[{a},{b}]" for a, b in coeffs) + "]"
+    poly = _POLY[:shingle_len]
+    shingle_expr = " + ".join(
+        f"wh[i+{j+1}]*{c}" if c != 1 else f"wh[i+{j+1}]" for j, c in enumerate(poly)
+    )
+    return f"""
+    WITH wh AS (
+      SELECT doc_id, source,
+             list_transform(string_split(text, ' '),
+               w -> CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % {_PRIME}) AS wh
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, source,
+             list_distinct([({shingle_expr}) % {_PRIME}
+                            FOR i IN range(0, greatest(len(wh) - {shingle_len - 1}, 0))]) AS shingles
+      FROM wh
+    ), doc_sig AS (
+      SELECT doc_id, source,
+             list_transform({coeff_lit},
+               c -> coalesce(list_min(list_transform(shingles,
+                              s -> (s*c[1] + c[2]) % {_PRIME})), {_PRIME})) AS mh
+      FROM sh
+    ), merged_pos AS (
+      SELECT source, i, min(mh[CAST(i AS INT)]) AS mn
+      FROM doc_sig, UNNEST(range(1, {num_hashes + 1})) AS t(i)
+      GROUP BY source, i
+    ), merged AS (
+      SELECT source, list(mn ORDER BY i) AS merged_sig FROM merged_pos
+      GROUP BY source
+    ), uni AS (
+      SELECT source, list_distinct(flatten(list(shingles))) AS u_shingles,
+             CAST(count(*) AS BIGINT) AS n_docs
+      FROM sh GROUP BY source
+    ), uni_sig AS (
+      SELECT source, n_docs,
+             CAST(len(u_shingles) AS BIGINT) AS n_union_shingles,
+             list_transform({coeff_lit},
+               c -> coalesce(list_min(list_transform(u_shingles,
+                              s -> (s*c[1] + c[2]) % {_PRIME})), {_PRIME})) AS u_sig
+      FROM uni
+    )
+    SELECT m.source, u.n_docs, u.n_union_shingles,
+           CAST(list_sum(list_transform(range(1, {num_hashes + 1}),
+             i -> CASE WHEN m.merged_sig[CAST(i AS INT)] <> u.u_sig[CAST(i AS INT)]
+                       THEN 1 ELSE 0 END)) AS BIGINT) AS n_mismatch_positions,
+           CAST(list_sum(m.merged_sig) AS BIGINT) AS merged_sig_sum
+    FROM merged m JOIN uni_sig u USING (source)
+    ORDER BY m.source
+    """
+
+
+@register("minhash_union_merge_proof", _union_merge_oracle())
+def minhash_union_merge_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash MERGEABILITY theorem, proven as dataflow: the
+    signature of a UNION of shingle sets equals the elementwise MIN of
+    the member signatures — sig(∪ᵢ Aᵢ)[k] = minᵢ sig(Aᵢ)[k]. This
+    algebra is what lets the incremental release pipeline
+    (pipelines.py) maintain a corpus-level signature index by merging
+    per-batch signatures WITHOUT ever re-reading the corpus, and what
+    makes MinHash sketches partial-aggregable (map-side combine) in a
+    distributed group-by. Per source: the member-merged signature and
+    the recomputed union signature, with the mismatch count (must be 0)
+    and a signature checksum the oracle replays exactly.
+
+    Plan: per-doc signatures are the existing narrow shingle→permute
+    pass; the merge is ONE partial-aggregated shuffle on source
+    (zip_with(least) over collected signatures — commutative, so
+    collect order is irrelevant); the union side dedups shingles with a
+    source-keyed explode+distinct, the only row-multiplying step, then
+    signs |union| rows once. Nothing here is quadratic; both sides ride
+    the same source partitioning."""
+    docs = load_table(spark, sf_dir, "documents")
+    shingled = shingle_arrays(docs, "doc_id", "text", portable_hash=True)
+    with_src = shingled.join(docs.select("doc_id", "source"), "doc_id").persist()
+    sigs = signatures_from_shingles(
+        with_src.select(F.col("doc_id"), "__shingles"), "doc_id"
+    ).join(with_src.select("doc_id", "source"), "doc_id")
+    init = ", ".join(["CAST(%d AS BIGINT)" % _PRIME] * 32)
+    merged = sigs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.expr(
+            f"aggregate(collect_list(minhash), array({init}),"
+            " (acc, x) -> zip_with(acc, x, (a, b) -> least(a, b)))"
+        ).alias("merged_sig"),
+    )
+    union_sh = (
+        with_src.select("source", F.explode("__shingles").alias("s"))
+        .distinct()
+        .groupBy("source")
+        .agg(F.collect_list("s").alias("__shingles"))
+    )
+    uni_sig = signatures_from_shingles(union_sh, "source").withColumnRenamed(
+        "minhash", "u_sig"
+    )
+    n_union = (
+        with_src.select("source", F.explode("__shingles").alias("s"))
+        .distinct()
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_union_shingles"))
+    )
+    return (
+        merged.join(uni_sig, "source")
+        .join(n_union, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_union_shingles",
+            F.expr(
+                "CAST(size(filter(zip_with(merged_sig, u_sig,"
+                " (a, b) -> a <> b), v -> v)) AS BIGINT)"
+            ).alias("n_mismatch_positions"),
+            F.expr(
+                "CAST(aggregate(merged_sig, CAST(0 AS BIGINT),"
+                " (acc, x) -> acc + x) AS BIGINT)"
+            ).alias("merged_sig_sum"),
+        )
+        .orderBy("source")
+    )
 
 
 @register(

@@ -2345,3 +2345,80 @@ def rate_limit_admission_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_throttled_users"),
         F.max("slot").cast("bigint").alias("peak_burst"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Session-gap sensitivity curve
+# ---------------------------------------------------------------------------
+
+_GAP_MINUTES = (5, 15, 30, 60)
+
+
+@register(
+    "session_gap_sensitivity",
+    f"""
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
+      FROM events
+    ), agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_events,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+             {", ".join(
+                 f"CAST(sum(CASE WHEN gap_us > {m * 60_000_000} THEN 1 ELSE 0 END)"
+                 f" AS BIGINT) AS c{m}" for m in _GAP_MINUTES)}
+      FROM g
+    )
+    {" UNION ALL ".join(
+        f"SELECT CAST({m} AS BIGINT) AS gap_minutes,"
+        f" n_users + c{m} AS n_sessions,"
+        f" CAST(n_events * 1000000 // (n_users + c{m}) AS BIGINT)"
+        f" AS avg_events_per_session_ppm FROM agg" for m in _GAP_MINUTES)}
+    ORDER BY gap_minutes
+    """,
+)
+def session_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session counts under FOUR inactivity thresholds (5/15/30/60 min)
+    from ONE pass — the tuning curve you read before fixing the gap
+    parameter of sessionization (events_session_30m and the streaming
+    sessionizer both hard-code a gap; this query is how that number is
+    chosen and re-audited as traffic patterns drift). The identity
+    n_sessions(T) = n_users + |gaps > T| turns the whole curve into
+    conditional aggregates over the SAME lag frame: no per-threshold
+    re-sessionization, no re-scan — adding a threshold costs one
+    counter.
+
+    Plan: one user-keyed lag window (the standing sessionization
+    shuffle), one partial-aggregated global rollup to a single row, and
+    an in-row explode to the 4-row curve (no join, no second pass).
+    Scale: identical profile to sessionization itself; the curve is
+    free relative to one session build."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    g = ev.select(
+        "user_id", "event_id", epoch_micros(ev, "ts").alias("t_us")
+    ).withColumn("gap_us", F.col("t_us") - F.lag("t_us").over(w))
+    counters = [
+        F.count_if(F.col("gap_us") > m * 60_000_000)
+        .cast("bigint")
+        .alias(f"c{m}")
+        for m in _GAP_MINUTES
+    ]
+    agg = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        *counters,
+    )
+    rows = ", ".join(
+        f"struct(CAST({m} AS BIGINT) AS gap_minutes,"
+        f" n_users + c{m} AS n_sessions,"
+        f" CAST(n_events * 1000000 div (n_users + c{m}) AS BIGINT)"
+        f" AS avg_events_per_session_ppm)"
+        for m in _GAP_MINUTES
+    )
+    return (
+        agg.select(F.expr(f"explode(array({rows}))").alias("r"))
+        .select("r.gap_minutes", "r.n_sessions", "r.avg_events_per_session_ppm")
+        .orderBy("gap_minutes")
+    )
