@@ -1904,7 +1904,46 @@ winnow_fingerprints.__doc__ = winnow_fingerprints.__doc__.format(
 # Content-defined chunking (Gear/rsync-style boundaries)
 # ---------------------------------------------------------------------------
 
-_CDC_MOD = 64  # boundary when gram_hash % MOD == 0 → expected chunk ~64 chars
+# Boundary when gram_hash % MOD == 0 → expected chunk ~MOD chars. MOD
+# must be COPRIME with the packing base: 128 ≡ 0 (mod 64), so a
+# power-of-two modulus collapses h % MOD to ascii(last char) % MOD —
+# which is never 0 for [a-z0-9] and fires NO boundary at all (caught by
+# test_cdc_chunking_boundary_resync, not by the oracle diff: both
+# engines agreed on the degenerate single-chunk split). A prime modulus
+# mixes every character of the gram.
+_CDC_MOD = 61
+
+
+def cdc_chunks(content: DataFrame, key: str) -> DataFrame:
+    """Content-defined chunk split: ``content`` carries ``key``,
+    ``norm`` and ``n_grams``; returns exploded (``key``, ``ch`` chunk
+    md5, ``clen`` chunk length). A boundary closes after gram position
+    p (at char p+k-1) wherever the packed gram hash ≡ 0 mod _CDC_MOD;
+    the final chunk always ends at the string end. Boundary selection
+    and chunk slicing run in-array; one md5 per CHUNK. explode_outer +
+    post-filter: the InferFiltersFromGenerate lesson (winnow_select_fps)
+    — cks is never empty, OUTER just suppresses the inferred filter."""
+    g = gram_hash_arrays(content, key)
+    ends = g.selectExpr(
+        key,
+        "norm",
+        "concat(filter(transform(filter(sequence(1, n_grams),"
+        f" p -> element_at(hs, p) % {_CDC_MOD} = 0), p -> p + {_WN_K - 1}),"
+        " e -> e < length(norm)), array(CAST(length(norm) AS BIGINT))) AS ends",
+    )
+    chunks = ends.selectExpr(
+        key,
+        "transform(sequence(1, size(ends)), i -> struct("
+        " md5(substring(norm, CAST(IF(i = 1, 1, element_at(ends, i-1) + 1) AS INT),"
+        " CAST(element_at(ends, i) - IF(i = 1, 0, element_at(ends, i-1)) AS INT)))"
+        " AS ch,"
+        " element_at(ends, i) - IF(i = 1, 0, element_at(ends, i-1)) AS clen)) AS cks",
+    )
+    return (
+        chunks.select(key, F.explode_outer("cks").alias("c"))
+        .filter("c IS NOT NULL")
+        .select(key, F.col("c.ch").alias("ch"), F.col("c.clen").alias("clen"))
+    )
 
 
 @register(
@@ -1998,30 +2037,7 @@ def content_defined_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.length("norm") >= _WN_K)
     )
     content = m.select("norm", "n_grams").distinct().withColumn("nh", F.md5("norm"))
-    g = gram_hash_arrays(content.select("nh", "norm", "n_grams"), "nh")
-    ends = g.selectExpr(
-        "nh",
-        "norm",
-        "concat(filter(transform(filter(sequence(1, n_grams),"
-        f" p -> element_at(hs, p) % {_CDC_MOD} = 0), p -> p + {_WN_K - 1}),"
-        " e -> e < length(norm)), array(CAST(length(norm) AS BIGINT))) AS ends",
-    )
-    chunks = ends.selectExpr(
-        "nh",
-        "transform(sequence(1, size(ends)), i -> struct("
-        " md5(substring(norm, CAST(IF(i = 1, 1, element_at(ends, i-1) + 1) AS INT),"
-        " CAST(element_at(ends, i) - IF(i = 1, 0, element_at(ends, i-1)) AS INT)))"
-        " AS ch,"
-        " element_at(ends, i) - IF(i = 1, 0, element_at(ends, i-1)) AS clen)) AS cks",
-    )
-    # explode_outer + post-filter: the InferFiltersFromGenerate lesson
-    # (see winnow_select_fps) — cks is never empty (ends always has the
-    # final length entry), OUTER just suppresses the inferred filter.
-    ex = (
-        chunks.select("nh", F.explode_outer("cks").alias("c"))
-        .filter("c IS NOT NULL")
-        .select("nh", F.col("c.ch").alias("ch"), F.col("c.clen").alias("clen"))
-    )
+    ex = cdc_chunks(content.select("nh", "norm", "n_grams"), "nh")
     sel = (
         m.withColumn("nh", F.md5("norm"))
         .select("doc_id", "source", "nh")

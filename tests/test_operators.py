@@ -1020,3 +1020,72 @@ def test_cdc_dedup_matches_clean_log(spark):
     ).collect()[0].d
     assert got.state_digest == clean_digest
     assert got.n_suppressed == got.n_delivered - got.n_effective
+
+
+def test_cdc_chunking_boundary_resync(spark):
+    """THE content-defined-chunking property (why CDC beats fixed-size
+    blocks for dedup): prepending an edit to a document changes only the
+    chunks up to the first boundary after the edit — every later chunk
+    reappears identically, because boundaries depend on local 8-gram
+    content, not absolute offsets. Fixed-size blocks would shift every
+    block. Verified through the operator's own cdc_chunks helper."""
+    from pyspark.sql import functions as F
+
+    from dbtransfer_spark.operators.dedup import _WN_K, cdc_chunks
+
+    import hashlib
+
+    base = "".join(
+        hashlib.md5(str(i).encode()).hexdigest() for i in range(12)
+    )  # 384 deterministic, aperiodic [0-9a-f] chars
+    edited = "zz9q" + base
+    df = spark.createDataFrame(
+        [(1, base), (2, edited)], "doc_id long, text string"
+    )
+    content = df.select(
+        "doc_id",
+        F.col("text").alias("norm"),
+        (F.length("text") - _WN_K + 1).alias("n_grams"),
+    )
+    rows = cdc_chunks(content, "doc_id").collect()
+    chunks = {1: [], 2: []}
+    for r in rows:
+        chunks[r.doc_id].append(r.ch)
+    assert len(chunks[1]) > 3, "fixture must produce several chunks"
+    # every base chunk after the first reappears in the edited doc
+    assert set(chunks[1][1:]) <= set(chunks[2])
+    # and the shared suffix is in the same order (resync, not shuffle)
+    tail = chunks[1][1:]
+    idx = [chunks[2].index(c) for c in tail]
+    assert idx == sorted(idx)
+
+
+def test_session_gap_sensitivity_monotone(spark):
+    """Growing the inactivity threshold can only MERGE sessions:
+    n_sessions is non-increasing in the gap parameter and the implied
+    events-per-session average is non-decreasing; every threshold keeps
+    at least one session per user."""
+    from dbtransfer_spark.operators.windows import session_gap_sensitivity
+
+    rows = session_gap_sensitivity(spark, SF_SMOKE).collect()
+    assert [r.gap_minutes for r in rows] == [5, 15, 30, 60]
+    ns = [r.n_sessions for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    avg = [r.avg_events_per_session_ppm for r in rows]
+    assert avg == sorted(avg)
+    assert all(n >= 1 for n in ns)
+
+
+def test_simhash_profile_sums_to_admitted_pairs(spark):
+    """The hamming histogram must reconcile with dedup_simhash: the
+    admitted-bucket mass equals the pair count the dedup query emits
+    (same signatures, same candidates, same threshold)."""
+    from dbtransfer_spark.operators.dedup import (
+        dedup_simhash,
+        simhash_hamming_profile,
+    )
+
+    prof = simhash_hamming_profile(spark, SF_SMOKE).collect()
+    admitted_mass = sum(r.n_pairs for r in prof if r.admitted)
+    assert all((r.hamming <= 8) == r.admitted for r in prof)
+    assert admitted_mass == dedup_simhash(spark, SF_SMOKE).count()
