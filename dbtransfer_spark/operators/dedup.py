@@ -652,24 +652,32 @@ def _hamming_profile_oracle(bits: int = 60, chunks: int = 4,
         for i in range(bits)
     )
     return f"""
-    WITH tok AS (
-      SELECT doc_id, CAST(('0x' || substr(md5(t.tok), 1, 15)) AS BIGINT) AS h
-      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t
+    WITH dt AS (
+      SELECT md5(text) AS th, text, CAST(count(*) AS BIGINT) AS m
+      FROM documents GROUP BY text
+    ), tok AS (
+      SELECT th, CAST(('0x' || substr(md5(t.tok), 1, 15)) AS BIGINT) AS h
+      FROM (SELECT th, unnest(string_split(text, ' ')) AS tok FROM dt) t
     ), sig AS (
-      SELECT doc_id, ({votes}) AS simhash FROM tok GROUP BY doc_id
+      SELECT th, ({votes}) AS simhash FROM tok GROUP BY th
     ), chunked AS (
-      SELECT doc_id, simhash, chunk, (simhash >> (chunk * {chunk_bits})) & {mask} AS val
+      SELECT th, simhash, chunk, (simhash >> (chunk * {chunk_bits})) & {mask} AS val
       FROM sig CROSS JOIN (SELECT unnest(range(0, {chunks})) AS chunk) c
     ), cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      SELECT DISTINCT a.th AS ta, b.th AS tb,
              bit_count(xor(a.simhash, b.simhash)) AS hamming
       FROM chunked a JOIN chunked b
-        ON a.chunk = b.chunk AND a.val = b.val AND a.doc_id < b.doc_id
+        ON a.chunk = b.chunk AND a.val = b.val AND a.th < b.th
+    ), counts AS (
+      SELECT c.hamming, ma.m * mb.m AS n
+      FROM cand c JOIN dt ma ON ma.th = c.ta JOIN dt mb ON mb.th = c.tb
+      UNION ALL
+      SELECT 0 AS hamming, m * (m - 1) // 2 AS n FROM dt WHERE m >= 2
     )
     SELECT CAST(hamming AS BIGINT) AS hamming,
-           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(n) AS BIGINT) AS n_pairs,
            hamming <= {max_hamming} AS admitted
-    FROM cand GROUP BY hamming ORDER BY hamming
+    FROM counts GROUP BY hamming ORDER BY hamming
     """
 
 
@@ -686,16 +694,77 @@ def simhash_hamming_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     low-distance histogram is EXACT, not sampled — the property that
     makes this a calibration tool rather than an estimate.
 
-    Plan: identical candidate generation to dedup_simhash (signature
-    pass is narrow; pair volume bounded by chunk-bucket collisions,
-    never |docs|²), one extra partial-aggregated shuffle on the ≤61-row
-    hamming domain."""
-    cand = _simhash_impl(
-        spark, sf_dir, bits=60, portable_hash=True, max_hamming=None
+    Plan: DISTINCT-FIRST (the blanket SCALE.md rule) because a
+    histogram needs only pair COUNTS, never the pairs: signatures and
+    chunk buckets are computed per distinct TEXT, candidate generation
+    joins |distinct text|-sized frames, and doc-pair multiplicities are
+    recovered algebraically — m_a·m_b per colliding text pair plus
+    C(m,2) exact-dup pairs at Hamming 0 (same text ⇒ same signature ⇒
+    all chunks collide). The r8 sf1 sweep caught the doc-level form at
+    58 s on the ×10-replica fixture (duplicate docs share signatures,
+    so every bucket pair multiplied 100×); this form's join volume is
+    replica-independent. dedup_simhash itself must still EMIT doc
+    pairs, so its output — not its candidate generation — scales with
+    the dup rate; the profile is where the scale trap actually bites
+    and where the algebra removes it."""
+    docs = load_table(spark, sf_dir, "documents")
+    dt = (
+        docs.groupBy("text")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+        .withColumn("th", F.md5("text"))
+        .persist()  # signature pass + two multiplicity probes + dup count
+    )
+    sigs = simhash(dt, "th", "text", bits=60, portable_hash=True)
+    chunk_bits = 60 // 4
+    mask = (1 << chunk_bits) - 1
+    chunked = sigs.select(
+        "th",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftright("simhash", i * chunk_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("th", "simhash", "c.chunk", "c.val")
+    a = chunked.alias("a")
+    b = chunked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.th") < F.col("b.th")),
+        )
+        .select(
+            F.col("a.th").alias("ta"),
+            F.col("b.th").alias("tb"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias(
+                "hamming"
+            ),
+        )
+        .distinct()
+    )
+    cross = (
+        cand.join(dt.select(F.col("th").alias("ta"), F.col("m").alias("ma")), "ta")
+        .join(dt.select(F.col("th").alias("tb"), F.col("m").alias("mb")), "tb")
+        .select("hamming", (F.col("ma") * F.col("mb")).alias("n"))
+    )
+    within = dt.filter(F.col("m") >= 2).select(
+        F.lit(0).alias("hamming"),
+        F.expr("m * (m - 1) div 2").alias("n"),
     )
     return (
-        cand.groupBy("hamming")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        cross.unionByName(within)
+        .groupBy("hamming")
+        .agg(F.sum("n").cast("bigint").alias("n_pairs"))
         .select(
             F.col("hamming").cast("bigint").alias("hamming"),
             "n_pairs",
@@ -1924,12 +1993,21 @@ def cdc_chunks(content: DataFrame, key: str) -> DataFrame:
     post-filter: the InferFiltersFromGenerate lesson (winnow_select_fps)
     — cks is never empty, OUTER just suppresses the inferred filter."""
     g = gram_hash_arrays(content, key)
+    # Iterate transform(hs, ...) — NOT element_at(hs, p) over a position
+    # sequence: `hs` is referenced exactly once here, so CollapseProject
+    # legally inlines the whole zip-ladder expression into this
+    # projection; with element_at the inlined ladder would re-evaluate
+    # per POSITION inside the lambda (O(n²) per content — measured 50 s
+    # at sf1), while transform evaluates its input array once per row.
+    # Gram position p = i+1 (0-based lambda index), boundary closes at
+    # char p + k - 1 = i + 8.
     ends = g.selectExpr(
         key,
         "norm",
-        "concat(filter(transform(filter(sequence(1, n_grams),"
-        f" p -> element_at(hs, p) % {_CDC_MOD} = 0), p -> p + {_WN_K - 1}),"
-        " e -> e < length(norm)), array(CAST(length(norm) AS BIGINT))) AS ends",
+        f"concat(filter(transform(hs, (h, i) -> IF(h % {_CDC_MOD} = 0,"
+        f" CAST(i + {_WN_K} AS BIGINT), CAST(NULL AS BIGINT))),"
+        " e -> e IS NOT NULL AND e < length(norm)),"
+        " array(CAST(length(norm) AS BIGINT))) AS ends",
     )
     chunks = ends.selectExpr(
         key,

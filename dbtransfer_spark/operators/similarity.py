@@ -2235,27 +2235,39 @@ def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SEMDEDUP_ORACLE = f"""
-    WITH pts AS (
-      SELECT vec_id,
+    WITH g AS (
+      SELECT embedding, list_sort(list(vec_id)) AS ids, min(vec_id) AS rep
+      FROM embeddings GROUP BY embedding
+    ),
+    pts AS (
+      SELECT rep, ids,
              list_transform(embedding,
                x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS v
-      FROM embeddings
+      FROM g
     ),
-    c0 AS (SELECT vec_id AS cluster, v AS c FROM pts WHERE vec_id < {_KMEANS_K}),
+    c0 AS (
+      SELECT vec_id AS cluster,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS c
+      FROM embeddings WHERE vec_id < {_KMEANS_K}
+    ),
     d1 AS (
-      SELECT p.vec_id, p.v, c.cluster,
+      SELECT p.rep, p.ids, p.v, c.cluster,
              CAST(list_sum(list_transform(range(1, {_KMEANS_DIM + 1}),
                i -> (p.v[i] - c.c[i]) * (p.v[i] - c.c[i]))) AS BIGINT) AS dist
       FROM pts p CROSS JOIN c0 c
     ),
     a1 AS (
-      SELECT vec_id, v, cluster FROM d1
-      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) = 1
+      SELECT rep, ids, v, cluster,
+             CAST(list_sum(list_transform(range(1, {_KMEANS_DIM + 1}),
+               i -> v[i] * v[i])) AS BIGINT) AS na
+      FROM d1
+      QUALIFY row_number() OVER (PARTITION BY rep ORDER BY dist, cluster) = 1
     ),
-    dup AS (
-      SELECT a.cluster, a.vec_id AS keep_id, b.vec_id AS drop_id
+    w AS (
+      SELECT a.rep, min(b.rep) AS wmin
       FROM a1 a JOIN a1 b
-        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        ON a.cluster = b.cluster AND a.rep <> b.rep
       WHERE CAST(list_sum(list_transform(range(1, {_KMEANS_DIM + 1}),
               i -> a.v[i] * b.v[i])) AS BIGINT) > 0
         AND CAST(list_sum(list_transform(range(1, {_KMEANS_DIM + 1}),
@@ -2266,11 +2278,20 @@ _SEMDEDUP_ORACLE = f"""
               i -> a.v[i] * a.v[i])) AS DECIMAL(38,0))
             * CAST(list_sum(list_transform(range(1, {_KMEANS_DIM + 1}),
               i -> b.v[i] * b.v[i])) AS BIGINT) * 16
+      GROUP BY a.rep
+    ),
+    expanded AS (
+      SELECT unnest(a.ids) AS x, a.ids[1] AS first_id, a.cluster, a.na, w.wmin
+      FROM a1 a LEFT JOIN w ON w.rep = a.rep
     )
-    SELECT drop_id AS vec_id,
-           CAST(min(cluster) AS BIGINT) AS cluster,
-           CAST(min(keep_id) AS BIGINT) AS kept_witness
-    FROM dup GROUP BY drop_id ORDER BY vec_id
+    SELECT x AS vec_id,
+           CAST(cluster AS BIGINT) AS cluster,
+           CAST(least(CASE WHEN x > first_id AND na > 0 THEN first_id END,
+                      CASE WHEN wmin < x THEN wmin END) AS BIGINT)
+             AS kept_witness
+    FROM expanded
+    WHERE (x > first_id AND na > 0) OR wmin < x
+    ORDER BY vec_id
 """
 
 
@@ -2293,63 +2314,113 @@ def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     is ~0.49; production text embeddings run 0.95+. The threshold is the
     one tunable.)
 
-    Scale: one broadcast k×d assignment pass (kmeans machinery), one
-    cluster-keyed self-equi-join (bounded by cluster sizes — at 100 TB,
-    k scales with N to cap clusters, and an oversized cluster gets a
-    width cap + re-cluster, the documented guard), one groupBy(drop_id)
-    min-aggregate."""
+    Scale: DISTINCT-FIRST (the blanket SCALE.md rule — r8): duplicate
+    embeddings are collapsed to one representative BEFORE clustering
+    and the pairwise pass, so the cluster-keyed self-equi-join is
+    bounded by DISTINCT-vector cluster sizes (Σ|cluster∩distinct|²),
+    and the per-id verdicts are recovered algebraically: identical
+    copies always exceed any cosine threshold (cos = 1 when non-zero),
+    so copy x drops against the group's first id, and a distinct
+    passing neighbor contributes its own min id as the alternative
+    witness — kept_witness = least of the two candidates, exactly the
+    doc-level min. The r8 sf1 sweep caught the id-level form at >120 s
+    on the ×10-replica fixture (clusters grew 10×, pairs 100×); this
+    form's join volume is replica-independent. At 100 TB k additionally
+    scales with N to cap clusters (oversized cluster → width cap +
+    re-cluster, the documented guard)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    points = emb.select(
+    groups = (
+        emb.groupBy("embedding")
+        .agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
+        .withColumn("vec_id", F.element_at("ids", 1))  # representative id
+    )
+    points = groups.select(
         "vec_id",
+        "ids",
         F.transform(
             "embedding",
             lambda x: F.floor(x.cast("double") * 1000000.0).cast("long"),
         ).alias("v"),
     ).persist()
-    cents = points.filter(F.col("vec_id") < _KMEANS_K).select(
-        F.col("vec_id").alias("cluster"), F.col("v").alias("c")
+    # seed centroids come from the ORIGINAL id space (vec_id < k), like
+    # kmeans_lloyd — a seed id that happens to be a duplicate copy still
+    # contributes its (identical) vector
+    cents = emb.filter(F.col("vec_id") < _KMEANS_K).select(
+        F.col("vec_id").alias("cluster"),
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1000000.0).cast("long"),
+        ).alias("c"),
     )
-    assigned = _kmeans_assign(points, cents).select("vec_id", "v", "cluster")
+    na = F.aggregate(
+        F.transform("v", lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    assigned = (
+        _kmeans_assign(points, cents)
+        .select("vec_id", "ids", "v", "cluster")
+        .withColumn("na", na)
+        .persist()  # pair pass (both sides) + expansion
+    )
     a = assigned.select(
-        "cluster", F.col("vec_id").alias("keep_id"), F.col("v").alias("va")
+        "cluster", F.col("vec_id").alias("ra"), F.col("v").alias("va")
     )
     b = assigned.select(
-        "cluster", F.col("vec_id").alias("drop_id"), F.col("v").alias("vb")
+        "cluster", F.col("vec_id").alias("rb"), F.col("v").alias("vb")
     )
     dot = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: x * y),
         F.lit(0).cast("long"),
         lambda acc, t: acc + t,
     )
-    na = F.aggregate(
+    naa = F.aggregate(
         F.transform("va", lambda x: x * x),
         F.lit(0).cast("long"),
         lambda acc, t: acc + t,
     )
-    nb = F.aggregate(
+    nbb = F.aggregate(
         F.transform("vb", lambda x: x * x),
         F.lit(0).cast("long"),
         lambda acc, t: acc + t,
     )
-    dup = (
+    w = (
         a.join(b, "cluster")
-        .filter(F.col("keep_id") < F.col("drop_id"))
+        .filter(F.col("ra") != F.col("rb"))
         .withColumn("dot", dot)
-        .withColumn("na", na)
-        .withColumn("nb", nb)
+        .withColumn("naa", naa)
+        .withColumn("nbb", nbb)
         .filter(
             (F.col("dot") > 0)
             & (
                 F.col("dot").cast("decimal(38,0)") * F.col("dot") * 100
-                > F.col("na").cast("decimal(38,0)") * F.col("nb") * 16
+                > F.col("naa").cast("decimal(38,0)") * F.col("nbb") * 16
             )
         )
+        .groupBy(F.col("ra").alias("vec_id"))
+        .agg(F.min("rb").alias("wmin"))
+    )
+    expanded = (
+        assigned.join(w, "vec_id", "left")
+        .select(
+            "cluster",
+            "na",
+            "wmin",
+            F.element_at("ids", 1).alias("first_id"),
+            F.explode("ids").alias("x"),
+        )
+    )
+    witness = F.least(
+        F.when((F.col("x") > F.col("first_id")) & (F.col("na") > 0), F.col("first_id")),
+        F.when(F.col("wmin") < F.col("x"), F.col("wmin")),
     )
     return (
-        dup.groupBy(F.col("drop_id").alias("vec_id"))
-        .agg(
-            F.min("cluster").cast("bigint").alias("cluster"),
-            F.min("keep_id").cast("bigint").alias("kept_witness"),
+        expanded.withColumn("kept_witness", witness)
+        .filter(F.col("kept_witness").isNotNull())
+        .select(
+            F.col("x").alias("vec_id"),
+            F.col("cluster").cast("bigint").alias("cluster"),
+            F.col("kept_witness").cast("bigint").alias("kept_witness"),
         )
         .orderBy("vec_id")
     )

@@ -5260,7 +5260,8 @@ def retention_hazard_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n_pairs,
            CAST(sum(xa) AS BIGINT) AS sum_x,
            CAST(sum(xb) AS BIGINT) AS sum_y,
-           CAST(sum(xa * xb) AS BIGINT) AS sum_xy
+           CAST(CAST(sum(CAST(xa AS DECIMAL(18,0)) * CAST(xb AS DECIMAL(18,0)))
+                AS DECIMAL(38,0)) AS VARCHAR) AS sum_xy
     FROM pairs GROUP BY lag_days ORDER BY lag_days
     """,
 )
@@ -5272,9 +5273,10 @@ def acf_lag_ingredients(spark: SparkSession, sf_dir: str) -> DataFrame:
     (daily_volume_anomaly), is one driver-side division away. Emitting
     the ingredients instead of r keeps the division/sqrt (libm) out of
     the cross-engine hash — the same discipline as ols_price_on_quantity.
-    Daily revenue is floored to whole currency units so Σxy stays inside
-    BIGINT headroom (≤2^63 through sf1; documented bound, not a silent
-    wrap risk at verified scales). Lag pairs are calendar-day aligned —
+    Daily revenue is floored to whole currency units; Σxy accumulates
+    in exact DECIMAL(38,0) — the r8 sf1 sweep caught the previous
+    BIGINT Σxy overflowing (daily x ~1e9 at sf1 → Σ(xa·xb) ~2e21 >
+    2^63; the old "safe through sf1" bound was wrong by the square). Lag pairs are calendar-day aligned —
     gaps in the date spine produce no pair, the standard treatment.
 
     Scale: the daily aggregate is |days| rows regardless of SF (one
@@ -5304,7 +5306,16 @@ def acf_lag_ingredients(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
             F.sum("xa").cast("bigint").alias("sum_x"),
             F.sum("xb").cast("bigint").alias("sum_y"),
-            F.sum(F.col("xa") * F.col("xb")).cast("bigint").alias("sum_xy"),
+            # exact 128-bit-wide product sum, surfaced as its decimal
+            # STRING: DuckDB hands DECIMAL(38,0) to pandas as float64
+            # (the HUGEINT mangling), so the string form is the only
+            # dtype both engines hash identically
+            F.sum(
+                F.col("xa").cast("decimal(18,0)") * F.col("xb").cast("decimal(18,0)")
+            )
+            .cast("decimal(38,0)")
+            .cast("string")
+            .alias("sum_xy"),
         )
         .orderBy("lag_days")
     )
