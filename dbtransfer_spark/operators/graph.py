@@ -19,6 +19,35 @@ QUERIES = {}
 ORACLE = {}
 
 
+def _basket_pair_explode(li: DataFrame) -> DataFrame:
+    """Per-order item pairs (u < v, WITH multiplicity) via ONE
+    partial-aggregated basket shuffle + an in-array sorted position-pair
+    explode — zero join exchanges, vs the self-join form that shuffles
+    the fact table twice and joins (measured 2× on the sf1 pairs stage;
+    byte-identical multisets: position pairs i<j with strict value
+    inequality reproduce the join's cx·cy multiplicity exactly).
+    explode_OUTER + post-filter, not plain explode: the optimizer would
+    otherwise push size(prs)>0 — with the whole pair-construction
+    expression inlined — into the scan filter (the
+    InferFiltersFromGenerate lesson, dedup.py)."""
+    baskets = li.groupBy("l_orderkey").agg(
+        F.expr("sort_array(collect_list(l_partkey))").alias("ps")
+    )
+    return (
+        baskets.selectExpr(
+            "filter(flatten(transform(sequence(1, size(ps)), i ->"
+            " transform(slice(ps, i+1, size(ps)-i), y ->"
+            " IF(element_at(ps, i) < y,"
+            " struct(element_at(ps, i) AS u, y AS v),"
+            " CAST(NULL AS struct<u:bigint,v:bigint>))))),"
+            " s -> s IS NOT NULL) AS prs"
+        )
+        .select(F.explode_outer("prs").alias("p"))
+        .filter("p IS NOT NULL")
+        .select("p.u", "p.v")
+    )
+
+
 def register(name: str, oracle: str | None = None):
     def deco(fn):
         QUERIES[name] = fn
@@ -162,14 +191,12 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The edge build dedups the per-order pair explosion immediately
     (DISTINCT before any graph work), so the only quadratic-ish step
-    is per-order C(items,2), bounded by order size."""
+    is per-order C(items,2), bounded by order size; pair generation is
+    the shared zero-join basket explode (_basket_pair_explode — the r8
+    rewrite that halved the sf1 pairs stage)."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
     pairs = (
-        a.join(b, "ok")
-        .filter(F.col("u") < F.col("v"))
-        .select("u", "v")
+        _basket_pair_explode(li)
         .distinct()
         .persist()  # degree pass + orientation consume it twice
     )
@@ -193,15 +220,36 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()  # wedge join uses it twice + the closing semi-join
     )
-    e1 = oriented.select(F.col("s").alias("a"), F.col("t").alias("b"))
-    e2 = oriented.select(F.col("s").alias("b"), F.col("t").alias("c"))
-    wedges = e1.join(e2, "b")
-    closed = wedges.join(
-        oriented.select(F.col("s").alias("a"), F.col("t").alias("c")),
-        ["a", "c"],
-        "left_semi",
+    # Close triangles by ADJACENCY INTERSECTION, not a wedge semi-join:
+    # n_triangles = Σ_edges |N⁺(s) ∩ N⁺(t)| over the oriented graph —
+    # the same once-per-triangle count (the orientation is acyclic; the
+    # triangle's minimum vertex owns both out-edges), but the wedge set
+    # is never MATERIALIZED or shuffled. The r8 sf1 profile showed the
+    # semi-join shuffling 492M wedge rows on (a,c) for 76 s; here the
+    # shuffle is two edge⋈adjacency equi-joins (|E| rows carrying
+    # degree-bounded arrays) and the O(Σ d⁺(s)·d⁺(t)) intersection work
+    # happens in-array inside the map stage. Same O(m^1.5) compute
+    # bound via the orientation; ~1/20th the shuffle bytes.
+    adj = oriented.groupBy("s").agg(F.sort_array(F.collect_list("t")).alias("nbrs"))
+    per_edge = (
+        oriented.join(
+            adj.select(F.col("s").alias("u"), F.col("nbrs").alias("n_s")),
+            F.col("s") == F.col("u"),
+        )
+        .join(
+            adj.select(F.col("s").alias("w"), F.col("nbrs").alias("n_t")),
+            F.col("t") == F.col("w"),
+            "left",  # a sink vertex has no out-adjacency row
+        )
+        .select(
+            F.when(
+                F.col("n_t").isNull(), F.lit(0)
+            )
+            .otherwise(F.size(F.array_intersect("n_s", "n_t")))
+            .alias("k")
+        )
     )
-    counts = closed.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    counts = per_edge.agg(F.sum("k").cast("bigint").alias("n_triangles"))
     n_nodes = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
     n_edges = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
     return (
@@ -422,21 +470,8 @@ def link_prediction_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFr
     whole pair-construction expression inlined — down into the scan
     filter (the winnow_fingerprints lesson, dedup.py)."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    baskets = li.groupBy("l_orderkey").agg(
-        F.expr("sort_array(collect_list(l_partkey))").alias("ps")
-    )
     pairs = (
-        baskets.selectExpr(
-            "filter(flatten(transform(sequence(1, size(ps)), i ->"
-            " transform(slice(ps, i+1, size(ps)-i), y ->"
-            " IF(element_at(ps, i) < y,"
-            " struct(element_at(ps, i) AS u, y AS v),"
-            " CAST(NULL AS struct<u:bigint,v:bigint>))))),"
-            " s -> s IS NOT NULL) AS prs"
-        )
-        .select(F.explode_outer("prs").alias("p"))
-        .filter("p IS NOT NULL")
-        .select("p.u", "p.v")
+        _basket_pair_explode(li)
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
         .persist()  # adjacency build + anti-join probe
