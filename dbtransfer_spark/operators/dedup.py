@@ -776,16 +776,35 @@ def simhash_hamming_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _simhash_impl(
     spark: SparkSession, sf_dir: str, bits: int, portable_hash: bool,
-    n_chunks: int = 4, max_hamming: int | None = 8,
+    n_chunks: int = 4, max_hamming: int = 8,
 ) -> DataFrame:
-    """``max_hamming=None`` returns the unfiltered candidate set (the
-    hamming-profile calibration query)."""
+    """DISTINCT-FIRST candidate generation (the blanket SCALE.md rule,
+    r9 rewrite): duplicate documents share a signature, so the former
+    doc-level chunk-bucket join squared every exact-replica clique
+    inside its bucket — 42.1 s on the ×10-replica sf1 fixture, the
+    worst non-contract sweep entry of r8. Signatures and chunk buckets
+    are now computed per DISTINCT text (the simhash_hamming_profile /
+    fuzzy_part_linkage recipe), the Hamming filter runs on the
+    |distinct-text|-sized candidate frame, and doc pairs are expanded
+    only for text pairs that MATCH — plus the C(m,2) within-clique
+    pairs at Hamming 0 (same text ⇒ same signature), generated by an
+    in-array position-pair explode with zero joins. Output contract
+    (the admitted doc-pair list) is unchanged, so the oracle hash is
+    unchanged; only the candidate-generation volume became
+    replica-independent. The pair OUTPUT still scales with the dup
+    rate — that is the contract, not the plan."""
     chunk_bits = bits // n_chunks
     mask = (1 << chunk_bits) - 1
     df = load_table(spark, sf_dir, "documents")
-    sigs = simhash(df, "doc_id", "text", bits=bits, portable_hash=portable_hash)
+    dt = (
+        df.groupBy("text")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .withColumn("th", F.md5("text"))
+        .persist()  # signature pass + two id-expansion joins + within-pairs
+    )
+    sigs = simhash(dt, "th", "text", bits=bits, portable_hash=portable_hash)
     chunks = sigs.select(
-        "doc_id",
+        "th",
         "simhash",
         F.explode(
             F.array(
@@ -800,7 +819,7 @@ def _simhash_impl(
                 ]
             )
         ).alias("c"),
-    ).select("doc_id", "simhash", "c.chunk", "c.val")
+    ).select("th", "simhash", "c.chunk", "c.val")
     a = chunks.alias("a")
     b = chunks.alias("b")
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
@@ -809,18 +828,50 @@ def _simhash_impl(
             b,
             (F.col("a.chunk") == F.col("b.chunk"))
             & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.th") < F.col("b.th")),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.th").alias("ta"),
+            F.col("b.th").alias("tb"),
             hamming.alias("hamming"),
         )
         .distinct()
+        .filter(F.col("hamming") <= max_hamming)
     )
-    if max_hamming is None:
-        return cand
-    return cand.filter(F.col("hamming") <= max_hamming)
+    # Cross-text expansion: every (doc of ta) × (doc of tb) combination.
+    # Each doc pair maps to exactly one unordered text pair and cand is
+    # distinct per text pair, so no post-expansion distinct is needed.
+    cross = (
+        cand.join(
+            dt.select(F.col("th").alias("ta"), F.col("ids").alias("ids_a")), "ta"
+        )
+        .join(dt.select(F.col("th").alias("tb"), F.col("ids").alias("ids_b")), "tb")
+        .select(F.explode("ids_a").alias("ida"), "ids_b", "hamming")
+        .select("ida", F.explode("ids_b").alias("idb"), "hamming")
+        .select(
+            F.least("ida", "idb").alias("doc_a"),
+            F.greatest("ida", "idb").alias("doc_b"),
+            F.col("hamming"),
+        )
+    )
+    # Within-clique pairs: identical text ⇒ identical signature ⇒ every
+    # chunk collides and Hamming is 0 (always admitted). Sorted ids give
+    # doc_a < doc_b directly; explode_outer + post-filter keeps the pair
+    # construction out of the scan filter (InferFiltersFromGenerate).
+    within = (
+        dt.filter(F.size("ids") >= 2)
+        .selectExpr(
+            "flatten(transform(sequence(1, size(ids)-1), i ->"
+            " transform(slice(ids, i+1, size(ids)-i), y ->"
+            " struct(element_at(ids, i) AS doc_a, y AS doc_b)))) AS prs"
+        )
+        .select(F.explode_outer("prs").alias("p"))
+        .filter("p IS NOT NULL")
+        .select(
+            "p.doc_a", "p.doc_b", F.lit(0).cast("int").alias("hamming")
+        )
+    )
+    return cross.unionByName(within)
 
 
 # ---------------------------------------------------------------------------
