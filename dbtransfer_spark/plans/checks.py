@@ -158,7 +158,7 @@ DOMAIN_BOUNDED_GLOBAL_WINDOWS = {
     "slo_burn_rate_windows": "6h/24h range frames over the |hours| aggregate",
     # post-aggregate: fixed/domain-bounded category sets
     "apportion_largest_remainder": "remainder ranks over the |sources| frame",
-    "bootstrap_mean_ci": "rank over the fixed |replicas|=200 frame",
+    "bootstrap_mean_ci": "rank over the fixed |replicas|=32 frame",
     "events_funnel": "lag over the |stages| (4-row) frame",
     "events_funnel_windowed": "lag over the |stages| (4-row) frame",
     "fair_share_allocation": "water-fill over the |tenants| frame",

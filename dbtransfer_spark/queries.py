@@ -3444,13 +3444,20 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "bootstrap_mean_ci",
     """
-    WITH w AS (
+    WITH hh AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS h1,
+             CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 16, 15))
+                  AS BIGINT) AS h2
+      FROM orders
+    ), w AS (
       SELECT b,
-             CASE CAST(('0x' || substr(md5(b || ':' || o_orderkey), 1, 15))
-                       AS BIGINT) % 4
+             CASE ((CASE WHEN b < 30 THEN h1 ELSE h2 END)
+                   >> (2 * (CASE WHEN b < 30 THEN b ELSE b - 30 END))) & 3
                WHEN 0 THEN 0 WHEN 3 THEN 2 ELSE 1 END AS wt,
-             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
-      FROM orders, UNNEST(range(0, 32)) AS t(b)
+             cents
+      FROM hh, UNNEST(range(0, 32)) AS t(b)
     ), reps AS (
       SELECT b,
              CAST(sum(wt * cents) AS BIGINT) AS num,
@@ -3474,68 +3481,80 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed bootstrap confidence interval for a mean — the
     resampling machinery that gives error bars on any corpus statistic
     WITHOUT collecting data to a driver: 32 bootstrap replicas
-    materialize as WEIGHTS (a deterministic md5-derived multiplier in
-    {0,1,1,2}, mean 1 — the fixed-seed stand-in for Poisson(1)
-    resampling, so both engines draw identical 'samples'), each replica
-    mean is one weighted aggregate, and the CI is an order statistic
-    over the 32 replica means (2nd/31st ≈ the 93% interval). One pass
-    over the data with a constant 32× explode — the standard
-    bag-of-little-bootstraps-style shape at 100 TB, where true
-    row-resampling is impossible.
+    materialize as WEIGHTS (deterministic multipliers in {0,1,1,2},
+    mean 1 — the fixed-seed stand-in for Poisson(1) resampling, so both
+    engines draw identical 'samples'), each replica mean is one
+    weighted aggregate, and the CI is an order statistic over the 32
+    replica means (2nd/31st ≈ the 93% interval).
+
+    r9 cost rewrite (VERDICT r8 #3): ONE md5 per row, not 32 — all 32
+    two-bit weights are bit-slices of that single 120-bit digest
+    (h1 = hex[1..15] carries replicas 0-29, h2 = hex[16..30] carries
+    30-31), and the 32× row explode is gone: the 64 replica sums plus
+    the point-mean sums are 66 partial-aggregated columns of ONE
+    map-side-combined pass, so shuffle volume is 66 longs per
+    partition regardless of row count. The sf1 sweep had this at
+    51.1 s purely on the 32-md5 constant. Oracle re-derived in
+    lockstep (weight stream changed ⇒ hash moved ⇒ re-queued for
+    driver verification per the hash-move rule).
 
     Exactness: weights and weighted sums are BIGINT; each replica mean
     is ONE division of identical integers, so the doubles — and the
     order statistics over them — agree bit-for-bit across engines."""
     orders = load_table(spark, sf_dir, "orders")
     cents = F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
-    h = F.pmod(
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws(":", F.col("b"), F.col("o_orderkey"))), 1, 15
-            ),
-            16,
-            10,
-        ).cast("long"),
-        F.lit(4),
+    md5hex = F.md5(F.col("o_orderkey").cast("string"))
+    rows = orders.select(
+        cents.alias("cents"),
+        F.conv(F.substring(md5hex, 1, 15), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(md5hex, 16, 15), 16, 10).cast("long").alias("h2"),
     )
-    wt = (
-        F.when(h == 0, F.lit(0)).when(h == 3, F.lit(2)).otherwise(F.lit(1))
-    )
-    reps = (
-        orders.select(
-            cents.alias("cents"),
-            "o_orderkey",
-            F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"),
+
+    def wt(b: int):
+        src, shift = ("h1", 2 * b) if b < 30 else ("h2", 2 * (b - 30))
+        nib = F.shiftright(F.col(src), shift).bitwiseAND(F.lit(3))
+        return F.when(nib == 0, F.lit(0)).when(nib == 3, F.lit(2)).otherwise(
+            F.lit(1)
         )
-        .select("b", (wt * F.col("cents")).alias("wc"), wt.alias("wt"))
-        .groupBy("b")
-        .agg(
-            F.sum("wc").cast("bigint").alias("num"),
-            F.sum("wt").cast("bigint").alias("den"),
-        )
-    )
+
+    aggs = []
+    for b in range(32):
+        w = wt(b)
+        aggs.append(F.sum(w * F.col("cents")).cast("bigint").alias(f"num_{b}"))
+        aggs.append(F.sum(w).cast("bigint").alias(f"den_{b}"))
+    aggs.append(F.sum("cents").cast("bigint").alias("sum_cents"))
+    aggs.append(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    rep_row = rows.agg(*aggs)
+    reps = rep_row.select(
+        F.round(
+            F.col("sum_cents").cast("double") / F.col("n_rows"), 4
+        ).alias("point_mean_cents"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        F.col(f"num_{b}").alias("num"),
+                        F.col(f"den_{b}").alias("den"),
+                    )
+                    for b in range(32)
+                ]
+            )
+        ).alias("r"),
+    ).select("point_mean_cents", "r.b", "r.num", "r.den")
     m = (F.col("num").cast("double") / F.col("den")).alias("m")
-    means = reps.select("b", m).withColumn(
+    means = reps.select("point_mean_cents", "b", m).withColumn(
         "rk", F.row_number().over(Window.orderBy("m", "b"))
     )
-    point = orders.agg(
-        F.round(
-            F.sum(cents).cast("double") / F.count(F.lit(1)), 4
-        ).alias("point_mean_cents")
-    )
-    return (
-        means.agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_replicas"),
-            F.round(F.min(F.when(F.col("rk") == 2, F.col("m"))), 4).alias(
-                "ci_lo_cents"
-            ),
-            F.round(F.min(F.when(F.col("rk") == 31, F.col("m"))), 4).alias(
-                "ci_hi_cents"
-            ),
-        )
-        .crossJoin(F.broadcast(point))
-        .select("n_replicas", "ci_lo_cents", "ci_hi_cents", "point_mean_cents")
-    )
+    return means.groupBy("point_mean_cents").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_replicas"),
+        F.round(F.min(F.when(F.col("rk") == 2, F.col("m"))), 4).alias(
+            "ci_lo_cents"
+        ),
+        F.round(F.min(F.when(F.col("rk") == 31, F.col("m"))), 4).alias(
+            "ci_hi_cents"
+        ),
+    ).select("n_replicas", "ci_lo_cents", "ci_hi_cents", "point_mean_cents")
 
 
 @register(

@@ -248,8 +248,6 @@ _FIXED_SIDE_CROSSJOINS = {
     # 1-row lazy-total broadcast per foreign_key expectation (r7: replaced
     # the eager count() the r6 ADVICE flagged)
     "dq_expectations_orders",
-    # 1-row point-mean broadcast beside the 1-row replica rollup
-    "bootstrap_mean_ci",
     # 1-row leak-audit broadcast beside the 3-row split rollup
     "leakage_safe_split",
     # 1-row ECE rollup broadcast beside the ≤10-bin reliability frame
