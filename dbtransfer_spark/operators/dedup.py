@@ -708,10 +708,15 @@ def simhash_hamming_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     the dup rate; the profile is where the scale trap actually bites
     and where the algebra removes it."""
     docs = load_table(spark, sf_dir, "documents")
+    # Keyed by MIN doc_id per distinct text (r9 ADVICE, same fix as
+    # _simhash_impl): injective under the doc_id PK, so no hash-collision
+    # cliff, and a bigint key shuffles cheaper than an md5 digest.
     dt = (
         docs.groupBy("text")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("m"))
-        .withColumn("th", F.md5("text"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("m"),
+            F.min("doc_id").alias("th"),
+        )
         .persist()  # signature pass + two multiplicity probes + dup count
     )
     sigs = simhash(dt, "th", "text", bits=60, portable_hash=True)
@@ -792,14 +797,22 @@ def _simhash_impl(
     (the admitted doc-pair list) is unchanged, so the oracle hash is
     unchanged; only the candidate-generation volume became
     replica-independent. The pair OUTPUT still scales with the dup
-    rate — that is the contract, not the plan."""
+    rate — that is the contract, not the plan.
+
+    Distinct texts are keyed by their clique's MIN doc_id (r9 ADVICE):
+    doc_id is the table's primary key and each doc belongs to exactly
+    one text group, so the key is injective — unlike md5(text), whose
+    (theoretical) collision would both drop a candidate pair (the
+    a.th < b.th join excludes equal keys) and double-match the
+    id-expansion joins. An 8-byte bigint also shuffles cheaper than a
+    32-char digest in the candidate join."""
     chunk_bits = bits // n_chunks
     mask = (1 << chunk_bits) - 1
     df = load_table(spark, sf_dir, "documents")
     dt = (
         df.groupBy("text")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .withColumn("th", F.md5("text"))
+        .withColumn("th", F.element_at("ids", 1))
         .persist()  # signature pass + two id-expansion joins + within-pairs
     )
     sigs = simhash(dt, "th", "text", bits=bits, portable_hash=portable_hash)
@@ -858,6 +871,9 @@ def _simhash_impl(
     # chunk collides and Hamming is 0 (always admitted). Sorted ids give
     # doc_a < doc_b directly; explode_outer + post-filter keeps the pair
     # construction out of the scan filter (InferFiltersFromGenerate).
+    # The strict doc_a < doc_b guard (r9 ADVICE) discards self-pairs a
+    # duplicated doc_id would otherwise create — the oracle's strict
+    # doc_a < doc_b join can never emit them. No-op while doc_id is a PK.
     within = (
         dt.filter(F.size("ids") >= 2)
         .selectExpr(
@@ -866,7 +882,7 @@ def _simhash_impl(
             " struct(element_at(ids, i) AS doc_a, y AS doc_b)))) AS prs"
         )
         .select(F.explode_outer("prs").alias("p"))
-        .filter("p IS NOT NULL")
+        .filter("p IS NOT NULL AND p.doc_a < p.doc_b")
         .select(
             "p.doc_a", "p.doc_b", F.lit(0).cast("int").alias("hamming")
         )

@@ -3500,7 +3500,13 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: weights and weighted sums are BIGINT; each replica mean
     is ONE division of identical integers, so the doubles — and the
-    order statistics over them — agree bit-for-bit across engines."""
+    order statistics over them — agree bit-for-bit across engines.
+
+    Fixture-nonempty assumption (r9 ADVICE): df.agg always yields one
+    row, so on an EMPTY orders table this returns n_replicas=32 with
+    null CIs while the oracle returns n_replicas=0. A bootstrap CI on
+    zero rows is undefined either way; if empty inputs ever matter,
+    gate the replica explode on n_rows > 0."""
     orders = load_table(spark, sf_dir, "orders")
     cents = F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
     md5hex = F.md5(F.col("o_orderkey").cast("string"))
