@@ -356,46 +356,61 @@ def khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     checks. For the 20 lowest-id parts: distinct neighbors at hop 1 and
     distinct nodes within <= 2 hops (seed excluded).
 
-    Algorithm = frontier BFS as joins: each hop is ONE edge-keyed
-    equi-join of the frontier with the symmetrized edge list, followed
-    by a (seed, node) DISTINCT — the dedup is what keeps the frontier
-    from exploding through hubs (a node reached ten ways carries once
-    into the next hop). Reached sets stay distributed end-to-end;
-    counts are per-seed partial aggregates. More hops = more of the
-    same plan, O(diameter) stages, state never on the driver (the same
-    iterate-by-extending-the-plan discipline as pagerank_bipartite and
-    dedup_clusters' label propagation).
+    Algorithm = frontier BFS over BASKETS, never over a materialized
+    edge list (r10 trim of the 27 s sf1 entry — the old plan built,
+    deduped, and symmetrized the ENTIRE O(Σ C(basket,2)) co-purchase
+    edge set just to probe it from 20 seeds): an edge exists iff two
+    parts share an order, so "neighbors of the frontier" is exactly
+    "parts in the frontier's orders". Each hop is therefore (1) probe
+    the (order, part) incidence frame with the broadcast frontier to
+    collect the frontier's ORDERS — deduped per seed so a hub order
+    expands once, (2) expand those orders back through the incidence
+    frame, (3) (seed, node) DISTINCT. Graph work done: one basket
+    shuffle, total; everything past it is broadcast-probe map stages.
+    t = n self-hits in the hop-2 expansion are already in h1 ⊆ reach2,
+    so the union-distinct is unchanged (the edge-list form's s ≠ t
+    filter is not needed).
 
-    Scale: frontier size is bounded by |seeds| x max-degree per hop
-    BEFORE dedup and by |seeds| x |V| after; seeds are a fixed-size
-    sort-limit (TakeOrdered, no global sort). The edge build reuses the
-    copurchase_triangles dedup-at-the-scan pattern; `sym` and `h1` are
-    persisted because two hops and the union consume them twice."""
+    Scale: the incidence frame is the scan, not a square of it; probe
+    broadcasts are bounded by |seeds| × degree (frontier) and
+    |seeds| × orders-per-part (frontier orders) — fixed-20 seeds keep
+    both dimension-sized. Seeds are a fixed-size sort-limit
+    (TakeOrdered, no global sort). More hops = repeat the probe pair,
+    O(diameter) stages, state never on the driver (the same
+    iterate-by-extending-the-plan discipline as pagerank_bipartite and
+    dedup_clusters' label propagation)."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("s"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("t"))
-    sym = (
-        a.join(b, "ok")
-        .filter(F.col("s") != F.col("t"))
-        .select("s", "t")
+    # (order, part) incidence, restricted to edge-bearing orders (≥2
+    # distinct parts — a single-part order contributes no edges, so a
+    # part qualifies as a node iff it appears here). ONE basket shuffle.
+    parts = (
+        li.groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("ps"))
+        .filter(F.size("ps") >= 2)
+        .select(F.col("l_orderkey").alias("ok"), F.explode("ps").alias("p"))
+        .persist()  # seed pick + one probe/expand pair per hop
+    )
+    seeds = parts.select(F.col("p").alias("seed")).distinct().orderBy("seed").limit(20)
+    seed_orders = (
+        parts.join(F.broadcast(seeds), parts.p == F.col("seed"))
+        .select("seed", "ok")
         .distinct()
-        .persist()  # one frontier probe per hop reads it
     )
-    seeds = (
-        sym.select(F.col("s").alias("seed")).distinct().orderBy("seed").limit(20)
-    )
-    # frontiers are tiny (<= |seeds| * degree after dedup): BROADCAST them
-    # onto the partitioned edge list so each hop shuffles nothing but its
-    # own (seed, node) distinct
     h1 = (
-        sym.join(F.broadcast(seeds), sym.s == F.col("seed"))
-        .select("seed", F.col("t").alias("n"))
+        parts.join(F.broadcast(seed_orders), "ok")
+        .filter(F.col("p") != F.col("seed"))
+        .select("seed", F.col("p").alias("n"))
         .distinct()
         .persist()  # hop-2 probe + union + hop-1 count
     )
+    frontier_orders = (
+        parts.join(F.broadcast(h1), parts.p == h1.n)
+        .select("seed", "ok")
+        .distinct()
+    )
     h2 = (
-        sym.join(F.broadcast(h1), sym.s == h1.n)
-        .select("seed", sym.t.alias("n"))
+        parts.join(F.broadcast(frontier_orders), "ok")
+        .select("seed", F.col("p").alias("n"))
         .distinct()
     )
     reach2 = h1.union(h2).distinct()
@@ -551,20 +566,22 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed form drops to correctly-rounded doubles — the same
     bit-stable discipline as correlation_matrix/spearman_rank_corr.
 
-    Plan: the pair build dedups the per-order explosion immediately
-    (DISTINCT before graph work, bounded by order size); two equi-joins
-    decorate edges with endpoint degrees; the stub union is narrow and
-    the moment reduce is 1-row. Degree joins broadcast at small SF and
-    shuffle-hash at scale — AQE's call, both equi-keyed."""
+    Plan (r10 trim of the 27 s sf1 entry): the pair build is the
+    shared zero-join basket explode + DISTINCT (the
+    copurchase_triangles recipe — the old lineitem self-join shuffled
+    the fact table twice); degree decoration BROADCASTS deg (|V| is
+    the part dimension — 200k×16B at sf1, and still dimension-sized at
+    100 TB — so the edge frame never reshuffles); and the stub union
+    is folded algebraically into ONE pass over decorated edges: each
+    undirected edge contributes both orientations, so over stubs
+    n = 2·m, sx = sy = Σ(dx+dy), sxx = syy = Σ(dx²+dy²),
+    sxy = 2·Σ(dx·dy) — identical BIGINT sums (bit-identical doubles),
+    half the aggregate input, zero union."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
     pairs = (
-        a.join(b, "ok")
-        .filter(F.col("u") < F.col("v"))
-        .select("u", "v")
+        _basket_pair_explode(li)
         .distinct()
-        .persist()  # degree pass + two decorating joins + edge count
+        .persist()  # degree pass + decorating joins + edge count
     )
     deg = (
         pairs.select(F.col("u").alias("node"))
@@ -575,17 +592,18 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("dx"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dy"))
-    decorated = pairs.join(du, "u").join(dv, "v")
-    stubs = decorated.select(
-        F.col("dx").alias("x"), F.col("dy").alias("y")
-    ).unionByName(decorated.select(F.col("dy").alias("x"), F.col("dx").alias("y")))
-    s = stubs.agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum("x").cast("double").alias("sx"),
-        F.sum("y").cast("double").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
-        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    decorated = pairs.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    s = decorated.agg(
+        (F.count(F.lit(1)) * 2).cast("double").alias("n"),
+        F.sum(F.col("dx") + F.col("dy")).cast("double").alias("sx"),
+        F.sum(F.col("dx") + F.col("dy")).cast("double").alias("sy"),
+        F.sum(F.col("dx") * F.col("dx") + F.col("dy") * F.col("dy"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.col("dx") * F.col("dx") + F.col("dy") * F.col("dy"))
+        .cast("double")
+        .alias("syy"),
+        (F.sum(F.col("dx") * F.col("dy")) * 2).cast("double").alias("sxy"),
     )
     n_nodes = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
     n_edges = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
