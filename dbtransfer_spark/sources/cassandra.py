@@ -47,6 +47,15 @@ KEY_QUERY = (  # cassandra.go:493-528
     "WHERE keyspace_name = ? AND table_name = ?"
 )
 
+# §2.7 write-session contract (cassandra.go:1170-1174 sets QUORUM on the
+# native session; 648-698 flushes UNLOGGED batches). The Spark-path
+# write_options and the driver-side batch path both pin these; a native
+# session adapter must apply them as session.default_consistency_level /
+# BatchStatement(batch_type=UNLOGGED). The write-wire transcript
+# (tests/fixtures/cassandra_orders_write_wire.json) asserts them.
+CONSISTENCY = "QUORUM"
+BATCH_TYPE = "UNLOGGED"
+
 
 def read_options(cfg: DBConfig, table: TableMapping) -> dict[str, str]:
     host = (cfg.hosts[0] if cfg.hosts else "localhost:9042").split(":")[0]
@@ -57,7 +66,7 @@ def read_options(cfg: DBConfig, table: TableMapping) -> dict[str, str]:
         "spark.cassandra.auth.username": cfg.username,
         "spark.cassandra.auth.password": cfg.password,
         # §2.7 knobs
-        "spark.cassandra.input.consistency.level": "QUORUM",
+        "spark.cassandra.input.consistency.level": CONSISTENCY,
         "spark.cassandra.input.fetch.sizeInRows": "1000",  # PageSize(batch) cassandra.go:645
     }
 
@@ -72,7 +81,7 @@ def write_options(
         "spark.cassandra.connection.host": host,
         "spark.cassandra.auth.username": cfg.username,
         "spark.cassandra.auth.password": cfg.password,
-        "spark.cassandra.output.consistency.level": "QUORUM",  # cassandra.go:1170
+        "spark.cassandra.output.consistency.level": CONSISTENCY,  # cassandra.go:1170
         # UnloggedBatch grouped by partition key (cassandra.go:700):
         "spark.cassandra.output.batch.grouping.key": "partition",
         "spark.cassandra.output.batch.size.rows": "1000",

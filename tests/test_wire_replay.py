@@ -317,6 +317,146 @@ def test_cassandra_wire_replay_token_resume_pushdown(tmp_path):
     assert moved == {5, 7, 8, 9}
 
 
+# ---------------------------------------------------------------------------
+# WRITE-path transcripts (r9 VERDICT #4 — closes §2.7): the exact bulk
+# upsert models / batch statements a live server would RECEIVE, recorded
+# as fixtures. Strict: any write not byte-equal to the transcript fails.
+# ---------------------------------------------------------------------------
+
+
+def _load_mongo_write_transcript() -> dict:
+    with open(os.path.join(FIXTURES, "mongo_orders_write_wire.json")) as f:
+        return _decode_extjson(json.load(f))
+
+
+def _load_cql_write_transcript() -> dict:
+    with open(os.path.join(FIXTURES, "cassandra_orders_write_wire.json")) as f:
+        return json.load(f)
+
+
+def _normalize_models(models: list) -> list[dict]:
+    """pymongo UpdateOne instances and the dict fallback share one wire
+    shape (filter/update/upsert) — normalize for transcript comparison."""
+    out = []
+    for m in models:
+        if not isinstance(m, dict):
+            m = {"filter": m._filter, "update": m._doc["u"], "upsert": True}
+        out.append(m)
+    return out
+
+
+class StrictMongoWriteDest:
+    """Asserts every bulk_write call equals the recorded transcript call —
+    model order, filter, full $set document, upsert flag, unordered — and
+    APPLIES the models with upsert semantics so idempotent-replay equality
+    is checkable (mongodb.go:390-431: unordered UpdateOne upserts)."""
+
+    def __init__(self, expected_calls: list[list[dict]]):
+        self.expected = expected_calls
+        self.call_idx = 0
+        self.state: dict = {}
+
+    def count_documents(self, filter: dict) -> int:
+        return len(self.state)
+
+    def bulk_write(self, models, ordered=False):
+        assert ordered is False, "reference bulk writes are unordered"
+        norm = _normalize_models(models)
+        assert self.call_idx < len(self.expected), "unrecorded bulk_write call"
+        assert norm == self.expected[self.call_idx]
+        self.call_idx += 1
+        for m in norm:
+            self.state[m["filter"]["_id"]] = dict(m["update"]["$set"])
+
+
+def test_mongo_wire_replay_write_transcript_and_idempotence(tmp_path):
+    """W3 write wire: the full migration must emit EXACTLY the recorded
+    bulk_write sequence (3 unordered calls of upserting UpdateOne models,
+    _id filter, whole-document $set), and replaying the identical
+    transcript a second time must leave the destination state unchanged
+    (upsert idempotence — what makes retry-after-partial-flush safe)."""
+    t = _load_mongo_write_transcript()
+    docs = _load_mongo_recording()
+
+    def run(dest, subdir):
+        store = CheckpointStore(str(tmp_path / subdir), engine="mongodb")
+        return mongo.migrate_collection(
+            ReplayMongoCollection(docs), dest, "orders", store,
+            batch_size=4, parse_id=int, stable_fields=STABLE,
+        )
+
+    dest = StrictMongoWriteDest(t["bulk_writes"])
+    assert run(dest, "first") == {"rows": 10, "resumed_from": None}
+    assert dest.call_idx == len(t["bulk_writes"]) == 3, "transcript not consumed"
+    state_after_first = {k: dict(v) for k, v in dest.state.items()}
+    assert set(state_after_first) == {1001 + i for i in range(10)}
+
+    # idempotent replay: same transcript against the already-written state
+    dest.call_idx = 0
+    assert run(dest, "second") == {"rows": 10, "resumed_from": None}
+    assert dest.state == state_after_first
+
+
+class StrictCQLWriteDest:
+    """Asserts every flushed batch equals the recorded transcript batch —
+    statement text byte-identical, parameters value-equal, batch grouping
+    preserved — and APPLIES the INSERTs keyed on (order_id, line_no) (CQL
+    INSERT is an upsert) for idempotent-replay equality."""
+
+    def __init__(self, expected_batches: list[list[list]]):
+        self.expected = expected_batches
+        self.idx = 0
+        self.state: dict = {}
+
+    def execute(self, statement: str, parameters: tuple = ()):  # pragma: no cover
+        raise AssertionError("dest only receives batches")
+
+    def execute_batch(self, statements):
+        norm = [[s, list(p)] for s, p in statements]
+        assert self.idx < len(self.expected), "unrecorded batch flush"
+        assert norm == self.expected[self.idx]
+        self.idx += 1
+        for s, p in statements:
+            self.state[(p[0], p[1])] = tuple(p)
+
+
+def test_cassandra_wire_replay_write_transcript_and_idempotence(tmp_path):
+    """W4 write wire (cassandra.go:648-698): the full copy must flush
+    EXACTLY the recorded batches — `INSERT ... USING TTL ?` statements
+    byte-identical, parameter tuples (TTL included) value-equal, 3/3/2
+    grouping — under the recorded session contract (QUORUM consistency,
+    UNLOGGED batch type, cassandra.go:1170-1174), and replaying the
+    transcript must leave the destination state unchanged."""
+    t = _load_cql_transcript()
+    wt = _load_cql_write_transcript()
+    assert wt["session"] == {
+        "consistency": cass.CONSISTENCY,
+        "batch_type": cass.BATCH_TYPE,
+    }
+
+    def run(dest, subdir):
+        store = CheckpointStore(str(tmp_path / subdir), engine="cassandra")
+        return cass.copy_data(
+            ReplayCQLSession(t), dest,
+            source_keyspace=t["keyspace"], source_name=t["table"],
+            target_name=wt["table"], columns=_transcript_columns(t),
+            partition_keys=["order_id"], key_columns=["order_id", "line_no"],
+            store=store, batch_size=3,
+        )
+
+    dest = StrictCQLWriteDest(wt["batches"])
+    assert run(dest, "first") == {"rows": 8, "resumed_from": None}
+    assert dest.idx == len(wt["batches"]) == 3, "transcript not consumed"
+    assert [len(b) for b in wt["batches"]] == [3, 3, 2]
+    state_after_first = dict(dest.state)
+    assert len(state_after_first) == 8
+
+    # idempotent replay (the property execute_batch_with_retry relies on)
+    dest.idx = 0
+    assert run(dest, "second") == {"rows": 8, "resumed_from": None}
+    assert dest.state == state_after_first
+
+
 def test_cassandra_connector_options_pinned():
     """The option dicts handed to the Spark Cassandra connector (S4/W4
     scale path): §2.7 consistency + paging/batching knobs."""
