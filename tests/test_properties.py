@@ -706,3 +706,178 @@ def test_columnar_sink_upsert_matches_model(spark, tmp_path_factory, batches, fm
         # collapse the model to what the sink actually kept (it becomes
         # the definitive prior state for the next batch's anti-join)
         model = {k: {v} for k, v in got.items()}
+
+
+# ---------------------------------------------------------------------------
+# Oracle-shared arithmetic families (r9 VERDICT #5): the derivations BOTH
+# engines replay — if one degenerates (wrong digit count, collapsed band
+# slice, correlated weight slices, non-bijective interleave), every
+# oracle pair built on it would agree on the same wrong answer. Each test
+# checks the family against an independent pure-Python model / statistical
+# bound that an injected degenerate derivation fails.
+# ---------------------------------------------------------------------------
+
+
+def _py_md5_60bit(s: str) -> int:
+    """Independent model of the portable 60-bit token hash: first 15 hex
+    digits of md5 as an integer (what Spark's conv(substring(md5..)) and
+    DuckDB's CAST('0x' || substr(md5..)) must both equal)."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+@given(
+    tokens=st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=33, max_codepoint=0x24F),
+            min_size=1,
+            max_size=24,
+        ),
+        min_size=1,
+        max_size=24,
+        unique=True,
+    )
+)
+@settings(
+    max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+def test_md5_60bit_token_hash_matches_python_and_duckdb(spark, tokens):
+    """The 60-bit md5 token hash (dedup._word_hash_portable, the base of
+    every portable MinHash/SimHash oracle pair) equals the independent
+    hashlib model in BOTH engines for arbitrary unicode tokens — a wrong
+    substring window, radix, or sign handling diverges immediately."""
+    from pyspark.sql import functions as F
+
+    expected = {t: _py_md5_60bit(t) for t in tokens}
+    df = spark.createDataFrame([(t,) for t in tokens], "tok string")
+    got_spark = {
+        r["tok"]: r["h"]
+        for r in df.select(
+            "tok",
+            F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("h"),
+        ).collect()
+    }
+    assert got_spark == expected
+
+    con = duckdb.connect()
+    con.register("toks", __import__("pandas").DataFrame({"tok": tokens}))
+    got_duck = dict(
+        con.sql(
+            "SELECT tok, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) FROM toks"
+        ).fetchall()
+    )
+    assert got_duck == expected
+
+
+def test_lsh_band_packing_recall_on_planted_neardups(spark):
+    """LSH banding (8 bands × 4 rows over 32-hash MinHash signatures):
+    exact duplicates MUST always collide (identical signatures ⇒ every
+    band matches); planted one-word-edit near-dups (3-shingle Jaccard
+    ≈ 0.84 ⇒ per-band collision ≈ 0.5 ⇒ pair recall ≈ 1-0.5^8) must be
+    recovered at ≥ 0.9 recall; and unrelated random-vocabulary docs must
+    produce almost no candidate pairs. A degenerate packing (all bands
+    reading the same slice) drops near-dup recall toward 0.5 and fails
+    the bound; a too-wide bucket key (whole signature) fails recall; a
+    collapsed one (constant) fails the false-positive cap."""
+    import random
+
+    from dbtransfer_spark.operators.dedup import minhash_lsh_pairs, minhash_signatures
+
+    rnd = random.Random(20260815)
+    vocab = [f"w{i}" for i in range(5000)]
+    rows, planted = [], []
+    for i in range(60):
+        words = rnd.sample(vocab, 30)
+        near = list(words)
+        near[rnd.randrange(30)] = f"x{i}"  # one-word edit, Jaccard ≈ 27/33
+        rows.append((3 * i, " ".join(words)))
+        rows.append((3 * i + 1, " ".join(near)))
+        rows.append((3 * i + 2, " ".join(words)))  # exact dup of the base
+        planted.append((3 * i, 3 * i + 1))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(df, "doc_id", "text")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(sigs, "doc_id").collect()
+    }
+    exact = {(3 * i, 3 * i + 2) for i in range(60)}
+    assert exact <= pairs, "exact duplicates must always collide"
+    recall = sum(p in pairs for p in planted) / len(planted)
+    assert recall >= 0.9, f"planted near-dup recall {recall}"
+    # docs from different bases share ~no shingles: candidate noise is
+    # bounded (distinct 30-word samples from a 5000-word vocabulary)
+    cross_base = {
+        (a, b) for a, b in pairs if a // 3 != b // 3
+    }
+    assert len(cross_base) <= 3, f"false-pair noise: {sorted(cross_base)[:5]}"
+
+
+def test_bootstrap_bitslice_weights_mean_variance_independence():
+    """The r9 bit-slice bootstrap weights (queries.bootstrap_mean_ci): one
+    md5 per key, replica b's weight = two-bit slice of h1 (b<30) / h2
+    (b≥30) mapped {0→0, 3→2, else 1}. Independent model checks the
+    resampling contract: per-replica mean ≈ 1 and variance ≈ 0.5 (the
+    {¼,½,¼} law), and cross-replica correlation ≈ 0 — a derivation that
+    reuses a slice (perfect correlation) or mis-windows the digest
+    (non-uniform nibbles) fails the bounds."""
+    import hashlib
+    import math
+
+    n, reps = 4000, 32
+    weights = [[0] * reps for _ in range(n)]
+    for k in range(n):
+        hx = hashlib.md5(str(k + 1).encode()).hexdigest()
+        h1, h2 = int(hx[0:15], 16), int(hx[15:30], 16)
+        for b in range(reps):
+            nib = (h1 >> (2 * b) if b < 30 else h2 >> (2 * (b - 30))) & 3
+            weights[k][b] = 0 if nib == 0 else (2 if nib == 3 else 1)
+    cols = list(zip(*weights))
+    means = [sum(c) / n for c in cols]
+    variances = [sum((x - m) ** 2 for x in c) / n for c, m in zip(cols, means)]
+    assert all(0.93 <= m <= 1.07 for m in means), means
+    assert all(0.42 <= v <= 0.58 for v in variances), variances
+    # adjacent slices + the h1/h2 seam: |corr| stays noise-sized
+    for a, b in [(i, i + 1) for i in range(0, 31, 3)] + [(29, 30), (0, 31)]:
+        ca, cb = cols[a], cols[b]
+        ma, mb = means[a], means[b]
+        cov = sum((x - ma) * (y - mb) for x, y in zip(ca, cb)) / n
+        corr = cov / math.sqrt(variances[a] * variances[b])
+        assert abs(corr) < 0.08, (a, b, corr)
+
+
+def test_morton_interleave_bijective_roundtrip():
+    """The zorder_clustering_stats Morton interleave (queries._z_interleave,
+    shared text in both engines modulo div-operator spelling) is a
+    BIJECTION on 8-bit × 8-bit → 16-bit: evaluated exhaustively over all
+    65,536 (xb, yb) pairs in DuckDB, every code matches the independent
+    bit-interleave model, the codes cover 0..65535 exactly once, and
+    deinterleaving recovers (xb, yb). A dropped/duplicated term or wrong
+    bit weight breaks coverage immediately."""
+    from dbtransfer_spark.queries import _z_interleave
+
+    def py_morton(xb: int, yb: int) -> int:
+        z = 0
+        for i in range(8):
+            z |= ((xb >> i) & 1) << (2 * i + 1)
+            z |= ((yb >> i) & 1) << (2 * i)
+        return z
+
+    rows = duckdb.sql(
+        f"""
+        SELECT xb, yb, ({_z_interleave('//')}) AS z
+        FROM (SELECT unnest(range(0, 256)) AS xb),
+             (SELECT unnest(range(0, 256)) AS yb)
+        """
+    ).fetchall()
+    assert len(rows) == 65536
+    seen = set()
+    for xb, yb, z in rows:
+        assert z == py_morton(xb, yb), (xb, yb, z)
+        seen.add(z)
+        back_x = sum(((z >> (2 * i + 1)) & 1) << i for i in range(8))
+        back_y = sum(((z >> (2 * i)) & 1) << i for i in range(8))
+        assert (back_x, back_y) == (xb, yb)
+    assert seen == set(range(65536))
