@@ -176,23 +176,9 @@ def ngram_jaccard_pairs(
     pinned by tests).
     """
     if max_doc_freq is None:
-        groups = (
-            df.groupBy(text_col)
-            .agg(
-                F.min(id_col).alias("__gid"),
-                F.count(F.lit(1)).alias("__n_members"),
-            )
-            .persist()  # distinct pipeline + membership map + self pairs
+        groups, m, dpairs = _ngram_jaccard_distinct_parts(
+            df, id_col, text_col, shingle_len, threshold
         )
-        distinct_docs = groups.select(
-            F.col("__gid").alias(id_col), F.col(text_col)
-        )
-        dpairs = _ngram_jaccard_pairs_rowlevel(
-            distinct_docs, id_col, text_col, shingle_len, threshold, None
-        )
-        m = df.select(F.col(id_col), F.col(text_col)).join(
-            groups.select(F.col(text_col), F.col("__gid")), text_col
-        ).select(F.col(id_col).alias("__rid"), "__gid")
         ma = m.select(F.col("__gid").alias("doc_a"), F.col("__rid").alias("__ra"))
         mb = m.select(F.col("__gid").alias("doc_b"), F.col("__rid").alias("__rb"))
         cross = (
@@ -220,6 +206,38 @@ def ngram_jaccard_pairs(
     return _ngram_jaccard_pairs_rowlevel(
         df, id_col, text_col, shingle_len, threshold, max_doc_freq
     )
+
+
+def _ngram_jaccard_distinct_parts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_len: int = 3,
+    threshold: float = 0.5,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The distinct-first front half of the uncapped n-gram Jaccard join,
+    shared by the pair expansion and the text-level clustering path:
+    ``groups`` (text → __gid = min id, __n_members, persisted), ``m``
+    (row id __rid → __gid membership map), ``dpairs`` (distinct-text
+    pairs keyed by __gid with exact jaccard ≥ threshold)."""
+    groups = (
+        df.groupBy(text_col)
+        .agg(
+            F.min(id_col).alias("__gid"),
+            F.count(F.lit(1)).alias("__n_members"),
+        )
+        .persist()  # distinct pipeline + membership map + self pairs
+    )
+    distinct_docs = groups.select(F.col("__gid").alias(id_col), F.col(text_col))
+    dpairs = _ngram_jaccard_pairs_rowlevel(
+        distinct_docs, id_col, text_col, shingle_len, threshold, None
+    )
+    m = (
+        df.select(F.col(id_col), F.col(text_col))
+        .join(groups.select(F.col(text_col), F.col("__gid")), text_col)
+        .select(F.col(id_col).alias("__rid"), "__gid")
+    )
+    return groups, m, dpairs
 
 
 def _ngram_jaccard_pairs_rowlevel(
@@ -521,6 +539,65 @@ def _minhash_oracle(num_hashes: int = 32, shingle_len: int = 3, seed: int = 42,
     """
 
 
+def _minhash_text_candidates(
+    docs: DataFrame, portable_hash: bool, with_shingles: bool = False
+) -> tuple[DataFrame, DataFrame | None, DataFrame]:
+    """Distinct-first MinHash-LSH candidate generation (the blanket
+    SCALE.md rule; promoted here by the ×100-replica octave, which
+    caught the doc-level band join squaring 100-cliques — 10,000× the
+    bucket pairs of the distinct form). Shingles, signatures, banding,
+    and the candidate join all run per DISTINCT text, keyed by the
+    clique's min doc_id (injective under the doc_id PK — the
+    _simhash_impl keying). Returns ``(dt, shingled, cand_est)``:
+
+    - ``dt``: per-distinct-text frame (th = min doc_id, sorted ids) —
+      persisted; callers expand doc-level facts from it;
+    - ``shingled``: the (th, __shingles) frame when ``with_shingles``
+      (persisted), else None;
+    - ``cand_est``: (ta, tb, est_jaccard) candidate DISTINCT-text pairs
+      from the banded join. Same-text doc pairs are NOT here — identical
+      texts have identical signatures (est exactly 1.0, every band
+      collides), so callers recover them algebraically from ``dt``.
+    """
+    dt = (
+        docs.groupBy("text")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .withColumn("th", F.element_at("ids", 1))
+        .persist()
+    )
+    shingled = shingle_arrays(dt, "th", "text", portable_hash=portable_hash)
+    if with_shingles:
+        shingled = shingled.persist()
+    sigs = signatures_from_shingles(shingled, "th").persist()
+    pairs = minhash_lsh_pairs(sigs, "th", hashed_buckets=not portable_hash)
+    cand_est = minhash_jaccard_estimate(sigs, pairs, "th").select(
+        F.col("id_a").alias("ta"), F.col("id_b").alias("tb"), "est_jaccard"
+    )
+    return dt, (shingled if with_shingles else None), cand_est
+
+
+def _clique_doc_pairs(dt: DataFrame, carry: list[str] | None = None) -> DataFrame:
+    """All C(m,2) within-clique (doc_a < doc_b) pairs from a distinct-text
+    frame, via the zero-join in-array position-pair explode (the
+    _simhash_impl recipe: explode_outer + post-filter keeps the pair
+    construction out of the scan filter; the strict doc_a < doc_b guard
+    drops self-pairs a duplicated doc_id would create). ``carry`` columns
+    ride along unchanged."""
+    carry = carry or []
+    return (
+        dt.filter(F.size("ids") >= 2)
+        .selectExpr(
+            *carry,
+            "flatten(transform(sequence(1, size(ids)-1), i ->"
+            " transform(slice(ids, i+1, size(ids)-i), y ->"
+            " struct(element_at(ids, i) AS doc_a, y AS doc_b)))) AS prs",
+        )
+        .select(*carry, F.explode_outer("prs").alias("p"))
+        .filter("p IS NOT NULL AND p.doc_a < p.doc_b")
+        .select(*carry, "p.doc_a", "p.doc_b")
+    )
+
+
 @register("dedup_minhash_lsh", _minhash_oracle())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32 perms) + LSH(8 bands × 4 rows) candidate pairs with
@@ -539,20 +616,31 @@ def dedup_minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_lsh_impl(spark: SparkSession, sf_dir: str, portable_hash: bool) -> DataFrame:
+    """DISTINCT-FIRST (r10, from the ×100 octave: the doc-level band
+    join squared replica cliques inside buckets — 80.8 s at ×100;
+    signature and band work is now per distinct text). Cross-text pairs
+    expand from matching text pairs only; same-text pairs are the
+    algebraic C(m,2) expansion with est exactly 1.0 (identical
+    signatures agree in all positions). Output contract — the admitted
+    doc-pair list — is unchanged and still scales with the dup rate."""
     df = load_table(spark, sf_dir, "documents")
-    # Signatures feed the band join once and the estimate join twice;
-    # persist so the (expensive, narrow) signature pass runs exactly once.
-    sigs = minhash_signatures(df, "doc_id", "text", portable_hash=portable_hash).persist()
-    pairs = minhash_lsh_pairs(sigs, "doc_id", hashed_buckets=not portable_hash)
-    return (
-        minhash_jaccard_estimate(sigs, pairs, "doc_id")
-        .filter(F.col("est_jaccard") >= 0.5)
+    dt, _, cand = _minhash_text_candidates(df, portable_hash)
+    cross = (
+        cand.filter(F.col("est_jaccard") >= 0.5)
+        .join(dt.select(F.col("th").alias("ta"), F.col("ids").alias("ids_a")), "ta")
+        .join(dt.select(F.col("th").alias("tb"), F.col("ids").alias("ids_b")), "tb")
+        .select(F.explode("ids_a").alias("ida"), "ids_b", "est_jaccard")
+        .select("ida", F.explode("ids_b").alias("idb"), "est_jaccard")
         .select(
-            F.col("id_a").alias("doc_a"),
-            F.col("id_b").alias("doc_b"),
+            F.least("ida", "idb").alias("doc_a"),
+            F.greatest("ida", "idb").alias("doc_b"),
             "est_jaccard",
         )
     )
+    within = _clique_doc_pairs(dt).select(
+        "doc_a", "doc_b", F.lit(1.0).alias("est_jaccard")
+    )
+    return cross.unionByName(within)
 
 
 # ---------------------------------------------------------------------------
@@ -983,12 +1071,31 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     components → each clustered doc labeled with its component's minimum
     doc_id (the canonical survivor a dedup pass would keep). The oracle
     computes the same components with a recursive CTE — the SQL-engine
-    formulation of the same fixpoint."""
+    formulation of the same fixpoint.
+
+    Scale (r10, from the ×100 octave): label propagation runs on the
+    DISTINCT-TEXT graph — nodes are clique heads (min doc_id per text),
+    edges are the distinct-pair jaccard matches — then labels expand to
+    docs in one membership join. Replica cliques are complete subgraphs
+    whose C(m,2) edges say nothing the clique head doesn't: at ×100 they
+    were 27M of the 27M edges the fixpoint iterated over (29.5 s); the
+    text-level graph is replica-independent. A doc clusters iff its
+    text has a jaccard partner (label from the component, whose min gid
+    IS the component's min doc_id — every doc is ≥ its clique head) or
+    shares its text with another doc (label = clique head)."""
     df = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(df, "doc_id", "text")
-    labels = connected_components(pairs, "doc_a", "doc_b")
-    return labels.select(
-        F.col("id").alias("doc_id"), F.col("label").cast("bigint").alias("cluster_id")
+    groups, m, dpairs = _ngram_jaccard_distinct_parts(df, "doc_id", "text")
+    tlabels = connected_components(dpairs, "doc_a", "doc_b").select(
+        F.col("id").alias("__gid"), "label"
+    )
+    return (
+        m.join(groups.select("__gid", "__n_members"), "__gid")
+        .join(tlabels, "__gid", "left")
+        .filter((F.col("__n_members") >= 2) | F.col("label").isNotNull())
+        .select(
+            F.col("__rid").alias("doc_id"),
+            F.coalesce("label", "__gid").cast("bigint").alias("cluster_id"),
+        )
     )
 
 
@@ -1108,39 +1215,71 @@ def neardup_jaccard_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup pass on a full corpus (est−exact spread wide → raise
     num_hashes; candidates with low exact Jaccard → banding too loose).
 
-    Scale: shingle arrays are computed ONCE (shingle_arrays) and feed
-    both the signature pass and the exact-set tail; candidates come from
-    the banded equi-join (never all-pairs); the exact intersection only
-    runs on candidate pairs — at 100 TB that is the only affordable
-    place for it."""
+    Scale: DISTINCT-FIRST end-to-end (r10, from the ×100 octave — the
+    doc-level band join and exact-intersection tail both squared replica
+    cliques; this was the octave's worst timeout). Shingles, signatures,
+    banding, estimate, AND the exact intersection are all text-level
+    facts, so they run once per distinct-text pair; doc pairs expand
+    LAST. Same-text pairs never touch a join: est and exact Jaccard are
+    both exactly 1.0 and the set sizes are the clique's own shingle
+    count, emitted by the zero-join C(m,2) expansion (empty-shingle
+    cliques drop, matching the n_union > 0 filter). The exact
+    intersection on candidates-only remains the single affordable place
+    for it at 100 TB."""
     docs = load_table(spark, sf_dir, "documents")
-    shingled = shingle_arrays(docs, "doc_id", "text", portable_hash=True).persist()
-    sigs = signatures_from_shingles(shingled, "doc_id")
-    pairs = minhash_lsh_pairs(sigs, "doc_id")
-    est = minhash_jaccard_estimate(sigs, pairs, "doc_id")
-    sa = shingled.select(F.col("doc_id").alias("id_a"), F.col("__shingles").alias("sh_a"))
-    sb = shingled.select(F.col("doc_id").alias("id_b"), F.col("__shingles").alias("sh_b"))
+    dt, shingled, cand = _minhash_text_candidates(
+        docs, portable_hash=True, with_shingles=True
+    )
+    sa = shingled.select(F.col("th").alias("ta"), F.col("__shingles").alias("sh_a"))
+    sb = shingled.select(F.col("th").alias("tb"), F.col("__shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
-    return (
-        est.filter(F.col("est_jaccard") >= 0.25)
-        .join(sa, "id_a")
-        .join(sb, "id_b")
+    cross_text = (
+        cand.filter(F.col("est_jaccard") >= 0.25)
+        .join(sa, "ta")
+        .join(sb, "tb")
         .withColumn("n_inter", inter.cast("bigint"))
         .withColumn("n_union", union.cast("bigint"))
         .filter(F.col("n_union") > 0)
-        .select(
-            F.col("id_a").alias("doc_a"),
-            F.col("id_b").alias("doc_b"),
-            "est_jaccard",
-            F.round(F.col("n_inter").cast("double") / F.col("n_union"), 4).alias(
-                "exact_jaccard"
-            ),
-            "n_inter",
-            "n_union",
+        .withColumn(
+            "exact_jaccard",
+            F.round(F.col("n_inter").cast("double") / F.col("n_union"), 4),
         )
-        .orderBy("doc_a", "doc_b")
     )
+    cross = (
+        cross_text.join(
+            dt.select(F.col("th").alias("ta"), F.col("ids").alias("ids_a")), "ta"
+        )
+        .join(dt.select(F.col("th").alias("tb"), F.col("ids").alias("ids_b")), "tb")
+        .select(
+            F.explode("ids_a").alias("ida"),
+            "ids_b", "est_jaccard", "exact_jaccard", "n_inter", "n_union",
+        )
+        .select(
+            "ida", F.explode("ids_b").alias("idb"),
+            "est_jaccard", "exact_jaccard", "n_inter", "n_union",
+        )
+        .select(
+            F.least("ida", "idb").alias("doc_a"),
+            F.greatest("ida", "idb").alias("doc_b"),
+            "est_jaccard", "exact_jaccard", "n_inter", "n_union",
+        )
+    )
+    within_src = dt.join(
+        shingled.select(
+            F.col("th"), F.size("__shingles").cast("bigint").alias("n_sh")
+        ),
+        "th",
+    ).filter(F.col("n_sh") > 0)
+    within = _clique_doc_pairs(within_src, carry=["n_sh"]).select(
+        "doc_a",
+        "doc_b",
+        F.lit(1.0).alias("est_jaccard"),
+        F.lit(1.0).alias("exact_jaccard"),
+        F.col("n_sh").alias("n_inter"),
+        F.col("n_sh").alias("n_union"),
+    )
+    return cross.unionByName(within).orderBy("doc_a", "doc_b")
 
 
 def _incremental_oracle(num_hashes: int = 32, shingle_len: int = 3,
@@ -1333,23 +1472,42 @@ def neardup_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule rather than generic clustering (and would dominate cluster
     diameter).
 
-    Scale: everything up to the pair list is the verified banded-join
-    pipeline; degrees are one partial-aggregated count over pair
-    endpoints; the histogram is a ≤max-degree-row aggregate."""
+    Scale: fully ALGEBRAIC over distinct texts (r10, from the ×100
+    octave — the doc-level pair list is quadratic in clique size, 101.7 s
+    at ×100, yet a histogram needs only COUNTS): every doc of text T has
+    the same degree, (m_T − 1) within-clique partners plus Σ m_U over
+    candidate text partners U with est ≥ 0.5, so degrees are computed
+    once per distinct text and the histogram weights each by m_T. No
+    doc-level pair is ever materialized; example_doc = min clique head
+    per degree (every clique member shares the degree, and the head is
+    the clique minimum). Join volume is replica-independent."""
     docs = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, "doc_id", "text", portable_hash=True)
-    pairs = minhash_lsh_pairs(sigs, "doc_id")
-    est = minhash_jaccard_estimate(sigs, pairs, "doc_id")
-    dup = est.filter(F.col("est_jaccard") >= 0.5)
-    endpoints = dup.select(F.col("id_a").alias("doc_id")).unionAll(
-        dup.select(F.col("id_b").alias("doc_id"))
+    dt, _, cand = _minhash_text_candidates(docs, portable_hash=True)
+    sized = dt.select("th", F.size("ids").cast("bigint").alias("m"))
+    dup = cand.filter(F.col("est_jaccard") >= 0.5)
+    partner_mass = (
+        dup.select(F.col("ta").alias("t"), F.col("tb").alias("u"))
+        .unionAll(dup.select(F.col("tb").alias("t"), F.col("ta").alias("u")))
+        .join(sized.select(F.col("th").alias("u"), F.col("m").alias("mu")), "u")
+        .groupBy("t")
+        .agg(F.sum("mu").alias("cross_deg"))
     )
-    degrees = endpoints.groupBy("doc_id").agg(F.count(F.lit(1)).alias("degree"))
+    deg = (
+        sized.join(partner_mass.withColumnRenamed("t", "th"), "th", "left")
+        .select(
+            "th",
+            "m",
+            (F.col("m") - 1 + F.coalesce(F.col("cross_deg"), F.lit(0))).alias(
+                "degree"
+            ),
+        )
+        .filter(F.col("degree") > 0)
+    )
     return (
-        degrees.groupBy("degree")
+        deg.groupBy("degree")
         .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.min("doc_id").alias("example_doc"),
+            F.sum("m").alias("n_docs"),
+            F.min("th").alias("example_doc"),
         )
         .orderBy("degree")
     )

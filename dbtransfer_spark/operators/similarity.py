@@ -1810,48 +1810,53 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("cos_raw") >= 0.05) & (F.col("cos_raw") < 0.35))
         .select("gid_a", "gid_b", "cos_raw")
     )
+    # Rank at the DISTINCT-vector level, expand anchors LAST (r10 — the
+    # ×100 octave caught the old copy×copy expansion: every dcand pair
+    # blew up m_a·m_b before the top-3 window, 10,000× per pair on
+    # 100-cliques). Every copy of an anchor vector has the same candidate
+    # set and cosines, so its top-3 is a gid-level fact; and within one
+    # partner gid only its 3 LOWEST-id copies can ever reach a global
+    # top-3 (equal cos ranks by negative_id), so the per-partner
+    # expansion is capped at 3 rows. Total: ≤3 rows per (anchor gid,
+    # partner) into the window, then one linear anchor-copy join —
+    # replica-independent candidate work, output linear in |emb|.
     m = emb.join(groups.select("embedding", "gid"), "embedding").select(
         "gid", "vec_id", "label"
     )
-    ma = m.select(
-        F.col("gid").alias("gid_a"),
-        F.col("vec_id").alias("ida"),
-        F.col("label").alias("la"),
-    )
-    mb = m.select(
-        F.col("gid").alias("gid_b"),
-        F.col("vec_id").alias("idb"),
-        F.col("label").alias("lb"),
-    )
-    expanded = dcand.join(ma, "gid_a").join(mb, "gid_b")
-    both = expanded.select(
-        F.col("ida").alias("anchor_id"),
-        F.col("idb").alias("negative_id"),
-        F.col("la").alias("anchor_label"),
-        F.col("lb").alias("negative_label"),
-        "cos_raw",
+    partners = dcand.select(
+        F.col("gid_a").alias("ag"), F.col("gid_b").alias("ng"), "cos_raw"
     ).unionByName(
-        expanded.select(
-            F.col("idb").alias("anchor_id"),
-            F.col("ida").alias("negative_id"),
-            F.col("lb").alias("anchor_label"),
-            F.col("la").alias("negative_label"),
+        dcand.select(
+            F.col("gid_b").alias("ag"), F.col("gid_a").alias("ng"), "cos_raw"
+        )
+    )
+    copies3 = m.groupBy("gid").agg(
+        F.slice(F.sort_array(F.collect_list(F.struct("vec_id", "label"))), 1, 3)
+        .alias("c3")
+    )
+    cand3 = (
+        partners.join(copies3.select(F.col("gid").alias("ng"), "c3"), "ng")
+        .select("ag", "cos_raw", F.explode("c3").alias("nc"))
+        .select(
+            "ag",
+            F.col("nc.vec_id").alias("negative_id"),
+            F.col("nc.label").alias("negative_label"),
             "cos_raw",
         )
     )
-    w = Window.partitionBy("anchor_id").orderBy(
-        F.desc("cos_raw"), F.col("negative_id")
+    w = Window.partitionBy("ag").orderBy(F.desc("cos_raw"), F.col("negative_id"))
+    neg3 = cand3.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3)
+    anchors = m.select(
+        F.col("gid").alias("ag"),
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
     )
-    return (
-        both.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 3)
-        .select(
-            "anchor_id",
-            "negative_id",
-            F.round("cos_raw", 4).alias("cos_sim"),
-            (F.col("anchor_label") == F.col("negative_label")).alias("same_label"),
-            F.col("rk").cast("bigint").alias("rk"),
-        )
+    return anchors.join(neg3, "ag").select(
+        "anchor_id",
+        "negative_id",
+        F.round("cos_raw", 4).alias("cos_sim"),
+        (F.col("anchor_label") == F.col("negative_label")).alias("same_label"),
+        F.col("rk").cast("bigint").alias("rk"),
     )
 
 
