@@ -993,19 +993,21 @@ def connected_components(
     Iterative DataFrame algorithm (the one class Catalyst can't express in
     a single plan): each round joins current labels across edges, takes
     the per-vertex min of own and neighbor labels, and stops when a round
-    changes nothing. Each round's result is persisted and the previous
-    round unpersisted — constant lineage depth, so round N's plan doesn't
-    re-execute rounds 1..N-1 (the classic iterative-Spark trap).
-    Converges in O(component diameter) rounds; near-dup components are
-    shallow (diameter ≲ 10) even on 100 TB corpora, and every round is one
-    shuffle on vertex id."""
+    changes nothing. Each round's result is localCheckpoint-ed (eager)
+    and the previous round unpersisted — this cuts LINEAGE, not just
+    recomputation: a round references the previous labels three times
+    (neighbor join, left join, changed-count), so with persist alone the
+    logical plan grows ~3× per round and Catalyst re-analyzes all of it
+    every action (the kcore_peel_rounds r10 lesson: 17 s of pure analysis
+    on an empty round-3 frame). Converges in O(component diameter)
+    rounds; near-dup components are shallow (diameter ≲ 10) even on
+    100 TB corpora, and every round is one shuffle on vertex id."""
     sym = edges.select(
         F.col(src).alias("e_src"), F.col(dst).alias("e_dst")
     ).unionByName(edges.select(F.col(dst).alias("e_src"), F.col(src).alias("e_dst")))
     labels = (
         sym.select(F.col("e_src").alias("id")).distinct().withColumn("label", F.col("id"))
-    ).persist()
-    labels.count()
+    ).localCheckpoint(eager=True)
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.e_src == labels.id)
@@ -1018,7 +1020,7 @@ def connected_components(
                 "id",
                 F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -1026,7 +1028,6 @@ def connected_components(
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break

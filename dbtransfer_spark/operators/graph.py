@@ -685,19 +685,22 @@ def kcore_peel_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline) — each round is two semi-joins (endpoint membership)
     and one partial-aggregated degree pass, all equi-keyed on node ids;
     survivors shrink monotonically so later rounds cost less. The base
-    edge set is persisted once; nothing round-trips the driver. True
-    k-core runs peels to fixpoint — O(peel-depth) rounds of exactly
-    this plan."""
+    edge set comes from the shared zero-join basket pair explode (r10 —
+    the lineitem self-join shuffled the fact table twice; A/B measured
+    ~2× on the sf1 pairs stage) and is persisted once; each round's
+    degree frame is persisted too, because BOTH the round's stats row
+    and the next round's keep-set consume it. Each round's edge frame
+    is localCheckpoint-ed, not just persisted: the round derivation
+    references edges twice (the u/v degree union) and keep twice (the
+    two semi-joins), so the LOGICAL plan grows ~6× per round — persist
+    caches data but Catalyst still re-analyzes the full lineage every
+    action, and the r10 profile measured round-3 analysis at 17 s on an
+    EMPTY frame. Checkpointing pins the plan depth constant per round
+    (executor-local, still distributed; the standard iterative-Spark
+    lineage cut). Nothing round-trips the driver. True k-core runs
+    peels to fixpoint — O(peel-depth) rounds of exactly this plan."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
-    pairs = (
-        a.join(b, "ok")
-        .filter(F.col("u") < F.col("v"))
-        .select("u", "v")
-        .distinct()
-        .persist()
-    )
+    pairs = _basket_pair_explode(li).distinct().persist()
 
     def degrees(edges: DataFrame) -> DataFrame:
         return (
@@ -734,8 +737,8 @@ def kcore_peel_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             edges.join(keep.select(F.col("node").alias("u")), "u", "left_semi")
             .join(keep.select(F.col("node").alias("v")), "v", "left_semi")
             .select("u", "v")
-            .persist()
+            .localCheckpoint(eager=True)  # cut lineage: see docstring
         )
-        deg = degrees(edges)
+        deg = degrees(edges).persist()  # stats row + next round's keep
         out = out.unionByName(stats(r, edges, deg))
     return out.orderBy("round")
