@@ -1499,29 +1499,57 @@ def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: the probe set is a fixed-size broadcast against the corpus
     (same bounded cross as knn_bruteforce_cosine — never corpus×corpus),
-    then two narrow windows over ≤ k·|probes| rows and a ≤ |classes|-row
-    aggregate. At 100 TB the probe set stays O(100s) and the scan
-    dominates — linear, one pass over the embeddings."""
+    then two narrow windows and a ≤ |classes|-row aggregate. At 100 TB
+    the probe set stays O(100s) and the scan dominates — linear, one
+    pass over the embeddings.
+
+    DISTINCT-FIRST (r10): the cosine — an interpreted 64-dim HOF, the
+    measured cost center — is evaluated once per DISTINCT vector, not
+    per row (10× fewer on the ×10-replica fixture; 20.3 s → the scan
+    bound). The top-5 window stays EXACT under the collapse: the
+    ranking key is (cos desc, neighbor_id asc) and every copy of a
+    vector shares its cos, so a gid's copies rank consecutively by id —
+    a global top-5 row must be among its gid's 5 lowest-id copies (else
+    5 lower copies would all outrank it), plus one spare copy because
+    the probe's own row is excluded after expansion. Per-copy labels
+    ride through the expansion untouched (copies of one vector may be
+    labeled differently)."""
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 50).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_vec"),
         F.col("label").alias("true_label"),
     )
-    corpus = emb.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("c_vec"),
-        F.col("label").alias("n_label"),
+    groups = emb.groupBy("embedding").agg(
+        F.slice(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col("vec_id").alias("nid"), F.col("label").alias("nl"))
+                )
+            ),
+            1,
+            6,
+        ).alias("copies")
     )
     scored = (
-        corpus.crossJoin(F.broadcast(probes))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
+        groups.crossJoin(F.broadcast(probes))
         .select(
             "query_id",
             "true_label",
-            "n_label",
-            "neighbor_id",
-            cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
+            "copies",
+            cosine(F.col("q_vec"), F.col("embedding")).alias("cos_sim"),
+        )
+        .select(
+            "query_id", "true_label", "cos_sim",
+            F.explode("copies").alias("nc"),
+        )
+        .filter(F.col("nc.nid") != F.col("query_id"))
+        .select(
+            "query_id",
+            "true_label",
+            F.col("nc.nl").alias("n_label"),
+            F.col("nc.nid").alias("neighbor_id"),
+            "cos_sim",
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
