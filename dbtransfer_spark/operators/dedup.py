@@ -1348,58 +1348,75 @@ def dedup_incremental_new_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFra
     doc with any LSH candidate: candidate count, best signature-estimate
     Jaccard, and the ≥0.5 duplicate verdict.
 
-    This is the asymmetric join every continuously-ingesting training
-    pipeline needs: corpus signatures are computed once and persisted
-    (here recomputed from the fixture for a self-contained query); each
-    incoming batch pays |batch|·bands bucket probes against the corpus
-    index, NOT a corpus×corpus self-join — at 100 TB corpus / 1 TB batch
-    that is the difference between feasible and not. The banded
-    equi-join shape is identical to the full-dedup pass (no-cartesian
-    sweep covers it); only the join's two sides differ."""
+    DISTINCT-FIRST (r11, from the ×100 octave: the r10 per-doc band join
+    was the family's last clique-squarer — replica cliques multiplied
+    inside every band bucket, 28.9 s at ×100 vs 4-13 s for the rewritten
+    siblings). Signatures, banding, and the candidate join all run once
+    per DISTINCT text via the shared ``_minhash_text_candidates``; LSH
+    collision is symmetric, so BOTH orientations of each unordered
+    distinct-text pair feed the directed new→corpus view. Per-doc facts
+    are recovered algebraically, never by pairing docs:
+
+    - same-text candidates: a new doc whose text also has ``m_corp``
+      corpus copies gets ``m_corp`` candidates at est exactly 1.0
+      (identical texts ⇒ identical signatures ⇒ every band collides);
+    - cross-text candidates: Σ ``m_corp(T')`` over matched distinct
+      texts T′ with est ≥ 0.25, best-est the max over them;
+    - the verdict row then expands to each new doc in the text's clique.
+
+    This keeps the asymmetric batch×corpus economics (the banded
+    equi-join shape is shared with the full-dedup pass) while making
+    cost linear in DISTINCT texts + output, independent of dup rate —
+    at a 100 TB corpus with crawl-typical 30-50% duplication that is
+    the difference between a bounded band join and a squared one."""
     docs = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(
-        docs, "doc_id", "text", portable_hash=True
-    ).persist()
-    bands, rows_per_band = 8, 4
-
-    def banded(side: DataFrame, prefix: str) -> DataFrame:
-        return side.select(
-            F.col("doc_id").alias(f"{prefix}_id"),
-            F.col("minhash").alias(f"mh_{prefix}"),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(i).alias("band"),
-                            F.slice(
-                                "minhash", i * rows_per_band + 1, rows_per_band
-                            ).alias("bucket"),
-                        )
-                        for i in range(bands)
-                    ]
-                )
-            ).alias("bb"),
-        ).select(f"{prefix}_id", f"mh_{prefix}", "bb.band", "bb.bucket")
-
-    new_b = banded(sigs.filter(F.col("doc_id") % 2 == 1), "a")
-    corp_b = banded(sigs.filter(F.col("doc_id") % 2 == 0), "b")
-    pairs = (
-        new_b.join(corp_b, ["band", "bucket"])
-        .select("a_id", "b_id", "mh_a", "mh_b")
-        .distinct()
+    dt, _, cand = _minhash_text_candidates(docs, portable_hash=True)
+    # Per distinct text: the clique's new (odd) doc ids and corpus (even) count.
+    tt = dt.select(
+        "th",
+        F.filter("ids", lambda i: i % 2 == 1).alias("new_ids"),
+        F.size(F.filter("ids", lambda i: i % 2 == 0)).alias("m_corp"),
     )
-    est = F.size(
-        F.filter(F.zip_with("mh_a", "mh_b", lambda x, y: x == y), lambda v: v)
-    ).cast("double") / F.size(F.col("mh_a"))
-    scored = pairs.select(
-        F.col("a_id").alias("new_doc"), est.alias("e")
-    ).filter(F.col("e") >= 0.25)
-    return (
-        scored.groupBy("new_doc")
+    # est_jaccard from minhash_jaccard_estimate is round(k/32, 4): the 0.25
+    # and 0.5 thresholds are exact multiples of 1/32 (no k/32 rounds across
+    # them), and round is monotone, so filtering/max over rounded values
+    # matches the oracle's raw-then-round order exactly.
+    c = cand.filter(F.col("est_jaccard") >= 0.25)
+    directed = c.select(
+        F.col("ta").alias("tn"), F.col("tb").alias("tc"), "est_jaccard"
+    ).unionByName(
+        c.select(F.col("tb").alias("tn"), F.col("ta").alias("tc"), "est_jaccard")
+    )
+    cross = (
+        directed.join(
+            tt.filter("m_corp > 0").select(F.col("th").alias("tc"), "m_corp"), "tc"
+        )
+        .groupBy("tn")
         .agg(
-            F.count(F.lit(1)).alias("n_candidates"),
-            F.round(F.max("e"), 4).alias("best_est"),
-            (F.max("e") >= 0.5).alias("is_dup"),
+            F.sum("m_corp").alias("cand_cross"),
+            F.max("est_jaccard").alias("best_cross"),
+        )
+    )
+    per_text = (
+        tt.filter(F.size("new_ids") > 0)
+        .join(cross, tt["th"] == cross["tn"], "left")
+        .select(
+            "new_ids",
+            (F.coalesce("cand_cross", F.lit(0)) + F.col("m_corp"))
+            .cast("long")
+            .alias("n_candidates"),
+            F.when(F.col("m_corp") > 0, F.lit(1.0))
+            .otherwise(F.col("best_cross"))
+            .alias("best"),
+        )
+        .filter("n_candidates > 0")
+    )
+    return (
+        per_text.select(
+            F.explode("new_ids").alias("new_doc"),
+            "n_candidates",
+            F.round("best", 4).alias("best_est"),
+            (F.col("best") >= 0.5).alias("is_dup"),
         )
         .orderBy("new_doc")
     )
