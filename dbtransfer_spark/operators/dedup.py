@@ -20,6 +20,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dbtransfer_spark.catalog import load_table
+from dbtransfer_spark.operators.iterative import free_local_checkpoint
 
 QUERIES = {}
 ORACLE = {}
@@ -993,13 +994,17 @@ def connected_components(
     Iterative DataFrame algorithm (the one class Catalyst can't express in
     a single plan): each round joins current labels across edges, takes
     the per-vertex min of own and neighbor labels, and stops when a round
-    changes nothing. Each round's result is localCheckpoint-ed (eager)
-    and the previous round unpersisted — this cuts LINEAGE, not just
-    recomputation: a round references the previous labels three times
-    (neighbor join, left join, changed-count), so with persist alone the
-    logical plan grows ~3× per round and Catalyst re-analyzes all of it
-    every action (the kcore_peel_rounds r10 lesson: 17 s of pure analysis
-    on an empty round-3 frame). Converges in O(component diameter)
+    changes nothing. Each round's result is localCheckpoint-ed (eager) —
+    this cuts LINEAGE, not just recomputation: a round references the
+    previous labels three times (neighbor join, left join, changed-count),
+    so with persist alone the logical plan grows ~3× per round and
+    Catalyst re-analyzes all of it every action (the kcore_peel_rounds
+    r10 lesson: 17 s of pure analysis on an empty round-3 frame). Once a
+    round's changed-count action lands, the PREVIOUS round's checkpoint
+    blocks are freed explicitly (r10 ADVICE — they would otherwise stay
+    pinned in executor storage for the whole job); see
+    ``iterative.free_local_checkpoint`` for the executor-loss trade-off
+    localCheckpoint carries. Converges in O(component diameter)
     rounds; near-dup components are shallow (diameter ≲ 10) even on
     100 TB corpora, and every round is one shuffle on vertex id."""
     sym = edges.select(
@@ -1028,6 +1033,7 @@ def connected_components(
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
+        free_local_checkpoint(labels)  # superseded round's blocks
         labels = new_labels
         if changed == 0:
             break

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dbtransfer_spark.catalog import load_table
+from dbtransfer_spark.operators.iterative import free_local_checkpoint
 
 QUERIES = {}
 ORACLE = {}
@@ -698,7 +699,16 @@ def kcore_peel_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     EMPTY frame. Checkpointing pins the plan depth constant per round
     (executor-local, still distributed; the standard iterative-Spark
     lineage cut). Nothing round-trips the driver. True k-core runs
-    peels to fixpoint — O(peel-depth) rounds of exactly this plan."""
+    peels to fixpoint — O(peel-depth) rounds of exactly this plan.
+
+    Storage hygiene (r10 ADVICE, closed r11): each round's 1-row stats
+    frame is eagerly checkpointed, so the lazily-unioned output never
+    reaches back into superseded round state — which lets the loop
+    free the previous round's edge checkpoint and unpersist its degree
+    frame as soon as the next round is materialized. Peak executor
+    storage is one round's frames, O(1) in peel depth, matching the
+    fixpoint claim above; see ``iterative.free_local_checkpoint`` for
+    the localCheckpoint executor-loss trade."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     pairs = _basket_pair_explode(li).distinct().persist()
 
@@ -711,9 +721,11 @@ def kcore_peel_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     deg0 = degrees(pairs).persist()
+    # 1-row, eager: every round's keep-set and stats row reference k, so
+    # it must survive deg0/pairs being released after round 1.
     kth = deg0.agg(
         F.expr("CAST(sum(d) div count(*) + 1 AS BIGINT)").alias("k")
-    )
+    ).localCheckpoint(eager=True)
 
     def stats(round_no: int, edges: DataFrame, deg: DataFrame) -> DataFrame:
         nn = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
@@ -729,16 +741,26 @@ def kcore_peel_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    out = stats(0, pairs, deg0)
+    out = stats(0, pairs, deg0).localCheckpoint(eager=True)
     edges, deg = pairs, deg0
     for r in (1, 2, 3):
         keep = deg.join(F.broadcast(kth), F.col("d") >= F.col("k")).select("node")
-        edges = (
+        new_edges = (
             edges.join(keep.select(F.col("node").alias("u")), "u", "left_semi")
             .join(keep.select(F.col("node").alias("v")), "v", "left_semi")
             .select("u", "v")
             .localCheckpoint(eager=True)  # cut lineage: see docstring
         )
-        deg = degrees(edges).persist()  # stats row + next round's keep
-        out = out.unionByName(stats(r, edges, deg))
+        new_deg = degrees(new_edges).persist()  # stats row + next round's keep
+        # eager 1-row checkpoint materializes new_deg and pins the stats
+        # row, so the superseded round's storage can go right now
+        out = out.unionByName(
+            stats(r, new_edges, new_deg).localCheckpoint(eager=True)
+        )
+        if r == 1:
+            pairs.unpersist()
+        else:
+            free_local_checkpoint(edges)
+        deg.unpersist()
+        edges, deg = new_edges, new_deg
     return out.orderBy("round")

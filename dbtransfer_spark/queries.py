@@ -3502,11 +3502,10 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     is ONE division of identical integers, so the doubles — and the
     order statistics over them — agree bit-for-bit across engines.
 
-    Fixture-nonempty assumption (r9 ADVICE): df.agg always yields one
-    row, so on an EMPTY orders table this returns n_replicas=32 with
-    null CIs while the oracle returns n_replicas=0. A bootstrap CI on
-    zero rows is undefined either way; if empty inputs ever matter,
-    gate the replica explode on n_rows > 0."""
+    Empty-input semantics (r9/r10 ADVICE, closed r11): df.agg always
+    yields one row, so the replica explode is gated on n_rows > 0 —
+    an empty orders table now returns 0 rows, exactly like the
+    oracle's GROUP BY over an empty replica set."""
     orders = load_table(spark, sf_dir, "orders")
     cents = F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
     md5hex = F.md5(F.col("o_orderkey").cast("string"))
@@ -3530,7 +3529,7 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs.append(F.sum(w).cast("bigint").alias(f"den_{b}"))
     aggs.append(F.sum("cents").cast("bigint").alias("sum_cents"))
     aggs.append(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
-    rep_row = rows.agg(*aggs)
+    rep_row = rows.agg(*aggs).filter(F.col("n_rows") > 0)
     reps = rep_row.select(
         F.round(
             F.col("sum_cents").cast("double") / F.col("n_rows"), 4
@@ -8137,6 +8136,13 @@ def equidepth_histogram_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " - greatest(rb, (bucket * n + 7) div 8)"
             ).alias("rows_in_b"),
         )
+        # A multi-row value's bucket sequence can include buckets whose rank
+        # range it only touches with an EMPTY overlap when n < buckets (the
+        # sequence endpoints are the first/last rank's buckets, but a bucket
+        # between them can be zero-width). The row_number oracle never emits
+        # such buckets; drop them before they pollute n_distinct/lo/hi.
+        # Unreachable on real fixtures (n >> 8) — tiny-input semantics only.
+        .filter(F.col("rows_in_b") > 0)
     )
     return (
         spans.groupBy("col", "bucket")
