@@ -172,6 +172,44 @@ def main() -> int:
         canary_runs.append(round(time.monotonic() - t0, 3))
     canary_sec = round(statistics.median(canary_runs), 3)
 
+    # Canary mini-set (r10 VERDICT #3): the single CPU-bound canary can't
+    # normalize shuffle- or string-heavy drift (r10 saw ~10 code-unchanged
+    # queries move 1.6-2× while the CPU canary said the env got FASTER).
+    # Three FROZEN SF-independent workloads — cpu (the original), shuffle
+    # (hash exchange + agg), strhash (string materialization + md5) — each
+    # a median of 3, reported per-component plus a summed canary_mix_sec.
+    # NEVER change these queries; bench_compare keeps using canary_sec.
+    def _canary_shuffle(s):
+        return (
+            s.range(0, 1_000_000, 1, 8)
+            .selectExpr("id % 10007 AS k", "id AS v")
+            .groupBy("k")
+            .agg({"v": "sum"})
+            .selectExpr("sum(`sum(v)`) AS s", "count(*) AS n")
+        )
+
+    def _canary_strhash(s):
+        return s.range(0, 300_000, 1, 8).selectExpr(
+            "sum(CAST(conv(substring(md5(CAST(id AS STRING)), 1, 8), 16, 10)"
+            " AS BIGINT)) AS s"
+        )
+
+    canary_mix_runs: dict[str, list[float]] = {}
+    canary_mix: dict[str, float] = {}
+    for cname, cfn in (
+        ("cpu", _canary),
+        ("shuffle", _canary_shuffle),
+        ("strhash", _canary_strhash),
+    ):
+        runs = []
+        for _ in range(3):
+            t0 = time.monotonic()
+            cfn(spark).write.format("noop").mode("overwrite").save()
+            runs.append(round(time.monotonic() - t0, 3))
+        canary_mix_runs[cname] = runs
+        canary_mix[cname] = round(statistics.median(runs), 3)
+    canary_mix_sec = round(sum(canary_mix.values()), 3)
+
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
     total = 0.0
@@ -222,6 +260,8 @@ def main() -> int:
                 "sf": sf,
                 "canary_sec": canary_sec,
                 "canary_runs": canary_runs,
+                "canary_mix": canary_mix,
+                "canary_mix_runs": canary_mix_runs,
                 "ingest_sec": round(ingest_sec, 3),
                 "queries": timings,
                 "runs": all_runs,
@@ -239,6 +279,8 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "canary_sec": canary_sec,
+                "canary_mix_sec": canary_mix_sec,
+                "canary_mix": canary_mix,
                 "ingest_sec": round(ingest_sec, 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
