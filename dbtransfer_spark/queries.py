@@ -793,6 +793,59 @@ def customer_percentile_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cents_power_sums(
+    df: DataFrame,
+    group_cols: list[str],
+    cents: dict[str, str],
+    terms: dict[str, tuple[str, str | None]],
+    block: int = 32768,
+) -> DataFrame:
+    """Exact fixed-point power sums at long-sum speed (r11, from the sf1
+    sweep's 15-18 s scalar band: a DECIMAL(30,10) sum runs ~20× slower
+    than a long sum at sf1 — 14.1 s vs 0.6 s for six lineitem moments —
+    because high-precision decimal aggregation leaves whole-stage
+    codegen's primitive path; the values themselves are 2-decimal money,
+    so all the precision bought nothing).
+
+    Shape: per-row integer cents (``CAST(round(src*100) AS BIGINT)``,
+    exact for 2-decimal inputs below ~$10^16), products and partial sums
+    in LONG per (group, 32768-row block), then a tiny DECIMAL(38,0)
+    merge per group. The block key ``floor(monotonically_increasing_id()
+    / block)`` is ``pid·2^18 + offset/2^15`` — unique per partition and
+    a HARD ≤32768-rows-per-group bound at any data scale, so the long
+    partials can never overflow: 32768 rows × (1.05·10^7 cents)^2
+    ≤ 3.7·10^18 < 2^63, independent of total row count (a plain
+    single-level long sum would wrap around sf30). The merge input is
+    ≤ rows/32768 rows — the map-side partial aggregation collapses it
+    before the shuffle, so this costs the same one exchange as the
+    single-level decimal form. Measured 14.1 s → 2.7 s at sf1.
+
+    Returns one row per group: ``n`` (long) plus each ``terms`` alias as
+    an exact DECIMAL(38,0) RAW SCALED integer — ×100 for single columns,
+    ×10^4 for products; callers descale with exact decimal division
+    (``raw / 100`` keeps scale ≥ 6 under Spark's division typing, and
+    the true values carry ≤4 decimals, so nothing ever rounds)."""
+    c = df.select(
+        *group_cols,
+        *[
+            F.expr(f"CAST(round({src} * 100) AS BIGINT)").alias(a)
+            for a, src in cents.items()
+        ],
+        F.floor(F.monotonically_increasing_id() / block).alias("__blk"),
+    )
+    partial = c.groupBy(*group_cols, "__blk").agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.sum(F.col(a) if b is None else F.col(a) * F.col(b)).alias(s)
+            for s, (a, b) in terms.items()
+        ],
+    )
+    return partial.groupBy(*group_cols).agg(
+        F.sum("__n").alias("n"),
+        *[F.sum(F.col(s).cast("decimal(38,0)")).alias(s) for s in terms],
+    )
+
+
 @register(
     "moment_stats",
     """
@@ -832,22 +885,38 @@ def moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-equality, `F.stddev_samp`/`F.corr` are the one-pass built-ins.)
 
     Scale: one partial-aggregated shuffle carrying six sums per group —
-    the same cost as any groupBy; no second pass, no centering pass. The
-    per-row squares stay inside whole-stage codegen."""
+    the same cost as any groupBy; no second pass, no centering pass.
+    r11: the sums run through _cents_power_sums (exact integer-cents
+    longs + block-bounded partials) instead of per-row DECIMAL(30,10) —
+    identical exact values (inputs are 2-decimal money, so the decimal
+    precision was unused), 15.5 s → ~3 s at sf1."""
     li = load_table(spark, sf_dir, "lineitem")
-    x = F.col("l_quantity")
-    y = F.col("l_extendedprice")
+    raw = _cents_power_sums(
+        li,
+        ["l_returnflag"],
+        {"q": "l_quantity", "p": "l_extendedprice"},
+        {
+            "rsx": ("q", None),
+            "rsy": ("p", None),
+            "rsxx": ("q", "q"),
+            "rsyy": ("p", "p"),
+            "rsxy": ("q", "p"),
+        },
+    )
 
-    def psum(col):
-        return F.round(F.sum(col.cast("decimal(30,10)")), 4).cast("double")
+    def descale(raw_col: str, factor: int):
+        # Exact decimal division (scale ≥ 6 > the ≤4 true decimals), then
+        # the same round(·,4)-while-decimal + double cast as before.
+        return F.round(F.col(raw_col) / F.lit(factor), 4).cast("double")
 
-    m = li.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n"),
-        psum(x).alias("sx"),
-        psum(y).alias("sy"),
-        psum(x * x).alias("sxx"),
-        psum(y * y).alias("syy"),
-        psum(x * y).alias("sxy"),
+    m = raw.select(
+        "l_returnflag",
+        "n",
+        descale("rsx", 100).alias("sx"),
+        descale("rsy", 100).alias("sy"),
+        descale("rsxx", 10000).alias("sxx"),
+        descale("rsyy", 10000).alias("syy"),
+        descale("rsxy", 10000).alias("sxy"),
     )
     nd = F.col("n").cast("double")
     var_q = (nd * F.col("sxx") - F.col("sx") * F.col("sx")) / (nd * (nd - 1.0))
@@ -2003,9 +2072,36 @@ def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows.orderBy("col")
 
 
-@register(
-    "correlation_matrix",
-    """
+def _split_double_sql(expr: str) -> str:
+    """Exact-integer → double conversion as an explicit 2^42 hi/lo split,
+    bit-identical across engines (r11): a moment sum can exceed 2^64
+    (Σp² ≈ 2.2·10^19 already at sf0.1), where DuckDB's two-limb
+    int128→double conversion double-rounds while Spark's BigDecimal
+    cast rounds once — a last-ulp divergence diffcheck caught at sf0.1.
+    Both engines instead compute double(hi)·2^42 + double(lo): hi and
+    lo are exact integer decimal ops, hi < 2^53 for values < 2^95
+    (≈ 4·10^28, comfortably past 100-TB moment sums), the power-of-two
+    scale is an exact exponent shift, and the single final add is the
+    one correctly-rounded step — identical IEEE ops ⇒ identical bits.
+    Positive sums only (cents of nonnegative measures). DuckDB's ``//``
+    on DECIMAL promotes to DOUBLE (inexact!), so the split runs on
+    HUGEINT, where ``//`` and ``%`` are exact int128 ops."""
+    s = "4398046511104"  # 2^42
+    return (
+        f"(CAST(CAST(({expr}) AS HUGEINT) // {s} AS DOUBLE) * {s}e0"
+        f" + CAST(CAST(({expr}) AS HUGEINT) % {s} AS DOUBLE))"
+    )
+
+
+def _corr_matrix_oracle() -> str:
+    sums = []
+    for a in "qpdt":
+        sums.append(f"{_split_double_sql(f'sum({a})')} AS s{a}")
+    for i, a in enumerate("qpdt"):
+        for b in "qpdt"[i:]:
+            sums.append(f"{_split_double_sql(f'sum({a}*{b})')} AS s{a}{b}")
+    return (
+        """
     WITH c AS (
       SELECT CAST(round(l_quantity * 100) AS DECIMAL(18,0)) AS q,
              CAST(round(l_extendedprice * 100) AS DECIMAL(18,0)) AS p,
@@ -2015,15 +2111,18 @@ def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (
       SELECT CAST(count(*) AS DOUBLE) AS n,
-             CAST(sum(q) AS DOUBLE) AS sq, CAST(sum(p) AS DOUBLE) AS sp,
-             CAST(sum(d) AS DOUBLE) AS sd, CAST(sum(t) AS DOUBLE) AS st,
-             CAST(sum(q*q) AS DOUBLE) AS sqq, CAST(sum(p*p) AS DOUBLE) AS spp,
-             CAST(sum(d*d) AS DOUBLE) AS sdd, CAST(sum(t*t) AS DOUBLE) AS stt,
-             CAST(sum(q*p) AS DOUBLE) AS sqp, CAST(sum(q*d) AS DOUBLE) AS sqd,
-             CAST(sum(q*t) AS DOUBLE) AS sqt, CAST(sum(p*d) AS DOUBLE) AS spd,
-             CAST(sum(p*t) AS DOUBLE) AS spt, CAST(sum(d*t) AS DOUBLE) AS sdt
+             """
+        + ",\n             ".join(sums)
+        + """
       FROM c
+    )"""
     )
+
+
+@register(
+    "correlation_matrix",
+    _corr_matrix_oracle()
+    + """
     SELECT col_x, col_y, corr FROM (
       SELECT 'quantity' AS col_x, 'extendedprice' AS col_y,
              (n*sqp - sq*sp) / (sqrt(n*sqq - sq*sq) * sqrt(n*spp - sp*sp)) AS corr FROM s
@@ -2055,25 +2154,37 @@ def correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: ONE partial-aggregated pass over the fact table (map-side
     combine reduces each partition to a 14-value row), then a 1-row
     projection fanned to 6 pair rows. No window, no join, no second
-    scan — this is the textbook one-pass moment-sketch shape."""
+    scan — this is the textbook one-pass moment-sketch shape. r11: the
+    14 sums accumulate as LONGs per 32768-row block and merge in
+    DECIMAL(38,0) (_cents_power_sums — same exact integers, but the
+    per-row path stays in codegen longs instead of decimal), 11.4 s →
+    ~3 s at sf1."""
     li = load_table(spark, sf_dir, "lineitem")
-
-    def fx(col: str, alias: str):
-        return F.expr(f"CAST(round({col} * 100) AS DECIMAL(18,0))").alias(alias)
-
-    c = li.select(
-        fx("l_quantity", "q"), fx("l_extendedprice", "p"),
-        fx("l_discount", "d"), fx("l_tax", "t"),
-    )
-    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    terms: dict[str, tuple[str, str | None]] = {}
     for a in "qpdt":
-        aggs.append(F.sum(F.col(a)).cast("double").alias(f"s{a}"))
+        terms[f"s{a}"] = (a, None)
     for i, a in enumerate("qpdt"):
         for b in "qpdt"[i:]:
-            aggs.append(
-                F.sum(F.col(a) * F.col(b)).cast("double").alias(f"s{a}{b}")
-            )
-    s = c.agg(*aggs)
+            terms[f"s{a}{b}"] = (a, b)
+    raw = _cents_power_sums(
+        li,
+        [],
+        {"q": "l_quantity", "p": "l_extendedprice",
+         "d": "l_discount", "t": "l_tax"},
+        terms,
+    )
+    # Exact-split decimal→double (see _split_double_sql): Σp² passes 2^64
+    # already at sf0.1, where the engines' native big-decimal→double
+    # casts round differently in the last ulp. Spark's DIV on decimal
+    # returns BIGINT (hi < 2^53 here), % stays exact decimal.
+    spark_split = (
+        lambda k: f"(CAST({k} DIV 4398046511104 AS DOUBLE) * 4398046511104e0"
+        f" + CAST({k} % 4398046511104 AS DOUBLE))"
+    )
+    s = raw.selectExpr(
+        "CAST(n AS DOUBLE) AS n",
+        *[f"{spark_split(k)} AS {k}" for k in terms],
+    )
     names = {"q": "quantity", "p": "extendedprice", "d": "discount", "t": "tax"}
     pairs = [("q", "p"), ("q", "d"), ("q", "t"), ("p", "d"), ("p", "t"), ("d", "t")]
     stack_args = []
@@ -3265,17 +3376,30 @@ def ols_price_on_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     as correlation_matrix) and only the final closed-form arithmetic
     runs in double, as one identical expression tree on both sides.
     One partial-aggregated shuffle to ≤|flags| rows; nothing else
-    scales with SF."""
+    scales with SF. r11: moments run through _cents_power_sums (exact
+    integer-cents longs + block-bounded partials) — same exact decimal
+    values, then the identical double cast; 13 s → ~3 s at sf1."""
     li = load_table(spark, sf_dir, "lineitem")
-    dx = F.col("l_quantity").cast("decimal(30,10)")
-    dy = F.col("l_extendedprice").cast("decimal(30,10)")
-    m = li.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(dx).cast("double").alias("sx"),
-        F.sum(dy).cast("double").alias("sy"),
-        F.sum(dx * dx).cast("double").alias("sxx"),
-        F.sum(dx * dy).cast("double").alias("sxy"),
-        F.sum(dy * dy).cast("double").alias("syy"),
+    raw = _cents_power_sums(
+        li,
+        ["l_returnflag"],
+        {"q": "l_quantity", "p": "l_extendedprice"},
+        {
+            "rsx": ("q", None),
+            "rsy": ("p", None),
+            "rsxx": ("q", "q"),
+            "rsxy": ("q", "p"),
+            "rsyy": ("p", "p"),
+        },
+    )
+    m = raw.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        (F.col("rsx") / 100).cast("double").alias("sx"),
+        (F.col("rsy") / 100).cast("double").alias("sy"),
+        (F.col("rsxx") / 10000).cast("double").alias("sxx"),
+        (F.col("rsxy") / 10000).cast("double").alias("sxy"),
+        (F.col("rsyy") / 10000).cast("double").alias("syy"),
     )
     slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
         F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
