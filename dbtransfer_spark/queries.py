@@ -86,6 +86,27 @@ def davg(col, scale: int = 4):
     )
 
 
+def _split_double_sql(expr: str) -> str:
+    """Exact-integer → double conversion as an explicit 2^42 hi/lo split,
+    bit-identical across engines (r11): a moment sum can exceed 2^64
+    (Σp² ≈ 2.2·10^19 already at sf0.1), where DuckDB's two-limb
+    int128→double conversion double-rounds while Spark's BigDecimal
+    cast rounds once — a last-ulp divergence diffcheck caught at sf0.1.
+    Both engines instead compute double(hi)·2^42 + double(lo): hi and
+    lo are exact integer decimal ops, hi < 2^53 for values < 2^95
+    (≈ 4·10^28, comfortably past 100-TB moment sums), the power-of-two
+    scale is an exact exponent shift, and the single final add is the
+    one correctly-rounded step — identical IEEE ops ⇒ identical bits.
+    Positive sums only (cents of nonnegative measures). DuckDB's ``//``
+    on DECIMAL promotes to DOUBLE (inexact!), so the split runs on
+    HUGEINT, where ``//`` and ``%`` are exact int128 ops."""
+    s = "4398046511104"  # 2^42
+    return (
+        f"(CAST(CAST(({expr}) AS HUGEINT) // {s} AS DOUBLE) * {s}e0"
+        f" + CAST(CAST(({expr}) AS HUGEINT) % {s} AS DOUBLE))"
+    )
+
+
 def register(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
         QUERIES[name] = fn
@@ -254,46 +275,93 @@ def upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "q1_pricing_summary",
-    """
+def _split_double_spark(expr: str) -> str:
+    """Spark twin of _split_double_sql (defined with correlation_matrix):
+    exact-integer → double via the 2^42 hi/lo split, identical IEEE ops
+    on both engines. Spark's DIV on decimal returns BIGINT (hi < 2^53
+    for values < 2^95); % stays exact decimal. Positive values only."""
+    s = "4398046511104"  # 2^42
+    return (
+        f"(CAST(({expr}) DIV {s} AS DOUBLE) * {s}e0"
+        f" + CAST(({expr}) % {s} AS DOUBLE))"
+    )
+
+
+def _q1_oracle() -> str:
+    d = _split_double_sql  # exact int → double, engine-identical
+    return f"""
+    WITH c AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(round(l_quantity * 100) AS BIGINT) AS q,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS p,
+             CAST(round(l_discount * 100) AS BIGINT) AS d,
+             CAST(round(l_tax * 100) AS BIGINT) AS t
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    ), s AS (
+      SELECT l_returnflag, l_linestatus, count(*) AS n,
+             sum(q) AS rq, sum(p) AS rp, sum(d) AS rd,
+             sum(p*(100-d)) AS rdp, sum(p*(100-d)*(100+t)) AS rch
+      FROM c GROUP BY l_returnflag, l_linestatus
+    )
     SELECT l_returnflag, l_linestatus,
-           CAST(round(sum(CAST(l_quantity AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_qty,
-           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_base_price,
-           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_disc_price,
-           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_charge,
-           round(CAST(sum(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE) / count(*), 4) AS avg_qty,
-           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE) / count(*), 4) AS avg_price,
-           round(CAST(sum(CAST(l_discount AS DECIMAL(30,10))) AS DOUBLE) / count(*), 4) AS avg_disc,
-           count(*) AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-    GROUP BY l_returnflag, l_linestatus
-    ORDER BY l_returnflag, l_linestatus
-    """,
-)
+           {d('rq')} / 100e0 AS sum_qty,
+           {d('rp')} / 100e0 AS sum_base_price,
+           {d('(rdp + 50) // 100')} / 100e0 AS sum_disc_price,
+           {d('(rch + 5000) // 10000')} / 100e0 AS sum_charge,
+           round({d('rq')} / 100e0 / n, 4) AS avg_qty,
+           round({d('rp')} / 100e0 / n, 4) AS avg_price,
+           round({d('rd')} / 100e0 / n, 4) AS avg_disc,
+           n AS count_order
+    FROM s ORDER BY l_returnflag, l_linestatus
+    """
+
+
+@register("q1_pricing_summary", _q1_oracle())
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: scan-heavy single aggregation. Partial (map-side)
     aggregation means the shuffle carries only |groups|×partitions rows —
     the plan is scan-bound at any scale. Filter + 7-column projection push
-    into the parquet scan."""
+    into the parquet scan.
+
+    r11: the five DECIMAL(30,10) sums were ~80% of q1's sf1 wall time
+    (the scalar-band decimal tax — see _cents_power_sums); the money
+    columns are exact 2-decimal values, so the moments now accumulate as
+    integer-cents longs with block-bounded partials and only descale at
+    the end. disc_price/charge become the EXACT products
+    p·(100−d)·(100+t) in integer basis points instead of 10-dp captures
+    of per-row double products — TPC-H defines these columns as exact
+    decimals, and the oracle computes the identical integer form, so
+    cross-engine equality is by construction (half-up rounding to cents
+    done in integer space, the final double produced by the 2^42 split —
+    one correctly-rounded division per column on both engines)."""
     df = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
-        df.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            dsum(F.col("l_quantity")).alias("sum_qty"),
-            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
-            dsum(disc_price).alias("sum_disc_price"),
-            dsum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
-            davg(F.col("l_quantity")).alias("avg_qty"),
-            davg(F.col("l_extendedprice")).alias("avg_price"),
-            davg(F.col("l_discount")).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
-        .orderBy("l_returnflag", "l_linestatus")
+    raw = _cents_power_sums(
+        df.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")),
+        ["l_returnflag", "l_linestatus"],
+        {"q": "l_quantity", "p": "l_extendedprice",
+         "d": "l_discount", "t": "l_tax"},
+        {
+            "rq": ("q", None),
+            "rp": ("p", None),
+            "rd": ("d", None),
+            "rdp": "p*(100-d)",
+            "rch": "p*(100-d)*(100+t)",
+        },
     )
+    d = _split_double_spark
+    return raw.selectExpr(
+        "l_returnflag",
+        "l_linestatus",
+        f"{d('rq')} / 100e0 AS sum_qty",
+        f"{d('rp')} / 100e0 AS sum_base_price",
+        f"{d('(rdp + 50) DIV 100')} / 100e0 AS sum_disc_price",
+        f"{d('(rch + 5000) DIV 10000')} / 100e0 AS sum_charge",
+        f"round({d('rq')} / 100e0 / n, 4) AS avg_qty",
+        f"round({d('rp')} / 100e0 / n, 4) AS avg_price",
+        f"round({d('rd')} / 100e0 / n, 4) AS avg_disc",
+        "n AS count_order",
+    ).orderBy("l_returnflag", "l_linestatus")
 
 
 @register(
@@ -797,7 +865,7 @@ def _cents_power_sums(
     df: DataFrame,
     group_cols: list[str],
     cents: dict[str, str],
-    terms: dict[str, tuple[str, str | None]],
+    terms: dict[str, tuple[str, str | None] | str],
     block: int = 32768,
 ) -> DataFrame:
     """Exact fixed-point power sums at long-sum speed (r11, from the sf1
@@ -824,7 +892,12 @@ def _cents_power_sums(
     an exact DECIMAL(38,0) RAW SCALED integer — ×100 for single columns,
     ×10^4 for products; callers descale with exact decimal division
     (``raw / 100`` keeps scale ≥ 6 under Spark's division typing, and
-    the true values carry ≤4 decimals, so nothing ever rounds)."""
+    the true values carry ≤4 decimals, so nothing ever rounds).
+
+    A term may also be a SQL expression STRING over the cents aliases
+    (e.g. ``"p*(100-d)*(100+t)"`` for TPC-H charge, scale 10^6) — the
+    caller owns the overflow bound: 32768 × max|term| must stay < 2^63
+    (q1's worst term is 1.05e7·100·108 ≈ 1.1e11/row → 3.7e15/block)."""
     c = df.select(
         *group_cols,
         *[
@@ -833,12 +906,16 @@ def _cents_power_sums(
         ],
         F.floor(F.monotonically_increasing_id() / block).alias("__blk"),
     )
+
+    def term_col(t):
+        if isinstance(t, str):
+            return F.expr(t)
+        a, b = t
+        return F.col(a) if b is None else F.col(a) * F.col(b)
+
     partial = c.groupBy(*group_cols, "__blk").agg(
         F.count(F.lit(1)).alias("__n"),
-        *[
-            F.sum(F.col(a) if b is None else F.col(a) * F.col(b)).alias(s)
-            for s, (a, b) in terms.items()
-        ],
+        *[F.sum(term_col(t)).alias(s) for s, t in terms.items()],
     )
     return partial.groupBy(*group_cols).agg(
         F.sum("__n").alias("n"),
@@ -2070,27 +2147,6 @@ def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p")
     ).select("p.*")
     return rows.orderBy("col")
-
-
-def _split_double_sql(expr: str) -> str:
-    """Exact-integer → double conversion as an explicit 2^42 hi/lo split,
-    bit-identical across engines (r11): a moment sum can exceed 2^64
-    (Σp² ≈ 2.2·10^19 already at sf0.1), where DuckDB's two-limb
-    int128→double conversion double-rounds while Spark's BigDecimal
-    cast rounds once — a last-ulp divergence diffcheck caught at sf0.1.
-    Both engines instead compute double(hi)·2^42 + double(lo): hi and
-    lo are exact integer decimal ops, hi < 2^53 for values < 2^95
-    (≈ 4·10^28, comfortably past 100-TB moment sums), the power-of-two
-    scale is an exact exponent shift, and the single final add is the
-    one correctly-rounded step — identical IEEE ops ⇒ identical bits.
-    Positive sums only (cents of nonnegative measures). DuckDB's ``//``
-    on DECIMAL promotes to DOUBLE (inexact!), so the split runs on
-    HUGEINT, where ``//`` and ``%`` are exact int128 ops."""
-    s = "4398046511104"  # 2^42
-    return (
-        f"(CAST(CAST(({expr}) AS HUGEINT) // {s} AS DOUBLE) * {s}e0"
-        f" + CAST(CAST(({expr}) AS HUGEINT) % {s} AS DOUBLE))"
-    )
 
 
 def _corr_matrix_oracle() -> str:
