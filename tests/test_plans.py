@@ -76,12 +76,15 @@ def test_keyset_page_take_ordered(spark):
 
 
 def test_q1_single_aggregation_shuffle(spark):
-    """Partial (map-side) aggregation: exactly one hash-partition exchange,
-    carrying only group keys × partial aggregates."""
+    """Partial (map-side) aggregation with the r11 block-bounded cents
+    moments: the block stage partial-aggregates map-side, so BOTH
+    exchanges carry only ≤rows/32768 partial rows — plus the final
+    orderBy. No Expand, no sort-based aggregation."""
     df = Q.q1_pricing_summary(spark, SF_SMOKE)
     plan = formatted_plan(df)
     assert plan.count("HashAggregate") >= 2, "expected partial+final aggregation"
-    assert count_exchanges(df) <= 2, plan  # agg shuffle + final orderBy
+    assert "Expand" not in plan, plan
+    assert count_exchanges(df) <= 3, plan  # block agg + group agg + orderBy
 
 
 def test_top_n_per_group_rank_limit_pushdown(spark):
@@ -621,15 +624,17 @@ def test_session_path_topk_take_ordered(spark):
 
 
 def test_correlation_matrix_single_aggregate_no_window(spark):
-    """The moment sums must be ONE partial-aggregated pass — no window,
-    no join, no second scan of the fact table."""
+    """The moment sums must be ONE scan pass — no window, no join, no
+    second scan of the fact table. r11: the block-bounded cents moments
+    add a second exchange, but both exchanges carry only partial rows
+    (≤rows/32768 after map-side aggregation), never fact rows."""
     df = Q.QUERIES["correlation_matrix"](spark, SF_SMOKE)
     plan = formatted_plan(df)
     assert "Window" not in plan
     # one scan node (each appears once in the tree and once in details)
     assert plan.count("Location: InMemoryFileIndex") == 1
-    # partial + final aggregate around exactly one exchange
-    assert count_exchanges(df) == 1
+    # block partial + final aggregate exchanges only
+    assert count_exchanges(df) <= 2
 
 
 def test_event_type_user_overlap_broadcasts_size_table(spark):
