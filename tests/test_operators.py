@@ -1089,3 +1089,59 @@ def test_simhash_profile_sums_to_admitted_pairs(spark):
     admitted_mass = sum(r.n_pairs for r in prof if r.admitted)
     assert all((r.hamming <= 8) == r.admitted for r in prof)
     assert admitted_mass == dedup_simhash(spark, SF_SMOKE).count()
+
+
+def test_cents_power_sums_exact_multiblock(spark):
+    """_cents_power_sums (queries.py, r11) must reproduce EXACT decimal
+    power sums — it is the hot path under q1 / moment_stats / ols /
+    correlation_matrix's oracle-paired hashes. Verified against a pure-
+    Python integer reference on a fixture that exercises what production
+    never does locally: block=4 forces many partial blocks per group
+    (the 32768-row production bound collapses to one block at test row
+    counts), plus NULL measures, sub-cent rounding (x.005 doubles), and
+    an expression term (the q1 triple product)."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from dbtransfer_spark.queries import _cents_power_sums
+
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(1003):  # not a multiple of block=4: ragged last block
+        g = rng.choice(["A", "B", "C"])
+        x = round(rng.uniform(0, 100000), 2)
+        y = None if i % 97 == 0 else round(rng.uniform(0, 0.1), 2)
+        rows.append((g, x, y))
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = _cents_power_sums(
+        df,
+        ["g"],
+        {"xc": "x", "yc": "y"},
+        {"sx": ("xc", None), "sxx": ("xc", "xc"),
+         "sxy": ("xc", "yc"), "tri": "xc*(100-yc)*(100+yc)"},
+        block=4,
+    ).collect()
+
+    def cents(v):
+        return None if v is None else int(Decimal(str(v)) * 100)
+
+    ref = {}
+    for g, x, y in rows:
+        r = ref.setdefault(g, {"n": 0, "sx": 0, "sxx": 0, "sxy": None, "tri": None})
+        r["n"] += 1
+        xc, yc = cents(x), cents(y)
+        r["sx"] += xc
+        r["sxx"] += xc * xc
+        if yc is not None:
+            r["sxy"] = (r["sxy"] or 0) + xc * yc
+            r["tri"] = (r["tri"] or 0) + xc * (100 - yc) * (100 + yc)
+    assert len(out) == 3
+    for row in out:
+        e = ref[row["g"]]
+        assert row["n"] == e["n"]
+        for k in ("sx", "sxx", "sxy", "tri"):
+            got = None if row[k] is None else int(row[k])
+            assert got == e[k], (row["g"], k, got, e[k])

@@ -881,3 +881,30 @@ def test_morton_interleave_bijective_roundtrip():
         back_y = sum(((z >> (2 * i)) & 1) << i for i in range(8))
         assert (back_x, back_y) == (xb, yb)
     assert seen == set(range(65536))
+
+
+def test_split_double_sql_correctly_rounded():
+    """_split_double_sql (queries.py) must equal Python's correctly-
+    rounded int→float conversion for exact integers far past 2^64 — the
+    r11 fix for DuckDB's double-rounding two-limb int128→double cast
+    (caught by diffcheck at sf0.1 on correlation_matrix's Σp²). Sampled
+    across every magnitude the engine can produce (up to 2^90, past any
+    100-TB moment sum) plus adversarial near-boundary values: 2^k ± 1
+    and odd integers just above 2^53/2^64 where naive conversions
+    double-round."""
+    import random
+
+    from dbtransfer_spark.queries import _split_double_sql
+
+    rng = random.Random(42)
+    vals = [0, 1, 2**53 - 1, 2**53, 2**53 + 1, 2**64 - 1, 2**64, 2**64 + 1]
+    vals += [2**k + d for k in (55, 63, 70, 80, 90) for d in (-1, 0, 1, 7)]
+    vals += [rng.randrange(0, 2**90) for _ in range(500)]
+    rows = duckdb.sql(
+        f"SELECT v, {_split_double_sql('v')} AS d FROM (SELECT "
+        "unnest([" + ",".join(f"CAST('{v}' AS DECIMAL(38,0))" for v in vals)
+        + "]) AS v)"
+    ).fetchall()
+    assert len(rows) == len(vals)
+    for v, d in rows:
+        assert d == float(int(v)), (v, d, float(int(v)))
