@@ -1055,10 +1055,20 @@ def connected_components(
     ``iterative.free_local_checkpoint`` for the executor-loss trade-off
     localCheckpoint carries. Converges in O(component diameter)
     rounds; near-dup components are shallow (diameter ≲ 10) even on
-    100 TB corpora, and every round is one shuffle on vertex id."""
+    100 TB corpora, and every round is one shuffle on vertex id.
+
+    The edge frame is persisted ONCE at entry (r11): `sym` feeds every
+    round's neighbor join, and without the persist each round recomputed
+    the caller's entire upstream candidate-generation lineage — measured
+    9.5 s of fixpoint wall on a 241-edge sf1 graph, all of it upstream
+    recompute (partially masked by shuffle-file reuse), vs the actual
+    ~468-row join work. Freed before returning; the returned labels are
+    checkpoint-cut, so they never reach back into it."""
     sym = edges.select(
         F.col(src).alias("e_src"), F.col(dst).alias("e_dst")
-    ).unionByName(edges.select(F.col(dst).alias("e_src"), F.col(src).alias("e_dst")))
+    ).unionByName(
+        edges.select(F.col(dst).alias("e_src"), F.col(src).alias("e_dst"))
+    ).persist()
     labels = (
         sym.select(F.col("e_src").alias("id")).distinct().withColumn("label", F.col("id"))
     ).localCheckpoint(eager=True)
@@ -1086,6 +1096,7 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    sym.unpersist()
     return labels
 
 
