@@ -25,6 +25,9 @@ def main() -> int:
     from dbtransfer_spark.operators.dedup import dedup_minhash_lsh_fast
 
     qs["dedup_minhash_lsh_fast"] = dedup_minhash_lsh_fast
+    from bench import _bench_incremental_release
+
+    qs["incremental_release"] = _bench_incremental_release
     n = int(os.environ.get("QTIME_RUNS", "3"))
     warm_dir = os.environ.get("QTIME_WARM_DIR", "/root/testdata/sf0.001")
     for name in names:
