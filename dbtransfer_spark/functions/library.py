@@ -641,16 +641,19 @@ def try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     cast plus a per-row catch, so a column that NEVER parses pays one
     JVM exception per row — 7.6 s for 1M events at sf1, 0.4 s guarded
     (measured). The guard's accept set (optionally signed digits, outer
-    whitespace) matches what cast-to-bigint accepts, overflow still
-    falls through to try_cast → NULL, so semantics are unchanged — and
-    at 100 TB an all-miss try_cast would otherwise be ~10^12 exceptions."""
+    whitespace INCLUDING all control chars ≤ 0x20 — Spark's ANSI cast
+    trims via UTF8String.trimAll, which strips NUL etc. that Java \\s
+    does not match; r11 ADVICE) matches what cast-to-bigint accepts,
+    overflow still falls through to try_cast → NULL, so semantics are
+    unchanged — and at 100 TB an all-miss try_cast would otherwise be
+    ~10^12 exceptions."""
     ev = load_table(spark, sf_dir, "events")
     micro = F.expr('CAST(round(value * 1000000) AS BIGINT)')
     return ev.select(
         "event_id",
         F.expr("TRY_CAST(get_json_object(props, '$.k') AS BIGINT)").alias("k_num"),
         F.expr(
-            r"CASE WHEN event_type RLIKE '^\\s*[+-]?[0-9]+\\s*$'"
+            r"CASE WHEN event_type RLIKE '^[\\x00-\\x20]*[+-]?[0-9]+[\\x00-\\x20]*$'"
             " THEN TRY_CAST(event_type AS BIGINT) END"
         ).alias("type_as_num"),
         F.when(micro == 0, F.lit(None).cast("bigint")).otherwise(micro).alias(

@@ -20,7 +20,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dbtransfer_spark.catalog import load_table
-from dbtransfer_spark.operators.iterative import free_local_checkpoint
+from dbtransfer_spark.operators.iterative import cut_lineage, free_local_checkpoint
 
 QUERIES = {}
 ORACLE = {}
@@ -1069,34 +1069,44 @@ def connected_components(
     ).unionByName(
         edges.select(F.col(dst).alias("e_src"), F.col(src).alias("e_dst"))
     ).persist()
-    labels = (
-        sym.select(F.col("e_src").alias("id")).distinct().withColumn("label", F.col("id"))
-    ).localCheckpoint(eager=True)
-    for _ in range(max_iter):
-        neighbor_min = (
-            sym.join(labels, sym.e_src == labels.id)
-            .groupBy("e_dst")
-            .agg(F.min("label").alias("nlabel"))
+    # try/finally (r11 ADVICE): a mid-fixpoint raise (job cancellation,
+    # ANSI error in upstream lineage) must not leak the persisted edge
+    # frame for the life of the session.
+    try:
+        labels = cut_lineage(
+            sym.select(F.col("e_src").alias("id"))
+            .distinct()
+            .withColumn("label", F.col("id")),
+            eager=True,
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.e_dst, "left")
-            .select(
-                "id",
-                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+        for _ in range(max_iter):
+            neighbor_min = (
+                sym.join(labels, sym.e_src == labels.id)
+                .groupBy("e_dst")
+                .agg(F.min("label").alias("nlabel"))
             )
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        free_local_checkpoint(labels)  # superseded round's blocks
-        labels = new_labels
-        if changed == 0:
-            break
-    sym.unpersist()
+            new_labels = cut_lineage(
+                labels.join(neighbor_min, labels.id == neighbor_min.e_dst, "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("label"), F.coalesce("nlabel", "label")
+                    ).alias("label"),
+                ),
+                eager=True,
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            free_local_checkpoint(labels)  # superseded round's blocks
+            labels = new_labels
+            if changed == 0:
+                break
+    finally:
+        sym.unpersist()
     return labels
 
 

@@ -14,39 +14,15 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dbtransfer_spark.catalog import load_table
-from dbtransfer_spark.operators.iterative import free_local_checkpoint
+from dbtransfer_spark.operators.iterative import cut_lineage, free_local_checkpoint
+from dbtransfer_spark.operators.shared_frames import (
+    copurchase_edges,
+    copurchase_pairs,
+    part_supplier_edges,
+)
 
 QUERIES = {}
 ORACLE = {}
-
-
-def _basket_pair_explode(li: DataFrame) -> DataFrame:
-    """Per-order item pairs (u < v, WITH multiplicity) via ONE
-    partial-aggregated basket shuffle + an in-array sorted position-pair
-    explode — zero join exchanges, vs the self-join form that shuffles
-    the fact table twice and joins (measured 2× on the sf1 pairs stage;
-    byte-identical multisets: position pairs i<j with strict value
-    inequality reproduce the join's cx·cy multiplicity exactly).
-    explode_OUTER + post-filter, not plain explode: the optimizer would
-    otherwise push size(prs)>0 — with the whole pair-construction
-    expression inlined — into the scan filter (the
-    InferFiltersFromGenerate lesson, dedup.py)."""
-    baskets = li.groupBy("l_orderkey").agg(
-        F.expr("sort_array(collect_list(l_partkey))").alias("ps")
-    )
-    return (
-        baskets.selectExpr(
-            "filter(flatten(transform(sequence(1, size(ps)), i ->"
-            " transform(slice(ps, i+1, size(ps)-i), y ->"
-            " IF(element_at(ps, i) < y,"
-            " struct(element_at(ps, i) AS u, y AS v),"
-            " CAST(NULL AS struct<u:bigint,v:bigint>))))),"
-            " s -> s IS NOT NULL) AS prs"
-        )
-        .select(F.explode_outer("prs").alias("p"))
-        .filter("p IS NOT NULL")
-        .select("p.u", "p.v")
-    )
 
 
 def register(name: str, oracle: str | None = None):
@@ -108,13 +84,14 @@ def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregated shuffle keyed on the receiving vertex; degrees join in
     via stats-gated broadcasts. More rounds = more of the same plan
     (O(diameter) like label propagation); state never touches the
-    driver."""
+    driver. The edge frame comes from the session-shared persisted
+    cache (shared_frames.part_supplier_edges, r12): it feeds BOTH
+    degree passes and BOTH rank hops, so without the persist the
+    fact-table scan+distinct re-ran once per consumer — the sf1 sweep
+    charged this query ~4 rebuilds of its dominant shuffle."""
     from dbtransfer_spark.queries import broadcast_if_small
 
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    edges = lineitem.select(
-        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
-    ).distinct()
+    edges = part_supplier_edges(spark, sf_dir)
     sdeg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("deg_s"))
     pdeg = edges.groupBy("p").agg(F.count(F.lit(1)).alias("deg_p"))
     ns = sdeg.agg(F.count(F.lit(1)).alias("n_s"))
@@ -193,19 +170,20 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     The edge build dedups the per-order pair explosion immediately
     (DISTINCT before any graph work), so the only quadratic-ish step
     is per-order C(items,2), bounded by order size; pair generation is
-    the shared zero-join basket explode (_basket_pair_explode — the r8
-    rewrite that halved the sf1 pairs stage)."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    pairs = (
-        _basket_pair_explode(li)
-        .distinct()
-        .persist()  # degree pass + orientation consume it twice
-    )
+    the session-shared co-purchase edge frame (r12 — one persisted
+    build serves the whole graph/basket family; identical multiset to
+    the old per-query _basket_pair_explode().distinct()). Degree
+    decoration BROADCASTS deg for the orientation joins: |V| is the
+    part dimension (dimension-sized at 100 TB — the
+    degree_assortativity argument), so the 12M-row edge frame is never
+    sort-shuffled just to attach two 8-byte degrees."""
+    pairs = copurchase_pairs(spark, sf_dir)
     deg = (
         pairs.selectExpr("u AS node")
         .unionAll(pairs.selectExpr("v AS node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+        .persist()  # two broadcast builds + the n_nodes count
     )
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
@@ -213,8 +191,8 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
     oriented = (
-        pairs.join(du, "u")
-        .join(dv, "v")
+        pairs.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
         .select(
             F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("s"),
             F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("t"),
@@ -471,27 +449,16 @@ def link_prediction_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFr
     min-weight-sum tiebreak, anti-joined against the edge set, top-50
     deterministic.
 
-    Plan: the per-order pair generation is the item_cf_cosine2_topk
-    shape — ONE basket aggregation (partial-agg shuffle on l_orderkey)
-    and an in-array sorted-pair explode, ZERO join exchanges, instead of
-    the r7 self-join that shuffled lineitem twice and joined (measured
-    2× on the sf1 pairs stage, byte-identical counts: position pairs
-    i<j with strict value inequality reproduce the join's cx·cy
-    multiplicity exactly). C(items,2) stays bounded by order size.
+    Plan: the weighted edge frame is the session-shared co-purchase
+    build (r12 — one persisted build serves the whole graph/basket
+    family; its sum-of-multiplicities weight is byte-identical to the
+    old per-query _basket_pair_explode().groupBy().count(), which in
+    turn reproduced the r7 self-join's cx·cy multiplicity exactly).
     Then two row_number windows over the SAME edge frame (one shuffle
     each on src/dst), the wedge equi-join on the shared neighbor, and a
     left-anti probe. All shuffles equi-keyed; the 50-row limit is a
-    TakeOrdered, no global sort. explode_OUTER + post-filter, not plain
-    explode: InferFiltersFromGenerate would push size(prs)>0 — with the
-    whole pair-construction expression inlined — down into the scan
-    filter (the winnow_fingerprints lesson, dedup.py)."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    pairs = (
-        _basket_pair_explode(li)
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
-        .persist()  # adjacency build + anti-join probe
-    )
+    TakeOrdered, no global sort."""
+    pairs = copurchase_edges(spark, sf_dir).select("u", "v", "w")
     adj = pairs.select(
         F.col("u").alias("src"), F.col("v").alias("dst"), "w"
     ).unionByName(pairs.select(F.col("v").alias("src"), F.col("u").alias("dst"), "w"))
@@ -568,9 +535,8 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-stable discipline as correlation_matrix/spearman_rank_corr.
 
     Plan (r10 trim of the 27 s sf1 entry): the pair build is the
-    shared zero-join basket explode + DISTINCT (the
-    copurchase_triangles recipe — the old lineitem self-join shuffled
-    the fact table twice); degree decoration BROADCASTS deg (|V| is
+    session-shared co-purchase edge frame (r12 — identical multiset to
+    the old per-query explode + DISTINCT); degree decoration BROADCASTS deg (|V| is
     the part dimension — 200k×16B at sf1, and still dimension-sized at
     100 TB — so the edge frame never reshuffles); and the stub union
     is folded algebraically into ONE pass over decorated edges: each
@@ -578,12 +544,7 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = 2·m, sx = sy = Σ(dx+dy), sxx = syy = Σ(dx²+dy²),
     sxy = 2·Σ(dx·dy) — identical BIGINT sums (bit-identical doubles),
     half the aggregate input, zero union."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    pairs = (
-        _basket_pair_explode(li)
-        .distinct()
-        .persist()  # degree pass + decorating joins + edge count
-    )
+    pairs = copurchase_pairs(spark, sf_dir)
     deg = (
         pairs.select(F.col("u").alias("node"))
         .unionByName(pairs.select(F.col("v").alias("node")))
@@ -686,9 +647,9 @@ def kcore_peel_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline) — each round is two semi-joins (endpoint membership)
     and one partial-aggregated degree pass, all equi-keyed on node ids;
     survivors shrink monotonically so later rounds cost less. The base
-    edge set comes from the shared zero-join basket pair explode (r10 —
-    the lineitem self-join shuffled the fact table twice; A/B measured
-    ~2× on the sf1 pairs stage) and is persisted once; each round's
+    edge set is the session-shared persisted co-purchase frame (r12 —
+    identical multiset to the old per-query explode + DISTINCT; owned
+    by shared_frames, so this query must not unpersist it); each round's
     degree frame is persisted too, because BOTH the round's stats row
     and the next round's keep-set consume it. Each round's edge frame
     is localCheckpoint-ed, not just persisted: the round derivation
@@ -709,8 +670,7 @@ def kcore_peel_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     storage is one round's frames, O(1) in peel depth, matching the
     fixpoint claim above; see ``iterative.free_local_checkpoint`` for
     the localCheckpoint executor-loss trade."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    pairs = _basket_pair_explode(li).distinct().persist()
+    pairs = copurchase_pairs(spark, sf_dir)
 
     def degrees(edges: DataFrame) -> DataFrame:
         return (
@@ -723,9 +683,10 @@ def kcore_peel_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg0 = degrees(pairs).persist()
     # 1-row, eager: every round's keep-set and stats row reference k, so
     # it must survive deg0/pairs being released after round 1.
-    kth = deg0.agg(
-        F.expr("CAST(sum(d) div count(*) + 1 AS BIGINT)").alias("k")
-    ).localCheckpoint(eager=True)
+    kth = cut_lineage(
+        deg0.agg(F.expr("CAST(sum(d) div count(*) + 1 AS BIGINT)").alias("k")),
+        eager=True,
+    )
 
     def stats(round_no: int, edges: DataFrame, deg: DataFrame) -> DataFrame:
         nn = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
@@ -741,25 +702,23 @@ def kcore_peel_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    out = stats(0, pairs, deg0).localCheckpoint(eager=True)
+    out = cut_lineage(stats(0, pairs, deg0), eager=True)
     edges, deg = pairs, deg0
     for r in (1, 2, 3):
         keep = deg.join(F.broadcast(kth), F.col("d") >= F.col("k")).select("node")
-        new_edges = (
+        new_edges = cut_lineage(
             edges.join(keep.select(F.col("node").alias("u")), "u", "left_semi")
             .join(keep.select(F.col("node").alias("v")), "v", "left_semi")
-            .select("u", "v")
-            .localCheckpoint(eager=True)  # cut lineage: see docstring
+            .select("u", "v"),
+            eager=True,  # cut lineage: see docstring
         )
         new_deg = degrees(new_edges).persist()  # stats row + next round's keep
         # eager 1-row checkpoint materializes new_deg and pins the stats
         # row, so the superseded round's storage can go right now
         out = out.unionByName(
-            stats(r, new_edges, new_deg).localCheckpoint(eager=True)
+            cut_lineage(stats(r, new_edges, new_deg), eager=True)
         )
-        if r == 1:
-            pairs.unpersist()
-        else:
+        if r > 1:  # round-1 base is the shared frame — cache-owned
             free_local_checkpoint(edges)
         deg.unpersist()
         edges, deg = new_edges, new_deg

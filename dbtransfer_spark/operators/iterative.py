@@ -15,18 +15,47 @@ CacheManager entry, which a checkpointed frame never had).
 ``free_local_checkpoint`` releases a superseded round's blocks
 explicitly. Durability note that callers inherit: localCheckpoint
 blocks are NON-RECOVERABLE on executor loss (a persisted frame could
-recompute from lineage; a truncated one cannot) — acceptable for these
-shallow fixpoints where a lost executor fails the job and the job is
-retried from the source, the standard trade Spark docs attach to
-localCheckpoint. A cluster deployment that configures a reliable
-``spark.sparkContext.setCheckpointDir`` can swap ``checkpoint()`` in
-at the same call sites for fault tolerance at the cost of an HDFS
-round-trip per round.
+recompute from lineage; a truncated one cannot) — acceptable on a
+single-box run, but at 100 TB with real preemption the difference
+between a retried stage and a failed job. ``cut_lineage`` is therefore
+the config-wired switch (r11 VERDICT #5): every fixpoint call site
+routes through it, and when the session carries a reliable checkpoint
+directory (``spark.dbtransfer.checkpointDir`` conf, or an already-set
+``SparkContext.setCheckpointDir``) the round state goes through
+``DataFrame.checkpoint()`` — durable files that survive executor loss —
+at the cost of one distributed-FS round-trip per round. With no
+directory configured it stays executor-local, same behavior as before.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+
+RELIABLE_DIR_CONF = "spark.dbtransfer.checkpointDir"
+
+
+def cut_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Truncate ``df``'s lineage for iterative fixpoints.
+
+    Reliable path: if the session conf ``spark.dbtransfer.checkpointDir``
+    is set (wired to ``SparkContext.setCheckpointDir`` on first use), use
+    ``checkpoint()`` — round state lands on the configured (distributed)
+    filesystem and survives executor loss. Otherwise ``localCheckpoint()``
+    (executor-local, non-recoverable; the single-node default). Both cut
+    the logical plan to a LogicalRDD, so callers' per-round plan-depth
+    and ``free_local_checkpoint`` behavior are identical on either
+    path."""
+    spark = df.sparkSession
+    conf_dir = spark.conf.get(RELIABLE_DIR_CONF, None)
+    if conf_dir:
+        sc = spark.sparkContext
+        # idempotent re-set: keeps the conf the single source of truth
+        # even if it changed mid-session
+        jdir = sc._jsc.sc().getCheckpointDir()
+        if jdir.isEmpty() or conf_dir not in str(jdir.get()):
+            sc.setCheckpointDir(conf_dir)
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
 
 
 def free_local_checkpoint(df: DataFrame) -> None:

@@ -1,0 +1,176 @@
+"""Session-scoped shared-frame cache for expensive derived frames that
+several queries rebuild identically (r11 VERDICT #1).
+
+Why this exists: the graph/basket family (copurchase_triangles,
+link_prediction_common_neighbors, market_basket_pairs,
+degree_assortativity, kcore_peel_rounds) each derived the SAME
+co-purchase edge frame — a Σ|basket|² per-order pair explode over
+lineitem collapsed to ~|distinct edges| rows — independently per query,
+re-running the basket shuffle and the pair-aggregate shuffle every
+time. At 100 TB the edge build is the dominant shuffle of the whole
+family; a session that runs two family queries pays it twice for
+byte-identical output. pagerank_bipartite had the same shape one level
+down: its distinct (part, supplier) frame fed three downstream joins
+with NO persist, so the fact-table scan+distinct re-ran per consumer.
+
+Design: a content-keyed cache — key = (Spark application id, realpath
+of the sf_dir, frame name) — holding ONE persisted DataFrame per
+(session, dataset, frame). Consumers call the builder accessors below;
+the first call in a session builds + persists, later calls return the
+same frame object so Spark's CacheManager serves the materialized
+blocks. The cache is defensive against external ``clearCache()`` (the
+sf1 sweep clears between queries to keep timings standalone-
+comparable): if the cached entry's storage level has been dropped, the
+frame is re-persisted in place (same plan → same values; the build
+counter does NOT increment, it counts plan constructions only).
+
+Hashes are unchanged by construction: every accessor returns exactly
+the frame the consumer previously built inline (verified query-by-query
+against the committed diffcheck ledger when the consumers were
+rewired).
+
+Lifecycle: entries live for the Spark application. The frames are
+bounded — the co-purchase edge frame is ~|distinct part pairs| rows of
+four BIGINTs (~12M rows / ~400 MB at the sf1 rehearsal; dimension-bound
+growth, NOT fact-table-bound, because pairs collapse per-order
+multiplicity), and the bipartite frame is |part×supplier| distinct
+pairs. Consumers must never ``unpersist()`` a shared frame — derive
+children (``.select(...)``) and manage those instead.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+from collections import Counter
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbtransfer_spark.catalog import load_table
+
+_LOCK = threading.Lock()
+_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+# (app_id, sf_dir, name) -> number of times the frame's PLAN was built
+# (observability + the cross-query reuse test; re-persists after an
+# external clearCache don't count — the plan is reused, not rebuilt).
+BUILD_COUNTS: Counter = Counter()
+
+
+def shared_frame(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    build: Callable[[], DataFrame],
+) -> DataFrame:
+    """Return the session's persisted copy of ``name`` for ``sf_dir``,
+    building it via ``build()`` on first use."""
+    key = (spark.sparkContext.applicationId, os.path.realpath(sf_dir), name)
+    with _LOCK:
+        df = _CACHE.get(key)
+        if df is not None:
+            if not (
+                df.storageLevel.useMemory or df.storageLevel.useDisk
+            ):  # externally clearCache()d — re-persist the same plan
+                df.persist()
+            return df
+        df = build().persist()
+        _CACHE[key] = df
+        BUILD_COUNTS[key] += 1
+        return df
+
+
+# ---------------------------------------------------------------------------
+# Co-purchase edge frame (u, v, w, together)
+# ---------------------------------------------------------------------------
+
+
+def _build_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The weighted co-purchase edge frame every basket-graph query
+    derives from: one row per unordered part pair (u < v) that ever
+    shares an order, with BOTH aggregate weights the family needs —
+
+    - ``w``        = Σ_orders cx·cy (line-level co-occurrence count, the
+                     multiplicity the lineitem self-join form produces;
+                     link_prediction's edge weight), and
+    - ``together`` = number of DISTINCT orders containing both parts
+                     (market_basket support).
+
+    Plan: ONE partial-aggregated basket shuffle (groupBy l_orderkey →
+    sorted part list), an in-array pair explode over the DISTINCT values
+    with per-value multiplicities read off the raw list (O(|basket|·
+    |distinct|) per order, basket sizes are order-bounded), then ONE
+    pair-keyed aggregate — zero join exchanges, the r8 zero-join explode
+    extended to emit both weights at once. explode_OUTER + post-filter,
+    not plain explode: InferFiltersFromGenerate would push size(prs)>0 —
+    with the whole pair-construction expression inlined — into the scan
+    filter (the winnow_fingerprints lesson, dedup.py).
+
+    Equivalences (exact, not approximate): per order, distinct pair
+    (u, v) is emitted once with m = cx·cy, so sum(m) reproduces the
+    position-pair explode's multiplicity (i<j with strict value
+    inequality ⇒ cx·cy copies per order) and count(1) reproduces the
+    DISTINCT-basket self-join's one-per-order contribution."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.expr("sort_array(collect_list(l_partkey))").alias("ps")
+    )
+    exploded = (
+        baskets.selectExpr(
+            "array_distinct(ps) AS vs",
+            "transform(array_distinct(ps), x ->"
+            " size(filter(ps, y -> y = x))) AS cs",
+        )
+        .selectExpr(
+            "flatten(transform(sequence(1, size(vs)), i ->"
+            " transform(slice(sequence(1, size(vs)), i+1, size(vs)-i), j ->"
+            " struct(element_at(vs, i) AS u, element_at(vs, j) AS v,"
+            " element_at(cs, i) * element_at(cs, j) AS m)))) AS prs"
+        )
+        .select(F.explode_outer("prs").alias("p"))
+        .filter("p IS NOT NULL")
+        .select("p.u", "p.v", "p.m")
+    )
+    return exploded.groupBy("u", "v").agg(
+        F.sum("m").cast("bigint").alias("w"),
+        F.count(F.lit(1)).cast("bigint").alias("together"),
+    )
+
+
+def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared weighted co-purchase edge frame — see
+    ``_build_copurchase_edges`` for columns and exactness contract."""
+    return shared_frame(
+        spark,
+        sf_dir,
+        "copurchase_edges",
+        lambda: _build_copurchase_edges(spark, sf_dir),
+    )
+
+
+def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unweighted distinct co-purchase pairs (u < v) — the groupBy keys
+    of the shared frame; identical to the old per-query
+    ``_basket_pair_explode(li).distinct()``."""
+    return copurchase_edges(spark, sf_dir).select("u", "v")
+
+
+# ---------------------------------------------------------------------------
+# Bipartite part↔supplier edge frame
+# ---------------------------------------------------------------------------
+
+
+def part_supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (part, supplier) pairs from lineitem — pagerank_bipartite
+    consumes this three times (two degree passes + two rank hops); the
+    shared persist makes the fact-table scan+distinct run once per
+    session instead of once per consumer."""
+    return shared_frame(
+        spark,
+        sf_dir,
+        "part_supplier_edges",
+        lambda: load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
+        .distinct(),
+    )

@@ -1551,28 +1551,30 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Lift is one IEEE division of exact integers (together × N /
     (cnt_a × cnt_b)) — identical doubles cross-engine, no rounding.
 
-    Scale: the self-join keys on l_orderkey, so candidate pairs are
-    quadratic only in the BASKET size (a handful of lines per order),
-    never in the table — the same bounded-fanout argument as the
-    inverted-index dedup joins; part marginals broadcast via the stats
+    Scale: pair support comes from the session-shared co-purchase edge
+    frame (r12 — shared_frames.copurchase_edges; its ``together``
+    column is exactly this query's distinct-basket self-join count, and
+    the build is one basket shuffle + in-array explode instead of the
+    old self-join that shuffled the distinct basket twice). Candidate
+    pairs are quadratic only in the BASKET size (a handful of lines per
+    order), never in the table; part marginals broadcast via the stats
     gate; the support floor prunes the long tail before the final
     sort."""
+    from dbtransfer_spark.operators.shared_frames import copurchase_edges
+
     li = load_table(spark, sf_dir, "lineitem")
-    basket = li.select("l_orderkey", "l_partkey").distinct()
+    basket = li.select("l_orderkey", "l_partkey").distinct().persist()
     n_orders = basket.agg(
         F.countDistinct("l_orderkey").alias("n")
     )
     part_count = basket.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
-    a = basket.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
-    )
-    b = basket.select(
-        F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("part_b")
-    )
     pairs = (
-        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("part_a") < F.col("part_b")))
-        .groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).alias("together"))
+        copurchase_edges(spark, sf_dir)
+        .select(
+            F.col("u").alias("part_a"),
+            F.col("v").alias("part_b"),
+            "together",
+        )
         .filter(F.col("together") >= 3)
     )
     ca = part_count.select(

@@ -5,6 +5,8 @@ against DuckDB; these pin the semantics on adversarial small cases."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -1145,3 +1147,73 @@ def test_cents_power_sums_exact_multiblock(spark):
         for k in ("sx", "sxx", "sxy", "tri"):
             got = None if row[k] is None else int(row[k])
             assert got == e[k], (row["g"], k, got, e[k])
+
+
+def test_shared_copurchase_frame_built_once_across_family(spark, tmp_path):
+    """r11 VERDICT #1: two graph/basket-family queries in one session hit
+    the session-shared co-purchase edge builder exactly once — the second
+    query reuses the persisted frame instead of re-running the basket
+    explode. Uses a private fixture dir so counts aren't contaminated by
+    other tests touching the standard fixtures."""
+    import shutil
+
+    from dbtransfer_spark.operators import shared_frames
+    from dbtransfer_spark.operators.graph import copurchase_triangles
+    from dbtransfer_spark.queries import market_basket_pairs
+
+    sf_dir = tmp_path / "sf"
+    sf_dir.mkdir()
+    shutil.copy("/root/testdata/sf0.001/lineitem.parquet",
+                sf_dir / "lineitem.parquet")
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.realpath(str(sf_dir)),
+        "copurchase_edges",
+    )
+    assert shared_frames.BUILD_COUNTS[key] == 0
+    n_tri = copurchase_triangles(spark, str(sf_dir)).collect()
+    assert shared_frames.BUILD_COUNTS[key] == 1
+    n_mb = market_basket_pairs(spark, str(sf_dir)).count()
+    assert shared_frames.BUILD_COUNTS[key] == 1  # reused, not rebuilt
+    assert n_tri[0]["n_edges"] > 0 and n_mb >= 0
+    # defensive re-persist path: an external clearCache() must not force
+    # a plan rebuild, only a re-persist of the same frame
+    spark.catalog.clearCache()
+    df = shared_frames.copurchase_edges(spark, str(sf_dir))
+    assert shared_frames.BUILD_COUNTS[key] == 1
+    assert df.storageLevel.useMemory or df.storageLevel.useDisk
+
+
+def test_reliable_checkpoint_knob_for_fixpoints(spark, tmp_path):
+    """r11 VERDICT #5: when the session conf spark.dbtransfer.checkpointDir
+    is set, the iterative fixpoints route round state through reliable
+    DataFrame.checkpoint() (files on the configured FS, survives executor
+    loss) instead of localCheckpoint — labels unchanged either way."""
+    from dbtransfer_spark.operators.dedup import connected_components
+    from dbtransfer_spark.operators.iterative import RELIABLE_DIR_CONF
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "src long, dst long"
+    )
+    want = {(1, 1), (2, 1), (3, 1), (5, 5), (6, 5)}
+    local = {
+        (r.id, r.label) for r in connected_components(edges, "src", "dst").collect()
+    }
+    assert local == want
+    ckdir = str(tmp_path / "ck")
+    spark.conf.set(RELIABLE_DIR_CONF, ckdir)
+    try:
+        reliable = {
+            (r.id, r.label)
+            for r in connected_components(edges, "src", "dst").collect()
+        }
+    finally:
+        spark.conf.unset(RELIABLE_DIR_CONF)
+    assert reliable == want
+    # the reliable path actually executed: checkpoint files exist
+    ck_files = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(ckdir)
+        for f in fs
+    ]
+    assert ck_files, "no reliable checkpoint files were written"

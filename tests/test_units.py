@@ -684,3 +684,27 @@ def test_plan_join_strategy_consumes_preflight(spark):
     )
     # the smoke fixture's orders side easily fits a broadcast
     assert r["strategy"] == "broadcast"
+
+
+def test_try_cast_guard_matches_ansi_trim(spark):
+    """The try_functions regex guard must accept exactly what Spark's
+    ANSI cast-to-bigint accepts: UTF8String.trimAll strips ALL control
+    chars <= 0x20 (NUL, \\x1f, ...), not just Java \\s (r11 ADVICE — a
+    '\\x00123' input must parse as 123, not flip to NULL)."""
+    rows = [
+        ("\x00123",), (" 42 ",), ("\t-7\n",), ("\x1f\x0b8\x00",),
+        ("12a",), ("",), ("+9",), (" 5",),  # NBSP is NOT trimmed
+        ("99999999999999999999",),  # overflow -> NULL via try_cast
+    ]
+    df = spark.createDataFrame(rows, "event_type string")
+    from pyspark.sql import functions as F
+
+    out = df.select(
+        F.expr(
+            r"CASE WHEN event_type RLIKE '^[\\x00-\\x20]*[+-]?[0-9]+[\\x00-\\x20]*$'"
+            " THEN TRY_CAST(event_type AS BIGINT) END"
+        ).alias("guarded"),
+        F.expr("TRY_CAST(event_type AS BIGINT)").alias("plain"),
+    ).collect()
+    for r, (s,) in zip(out, rows):
+        assert r.guarded == r.plain, (repr(s), r.guarded, r.plain)
