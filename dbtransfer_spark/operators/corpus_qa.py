@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dbtransfer_spark.catalog import load_table
+from dbtransfer_spark.textutil import alnum, normalized_text
 
 QUERIES = {}
 ORACLE = {}
@@ -752,11 +753,9 @@ def training_data_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_words") >= _GQ_MIN_WORDS)
         & F.col("mwl").between(_GQ_MWL_MIN, _GQ_MWL_MAX)
     )
-    norm = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
-        )
-    )
+    norm = normalized_text(F.col("text"))  # fast-path twin of the
+    # trim(regexp_replace(regexp_replace(lower, '[^a-z0-9 ]', ''), ' +', ' '))
+    # oracle spelling (textutil.py: negated-class regex is ~100x slower)
     deduped = exact_dedup(kept.withColumn("__fp", F.md5(norm)), ["__fp"], "doc_id")
     h = F.pmod(
         F.conv(
@@ -1251,13 +1250,8 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     leak audit. No joins against the full corpus; the 100 TB cost is
     one dedup-shaped aggregate."""
     docs = load_table(spark, sf_dir, "documents")
-    fp = F.md5(
-        F.trim(
-            F.regexp_replace(
-                F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
-            )
-        )
-    )
+    fp = F.md5(normalized_text(F.col("text")))  # fast-path twin of the
+    # negated-class oracle spelling (textutil.py)
 
     def bucket(col):
         return F.pmod(
@@ -1354,9 +1348,9 @@ def token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     n_tokens = F.size(F.split("text", " ", -1)).cast("bigint")
     quality = F.expr(
-        "CAST(length(regexp_replace(text, '[^a-zA-Z0-9]', '')) AS BIGINT)"
-        " * 1000000 div greatest(length(text), 1)"
+        "CAST(__n_alnum AS BIGINT) * 1000000 div greatest(length(text), 1)"
     )
+    docs = docs.withColumn("__n_alnum", F.length(alnum(F.col("text"))))
     t = docs.select(
         "doc_id",
         "source",

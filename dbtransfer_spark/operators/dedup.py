@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from dbtransfer_spark.catalog import load_table
 from dbtransfer_spark.operators.iterative import cut_lineage, free_local_checkpoint
+from dbtransfer_spark.textutil import alnum_lower, normalized_text
 
 QUERIES = {}
 ORACLE = {}
@@ -68,11 +69,9 @@ def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame
 def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup on the normalized-text fingerprint, keeping the lowest
     doc_id per group (hash-groupBy dedup from BASELINE.json)."""
-    norm = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
-        )
-    )
+    norm = normalized_text(F.col("text"))  # fast-path twin of the
+    # trim(regexp_replace(regexp_replace(lower, '[^a-z0-9 ]', ''), ' +', ' '))
+    # oracle spelling (textutil.py: negated-class regex is ~100x slower)
     df = load_table(spark, sf_dir, "documents").withColumn("__fp", F.md5(norm))
     return exact_dedup(df, ["__fp"], "doc_id").select(
         "doc_id", "lang", "source", "n_chars"
@@ -2232,7 +2231,7 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(
             "doc_id",
             "source",
-            F.regexp_replace(F.lower("text"), "[^a-z0-9]", "").alias("norm"),
+            alnum_lower(F.col("text")).alias("norm"),
         )
         .withColumn("n_grams", F.length("norm") - _WN_K + 1)
         .filter(F.length("norm") >= _WN_K + _WN_W - 1)
@@ -2426,7 +2425,7 @@ def content_defined_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(
             "doc_id",
             "source",
-            F.regexp_replace(F.lower("text"), "[^a-z0-9]", "").alias("norm"),
+            alnum_lower(F.col("text")).alias("norm"),
         )
         .withColumn("n_grams", F.length("norm") - _WN_K + 1)
         .filter(F.length("norm") >= _WN_K)

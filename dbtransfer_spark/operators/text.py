@@ -17,6 +17,7 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 from dbtransfer_spark.catalog import load_table
+from dbtransfer_spark.textutil import alnum, normalized_text
 
 QUERIES = {}
 ORACLE = {}
@@ -135,11 +136,9 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-alphanumerics, collapse whitespace) + md5 — the canonical exact-dup
     key that ignores formatting noise. A deterministic cross-engine hash
     (unlike xxhash/murmur which differ per engine)."""
-    norm = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
-        )
-    )
+    norm = normalized_text(F.col("text"))  # fast-path twin of the
+    # trim(regexp_replace(regexp_replace(lower, '[^a-z0-9 ]', ''), ' +', ' '))
+    # oracle spelling (textutil.py: negated-class regex is ~100x slower)
     return load_table(spark, sf_dir, "documents").select(
         "doc_id", F.md5(norm).alias("fingerprint")
     )
@@ -192,13 +191,8 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     mwl = F.when(n_tokens == 0, F.lit(0.0)).otherwise(
         F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double") / n_tokens
     )
-    fingerprint = F.md5(
-        F.trim(
-            F.regexp_replace(
-                F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
-            )
-        )
-    )
+    fingerprint = F.md5(normalized_text(F.col("text")))  # fast-path
+    # twin of the negated-class oracle spelling (textutil.py)
     scored = df.select(
         "doc_id",
         "lang",
@@ -899,7 +893,7 @@ def readability_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: pure scan-stage expressions, zero shuffles — fuses into
     whole-stage codegen with the parquet scan."""
     docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
-    n_alnum = F.length(F.regexp_replace("text", "[^A-Za-z0-9]", ""))
+    n_alnum = F.length(alnum(F.col("text")))
     n_words = F.size(F.split("text", " ", -1))
     n_sent = F.greatest(
         F.size(F.expr(r"regexp_extract_all(text, '[.!?]+', 0)")), F.lit(1)
@@ -954,12 +948,9 @@ def text_normalize_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     digests as keys, not document text. The md5 is the same cross-engine
     primitive every dedup oracle here already replays."""
     docs = load_table(spark, sf_dir, "documents")
-    norm = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
-            " +", " ",
-        )
-    )
+    norm = normalized_text(F.col("text"))  # fast-path twin of the
+    # trim(regexp_replace(regexp_replace(lower, '[^a-z0-9 ]', ''), ' +', ' '))
+    # oracle spelling (textutil.py: negated-class regex is ~100x slower)
     staged = docs.select(
         "doc_id",
         F.length("text").cast("bigint").alias("n_raw"),

@@ -334,7 +334,15 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimals, and the oracle computes the identical integer form, so
     cross-engine equality is by construction (half-up rounding to cents
     done in integer space, the final double produced by the 2^42 split —
-    one correctly-rounded division per column on both engines)."""
+    one correctly-rounded division per column on both engines).
+
+    r12 (ADVICE): the half-up quotients (rdp+50)/100 and (rch+5000)/10000
+    are computed by DECIMAL floor-division, not BIGINT DIV — the raw
+    basis-point sums are DECIMAL(38,0) and a BIGINT quotient of the
+    charge sum would overflow 2^63 past ~140 TB while the DuckDB twin
+    stays exact in HUGEINT; the decimal floor keeps the Spark side exact
+    to the split's own 2^95 bound. Values are bit-identical at every
+    non-overflowing scale (same integers, same split)."""
     df = load_table(spark, sf_dir, "lineitem")
     raw = _cents_power_sums(
         df.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")),
@@ -355,8 +363,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linestatus",
         f"{d('rq')} / 100e0 AS sum_qty",
         f"{d('rp')} / 100e0 AS sum_base_price",
-        f"{d('(rdp + 50) DIV 100')} / 100e0 AS sum_disc_price",
-        f"{d('(rch + 5000) DIV 10000')} / 100e0 AS sum_charge",
+        f"{d('CAST(floor((rdp + 50) / 100) AS DECIMAL(38,0))')} / 100e0"
+        " AS sum_disc_price",
+        f"{d('CAST(floor((rch + 5000) / 10000) AS DECIMAL(38,0))')} / 100e0"
+        " AS sum_charge",
         f"round({d('rq')} / 100e0 / n, 4) AS avg_qty",
         f"round({d('rp')} / 100e0 / n, 4) AS avg_price",
         f"round({d('rd')} / 100e0 / n, 4) AS avg_disc",

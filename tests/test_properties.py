@@ -908,3 +908,69 @@ def test_split_double_sql_correctly_rounded():
     assert len(rows) == len(vals)
     for v, d in rows:
         assert d == float(int(v)), (v, d, float(int(v)))
+
+
+def test_q1_rounding_against_pure_python_decimal_reference(spark):
+    """Independent end-to-end reference for q1's integer-cents
+    reformulation (r11 ADVICE: the Spark query and the DuckDB oracle now
+    share the same split-double/half-up formulation, so a bug duplicated
+    on both sides would pass diffcheck by construction). This test
+    recomputes every q1 output column from the raw parquet rows in pure
+    Python — exact ints for the sums, Decimal HALF_UP for the roundings,
+    the same IEEE split for the final doubles — sharing NO code with
+    either engine, and requires bit-identical floats."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    rows = duckdb.sql(
+        f"""SELECT l_returnflag, l_linestatus, l_quantity, l_extendedprice,
+                   l_discount, l_tax
+            FROM read_parquet('{sf}/lineitem.parquet')
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'"""
+    ).fetchall()
+    assert rows
+
+    def cents(x: float) -> int:  # Spark round(double): BigDecimal HALF_UP
+        return int(
+            Decimal(repr(x * 100)).quantize(Decimal("1"), rounding=ROUND_HALF_UP)
+        )
+
+    groups: dict = {}
+    for rf, ls, q, p, d, t in rows:
+        g = groups.setdefault((rf, ls), [0, 0, 0, 0, 0, 0])
+        qc, pc, dc, tc = cents(q), cents(p), cents(d), cents(t)
+        g[0] += 1
+        g[1] += qc
+        g[2] += pc
+        g[3] += dc
+        g[4] += pc * (100 - dc)
+        g[5] += pc * (100 - dc) * (100 + tc)
+
+    S = 1 << 42
+
+    def split(i: int) -> float:  # the 2^42 hi/lo exact-int -> double split
+        return float(i // S) * float(S) + float(i % S)
+
+    def r4(x: float) -> float:  # Spark round(double, 4)
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
+        )
+
+    from dbtransfer_spark.queries import q1_pricing_summary
+
+    got = q1_pricing_summary(spark, sf).collect()
+    assert len(got) == len(groups)
+    for row in got:
+        n, rq, rp, rd, rdp, rch = groups[(row.l_returnflag, row.l_linestatus)]
+        assert row.count_order == n
+        assert row.sum_qty == split(rq) / 100.0
+        assert row.sum_base_price == split(rp) / 100.0
+        assert row.sum_disc_price == split((rdp + 50) // 100) / 100.0
+        assert row.sum_charge == split((rch + 5000) // 10000) / 100.0
+        assert row.avg_qty == r4(split(rq) / 100.0 / n)
+        assert row.avg_price == r4(split(rp) / 100.0 / n)
+        assert row.avg_disc == r4(split(rd) / 100.0 / n)
+        assert not math.isnan(row.sum_charge)

@@ -708,3 +708,38 @@ def test_try_cast_guard_matches_ansi_trim(spark):
     ).collect()
     for r, (s,) in zip(out, rows):
         assert r.guarded == r.plain, (repr(s), r.guarded, r.plain)
+
+
+def test_fast_normalize_equals_negated_class_regex(spark):
+    """textutil's positive-class builders must be byte-identical to the
+    negated-class regexp_replace forms they replace (which hit a ~100x
+    slow path in this Spark build) — over the real corpus plus
+    NULL/empty/junk edges."""
+    from pyspark.sql import functions as F
+
+    from dbtransfer_spark.catalog import load_table
+    from dbtransfer_spark.textutil import alnum, alnum_lower, normalized_text
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents").select("text")
+    edges = spark.createDataFrame(
+        [(None,), ("",), ("   ",), ("...",), ("A.b!C  9 ",), ("\tx\n",),
+         ("ünïcödé çhars £",), ("a" * 5000,)],
+        "text string",
+    )
+    df = docs.unionByName(edges)
+    old_norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    old_alnum_lower = F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", "")
+    old_alnum = F.regexp_replace(F.col("text"), "[^A-Za-z0-9]", "")
+    c = F.col("text")
+    mism = df.select(
+        (
+            ~(normalized_text(c).eqNullSafe(old_norm))
+            | ~(alnum_lower(c).eqNullSafe(old_alnum_lower))
+            | ~(alnum(c).eqNullSafe(old_alnum))
+        ).cast("int").alias("bad")
+    ).agg(F.sum("bad")).collect()[0][0]
+    assert mism == 0
