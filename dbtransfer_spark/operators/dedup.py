@@ -1054,7 +1054,11 @@ def connected_components(
     ``iterative.free_local_checkpoint`` for the executor-loss trade-off
     localCheckpoint carries. Converges in O(component diameter)
     rounds; near-dup components are shallow (diameter ≲ 10) even on
-    100 TB corpora, and every round is one shuffle on vertex id.
+    100 TB corpora, and every round is one shuffle on vertex id. Round
+    state cuts lineage via ``iterative.cut_lineage`` — set the
+    ``spark.dbtransfer.checkpointDir`` conf to make each round a
+    RELIABLE checkpoint that survives executor loss (r11 VERDICT #5);
+    unset, it stays executor-local.
 
     The edge frame is persisted ONCE at entry (r11): `sym` feeds every
     round's neighbor join, and without the persist each round recomputed

@@ -151,8 +151,8 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unweighted distinct co-purchase pairs (u < v) — the groupBy keys
-    of the shared frame; identical to the old per-query
-    ``_basket_pair_explode(li).distinct()``."""
+    of the shared frame; identical to the per-order position-pair
+    explode + DISTINCT the graph family used through r11."""
     return copurchase_edges(spark, sf_dir).select("u", "v")
 
 
