@@ -2249,21 +2249,47 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     content = m.select("norm", "n_grams").distinct().withColumn(
         "nh", F.md5("norm")
     )
-    cfp = winnow_select_fps(content, key="nh")
-    sel = m.withColumn("nh", F.md5("norm")).select("doc_id", "source", "nh").join(
-        cfp, "nh"
-    ).select("doc_id", "source", "fp")
+    cfp = winnow_select_fps(content, key="nh").persist()  # fp-count pass
+    # + nd join both consume the (nh, fp) selection
+    # r12 (the dedup_incremental_new_vs_corpus recipe): the per-source
+    # fp stats are recovered ALGEBRAICALLY from distinct-content-sized
+    # frames instead of expanding a (doc, fp) incidence row per
+    # document — the ×100 octave measured that expansion (~30M rows +
+    # a countDistinct over it) at ~15 s of the query's 18 s. Every doc
+    # with content nh carries exactly the selected fp set of nh once,
+    # so: nd(fp) = Σ_{nh ∋ fp} m(nh) (docs per fp — a doc has ONE nh,
+    # so no double count), n_fp(src) = Σ_{(nh,src)} m_cnt·|fps(nh)|,
+    # n_fp_shared(src) = Σ_{(nh,src)} m_cnt·|{fp ∈ nh : nd(fp) > 1}|.
+    # Identical integers to the row-expanded form by construction;
+    # every frame is |distinct content| / |distinct fp| sized.
+    mm = m.withColumn("nh", F.md5("norm"))
+    per_nh_src = mm.groupBy("nh", "source").agg(
+        F.count(F.lit(1)).alias("m_cnt")
+    ).persist()  # nd totals + the per-source rollup
+    per_nh = per_nh_src.groupBy("nh").agg(F.sum("m_cnt").alias("m_tot"))
+    nd = (
+        cfp.join(per_nh, "nh")
+        .groupBy("fp")
+        .agg(F.sum("m_tot").alias("nd"))
+    )
+    fp_stats = (
+        cfp.join(nd, "fp")
+        .groupBy("nh")
+        .agg(
+            F.count(F.lit(1)).alias("k_fp"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).alias("k_shared"),
+        )
+    )
     doc_stats = m.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum(F.col("n_grams") - _WN_W + 1).cast("bigint").alias("n_windows"),
     )
-    fp_global = sel.groupBy("fp").agg(F.countDistinct("doc_id").alias("nd"))
     src_fp = (
-        sel.join(fp_global, "fp")
+        per_nh_src.join(fp_stats, "nh")
         .groupBy("source")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_fp"),
-            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+            F.sum(F.col("m_cnt") * F.col("k_fp")).cast("bigint").alias("n_fp"),
+            F.sum(F.col("m_cnt") * F.col("k_shared"))
             .cast("bigint")
             .alias("n_fp_shared"),
         )
