@@ -1309,41 +1309,152 @@ def winsorize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     decisions replay identically in both engines; the clipped sum goes
     through exact decimal.
 
-    Scale: one sort-based percentile aggregate per group over the cents
-    column (|groups| rows out), broadcast of the tiny cutpoint table
-    back onto the scan (stats-gated), then one partial-aggregated
-    shuffle for the final per-group stats. The fact table is scanned
-    twice but never globally sorted."""
+    Cutpoints come from an exact HISTOGRAM percentile, not Spark's
+    `percentile()` aggregate (r12 VERDICT #1): the typed-imperative
+    Percentile collects each group's FULL value multiset into one
+    reducer task — a per-group memory cliff at 100 TB. Instead:
+    groupBy(flag, cents) partial-aggregates the value histogram (the
+    cents domain is bounded, so the frame is |distinct values|-sized,
+    never fact-table-sized), one per-flag cumulative-count window over
+    those distinct values, then a conditional-min aggregate picks the
+    bracketing values and replays Percentile.scala's exact double
+    interpolation `(higher−pos)·lower + (pos−klo)·higher` with its two
+    no-interpolation guards — bit-identical cutpoints by construction
+    (hash-verified unchanged vs the pre-rewrite ledger).
+
+    The whole query is ONE fact scan: the histogram keys on the RAW
+    double ``l_extendedprice*100`` (same cardinality class as cents —
+    prices have two decimals), the cents percentile re-aggregates it,
+    and the final clip stats are count-weighted sums over the
+    |distinct values| histogram — per distinct value the clip decision
+    and the 10-dp decimal rounding of ``wins`` are functions of the
+    value alone, so ``cnt · round10(wins)`` is exactly the per-row sum
+    (decimal widths sized so every product stays inside precision 38;
+    no precision-loss rounding anywhere).
+
+    Scale: every aggregate is partial-first; the only window runs over
+    |distinct cents| rows per flag (domain-bounded, NOT SF-bound),
+    broadcast of the tiny cutpoint table onto the histogram
+    (stats-gated). The fact table is scanned once, never globally
+    sorted, and no task ever holds a group's value multiset."""
     li = load_table(spark, sf_dir, "lineitem")
-    cents = F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
-    cuts = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
-        F.expr(
-            "percentile(CAST(round(l_extendedprice * 100) AS BIGINT), 0.05)"
-        ).alias("p05c"),
-        F.expr(
-            "percentile(CAST(round(l_extendedprice * 100) AS BIGINT), 0.95)"
-        ).alias("p95c"),
-    )
-    clipped = (
-        li.join(broadcast_if_small(cuts), F.col("l_returnflag") == F.col("flag"))
-        .withColumn("c100", F.col("l_extendedprice") * 100)
-        .withColumn(
-            "wins",
-            F.greatest(F.least(F.col("c100"), F.col("p95c")), F.col("p05c"))
-            / 100.0,
+    # explicit isnotnull mirrors what the inner join on flag infers for
+    # the stats branch — with it on BOTH branches the scan + partial
+    # aggregate are canonically identical and ReuseExchange collapses
+    # the query to one physical fact scan
+    li = li.filter(F.col("l_returnflag").isNotNull())
+    histd = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        (F.col("l_extendedprice") * 100).alias("c100"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    # cents histogram for the percentile: identical expression to
+    # CAST(round(l_extendedprice * 100) AS BIGINT) per row, re-aggregated
+    # from the double histogram. Contract: l_extendedprice is NOT NULL
+    # (TPC-H schema) — a NULL-bearing column would need an isnotnull
+    # filter here to match percentile()'s ignore-NULL semantics, but that
+    # filter pushes into only this branch's scan and defeats the
+    # ReuseExchange that makes the whole query one fact scan.
+    hist = (
+        histd.select(
+            "flag",
+            F.expr("CAST(round(c100) AS BIGINT)").alias("c"),
+            "cnt",
         )
+        .groupBy("flag", "c")
+        .agg(F.sum("cnt").alias("cnt"))
     )
+    w_cum = (
+        Window.partitionBy("flag")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("flag")
+    cdf = hist.select(
+        "flag",
+        "c",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+
+    def _pos(p: float):
+        # Percentile.scala: position = (count - 1) * percentage, in doubles
+        return (F.col("n") - F.lit(1)) * F.lit(p)
+
+    cdf = cdf.select(
+        "flag",
+        "c",
+        "cum",
+        _pos(0.05).alias("pos05"),
+        _pos(0.95).alias("pos95"),
+    )
+
+    def _bracket(pos_col: str, side: str):
+        # value at 0-indexed rank k = first distinct value whose
+        # cumulative count exceeds k (binarySearchCount semantics)
+        k = F.floor(F.col(pos_col)) if side == "lo" else F.ceil(F.col(pos_col))
+        return F.min(F.when(F.col("cum") > k, F.col("c")))
+
+    bracketed = cdf.groupBy("flag").agg(
+        F.min("pos05").alias("pos05"),
+        F.min("pos95").alias("pos95"),
+        _bracket("pos05", "lo").alias("lo05"),
+        _bracket("pos05", "hi").alias("hi05"),
+        _bracket("pos95", "lo").alias("lo95"),
+        _bracket("pos95", "hi").alias("hi95"),
+    )
+
+    def _interp(pos, lo, hi):
+        # Percentile.scala getPercentile: exact-integer position or
+        # equal bracketing keys return the lower key WITHOUT the
+        # interpolation arithmetic (the algebraic identity is not an
+        # IEEE identity); otherwise (higher−pos)·lower + (pos−klo)·higher
+        klo, khi = F.floor(pos), F.ceil(pos)
+        return (
+            F.when(khi == klo, lo.cast("double"))
+            .when(hi == lo, lo.cast("double"))
+            .otherwise(
+                (khi.cast("double") - pos) * lo.cast("double")
+                + (pos - klo.cast("double")) * hi.cast("double")
+            )
+        )
+
+    cuts = bracketed.select(
+        F.col("flag").alias("cflag"),
+        _interp(F.col("pos05"), F.col("lo05"), F.col("hi05")).alias("p05c"),
+        _interp(F.col("pos95"), F.col("lo95"), F.col("hi95")).alias("p95c"),
+    )
+    clipped = histd.join(
+        broadcast_if_small(cuts), F.col("flag") == F.col("cflag")
+    ).withColumn(
+        "wins",
+        F.greatest(F.least(F.col("c100"), F.col("p95c")), F.col("p05c"))
+        / 100.0,
+    )
+    # weighted dsum: round10 happens per DISTINCT value (exactly what the
+    # per-row cast did, cnt identical copies at a time); decimal(20,10) ×
+    # decimal(12,0) → decimal(33,10), exact — no precision-loss rounding
+    wsum = F.round(
+        F.sum(
+            F.col("cnt").cast("decimal(12,0)")
+            * F.col("wins").cast("decimal(20,10)")
+        ),
+        2,
+    ).cast("double")
     return (
-        clipped.groupBy("l_returnflag")
+        clipped.groupBy(F.col("flag").alias("l_returnflag"))
         .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum(F.when(F.col("c100") < F.col("p05c"), 1).otherwise(0)).alias(
-                "n_clipped_lo"
-            ),
-            F.sum(F.when(F.col("c100") > F.col("p95c"), 1).otherwise(0)).alias(
-                "n_clipped_hi"
-            ),
-            dsum(F.col("wins")).alias("winsorized_total"),
+            F.sum("cnt").cast("bigint").alias("n_rows"),
+            F.sum(
+                F.when(F.col("c100") < F.col("p05c"), F.col("cnt")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("n_clipped_lo"),
+            F.sum(
+                F.when(F.col("c100") > F.col("p95c"), F.col("cnt")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("n_clipped_hi"),
+            wsum.alias("winsorized_total"),
         )
         .orderBy("l_returnflag")
     )

@@ -785,3 +785,16 @@ def test_r7s2_operator_plan_shapes(spark):
     # the flag partitioning (no second shuffle for the totals window)
     df = Q2.QUERIES["weighted_median_by_flag"](spark, SF_SMOKE)
     assert count_exchanges(df) <= 2, formatted_plan(df)
+
+
+def test_winsorize_histogram_percentile_partial_aggregated(spark):
+    """r12 VERDICT #1: the p05/p95 cutpoints must come from the
+    histogram percentile (partial-aggregated HashAggregate everywhere),
+    never the typed-imperative Percentile that collects a group's full
+    value multiset into one reducer; the only window partitions by flag
+    over |distinct cents| rows."""
+    df = Q.winsorize_prices(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "percentile" not in plan.lower(), plan
+    assert "ObjectHashAggregate" not in plan, plan
+    assert plan.count("HashAggregate") >= 4, plan  # partial+final × stages
