@@ -173,10 +173,16 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the session-shared co-purchase edge frame (r12 — one persisted
     build serves the whole graph/basket family; identical multiset to
     the old per-query _basket_pair_explode().distinct()). Degree
-    decoration BROADCASTS deg for the orientation joins: |V| is the
-    part dimension (dimension-sized at 100 TB — the
-    degree_assortativity argument), so the 12M-row edge frame is never
-    sort-shuffled just to attach two 8-byte degrees."""
+    decoration broadcasts deg for the orientation joins through the
+    STATS GATE (r12 ADVICE — |V| is the part dimension, which still
+    scales linearly with SF; an unconditional broadcast would OOM the
+    driver at the 100-TB design point, so broadcast_if_small falls back
+    to a shuffled join when deg outgrows the threshold). The query-local
+    deg/oriented persists are released before returning: the result is
+    a single row, so it is materialized eagerly and returned as a
+    literal frame — never-unpersist lifetime is reserved for
+    shared_frames-owned frames."""
+    from dbtransfer_spark.queries import broadcast_if_small
     pairs = copurchase_pairs(spark, sf_dir)
     deg = (
         pairs.selectExpr("u AS node")
@@ -191,8 +197,8 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
     oriented = (
-        pairs.join(F.broadcast(du), "u")
-        .join(F.broadcast(dv), "v")
+        pairs.join(broadcast_if_small(du), "u")
+        .join(broadcast_if_small(dv), "v")
         .select(
             F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("s"),
             F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("t"),
@@ -242,11 +248,20 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = per_edge.agg(F.sum("k").cast("bigint").alias("n_triangles"))
     n_nodes = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
     n_edges = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
-    return (
+    result = (
         n_nodes.crossJoin(F.broadcast(n_edges))
         .crossJoin(F.broadcast(counts))
         .select("n_nodes", "n_edges", "n_triangles")
     )
+    try:
+        # 1-row bounded collect: materialize while deg/oriented are hot,
+        # then free both caches — the returned literal frame carries no
+        # dependency on them
+        rows = result.collect()
+    finally:
+        deg.unpersist()
+        oriented.unpersist()
+    return spark.createDataFrame(rows, result.schema)
 
 
 @register(

@@ -33,34 +33,53 @@ from pyspark.sql import DataFrame
 
 RELIABLE_DIR_CONF = "spark.dbtransfer.checkpointDir"
 
+# applicationId -> the conf value last passed to setCheckpointDir.
+# Exact-compare against THIS, not against SparkContext's resolved
+# directory (r12 ADVICE): the resolved URI is scheme-qualified and
+# UUID-suffixed, so substring-matching the raw conf against it fails for
+# relative paths or host:port normalization and re-mints a new UUID
+# subdirectory every round.
+_WIRED_DIRS: dict[str, str] = {}
+
 
 def cut_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
     """Truncate ``df``'s lineage for iterative fixpoints.
 
     Reliable path: if the session conf ``spark.dbtransfer.checkpointDir``
-    is set (wired to ``SparkContext.setCheckpointDir`` on first use), use
-    ``checkpoint()`` — round state lands on the configured (distributed)
-    filesystem and survives executor loss. Otherwise ``localCheckpoint()``
-    (executor-local, non-recoverable; the single-node default). Both cut
-    the logical plan to a LogicalRDD, so callers' per-round plan-depth
-    and ``free_local_checkpoint`` behavior are identical on either
-    path."""
+    is set (wired to ``SparkContext.setCheckpointDir`` once per distinct
+    conf value), use ``checkpoint()`` — round state lands on the
+    configured (distributed) filesystem and survives executor loss.
+    Otherwise ``localCheckpoint()`` (executor-local, non-recoverable; the
+    single-node default). Both cut the logical plan to a LogicalRDD, so
+    callers' per-round plan-depth and ``free_local_checkpoint`` behavior
+    are identical on either path.
+
+    Disk lifecycle on the reliable path: every round writes a durable
+    checkpoint; ``free_local_checkpoint`` DELETES the superseded round's
+    files explicitly (Spark itself only cleans checkpoint files when
+    ``spark.cleaner.referenceTracking.cleanCheckpoints`` was set at
+    context start AND the RDD is driver-GC'd), so a long preemption-prone
+    run holds at most the in-flight rounds' files, not the whole
+    history. The LAST round's files are the caller's to keep or clean —
+    they ARE the recovery state the knob exists for."""
     spark = df.sparkSession
     conf_dir = spark.conf.get(RELIABLE_DIR_CONF, None)
     if conf_dir:
         sc = spark.sparkContext
-        # idempotent re-set: keeps the conf the single source of truth
-        # even if it changed mid-session
-        jdir = sc._jsc.sc().getCheckpointDir()
-        if jdir.isEmpty() or conf_dir not in str(jdir.get()):
+        app = sc.applicationId
+        if _WIRED_DIRS.get(app) != conf_dir:
             sc.setCheckpointDir(conf_dir)
+            _WIRED_DIRS[app] = conf_dir
         return df.checkpoint(eager=eager)
     return df.localCheckpoint(eager=eager)
 
 
 def free_local_checkpoint(df: DataFrame) -> None:
-    """Release the executor-storage blocks behind a localCheckpoint-ed
-    DataFrame. The frame is UNUSABLE afterwards — only call on a round's
+    """Release the resources behind a ``cut_lineage``-ed DataFrame: the
+    executor-storage blocks (localCheckpoint) or the durable checkpoint
+    files (reliable ``checkpoint()`` — ``unpersist`` alone is a no-op
+    there, and the files would otherwise outlive the application, r12
+    ADVICE). The frame is UNUSABLE afterwards — only call on a round's
     state once the next round (and anything else referencing it) is
     fully materialized.
 
@@ -71,6 +90,16 @@ def free_local_checkpoint(df: DataFrame) -> None:
     try:
         plan = df._jdf.queryExecution().analyzed()
         if plan.getClass().getSimpleName() == "LogicalRDD":
-            plan.rdd().unpersist(False)
+            rdd = plan.rdd()
+            rdd.unpersist(False)
+            # reliable checkpoint: getCheckpointFile is defined only for
+            # ReliableRDDCheckpointData — delete exactly this round's dir
+            ck = rdd.getCheckpointFile()
+            if ck.isDefined():
+                sc = df.sparkSession.sparkContext
+                jvm = sc._jvm
+                p = jvm.org.apache.hadoop.fs.Path(str(ck.get()))
+                fs = p.getFileSystem(sc._jsc.hadoopConfiguration())
+                fs.delete(p, True)
     except Exception:
         pass

@@ -1678,17 +1678,20 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the build is one basket shuffle + in-array explode instead of the
     old self-join that shuffled the distinct basket twice). Candidate
     pairs are quadratic only in the BASKET size (a handful of lines per
-    order), never in the table; part marginals broadcast via the stats
+    order), never in the table; the marginals are plain partial-
+    aggregated distinct counts over the fact scan — no query-local
+    persist (r12 ADVICE: per-query caches with no unpersist accumulate
+    executor storage across a family session; only shared_frames owns
+    never-unpersist frames); part marginals broadcast via the stats
     gate; the support floor prunes the long tail before the final
     sort."""
     from dbtransfer_spark.operators.shared_frames import copurchase_edges
 
     li = load_table(spark, sf_dir, "lineitem")
-    basket = li.select("l_orderkey", "l_partkey").distinct().persist()
-    n_orders = basket.agg(
-        F.countDistinct("l_orderkey").alias("n")
+    n_orders = li.agg(F.countDistinct("l_orderkey").alias("n"))
+    part_count = li.groupBy("l_partkey").agg(
+        F.countDistinct("l_orderkey").alias("cnt")
     )
-    part_count = basket.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
     pairs = (
         copurchase_edges(spark, sf_dir)
         .select(

@@ -1184,6 +1184,42 @@ def test_shared_copurchase_frame_built_once_across_family(spark, tmp_path):
     assert df.storageLevel.useMemory or df.storageLevel.useDisk
 
 
+def test_family_queries_leave_no_query_local_caches(spark, tmp_path):
+    """r12 ADVICE: query-local persists (triangles' deg/oriented,
+    market_basket's marginals) must be released by the time the query
+    returns — only shared_frames-owned frames may outlive a query, else
+    a family session accumulates executor storage for the application
+    lifetime."""
+    import shutil
+
+    from dbtransfer_spark.operators import shared_frames
+    from dbtransfer_spark.operators.graph import copurchase_triangles
+    from dbtransfer_spark.queries import market_basket_pairs
+
+    sf_dir = tmp_path / "sf"
+    sf_dir.mkdir()
+    shutil.copy("/root/testdata/sf0.001/lineitem.parquet",
+                sf_dir / "lineitem.parquet")
+    spark.catalog.clearCache()
+    jsc = spark.sparkContext._jsc.sc()
+
+    def n_persistent():
+        return jsc.getPersistentRDDs().size()
+
+    base = n_persistent()
+    copurchase_triangles(spark, str(sf_dir)).collect()
+    after_shared = len(
+        {k for k in shared_frames.BUILD_COUNTS if k[1] == os.path.realpath(str(sf_dir))}
+    )
+    assert after_shared >= 1  # the shared edge frame was built
+    # everything beyond the shared frame's own cache entry is a leak
+    assert n_persistent() <= base + 1, (
+        f"query-local caches leaked: {n_persistent()} vs base {base}"
+    )
+    market_basket_pairs(spark, str(sf_dir)).count()
+    assert n_persistent() <= base + 1
+
+
 def test_reliable_checkpoint_knob_for_fixpoints(spark, tmp_path):
     """r11 VERDICT #5: when the session conf spark.dbtransfer.checkpointDir
     is set, the iterative fixpoints route round state through reliable
@@ -1217,3 +1253,45 @@ def test_reliable_checkpoint_knob_for_fixpoints(spark, tmp_path):
         for f in fs
     ]
     assert ck_files, "no reliable checkpoint files were written"
+
+
+def test_reliable_checkpoint_superseded_rounds_deleted(spark, tmp_path):
+    """r12 ADVICE: on the reliable path, free_local_checkpoint must DELETE
+    the superseded round's durable files (unpersist is a no-op for
+    reliable checkpoints and Spark's own cleaner needs a context-start
+    conf + driver GC) — a long preemption-prone run must not grow the
+    checkpoint dir unboundedly. Also pins the setCheckpointDir wiring to
+    once-per-conf-value: repeated cut_lineage calls reuse ONE UUID
+    session subdirectory instead of minting one per call."""
+    from dbtransfer_spark.operators.iterative import (
+        RELIABLE_DIR_CONF,
+        cut_lineage,
+        free_local_checkpoint,
+    )
+
+    ckdir = tmp_path / "ck2"
+    spark.conf.set(RELIABLE_DIR_CONF, str(ckdir))
+    try:
+        df = spark.range(100)
+        r1 = cut_lineage(df.selectExpr("id * 2 AS id"))
+        r2 = cut_lineage(r1.selectExpr("id + 1 AS id"))
+
+        def rdd_dirs():
+            return sorted(
+                os.path.join(dp, d)
+                for dp, ds, _ in os.walk(ckdir)
+                for d in ds
+                if d.startswith("rdd-")
+            )
+
+        two = rdd_dirs()
+        assert len(two) == 2, two
+        # one UUID session dir for both rounds (exact conf tracking)
+        sessions = {os.path.dirname(d) for d in two}
+        assert len(sessions) == 1, sessions
+        free_local_checkpoint(r1)
+        one = rdd_dirs()
+        assert len(one) == 1, one  # superseded round's files deleted
+        assert r2.count() == 100  # survivor still readable
+    finally:
+        spark.conf.unset(RELIABLE_DIR_CONF)
