@@ -562,14 +562,19 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan (r10 trim of the 27 s sf1 entry): the pair build is the
     session-shared co-purchase edge frame (r12 — identical multiset to
-    the old per-query explode + DISTINCT); degree decoration BROADCASTS deg (|V| is
-    the part dimension — 200k×16B at sf1, and still dimension-sized at
-    100 TB — so the edge frame never reshuffles); and the stub union
-    is folded algebraically into ONE pass over decorated edges: each
-    undirected edge contributes both orientations, so over stubs
+    the old per-query explode + DISTINCT); degree decoration broadcasts
+    deg through the STATS GATE (r12 ADVICE, same as copurchase_triangles
+    — |V| is the part dimension, which scales with SF, so the broadcast
+    must fall back to a shuffled join past the threshold); and the stub
+    union is folded algebraically into ONE pass over decorated edges:
+    each undirected edge contributes both orientations, so over stubs
     n = 2·m, sx = sy = Σ(dx+dy), sxx = syy = Σ(dx²+dy²),
     sxy = 2·Σ(dx·dy) — identical BIGINT sums (bit-identical doubles),
-    half the aggregate input, zero union."""
+    half the aggregate input, zero union. The 1-row result is
+    materialized eagerly so the query-local deg cache is released before
+    returning (only shared_frames own never-unpersist frames)."""
+    from dbtransfer_spark.queries import broadcast_if_small
+
     pairs = copurchase_pairs(spark, sf_dir)
     deg = (
         pairs.select(F.col("u").alias("node"))
@@ -580,7 +585,9 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("dx"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dy"))
-    decorated = pairs.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    decorated = pairs.join(broadcast_if_small(du), "u").join(
+        broadcast_if_small(dv), "v"
+    )
     s = decorated.agg(
         (F.count(F.lit(1)) * 2).cast("double").alias("n"),
         F.sum(F.col("dx") + F.col("dy")).cast("double").alias("sx"),
@@ -595,7 +602,7 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_nodes = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
     n_edges = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
-    return (
+    result = (
         n_nodes.crossJoin(F.broadcast(n_edges))
         .crossJoin(F.broadcast(s))
         .select(
@@ -610,6 +617,11 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("assortativity"),
         )
     )
+    try:
+        rows = result.collect()  # 1-row bounded collect
+    finally:
+        deg.unpersist()
+    return spark.createDataFrame(rows, result.schema)
 
 
 def _kcore_oracle() -> str:
@@ -751,4 +763,9 @@ def kcore_peel_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             free_local_checkpoint(edges)
         deg.unpersist()
         edges, deg = new_edges, new_deg
+    # every stats row is an eager 1-row checkpoint — nothing in `out`
+    # reaches back into the final round's state, so free it too (r12
+    # ADVICE: no query-local cache outlives its query)
+    free_local_checkpoint(edges)
+    deg.unpersist()
     return out.orderBy("round")

@@ -1218,6 +1218,10 @@ def test_family_queries_leave_no_query_local_caches(spark, tmp_path):
     )
     market_basket_pairs(spark, str(sf_dir)).count()
     assert n_persistent() <= base + 1
+    from dbtransfer_spark.operators.graph import degree_assortativity
+
+    degree_assortativity(spark, str(sf_dir)).collect()
+    assert n_persistent() <= base + 1
 
 
 def test_reliable_checkpoint_knob_for_fixpoints(spark, tmp_path):
