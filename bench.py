@@ -62,6 +62,7 @@ HEADLINE = [
     "column_domain_overlap",   # distinct-first FK discovery self-join (r7 s2)
     "rle_encoding_stats",      # per-row-group run counting windows (r7 s2)
     "fifo_cost_allocation",    # cumulative-axis binned interval join (r7 s3)
+    "copurchase_edges_build",  # session-shared family edge build, charged once (r13)
     "link_prediction_common_neighbors",  # reciprocal-kNN wedge scoring (r7 s3)
     "embedding_pca_power_top1",  # one-scan co-moment sketch + power iter (r7 s3)
     "ivm_delta_rollup",        # incremental view maintenance merge (r7 s3)
@@ -99,6 +100,24 @@ def _bench_incremental_release(spark, sf_dir):
     )
 
 
+def _bench_copurchase_edges_build(spark, sf_dir):
+    """The session-shared co-purchase edge build, charged as its OWN
+    bench line (r12 VERDICT #2 — family per-query rows were
+    order-dependent because whichever family query ran first absorbed
+    the build). Every timed run drops the persisted copy and rebuilds
+    through the shared_frames accessor (the noop write materializes the
+    re-persisted frame), so this row measures the full build and the
+    family consumers that follow measure their post-build residual,
+    independent of bench ordering. Unpersisting a shared frame is
+    forbidden for CONSUMERS; the bench harness owns the session and does
+    it deliberately to time the build."""
+    from dbtransfer_spark.operators import shared_frames
+
+    df = shared_frames.copurchase_edges(spark, sf_dir)
+    df.unpersist(True)
+    return shared_frames.copurchase_edges(spark, sf_dir)
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from dbtransfer_spark.session import get_spark
@@ -114,6 +133,7 @@ def main() -> int:
 
     qs["dedup_minhash_lsh_fast"] = dedup_minhash_lsh_fast
     qs["incremental_release"] = _bench_incremental_release
+    qs["copurchase_edges_build"] = _bench_copurchase_edges_build
 
     # Untimed warmup on the smoke fixture (60× smaller than the bench SF):
     # JVM codegen compilation + classloading for each query shape is session
