@@ -8230,32 +8230,54 @@ def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     drift/monotonicity statistic feature-QA runs where Pearson is
     outlier-fragile.
 
-    Plan: all six windows (three per measure) share the ONE l_returnflag
-    hash partition — a single shuffle, two in-partition sorts — then a
-    partial-aggregated moment pass. No join, no second scan. At 100 TB
-    the partition count scales with flag cardinality; for
-    high-cardinality group keys this same plan shape applies unchanged."""
+    Plan (r13 — the SCALE.md distinct-value rewrite, measured): the fact
+    table partial-aggregates to a (flag, quantity, price) HISTOGRAM
+    (594k rows at sf1 vs 6M facts), both doubled ranks are read off the
+    histogram with RANGE-frame windows — 2·avg_rank(v) = 2·cum(≤v) −
+    ties(v) + 1 over row WEIGHTS, so no join-back and no row-level sort
+    — and the moments are count-weighted exact-decimal sums (cnt·rx·ry
+    stays inside decimal(38,0): values ≤ ~1e21). Identical doubles to
+    the row-level six-window form, hash-verified. Measured at sf1
+    (warm): row-level windows 7.9-9.0 s, distinct-rank + join-back
+    5.4-5.9 s, THIS histogram-window form 3.1-3.3 s. At 100 TB the
+    window input is |distinct (flag, value)| — domain-bounded — instead
+    of the fact table, removing the two 6M-row in-partition sorts."""
     li = load_table(spark, sf_dir, "lineitem")
-    wf = Window.partitionBy("l_returnflag")
-
-    def r2(col: str):
-        asc = F.rank().over(wf.orderBy(F.col(col).asc()))
-        desc = F.rank().over(wf.orderBy(F.col(col).desc()))
-        n = F.count(F.lit(1)).over(wf)
-        return (asc - desc + n + F.lit(1)).cast("decimal(18,0)")
-
-    ranked = li.select(
+    hist = li.groupBy(
         F.col("l_returnflag").alias("flag"),
-        r2("l_quantity").alias("rx"),
-        r2("l_extendedprice").alias("ry"),
+        F.col("l_quantity").alias("q"),
+        F.col("l_extendedprice").alias("p"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+    def rank2(valcol: str):
+        # 2·avg_rank = rank_asc − rank_desc + n + 1 = 2·cum(≤v) − w(v) + 1
+        # over row weights: RANGE frames make cum include the whole tie
+        # block regardless of how the histogram interleaves the other key
+        wcum = (
+            Window.partitionBy("flag")
+            .orderBy(valcol)
+            .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wtie = (
+            Window.partitionBy("flag")
+            .orderBy(valcol)
+            .rangeBetween(Window.currentRow, Window.currentRow)
+        )
+        return (
+            2 * F.sum("cnt").over(wcum) - F.sum("cnt").over(wtie) + 1
+        ).cast("decimal(18,0)")
+
+    ranked = hist.select(
+        "flag", "cnt", rank2("q").alias("rx"), rank2("p").alias("ry")
     )
+    cnt_d = F.col("cnt").cast("decimal(10,0)")
     s = ranked.groupBy("flag").agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum("rx").cast("double").alias("sx"),
-        F.sum("ry").cast("double").alias("sy"),
-        F.sum(F.col("rx") * F.col("rx")).cast("double").alias("sxx"),
-        F.sum(F.col("ry") * F.col("ry")).cast("double").alias("syy"),
-        F.sum(F.col("rx") * F.col("ry")).cast("double").alias("sxy"),
+        F.sum("cnt").cast("double").alias("n"),
+        F.sum(cnt_d * F.col("rx")).cast("double").alias("sx"),
+        F.sum(cnt_d * F.col("ry")).cast("double").alias("sy"),
+        F.sum(cnt_d * (F.col("rx") * F.col("rx"))).cast("double").alias("sxx"),
+        F.sum(cnt_d * (F.col("ry") * F.col("ry"))).cast("double").alias("syy"),
+        F.sum(cnt_d * (F.col("rx") * F.col("ry"))).cast("double").alias("sxy"),
     )
     return s.select(
         "flag",
