@@ -974,3 +974,55 @@ def test_q1_rounding_against_pure_python_decimal_reference(spark):
         assert row.avg_price == r4(split(rp) / 100.0 / n)
         assert row.avg_disc == r4(split(rd) / 100.0 / n)
         assert not math.isnan(row.sum_charge)
+
+
+# ---------------------------------------------------------------------------
+# 3. textutil fast-path builders ≡ negated-class regexp forms (r12 VERDICT #4)
+# ---------------------------------------------------------------------------
+
+_FULL_UNICODE = st.characters(
+    # everything except surrogates (unencodable as UTF-8): controls, NUL,
+    # combining marks, astral planes, whitespace variants, bidi marks …
+    max_codepoint=0x10FFFF,
+    exclude_categories=("Cs",),
+)
+
+
+@given(
+    vals=st.lists(
+        st.one_of(st.none(), st.text(alphabet=_FULL_UNICODE, max_size=40)),
+        min_size=1,
+        max_size=16,
+    )
+)
+@settings(
+    max_examples=200,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_textutil_equivalence_adversarial_unicode(spark, vals):
+    """The 10 hot-path call sites swapped to textutil builders (r12) rest
+    on the claim that positive-class extraction reproduces negated-class
+    regexp_replace BYTE-IDENTICALLY on ANY input — here asserted in Spark
+    itself over adversarial random unicode (controls, NULs, combining
+    marks, astral planes) plus NULL, cell for cell, for every builder."""
+    from pyspark.sql import functions as F
+
+    from dbtransfer_spark.textutil import alnum, alnum_lower, normalized_text
+
+    df = spark.createDataFrame([(v,) for v in vals], "t string")
+    rows = df.select(
+        normalized_text(F.col("t")).alias("fast_norm"),
+        F.expr(
+            "trim(regexp_replace(regexp_replace(lower(t), '[^a-z0-9 ]', ''),"
+            " ' +', ' '))"
+        ).alias("ref_norm"),
+        alnum_lower(F.col("t")).alias("fast_al"),
+        F.expr("regexp_replace(lower(t), '[^a-z0-9]', '')").alias("ref_al"),
+        alnum(F.col("t")).alias("fast_an"),
+        F.expr("regexp_replace(t, '[^A-Za-z0-9]', '')").alias("ref_an"),
+    ).collect()
+    for r in rows:
+        assert r.fast_norm == r.ref_norm, (r.fast_norm, r.ref_norm)
+        assert r.fast_al == r.ref_al, (r.fast_al, r.ref_al)
+        assert r.fast_an == r.ref_an, (r.fast_an, r.ref_an)
