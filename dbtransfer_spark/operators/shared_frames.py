@@ -29,20 +29,26 @@ the frame the consumer previously built inline (verified query-by-query
 against the committed diffcheck ledger when the consumers were
 rewired).
 
-Lifecycle: entries live for the Spark application. The frames are
-bounded — the co-purchase edge frame is ~|distinct part pairs| rows of
-four BIGINTs (~12M rows / ~400 MB at the sf1 rehearsal; dimension-bound
-growth, NOT fact-table-bound, because pairs collapse per-order
-multiplicity), and the bipartite frame is |part×supplier| distinct
-pairs. Consumers must never ``unpersist()`` a shared frame — derive
-children (``.select(...)``) and manage those instead.
+Lifecycle: entries live for the Spark application, bounded to
+``MAX_ENTRIES`` frames per process with LRU eviction (r12 VERDICT #7 —
+a session that touches several sf_dirs, as sweep rehearsals do, must
+not accumulate one persisted ~400 MB frame per (dataset, frame) with no
+eviction). Eviction unpersists the frame; a later consumer rebuilds it
+(BUILD_COUNTS increments — rebuild after eviction is a real plan
+build). Each frame is itself bounded — the co-purchase edge frame is
+~|distinct part pairs| rows of four BIGINTs (~12M rows / ~400 MB at
+the sf1 rehearsal; dimension-bound growth, NOT fact-table-bound,
+because pairs collapse per-order multiplicity), and the bipartite frame
+is |part×supplier| distinct pairs. Consumers must never
+``unpersist()`` a shared frame — derive children (``.select(...)``)
+and manage those instead.
 """
 
 from __future__ import annotations
 
 import os
 import threading
-from collections import Counter
+from collections import Counter, OrderedDict
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -50,8 +56,14 @@ from pyspark.sql import functions as F
 
 from dbtransfer_spark.catalog import load_table
 
+# Max concurrently-persisted shared frames per process (LRU beyond this).
+# 4 = two frame kinds × two datasets — covers a bench/sweep rehearsal that
+# alternates between a fixture and its re-layout cache without eviction
+# churn, while bounding a many-dataset session to ~4 × the largest frame.
+MAX_ENTRIES = int(os.environ.get("SPARK_GRAFT_SHARED_FRAMES_MAX", "4"))
+
 _LOCK = threading.Lock()
-_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+_CACHE: OrderedDict[tuple[str, str, str], DataFrame] = OrderedDict()
 # (app_id, sf_dir, name) -> number of times the frame's PLAN was built
 # (observability + the cross-query reuse test; re-persists after an
 # external clearCache don't count — the plan is reused, not rebuilt).
@@ -65,11 +77,14 @@ def shared_frame(
     build: Callable[[], DataFrame],
 ) -> DataFrame:
     """Return the session's persisted copy of ``name`` for ``sf_dir``,
-    building it via ``build()`` on first use."""
+    building it via ``build()`` on first use. Holds at most
+    ``MAX_ENTRIES`` frames process-wide; least-recently-used entries are
+    unpersisted and dropped."""
     key = (spark.sparkContext.applicationId, os.path.realpath(sf_dir), name)
     with _LOCK:
         df = _CACHE.get(key)
         if df is not None:
+            _CACHE.move_to_end(key)
             if not (
                 df.storageLevel.useMemory or df.storageLevel.useDisk
             ):  # externally clearCache()d — re-persist the same plan
@@ -78,6 +93,12 @@ def shared_frame(
         df = build().persist()
         _CACHE[key] = df
         BUILD_COUNTS[key] += 1
+        while len(_CACHE) > MAX_ENTRIES:
+            _, evicted = _CACHE.popitem(last=False)
+            try:
+                evicted.unpersist()
+            except Exception:
+                pass  # a stopped session's frame has nothing to release
         return df
 
 

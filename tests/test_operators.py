@@ -1184,6 +1184,39 @@ def test_shared_copurchase_frame_built_once_across_family(spark, tmp_path):
     assert df.storageLevel.useMemory or df.storageLevel.useDisk
 
 
+def test_shared_frame_cache_lru_bounded_across_datasets(spark, tmp_path, monkeypatch):
+    """r12 VERDICT #7: a session that touches several sf_dirs must hold at
+    most MAX_ENTRIES persisted shared frames — LRU eviction unpersists the
+    oldest; a later consumer rebuilds it with identical values."""
+    import shutil
+
+    from dbtransfer_spark.operators import shared_frames
+
+    dirs = []
+    for tag in ("a", "b"):
+        d = tmp_path / tag
+        d.mkdir()
+        shutil.copy(
+            "/root/testdata/sf0.001/lineitem.parquet", d / "lineitem.parquet"
+        )
+        dirs.append(str(d))
+    monkeypatch.setattr(shared_frames, "MAX_ENTRIES", 1)
+    df_a = shared_frames.copurchase_edges(spark, dirs[0])
+    n_a = df_a.count()
+    df_b = shared_frames.copurchase_edges(spark, dirs[1])
+    df_b.count()
+    app = spark.sparkContext.applicationId
+    live = [k for k in shared_frames._CACHE if k[0] == app]
+    assert len(live) == 1, live  # dataset A evicted
+    assert not (df_a.storageLevel.useMemory or df_a.storageLevel.useDisk)
+    # rebuild after eviction is a real plan build with identical values
+    key_a = (app, os.path.realpath(dirs[0]), "copurchase_edges")
+    before = shared_frames.BUILD_COUNTS[key_a]
+    df_a2 = shared_frames.copurchase_edges(spark, dirs[0])
+    assert shared_frames.BUILD_COUNTS[key_a] == before + 1
+    assert df_a2.count() == n_a
+
+
 def test_family_queries_leave_no_query_local_caches(spark, tmp_path):
     """r12 ADVICE: query-local persists (triangles' deg/oriented,
     market_basket's marginals) must be released by the time the query
