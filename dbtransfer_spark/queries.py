@@ -5834,18 +5834,20 @@ def weighted_median_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-independent and the hash is stable; prices are exact integer
     cents, weights exact integer units.
 
-    Scale: one flag-partitioned cumulative window (|flags| independent
-    sorted partitions — for a high-cardinality weighting key the
-    range-repartition prefix-sum pattern of doc_global_ordinal applies
-    instead) + the whole-partition total as a frame-less window over the
-    same partitioning (no extra shuffle: same exchange feeds both), then
-    a |flags|-row rollup."""
+    Scale (r13 — the winsorize/spearman histogram discipline): weights
+    first partial-aggregate onto the (flag, cents) VALUE HISTOGRAM (6M
+    fact rows → 594k distinct values at sf1), so the flag-partitioned
+    cumulative window sorts |distinct cents| rows, never the fact table
+    — the RANGE frame makes per-value cumulative weight identical to
+    the per-row form, and the min-qualifying-value rollup is unchanged.
+    Whole-partition total rides the same exchange; |flags|-row output.
+    For a high-cardinality weighting key the range-repartition
+    prefix-sum pattern of doc_global_ordinal applies instead."""
     li = load_table(spark, sf_dir, "lineitem")
-    w = li.select(
+    w = li.groupBy(
         "l_returnflag",
         F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("cents"),
-        F.col("l_quantity").cast("bigint").alias("wt"),
-    )
+    ).agg(F.sum(F.col("l_quantity").cast("bigint")).alias("wt"))
     cumw_w = (
         Window.partitionBy("l_returnflag")
         .orderBy("cents")
