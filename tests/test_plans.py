@@ -798,3 +798,26 @@ def test_winsorize_histogram_percentile_partial_aggregated(spark):
     assert "percentile" not in plan.lower(), plan
     assert "ObjectHashAggregate" not in plan, plan
     assert plan.count("HashAggregate") >= 4, plan  # partial+final × stages
+
+
+def test_bench_charges_shared_edge_build_before_family_consumers():
+    """r12 VERDICT #2: the bench HEADLINE must time the shared co-purchase
+    edge build as its own line BEFORE any family consumer, so family rows
+    measure post-build residuals order-independently."""
+    import bench
+
+    idx_build = bench.HEADLINE.index("copurchase_edges_build")
+    family = [
+        q
+        for q in bench.HEADLINE
+        if q
+        in {
+            "link_prediction_common_neighbors",
+            "market_basket_pairs",
+            "copurchase_triangles",
+            "degree_assortativity",
+            "kcore_peel_rounds",
+        }
+    ]
+    assert family, "no family consumer left in HEADLINE?"
+    assert all(bench.HEADLINE.index(q) > idx_build for q in family)
