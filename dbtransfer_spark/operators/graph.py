@@ -181,7 +181,28 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg/oriented persists are released before returning: the result is
     a single row, so it is materialized eagerly and returned as a
     literal frame — never-unpersist lifetime is reserved for
-    shared_frames-owned frames."""
+    shared_frames-owned frames. The REAL plan shapes (shuffle-hash
+    adjacency joins, stats-gated degree broadcasts) are therefore
+    invisible to a plan audit of the public query; they are pinned
+    instead by plan tests over ``_copurchase_triangles_plan``."""
+    result, query_locals = _copurchase_triangles_plan(spark, sf_dir)
+    try:
+        # 1-row bounded collect: materialize while deg/oriented are hot,
+        # then free both caches — the returned literal frame carries no
+        # dependency on them
+        rows = result.collect()
+    finally:
+        for f in query_locals:
+            f.unpersist()
+    return spark.createDataFrame(rows, result.schema)
+
+
+def _copurchase_triangles_plan(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[DataFrame]]:
+    """Lazy triangle-count plan plus the query-local persisted frames the
+    caller must release once the result is materialized. Split from the
+    public query so the physical shapes stay auditable."""
     from dbtransfer_spark.queries import broadcast_if_small
     pairs = copurchase_pairs(spark, sf_dir)
     deg = (
@@ -253,15 +274,7 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(counts))
         .select("n_nodes", "n_edges", "n_triangles")
     )
-    try:
-        # 1-row bounded collect: materialize while deg/oriented are hot,
-        # then free both caches — the returned literal frame carries no
-        # dependency on them
-        rows = result.collect()
-    finally:
-        deg.unpersist()
-        oriented.unpersist()
-    return spark.createDataFrame(rows, result.schema)
+    return result, [deg, oriented]
 
 
 @register(
@@ -572,7 +585,24 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     sxy = 2·Σ(dx·dy) — identical BIGINT sums (bit-identical doubles),
     half the aggregate input, zero union. The 1-row result is
     materialized eagerly so the query-local deg cache is released before
-    returning (only shared_frames own never-unpersist frames)."""
+    returning (only shared_frames own never-unpersist frames); the real
+    plan shapes are pinned by plan tests over
+    ``_degree_assortativity_plan``, since the public query returns a
+    literal frame."""
+    result, query_locals = _degree_assortativity_plan(spark, sf_dir)
+    try:
+        rows = result.collect()  # 1-row bounded collect
+    finally:
+        for f in query_locals:
+            f.unpersist()
+    return spark.createDataFrame(rows, result.schema)
+
+
+def _degree_assortativity_plan(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[DataFrame]]:
+    """Lazy assortativity plan plus the query-local persisted frames the
+    caller must release once the result is materialized."""
     from dbtransfer_spark.queries import broadcast_if_small
 
     pairs = copurchase_pairs(spark, sf_dir)
@@ -617,11 +647,7 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("assortativity"),
         )
     )
-    try:
-        rows = result.collect()  # 1-row bounded collect
-    finally:
-        deg.unpersist()
-    return spark.createDataFrame(rows, result.schema)
+    return result, [deg]
 
 
 def _kcore_oracle() -> str:

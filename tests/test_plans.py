@@ -821,3 +821,33 @@ def test_bench_charges_shared_edge_build_before_family_consumers():
     ]
     assert family, "no family consumer left in HEADLINE?"
     assert all(bench.HEADLINE.index(q) > idx_build for q in family)
+
+
+def test_family_one_row_queries_internal_plans_auditable(spark):
+    """copurchase_triangles / degree_assortativity return eagerly
+    materialized literal frames (query-local cache release, r12 ADVICE),
+    which hides their real plans from the query-level audit — so the
+    internal builders are pinned here instead: shuffle-hash adjacency
+    joins (r12), stats-gated degree broadcasts, no cartesian."""
+    from dbtransfer_spark.operators.graph import (
+        _copurchase_triangles_plan,
+        _degree_assortativity_plan,
+    )
+
+    df, qlocals = _copurchase_triangles_plan(spark, SF_SMOKE)
+    try:
+        plan = formatted_plan(df)
+        assert "ShuffledHashJoin" in plan, plan  # adjacency-array attach
+        assert "CartesianProduct" not in plan, plan
+        assert has_broadcast_join(df)  # smoke-size deg passes the gate
+    finally:
+        for f in qlocals:
+            f.unpersist()
+    df, qlocals = _degree_assortativity_plan(spark, SF_SMOKE)
+    try:
+        plan = formatted_plan(df)
+        assert "CartesianProduct" not in plan, plan
+        assert has_broadcast_join(df)
+    finally:
+        for f in qlocals:
+            f.unpersist()
