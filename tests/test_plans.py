@@ -781,10 +781,19 @@ def test_r7s2_operator_plan_shapes(spark):
     df = T.QUERIES["token_id_encode_checksum"](spark, SF_SMOKE)
     assert has_broadcast_join(df)
 
-    # weighted_median_by_flag: both window frames share ONE exchange on
-    # the flag partitioning (no second shuffle for the totals window)
+    # weighted_median_by_flag (r13 histogram rewrite): one partial-
+    # aggregated exchange builds the (flag, cents) value histogram, both
+    # window frames share ONE exchange on the flag partitioning (no
+    # second shuffle for the totals window), plus the final 3-row sort —
+    # and the windows run over |distinct cents| rows, never fact rows
     df = Q2.QUERIES["weighted_median_by_flag"](spark, SF_SMOKE)
-    assert count_exchanges(df) <= 2, formatted_plan(df)
+    assert count_exchanges(df) <= 3, formatted_plan(df)
+    plan = formatted_plan(df)
+    # both window nodes stacked on ONE sort+exchange (no re-shuffle)
+    assert re.search(
+        r"\(\d+\) Window\n\s*\+- Window", plan
+    ) or re.search(r"Window \(\d+\)\n\s*\+- Window", plan), plan
+    assert plan.count("HashAggregate") >= 2, plan  # partial+final histogram
 
 
 def test_winsorize_histogram_percentile_partial_aggregated(spark):
