@@ -29,7 +29,11 @@ directory configured it stays executor-local, same behavior as before.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
+
+_LOG = logging.getLogger(__name__)
 
 RELIABLE_DIR_CONF = "spark.dbtransfer.checkpointDir"
 
@@ -67,7 +71,19 @@ def cut_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
     if conf_dir:
         sc = spark.sparkContext
         app = sc.applicationId
-        if _WIRED_DIRS.get(app) != conf_dir:
+        # Drop records of dead applications so the dict stays O(1) in a
+        # long-lived process that cycles SparkContexts (r13 ADVICE).
+        for stale in [a for a in _WIRED_DIRS if a != app]:
+            del _WIRED_DIRS[stale]
+        # Trust the Python-side record only while the JVM still HAS a
+        # checkpoint dir: other code may never un-set one, but a fresh
+        # context (same app-id dict entry is impossible then) or external
+        # code pointing it elsewhere is caught by the cheap isEmpty probe
+        # (r13 ADVICE — reliable checkpoints must land in the conf'd dir).
+        if (
+            _WIRED_DIRS.get(app) != conf_dir
+            or sc._jsc.sc().checkpointDir().isEmpty()
+        ):
             sc.setCheckpointDir(conf_dir)
             _WIRED_DIRS[app] = conf_dir
         return df.checkpoint(eager=eager)
@@ -86,7 +102,11 @@ def free_local_checkpoint(df: DataFrame) -> None:
     Reaches through the analyzed plan to the backing ``LogicalRDD`` —
     there is no public DataFrame API for this (SPARK-44091 territory);
     best-effort by design: on any API drift it degrades to the GC-based
-    cleanup Spark's ContextCleaner already performs, just later."""
+    cleanup Spark's ContextCleaner already performs, just later. Failures
+    to DELETE a reliable checkpoint's files (FS permissions, transient
+    distributed-FS errors) are logged once per process (r13 ADVICE) —
+    silent passes would re-introduce the unbounded checkpoint-dir growth
+    this function exists to prevent without anyone noticing."""
     try:
         plan = df._jdf.queryExecution().analyzed()
         if plan.getClass().getSimpleName() == "LogicalRDD":
@@ -96,10 +116,36 @@ def free_local_checkpoint(df: DataFrame) -> None:
             # ReliableRDDCheckpointData — delete exactly this round's dir
             ck = rdd.getCheckpointFile()
             if ck.isDefined():
-                sc = df.sparkSession.sparkContext
-                jvm = sc._jvm
-                p = jvm.org.apache.hadoop.fs.Path(str(ck.get()))
-                fs = p.getFileSystem(sc._jsc.hadoopConfiguration())
-                fs.delete(p, True)
+                ck_path = str(ck.get())
+                try:
+                    sc = df.sparkSession.sparkContext
+                    jvm = sc._jvm
+                    p = jvm.org.apache.hadoop.fs.Path(ck_path)
+                    fs = p.getFileSystem(sc._jsc.hadoopConfiguration())
+                    deleted = fs.delete(p, True)
+                except Exception as exc:  # pragma: no cover - FS-specific
+                    _warn_delete_failed(ck_path, repr(exc))
+                else:
+                    if not deleted:
+                        _warn_delete_failed(ck_path, "fs.delete returned false")
     except Exception:
         pass
+
+
+_DELETE_WARNED = False
+
+
+def _warn_delete_failed(path: str, why: str) -> None:
+    """Warn (once per process) that a reliable-checkpoint dir survived
+    cleanup — the directory will grow until the application exits."""
+    global _DELETE_WARNED
+    if not _DELETE_WARNED:
+        _DELETE_WARNED = True
+        _LOG.warning(
+            "failed to delete reliable checkpoint %s (%s); superseded "
+            "round checkpoints will accumulate in the configured "
+            "checkpoint dir for the rest of this application "
+            "(further failures suppressed)",
+            path,
+            why,
+        )

@@ -42,6 +42,15 @@ because pairs collapse per-order multiplicity), and the bipartite frame
 is |part×supplier| distinct pairs. Consumers must never
 ``unpersist()`` a shared frame — derive children (``.select(...)``)
 and manage those instead.
+
+Cross-thread eviction caveat (r13 ADVICE): LRU eviction may unpersist a
+frame that a CONCURRENT thread's in-flight multi-action query (kcore,
+triangles) on another dataset still references. Correctness survives —
+Spark recomputes from the (still-valid) plan — but the "consumers never
+lose the cache mid-query" property is perf-only under >MAX_ENTRIES
+concurrent datasets. Size MAX_ENTRIES to the working set (frames ×
+datasets touched concurrently) when running parallel multi-dataset
+sessions.
 """
 
 from __future__ import annotations
@@ -60,7 +69,17 @@ from dbtransfer_spark.catalog import load_table
 # 4 = two frame kinds × two datasets — covers a bench/sweep rehearsal that
 # alternates between a fixture and its re-layout cache without eviction
 # churn, while bounding a many-dataset session to ~4 × the largest frame.
-MAX_ENTRIES = int(os.environ.get("SPARK_GRAFT_SHARED_FRAMES_MAX", "4"))
+
+
+def _resolve_max_entries(raw: str | None) -> int:
+    """Parse the SPARK_GRAFT_SHARED_FRAMES_MAX override, floored at 1
+    (r13 ADVICE): a 0/negative override would evict the just-inserted
+    frame and silently disable caching entirely — the env var bounds the
+    cache, it must not be able to turn it off."""
+    return max(1, int(raw) if raw is not None else 4)
+
+
+MAX_ENTRIES = _resolve_max_entries(os.environ.get("SPARK_GRAFT_SHARED_FRAMES_MAX"))
 
 _LOCK = threading.Lock()
 _CACHE: OrderedDict[tuple[str, str, str], DataFrame] = OrderedDict()

@@ -8272,7 +8272,12 @@ def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = hist.select(
         "flag", "cnt", rank2("q").alias("rx"), rank2("p").alias("ry")
     )
-    cnt_d = F.col("cnt").cast("decimal(10,0)")
+    # decimal(19,0), not (10,0): a (flag, q, p) cell of ~1e10 rows would
+    # overflow a (10,0) cast to NULL under non-ANSI semantics and silently
+    # null the moment sums (r13 ADVICE). 19 digits covers any bigint count;
+    # the product types below were already precision-capped at decimal(38,0)
+    # either way, so values (and hashes) are unchanged.
+    cnt_d = F.col("cnt").cast("decimal(19,0)")
     s = ranked.groupBy("flag").agg(
         F.sum("cnt").cast("double").alias("n"),
         F.sum(cnt_d * F.col("rx")).cast("double").alias("sx"),

@@ -1332,3 +1332,67 @@ def test_reliable_checkpoint_superseded_rounds_deleted(spark, tmp_path):
         assert r2.count() == 100  # survivor still readable
     finally:
         spark.conf.unset(RELIABLE_DIR_CONF)
+
+
+def test_shared_frames_max_entries_floored_at_one():
+    """r13 ADVICE: SPARK_GRAFT_SHARED_FRAMES_MAX=0 (or negative) must not
+    silently disable shared-frame caching by evicting the just-inserted
+    frame — the override is floored at 1."""
+    from dbtransfer_spark.operators.shared_frames import _resolve_max_entries
+
+    assert _resolve_max_entries(None) == 4
+    assert _resolve_max_entries("2") == 2
+    assert _resolve_max_entries("1") == 1
+    assert _resolve_max_entries("0") == 1
+    assert _resolve_max_entries("-3") == 1
+
+
+def test_cut_lineage_prunes_dead_app_wiring_and_rewires(spark, tmp_path):
+    """r13 ADVICE: the per-application setCheckpointDir record must not
+    grow one entry per applicationId for process lifetime (dead app ids
+    are pruned on the next wired call), and a stale record for the LIVE
+    app (different conf value) still triggers a rewire to the conf'd
+    directory."""
+    from dbtransfer_spark.operators import iterative
+
+    ckdir = tmp_path / "ck3"
+    app = spark.sparkContext.applicationId
+    iterative._WIRED_DIRS.clear()
+    iterative._WIRED_DIRS["dead-app-1"] = "/tmp/elsewhere"
+    iterative._WIRED_DIRS["dead-app-2"] = "/tmp/elsewhere2"
+    spark.conf.set(iterative.RELIABLE_DIR_CONF, str(ckdir))
+    try:
+        out = iterative.cut_lineage(spark.range(10).selectExpr("id * 3 AS id"))
+        assert out.count() == 10
+        # dead applications pruned; only the live app remains, wired to conf
+        assert set(iterative._WIRED_DIRS) == {app}
+        assert iterative._WIRED_DIRS[app] == str(ckdir)
+        # the checkpoint actually landed under the conf'd directory
+        rdds = [
+            os.path.join(dp, d)
+            for dp, ds, _ in os.walk(ckdir)
+            for d in ds
+            if d.startswith("rdd-")
+        ]
+        assert rdds, "reliable checkpoint did not land in the conf'd dir"
+        iterative.free_local_checkpoint(out)
+    finally:
+        spark.conf.unset(iterative.RELIABLE_DIR_CONF)
+
+
+def test_checkpoint_delete_failure_warns_once(caplog):
+    """r13 ADVICE: a failed reliable-checkpoint file deletion must be
+    LOGGED (once per process), not silently swallowed — the silent path
+    re-introduces unbounded checkpoint-dir growth invisibly."""
+    import logging
+
+    from dbtransfer_spark.operators import iterative
+
+    iterative._DELETE_WARNED = False
+    with caplog.at_level(logging.WARNING, logger=iterative.__name__):
+        iterative._warn_delete_failed("/ck/rdd-1", "permission denied")
+        iterative._warn_delete_failed("/ck/rdd-2", "permission denied")
+    warnings = [r for r in caplog.records if r.levelno == logging.WARNING]
+    assert len(warnings) == 1  # once per process, further suppressed
+    assert "rdd-1" in warnings[0].getMessage()
+    iterative._DELETE_WARNED = False
