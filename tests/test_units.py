@@ -743,3 +743,30 @@ def test_fast_normalize_equals_negated_class_regex(spark):
         ).cast("int").alias("bad")
     ).agg(F.sum("bad")).collect()[0][0]
     assert mism == 0
+
+
+def test_canary_calm_adjudication_and_qtime_parse(monkeypatch):
+    """r13 VERDICT #2: the sweep tools' canary module must adjudicate
+    brackets against the calm threshold and parse qtime's bracketed
+    output line — the committed sweep artifacts carry the bracket so
+    steal-vs-regression never needs git archaeology again."""
+    import re
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import canary
+
+    assert canary.is_calm([0.07, 0.08])
+    assert canary.is_calm([])  # no evidence -> not flagged degraded
+    assert not canary.is_calm([0.07, 0.25])
+    assert not canary.is_calm([0.52, 0.08])
+
+    # the exact parse the fresh-JVM re-queue applies to qtime.py output
+    line = "q12_priority_by_returnflag: median=1.037 runs=[1.1, 1.0, 0.9] canary=[0.258,0.188]"
+    name = "q12_priority_by_returnflag"
+    m = re.search(
+        rf"{re.escape(name)}: median=([\d.]+).*?canary=\[([\d.]+),\s*([\d.]+)\]",
+        line,
+    )
+    assert m and float(m.group(1)) == 1.037
+    assert [float(m.group(2)), float(m.group(3))] == [0.258, 0.188]
