@@ -203,16 +203,17 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     and GK quantiles (approx_percentile). Emitted beside exact values with
     relative-error flags; the oracle hash-verifies the exact columns and
     that each sketch lands inside its documented tolerance."""
+    from dbtransfer_spark.queries import exact_histogram_percentiles
+
     df = load_table(spark, sf_dir, "lineitem")
     # r11 plan fix (sf1 sweep, 33.5 s → ~8 s): a DISTINCT aggregate
     # (count(DISTINCT ...)) combined with any typed-imperative aggregate
     # (percentile / approx_percentile) forces Spark's Expand + sort-based
     # aggregation path — the scan doubles and 12M expanded rows sort by
     # (flag, partkey); measured 39.6 s for countDistinct+percentile alone
-    # vs 2.9 s + 3.0 s separately. The two families therefore aggregate
-    # in SEPARATE one-pass plans joined on the 3-row group key (broadcast,
-    # free). Two scans beat one Expand by ~5× here and the split keeps
-    # both sides hash-aggregated at any scale.
+    # vs 2.9 s + 3.0 s separately. The families therefore aggregate in
+    # SEPARATE one-pass plans joined on the 3-row group key (broadcast,
+    # free), each side hash-aggregated at any scale.
     exact_parts = F.countDistinct("l_partkey")
     approx_parts = F.approx_count_distinct("l_partkey")
     counts = df.groupBy("l_returnflag").agg(
@@ -221,22 +222,38 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(approx_parts - exact_parts) / exact_parts <= 0.05
         ).alias("parts_within_5pct"),
     )
-    approx_p50 = F.expr("approx_percentile(l_extendedprice, 0.5, 1000)")
     # The exact median is reported in half-cents: the interpolated midpoint
     # of two integer cent values, doubled, is an exact integer — immune to
     # the engine-specific FP interpolation that makes round(median, 2)
     # differ at half-cent ties. ONE exact percentile (on cents) feeds both
     # outputs (the dollar median for the flag is cents/100, within 1 ulp
     # of the direct double percentile, indistinguishable to a 1% flag).
-    exact_p50_cents = F.expr(
-        "percentile(CAST(round(l_extendedprice * 100) AS BIGINT), 0.5)"
+    #
+    # r14 (r13 VERDICT #5): the exact reference percentile comes from the
+    # partial-aggregated (flag, cents) HISTOGRAM via the shared
+    # exact_histogram_percentiles recipe, not the typed-imperative
+    # `percentile()` over fact rows — same per-group multiset cliff that
+    # was removed from winsorize/spearman/weighted_median in r13, same
+    # bit-identical Percentile.scala interpolation replay (hash verified
+    # unchanged). The GK sketch (approx_percentile) keeps its own
+    # fact-level one-pass aggregate — the sketch IS the thing being
+    # demonstrated, and its state is O(accuracy), not a multiset.
+    hist = df.groupBy(
+        "l_returnflag",
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("__c"),
+    ).agg(F.count(F.lit(1)).alias("__cnt"))
+    exact_p50 = exact_histogram_percentiles(
+        hist, "l_returnflag", "__c", "__cnt", {"p50c": 0.5}
     )
-    quantiles = df.groupBy("l_returnflag").agg(
-        F.expr(
-            "CAST(round(percentile(CAST(round(l_extendedprice * 100) AS BIGINT), 0.5) * 2) AS BIGINT)"
-        ).alias("p50_price_halfcents"),
+    approx = df.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("__ap50")
+    )
+    quantiles = exact_p50.join(F.broadcast(approx), "l_returnflag").select(
+        "l_returnflag",
+        F.expr("CAST(round(p50c * 2) AS BIGINT)").alias("p50_price_halfcents"),
         (
-            F.abs(approx_p50 - exact_p50_cents / 100.0) / (exact_p50_cents / 100.0)
+            F.abs(F.col("__ap50") - F.col("p50c") / 100.0)
+            / (F.col("p50c") / 100.0)
             <= 0.01
         ).alias("p50_within_1pct"),
     )

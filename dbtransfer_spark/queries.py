@@ -86,6 +86,93 @@ def davg(col, scale: int = 4):
     )
 
 
+def exact_histogram_percentiles(
+    hist: DataFrame, key: str, value: str, cnt: str, ps: dict[str, float]
+) -> DataFrame:
+    """Exact percentile(s) over a count-weighted value HISTOGRAM,
+    replaying Spark's Percentile.scala interpolation bit-for-bit — the
+    scale-safe substitute for the typed-imperative ``percentile()``
+    aggregate (r12 VERDICT #1; the recipe proven on winsorize_prices,
+    spearman_rank_corr and weighted_median_by_flag in r13, factored out
+    here for reuse). ``percentile()`` collects each group's full value
+    multiset into one reducer task — a per-group memory cliff at 100 TB;
+    this form's only window runs over |distinct values| per key
+    (domain-bounded, never fact-table-sized) and every aggregate is
+    partial-first HashAggregate.
+
+    Input: one row per (key, value) with its row count. Output: one row
+    per key with one double column per ``ps`` entry (column name → p).
+    Percentile.scala semantics replicated exactly: 0-indexed position
+    pos = (n−1)·p in doubles; the value at rank k is the first distinct
+    value whose cumulative count exceeds k (binarySearchCount); an
+    exact-integer position or equal bracketing values return the lower
+    value WITHOUT the interpolation arithmetic (the algebraic identity
+    is not an IEEE identity); otherwise (khi−pos)·lower + (pos−klo)·
+    higher. Hash-verified identical to ``percentile()`` on every
+    converted query."""
+    w_cum = (
+        Window.partitionBy(key)
+        .orderBy(value)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(key)
+    cdf = hist.select(
+        key,
+        F.col(value).alias("__v"),
+        F.sum(cnt).over(w_cum).alias("__cum"),
+        F.sum(cnt).over(w_all).alias("__n"),
+    )
+    cdf = cdf.select(
+        key,
+        "__v",
+        "__cum",
+        *[
+            ((F.col("__n") - F.lit(1)) * F.lit(p)).alias(f"__pos_{name}")
+            for name, p in ps.items()
+        ],
+    )
+    aggs = []
+    for name in ps:
+        pos = F.col(f"__pos_{name}")
+        aggs.append(F.min(pos).alias(f"__pos_{name}"))
+        # value at 0-indexed rank k = first distinct value whose
+        # cumulative count exceeds k (binarySearchCount semantics)
+        aggs.append(
+            F.min(F.when(F.col("__cum") > F.floor(pos), F.col("__v"))).alias(
+                f"__lo_{name}"
+            )
+        )
+        aggs.append(
+            F.min(F.when(F.col("__cum") > F.ceil(pos), F.col("__v"))).alias(
+                f"__hi_{name}"
+            )
+        )
+    bracketed = cdf.groupBy(key).agg(*aggs)
+
+    def _interp(pos, lo, hi):
+        klo, khi = F.floor(pos), F.ceil(pos)
+        return (
+            F.when(khi == klo, lo.cast("double"))
+            .when(hi == lo, lo.cast("double"))
+            .otherwise(
+                (khi.cast("double") - pos) * lo.cast("double")
+                + (pos - klo.cast("double")) * hi.cast("double")
+            )
+        )
+
+    return bracketed.select(
+        key,
+        *[
+            _interp(
+                F.col(f"__pos_{name}"),
+                F.col(f"__lo_{name}"),
+                F.col(f"__hi_{name}"),
+            ).alias(name)
+            for name in ps
+        ],
+    )
+
+
 def _split_double_sql(expr: str) -> str:
     """Exact-integer → double conversion as an explicit 2^42 hi/lo split,
     bit-identical across engines (r11): a moment sum can exceed 2^64
@@ -1363,66 +1450,13 @@ def winsorize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("flag", "c")
         .agg(F.sum("cnt").alias("cnt"))
     )
-    w_cum = (
-        Window.partitionBy("flag")
-        .orderBy("c")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_all = Window.partitionBy("flag")
-    cdf = hist.select(
-        "flag",
-        "c",
-        F.sum("cnt").over(w_cum).alias("cum"),
-        F.sum("cnt").over(w_all).alias("n"),
-    )
-
-    def _pos(p: float):
-        # Percentile.scala: position = (count - 1) * percentage, in doubles
-        return (F.col("n") - F.lit(1)) * F.lit(p)
-
-    cdf = cdf.select(
-        "flag",
-        "c",
-        "cum",
-        _pos(0.05).alias("pos05"),
-        _pos(0.95).alias("pos95"),
-    )
-
-    def _bracket(pos_col: str, side: str):
-        # value at 0-indexed rank k = first distinct value whose
-        # cumulative count exceeds k (binarySearchCount semantics)
-        k = F.floor(F.col(pos_col)) if side == "lo" else F.ceil(F.col(pos_col))
-        return F.min(F.when(F.col("cum") > k, F.col("c")))
-
-    bracketed = cdf.groupBy("flag").agg(
-        F.min("pos05").alias("pos05"),
-        F.min("pos95").alias("pos95"),
-        _bracket("pos05", "lo").alias("lo05"),
-        _bracket("pos05", "hi").alias("hi05"),
-        _bracket("pos95", "lo").alias("lo95"),
-        _bracket("pos95", "hi").alias("hi95"),
-    )
-
-    def _interp(pos, lo, hi):
-        # Percentile.scala getPercentile: exact-integer position or
-        # equal bracketing keys return the lower key WITHOUT the
-        # interpolation arithmetic (the algebraic identity is not an
-        # IEEE identity); otherwise (higher−pos)·lower + (pos−klo)·higher
-        klo, khi = F.floor(pos), F.ceil(pos)
-        return (
-            F.when(khi == klo, lo.cast("double"))
-            .when(hi == lo, lo.cast("double"))
-            .otherwise(
-                (khi.cast("double") - pos) * lo.cast("double")
-                + (pos - klo.cast("double")) * hi.cast("double")
-            )
-        )
-
-    cuts = bracketed.select(
-        F.col("flag").alias("cflag"),
-        _interp(F.col("pos05"), F.col("lo05"), F.col("hi05")).alias("p05c"),
-        _interp(F.col("pos95"), F.col("lo95"), F.col("hi95")).alias("p95c"),
-    )
+    # r14: the cumulative-window + bracket + Percentile.scala-interp block
+    # that lived inline here is now the shared exact_histogram_percentiles
+    # helper (reused by approx_sketches) — identical expressions, hash
+    # re-verified against the committed ledger after the extraction.
+    cuts = exact_histogram_percentiles(
+        hist, "flag", "c", "cnt", {"p05c": 0.05, "p95c": 0.95}
+    ).select(F.col("flag").alias("cflag"), "p05c", "p95c")
     clipped = histd.join(
         broadcast_if_small(cuts), F.col("flag") == F.col("cflag")
     ).withColumn(

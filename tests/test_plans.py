@@ -860,3 +860,28 @@ def test_family_one_row_queries_internal_plans_auditable(spark):
     finally:
         for f in qlocals:
             f.unpersist()
+
+
+def test_approx_sketches_exact_reference_is_histogram_percentile(spark):
+    """r13 VERDICT #5: approx_sketches' exact reference median must come
+    from the shared histogram-percentile recipe (partial-aggregated
+    HashAggregate + domain-bounded windows), never the typed-imperative
+    Percentile over fact rows. The GK sketch (approx_percentile) keeps
+    its own ObjectHashAggregate pair — O(accuracy) state, it IS the
+    demonstrated sketch — and every join broadcasts."""
+    import re
+
+    from dbtransfer_spark.functions.library import QUERIES as LIBQ
+
+    df = LIBQ["approx_sketches"](spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    # no exact percentile aggregate anywhere (approx_percentile is fine)
+    assert not re.search(r"(?<!approx_)percentile\(", plan), plan
+    # ObjectHashAggregate only for the GK sketch side: partial + final
+    assert plan.count("ObjectHashAggregate (") == 2, plan
+    # the two percentile windows (cum + total) share ONE sort/exchange
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Window (") == 2, tree
+    assert tree.count("Sort (") == 1, tree
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
