@@ -736,7 +736,32 @@ def kcore_peel_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame as soon as the next round is materialized. Peak executor
     storage is one round's frames, O(1) in peel depth, matching the
     fixpoint claim above; see ``iterative.free_local_checkpoint`` for
-    the localCheckpoint executor-loss trade."""
+    the localCheckpoint executor-loss trade.
+
+    r14 (r13 ADVICE): the ≤4-row output is materialized eagerly and the
+    kth + per-round stats CHECKPOINTS are freed before returning — on
+    the reliable path those were durable files that outlived the
+    application (the one leak left after r13's superseded-round
+    cleanup). Same public-API laziness caveat as copurchase_triangles /
+    degree_assortativity: the query executes fully at call time (it
+    effectively already did — every round's cut_lineage is eager) and
+    returns a literal frame; the real iterative plan stays auditable
+    through ``_kcore_peel_rounds_plan``, pinned by the plan test."""
+    result, checkpoints = _kcore_peel_rounds_plan(spark, sf_dir)
+    try:
+        rows = result.collect()  # ≤4-row bounded collect
+    finally:
+        for f in checkpoints:
+            free_local_checkpoint(f)
+    return spark.createDataFrame(rows, result.schema)
+
+
+def _kcore_peel_rounds_plan(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[DataFrame]]:
+    """Lazy k-core stats plan plus the checkpointed 1-row frames (kth +
+    per-round stats) the caller must free once the output is
+    materialized — see ``kcore_peel_rounds`` for the full contract."""
     pairs = copurchase_pairs(spark, sf_dir)
 
     def degrees(edges: DataFrame) -> DataFrame:
@@ -754,6 +779,7 @@ def kcore_peel_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         deg0.agg(F.expr("CAST(sum(d) div count(*) + 1 AS BIGINT)").alias("k")),
         eager=True,
     )
+    checkpoints = [kth]  # freed by the caller after materialization
 
     def stats(round_no: int, edges: DataFrame, deg: DataFrame) -> DataFrame:
         nn = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
@@ -770,6 +796,7 @@ def kcore_peel_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     out = cut_lineage(stats(0, pairs, deg0), eager=True)
+    checkpoints.append(out)
     edges, deg = pairs, deg0
     for r in (1, 2, 3):
         keep = deg.join(F.broadcast(kth), F.col("d") >= F.col("k")).select("node")
@@ -782,9 +809,9 @@ def kcore_peel_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         new_deg = degrees(new_edges).persist()  # stats row + next round's keep
         # eager 1-row checkpoint materializes new_deg and pins the stats
         # row, so the superseded round's storage can go right now
-        out = out.unionByName(
-            cut_lineage(stats(r, new_edges, new_deg), eager=True)
-        )
+        round_stats = cut_lineage(stats(r, new_edges, new_deg), eager=True)
+        checkpoints.append(round_stats)
+        out = out.unionByName(round_stats)
         if r > 1:  # round-1 base is the shared frame — cache-owned
             free_local_checkpoint(edges)
         deg.unpersist()
@@ -794,4 +821,4 @@ def kcore_peel_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ADVICE: no query-local cache outlives its query)
     free_local_checkpoint(edges)
     deg.unpersist()
-    return out.orderBy("round")
+    return out.orderBy("round"), checkpoints

@@ -1396,3 +1396,34 @@ def test_checkpoint_delete_failure_warns_once(caplog):
     assert len(warnings) == 1  # once per process, further suppressed
     assert "rdd-1" in warnings[0].getMessage()
     iterative._DELETE_WARNED = False
+
+
+def test_kcore_reliable_path_leaves_no_checkpoint_files(spark, tmp_path):
+    """r13 ADVICE: kcore's kth + per-round 1-row stats checkpoints were
+    the last durable files to outlive their query on the reliable path.
+    The query now materializes its ≤4-row output eagerly and frees every
+    checkpoint before returning — the configured checkpoint dir must be
+    empty of rdd-* payload dirs afterwards."""
+    import shutil
+
+    from dbtransfer_spark.operators.graph import kcore_peel_rounds
+    from dbtransfer_spark.operators.iterative import RELIABLE_DIR_CONF
+
+    sf_dir = tmp_path / "sf"
+    sf_dir.mkdir()
+    shutil.copy("/root/testdata/sf0.001/lineitem.parquet",
+                sf_dir / "lineitem.parquet")
+    ckdir = tmp_path / "ck"
+    spark.conf.set(RELIABLE_DIR_CONF, str(ckdir))
+    try:
+        out = kcore_peel_rounds(spark, str(sf_dir))
+        assert out.count() == 4  # rounds 0-3
+    finally:
+        spark.conf.unset(RELIABLE_DIR_CONF)
+    leftover = [
+        os.path.join(dp, d)
+        for dp, ds, _ in os.walk(ckdir)
+        for d in ds
+        if d.startswith("rdd-")
+    ]
+    assert not leftover, leftover

@@ -862,6 +862,33 @@ def test_family_one_row_queries_internal_plans_auditable(spark):
             f.unpersist()
 
 
+def test_kcore_internal_plan_is_bounded_checkpoint_union(spark):
+    """r14: kcore_peel_rounds also materializes eagerly now (so its
+    kth/per-round reliable checkpoints can be freed before returning —
+    the last durable-file leak from r13 ADVICE). The internal builder
+    stays auditable here: its output is a union of the ≤4 per-round
+    1-row checkpointed stats frames (each round's real iterative work —
+    degree agg, broadcasted kth threshold, semi-join peel — runs inside
+    ``cut_lineage``), so the residual plan must be checkpoint scans
+    only: no join of any kind, no shuffle beyond the 4-row sort."""
+    from dbtransfer_spark.operators.graph import _kcore_peel_rounds_plan
+    from dbtransfer_spark.operators.iterative import free_local_checkpoint
+
+    df, checkpoints = _kcore_peel_rounds_plan(spark, SF_SMOKE)
+    try:
+        assert len(checkpoints) == 5  # kth + rounds 0-3 stats
+        plan = formatted_plan(df)
+        assert "CartesianProduct" not in plan, plan
+        assert "Join" not in plan, plan  # all joins consumed pre-checkpoint
+        tree = plan.split("\n\n")[0]
+        # 4 checkpointed round frames unioned, nothing recomputable
+        assert tree.count("Scan ExistingRDD") == 4, tree
+        assert df.count() == 4
+    finally:
+        for f in checkpoints:
+            free_local_checkpoint(f)
+
+
 def test_approx_sketches_exact_reference_is_histogram_percentile(spark):
     """r13 VERDICT #5: approx_sketches' exact reference median must come
     from the shared histogram-percentile recipe (partial-aggregated
