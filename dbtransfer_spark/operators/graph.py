@@ -236,7 +236,19 @@ def _copurchase_triangles_plan(
     # degree-bounded arrays) and the O(Σ d⁺(s)·d⁺(t)) intersection work
     # happens in-array inside the map stage. Same O(m^1.5) compute
     # bound via the orientation; ~1/20th the shuffle bytes.
-    adj = oriented.groupBy("s").agg(F.sort_array(F.collect_list("t")).alias("nbrs"))
+    # r14: persist — adj feeds BOTH sides of the closing join and Spark
+    # does not ReuseExchange across the two branches (verified on the
+    # formatted plan: 0 ReusedExchange, the exchange + collect_list ran
+    # twice). One build instead of two saves an exchange of the 12M-row
+    # oriented frame plus a collect_list pass; storage is |V| rows whose
+    # array payload sums to exactly |E| entries — the same memory class
+    # as the (already persisted) oriented frame. Query-local: released
+    # with deg/oriented after the 1-row result materializes.
+    adj = (
+        oriented.groupBy("s")
+        .agg(F.sort_array(F.collect_list("t")).alias("nbrs"))
+        .persist()
+    )
     # SHUFFLE_HASH on the adjacency side (r12): the default SMJ sorts
     # the 12M-row edge frame twice just to attach degree-bounded arrays
     # — measured 15.6 s vs 6.7-7.4 s hashed at sf1. The build side is
@@ -274,7 +286,7 @@ def _copurchase_triangles_plan(
         .crossJoin(F.broadcast(counts))
         .select("n_nodes", "n_edges", "n_triangles")
     )
-    return result, [deg, oriented]
+    return result, [deg, oriented, adj]
 
 
 @register(
