@@ -506,9 +506,20 @@ def link_prediction_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFr
     old per-query _basket_pair_explode().groupBy().count(), which in
     turn reproduced the r7 self-join's cx·cy multiplicity exactly).
     Then two row_number windows over the SAME edge frame (one shuffle
-    each on src/dst), the wedge equi-join on the shared neighbor, and a
-    left-anti probe. All shuffles equi-keyed; the 50-row limit is a
-    TakeOrdered, no global sort."""
+    each on src/dst). Wedges are generated JOIN-FREE (r14 guide §2.4):
+    the r7-r13 sparse⋈sparse self-join planned the whole two-window
+    sparsification subtree TWICE (once per join side — the broadcast
+    build side defeats ReuseExchange) and re-shuffled both copies by
+    the wedge center; instead, sparse is grouped by dst — the dst
+    window just established exactly that hashpartitioning, so the
+    collect_list aggregate needs NO new exchange — into a ≤32-entry
+    (src, w) neighbor array, and the a<c ordered pairs explode IN-ARRAY
+    (the item_cf_cosine2_topk lambda-pair trick), a per-row transform
+    with the identical pair multiset and least-weight as the join
+    (src is unique per dst group, so filter(y.s > x.s) enumerates each
+    unordered pair exactly once). One shuffle on (a, c) aggregates the
+    wedges, a left-anti probe drops adjacent pairs; the 50-row limit is
+    a TakeOrdered, no global sort."""
     pairs = copurchase_edges(spark, sf_dir).select("u", "v", "w")
     adj = pairs.select(
         F.col("u").alias("src"), F.col("v").alias("dst"), "w"
@@ -521,15 +532,26 @@ def link_prediction_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFr
         .filter((F.col("r_out") <= 32) & (F.col("r_in") <= 32))
         .select("src", "dst", "w")
     )
-    s1 = sparse.select(F.col("src").alias("a"), F.col("dst").alias("b"), F.col("w").alias("w1"))
-    s2 = sparse.select(F.col("src").alias("c"), F.col("dst").alias("b"), F.col("w").alias("w2"))
+    by_dst = sparse.groupBy("dst").agg(
+        F.collect_list(F.struct(F.col("src").alias("s"), F.col("w").alias("w"))).alias(
+            "nb"
+        )
+    )
     cand = (
-        s1.join(s2, "b")
-        .filter(F.col("a") < F.col("c"))
+        by_dst.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(nb, x -> transform("
+                    "filter(nb, y -> y.s > x.s), "
+                    "y -> struct(x.s AS a, y.s AS c, least(x.w, y.w) AS lw))))"
+                )
+            ).alias("pr")
+        )
+        .select("pr.a", "pr.c", "pr.lw")
         .groupBy("a", "c")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_common"),
-            F.sum(F.least("w1", "w2")).cast("bigint").alias("w_sum"),
+            F.sum("lw").cast("bigint").alias("w_sum"),
         )
     )
     non_adjacent = cand.join(

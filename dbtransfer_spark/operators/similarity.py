@@ -2693,27 +2693,11 @@ def _pca_oracle() -> str:
     )
 
 
-@register("embedding_pca_power_top1", _pca_oracle())
-def embedding_pca_power_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top principal direction of the (8-dim block) embedding covariance
-    by THREE fixed-point power-iteration steps — PCA's inner loop, run
-    entirely as integer dataflow so the eigenvector trace is
-    bit-identical cross-engine and across executor/retry orders. Builds
-    on embedding_covariance_quantized's one-scan co-moment sketch: the
-    64 exact c_ij = n·Sij − SiSj entries self-normalize through divisor
-    (max|c| div 1e6 + 1) — the OVERFLOW GOVERNOR that keeps every later
-    product ≤ 8e18 inside BIGINT at ANY scale factor (matrix entries
-    grow ∝ n², so a fixed divisor would overflow at 100 TB; dividing by
-    the matrix's own magnitude is scale-free). Each step is
-    v ← normalize(M·v): an 8×8 join-aggregate plus a max|u| rescale,
-    iterating by plan extension exactly like kmeans_lloyd and
-    markov_stationary_power.
-
-    The heavy lifting — the co-moment scan — is ONE partial-aggregated
-    pass over the vectors; iterations cost O(d²) regardless of data
-    size. This is how PCA/whitening actually runs on a 100 TB embedding
-    lake: sketch once, iterate on the driver-sized matrix (here kept in
-    dataflow for the exactness proof)."""
+def _pca_comoment_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The heavy half of embedding_pca_power_top1, exposed for plan
+    audits (same pattern as the eager 1-row graph queries): ONE
+    partial-aggregated scan reducing the embedding table to a single
+    row of 1 + d + d(d+1)/2 exact BIGINT co-moments."""
     emb = load_table(spark, sf_dir, "embeddings")
     d = _COV_DIMS
     qcols = [
@@ -2731,33 +2715,63 @@ def embedding_pca_power_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs.append(
             F.sum(F.col(f"q{i}") * F.col(f"q{j}")).cast("bigint").alias(f"s{i}_{j}")
         )
-    m = q.agg(*aggs)
-    stack_args = []
+    return q.agg(*aggs)
+
+
+def _trunc_div(a: int, b: int) -> int:
+    """Spark SQL's BIGINT ``div``: integral division truncating toward
+    zero (Python ``//`` floors, which differs on negative numerators)."""
+    q = abs(a) // b
+    return -q if a < 0 else q
+
+
+@register("embedding_pca_power_top1", _pca_oracle())
+def embedding_pca_power_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the (8-dim block) embedding covariance
+    by THREE fixed-point power-iteration steps — PCA's inner loop, run
+    entirely as integer arithmetic so the eigenvector trace is
+    bit-identical cross-engine and across executor/retry orders. Builds
+    on embedding_covariance_quantized's one-scan co-moment sketch: the
+    64 exact c_ij = n·Sij − SiSj entries self-normalize through divisor
+    (max|c| div 1e6 + 1) — the OVERFLOW GOVERNOR that keeps every later
+    product ≤ 8e18 inside BIGINT at ANY scale factor (matrix entries
+    grow ∝ n², so a fixed divisor would overflow at 100 TB; dividing by
+    the matrix's own magnitude is scale-free).
+
+    The heavy lifting — the co-moment scan — is ONE partial-aggregated
+    pass over the vectors (``_pca_comoment_plan``, plan-test-pinned);
+    iterations cost O(d²) regardless of data size. r14 (guide §5: the
+    driver should do almost no data work — and an 8×8 integer matrix is
+    almost none): the r7-r13 form kept the power iteration IN DATAFLOW
+    (three join+aggregate+rescale rounds over 64-row frames plus two
+    persists), a ~45-micro-stage / ~50-exchange plan whose scheduling
+    and planning overhead dwarfed its arithmetic at every SF. Now the
+    1-row sketch is collected and the iteration runs in exact Python
+    ints — a strict superset of BIGINT arithmetic, with Spark's
+    truncating ``div`` replicated explicitly (``_trunc_div``) — and the
+    8-row result returns as a literal frame, hash-identical (verified
+    sf0.001/sf0.01/sf0.1). Like copurchase_triangles, the query is
+    EAGER: it executes the scan at call time."""
+    d = _COV_DIMS
+    row = _pca_comoment_plan(spark, sf_dir).collect()[0]
+    n = row["n"]
+    s = {i: row[f"s{i}"] for i in range(1, d + 1)}
+    c: dict[tuple[int, int], int] = {}
     for i, j in _COV_PAIRS:
-        stack_args.append(f"{i}L, {j}L, n*s{i}_{j} - s{i}*s{j}")
+        cij = n * row[f"s{i}_{j}"] - s[i] * s[j]
+        c[(i, j)] = cij
         if i != j:
-            stack_args.append(f"{j}L, {i}L, n*s{i}_{j} - s{i}*s{j}")
-    mat = m.select(
-        F.expr(f"stack({d * d}, {', '.join(stack_args)}) AS (i, j, c)")
-    ).persist()  # divisor scan + normalized-matrix reuse across 3 steps
-    mxc = mat.agg(
-        F.expr("greatest(max(abs(c)) div 1000000 + 1, 1L)").alias("dvr")
-    )
-    matn = mat.crossJoin(F.broadcast(mxc)).select(
-        "i", "j", F.expr("CAST(c div dvr AS BIGINT)").alias("mval")
-    ).persist()
-    v = matn.select(F.col("i").alias("dim")).distinct().select(
-        "dim", F.lit(1000000).cast("bigint").alias("v")
-    )
+            c[(j, i)] = cij
+    dvr = max(max(abs(x) for x in c.values()) // 1000000 + 1, 1)
+    m = {k: _trunc_div(x, dvr) for k, x in c.items()}
+    v = {i: 1000000 for i in range(1, d + 1)}
     for _ in range(3):
-        it = (
-            matn.join(v, matn["j"] == v["dim"])
-            .groupBy("i")
-            .agg(F.sum(F.col("mval") * F.col("v")).cast("bigint").alias("u"))
-        )
-        mx = it.agg(F.expr("greatest(max(abs(u)), 1L)").alias("mx"))
-        v = it.crossJoin(F.broadcast(mx)).select(
-            F.col("i").alias("dim"),
-            F.expr("CAST(u * 1000000 div mx AS BIGINT)").alias("v"),
-        )
-    return v.select("dim", F.col("v").alias("eigvec_e6")).orderBy("dim")
+        u = {
+            i: sum(m[(i, j)] * v[j] for j in range(1, d + 1))
+            for i in range(1, d + 1)
+        }
+        mx = max(max(abs(x) for x in u.values()), 1)
+        v = {i: _trunc_div(u[i] * 1000000, mx) for i in u}
+    return spark.createDataFrame(
+        sorted((i, v[i]) for i in v), "dim bigint, eigvec_e6 bigint"
+    ).orderBy("dim")

@@ -912,3 +912,33 @@ def test_approx_sketches_exact_reference_is_histogram_percentile(spark):
     assert tree.count("Sort (") == 1, tree
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_pca_power_sketch_plan_one_scan_reduce(spark):
+    """r14: embedding_pca_power_top1 is eager (the 8×8 power iteration
+    runs in exact driver ints after a 1-row collect — guide §5), which
+    hides its plan from the query-level audit; the heavy half is pinned
+    here instead: ONE parquet scan feeding a partial+final HashAggregate
+    pair with a single 1-partition exchange — no joins, no windows, no
+    stack fanout before the reduce."""
+    from dbtransfer_spark.operators.similarity import _pca_comoment_plan
+
+    df = _pca_comoment_plan(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1, tree
+    assert count_exchanges(df) == 1, tree
+    assert "Join" not in plan and "Window" not in tree, tree
+    assert plan.count("HashAggregate (") == 2, tree
+
+
+def test_pca_power_trunc_div_matches_spark_div():
+    """_trunc_div must reproduce Spark SQL's BIGINT ``div`` (truncation
+    toward zero) including on negative numerators, where Python's //
+    floors instead."""
+    from dbtransfer_spark.operators.similarity import _trunc_div
+
+    assert _trunc_div(7, 2) == 3
+    assert _trunc_div(-7, 2) == -3  # Python -7 // 2 == -4
+    assert _trunc_div(0, 5) == 0
+    assert _trunc_div(-1, 1000000) == 0
