@@ -198,14 +198,24 @@ def fifo_cost_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequential semantics are fully encoded by the two monotone axes.
 
     Scale: the overlap join has no equality key beyond part, so the
-    Spark plan bins the cumulative axis ({bin}-unit bins ≥ the max
-    line quantity: every span touches ≤2 bins) and equi-joins on
-    (part, bin) with a meet-once rule (a pair is emitted only in the
-    bin of its later start) — candidate volume is output-proportional,
-    the same discipline as binned_range_join, and FIFO pair count is
-    Θ(receipts + issues) per part by monotonicity. The oracle uses
-    DuckDB's native IEJoin on the raw inequality — an independent
-    implementation of the same semantics. Windows order by
+    plan bins the cumulative axis ({bin}-unit bins ≥ the max line
+    quantity: every span touches ≤2 bins) with a meet-once rule (a
+    pair is emitted only in the bin of its later start) — candidate
+    volume is output-proportional, the same discipline as
+    binned_range_join, and FIFO pair count is Θ(receipts + issues) per
+    part by monotonicity. r14 (guide §2.3/§3): BOTH per-side running
+    sums come from ONE window pass as conditional cumulative sums over
+    the interleaved lines (at a receipt row the issue term adds 0 and
+    vice versa, so each side's cumsum is bit-identical to the old
+    per-side filtered window — one lineitem scan and one part-keyed
+    window exchange instead of two of each), and the (part, bin)
+    receipt×issue pairing is JOIN-FREE: binned spans group once by
+    (part, bin) into per-side arrays and the meet-once overlap match
+    runs in-array (the item_cf lambda-pair trick) — the old plan
+    broadcast the ENTIRE exploded issue side, a build relation that
+    grows with the fact table (the 100 TB cliff this rewrite removes).
+    The oracle uses DuckDB's native IEJoin on the raw inequality — an
+    independent implementation of the same semantics. Windows order by
     (shipdate, orderkey, linenumber) — row-unique, so the running sums
     are deterministic (round-5 trap)."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -221,38 +231,57 @@ def fifo_cost_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    receipts = (
-        lines.filter("is_receipt")
-        .withColumn("hi", F.sum("qty").over(w))
-        .select("part", "qty", "price_cents", "hi", (F.col("hi") - F.col("qty")).alias("lo"))
+    cum = lines.select(
+        "part",
+        "is_receipt",
+        "qty",
+        "price_cents",
+        F.sum(F.when(F.col("is_receipt"), F.col("qty")).otherwise(F.lit(0)))
+        .over(w)
+        .alias("hi_r"),
+        F.sum(F.when(~F.col("is_receipt"), F.col("qty")).otherwise(F.lit(0)))
+        .over(w)
+        .alias("hi_i"),
     )
-    issues = (
-        lines.filter(~F.col("is_receipt"))
-        .withColumn("hi", F.sum("qty").over(w))
-        .select("part", F.col("qty").alias("i_qty"), F.col("hi").alias("i_hi"),
-                (F.col("hi") - F.col("qty")).alias("i_lo"))
-    )
+    spans = cum.select(
+        "part",
+        "is_receipt",
+        "qty",
+        "price_cents",
+        F.when(F.col("is_receipt"), F.col("hi_r")).otherwise(F.col("hi_i")).alias("hi"),
+    ).withColumn("lo", F.col("hi") - F.col("qty"))
     b = _FIFO_BIN
-    r_binned = receipts.withColumn(
+    binned = spans.withColumn(
         "bin", F.explode(F.expr(f"sequence(lo div {b}, (hi - 1) div {b})"))
     )
-    i_binned = issues.withColumn(
-        "bin", F.explode(F.expr(f"sequence(i_lo div {b}, (i_hi - 1) div {b})"))
+    grp = binned.groupBy("part", "bin").agg(
+        F.collect_list(
+            F.when(
+                F.col("is_receipt"),
+                F.struct("lo", "hi", "qty", "price_cents"),
+            )
+        ).alias("rs"),
+        F.collect_list(
+            F.when(
+                ~F.col("is_receipt"),
+                F.struct(F.col("lo").alias("i_lo"), F.col("hi").alias("i_hi")),
+            )
+        ).alias("iss"),
     )
-    cand = r_binned.join(i_binned, ["part", "bin"]).filter(
-        (F.col("lo") < F.col("i_hi"))
-        & (F.col("i_lo") < F.col("hi"))
-        # meet-once: emit the pair only in the bin holding the later start
-        & (F.col("bin") == F.greatest(F.expr(f"lo div {b}"), F.expr(f"i_lo div {b}")))
-    )
-    m_qty = F.least("hi", "i_hi") - F.greatest("lo", "i_lo")
-    matches = cand.select(
+    matches = grp.select(
         "part",
-        m_qty.alias("m_qty"),
-        F.expr(
-            f"(least(hi, i_hi) - greatest(lo, i_lo)) * price_cents div qty"
-        ).alias("m_cents"),
-    )
+        F.explode(
+            F.expr(
+                f"flatten(transform(rs, r -> transform("
+                f"filter(iss, i -> r.lo < i.i_hi AND i.i_lo < r.hi"
+                f" AND bin = greatest(r.lo div {b}, i.i_lo div {b})), "
+                f"i -> struct("
+                f"least(r.hi, i.i_hi) - greatest(r.lo, i.i_lo) AS m_qty, "
+                f"(least(r.hi, i.i_hi) - greatest(r.lo, i.i_lo))"
+                f" * r.price_cents div r.qty AS m_cents))))"
+            )
+        ).alias("m"),
+    ).select("part", "m.m_qty", "m.m_cents")
     magg = matches.groupBy("part").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_matches"),
         F.sum("m_qty").cast("bigint").alias("matched_qty"),

@@ -283,9 +283,15 @@ def join_cardinality_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("na") * F.col("nb")).alias("pairs")
     )
     # side totals are over ALL rows (not just matched keys): two 1-row
-    # aggregates broadcast onto the 1-row pair rollup
-    ltot = ca.agg(F.sum("na").cast("bigint").alias("left_rows"))
-    rtot = cb.agg(F.sum("nb").cast("bigint").alias("right_rows"))
+    # aggregates broadcast onto the 1-row pair rollup. r14 (guide §1.2,
+    # don't compute things you throw away): Σ per-key counts ≡ count(*)
+    # of the base table — the old ca.agg(sum(na)) / cb.agg(sum(nb))
+    # re-ran BOTH per-key count shuffles a second time just to re-total
+    # them (4 heavy aggregates in the plan); a bare count over the
+    # zero-column scan is the same BIGINT by definition, including
+    # NULL-key rows (groupBy keeps a NULL-key group).
+    ltot = orders.agg(F.count(F.lit(1)).cast("bigint").alias("left_rows"))
+    rtot = lineitem.agg(F.count(F.lit(1)).cast("bigint").alias("right_rows"))
     return (
         prod.agg(
             F.sum("pairs").cast("bigint").alias("join_rows"),

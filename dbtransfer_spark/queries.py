@@ -6046,36 +6046,64 @@ def column_domain_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     share small integers — high n_common, meaningless containment
     pattern) exactly like Aurum/Sherlock-style discovery systems.
 
-    Scale: DISTINCT-first per column (each domain collapses to its NDV
-    BEFORE any join — the round-7 distinct-first rule), then one
-    value-keyed self-join whose per-value fanout is bounded by the
-    number of profiled columns (11), never row counts. NDV frames are
-    column-count-sized. The stacked distinct frame feeds three
-    consumers (ndv, both join sides), so it is persisted — each source
-    table is scanned ONCE and the profile is served from the staged
-    domain frame, the same staging a 100 TB discovery run would write
-    to disk."""
-    stacked = None
+    Scale (r14, guide §2.3/§2.4): each source table is scanned ONCE —
+    its profiled columns leave the scan as an exploded (col, val)
+    stack (the r7-r13 form ran one scan + distinct PER COLUMN, 11
+    scans and 11 distinct exchanges). One val-keyed collect_set
+    aggregate (partial map-side set-merge, so duplicate-heavy key
+    domains collapse before the exchange) yields each value's
+    column-membership set, from which BOTH outputs derive join-free:
+    ndv per column by exploding the sets, and the pair intersections
+    by an in-array a<b pair explode (the item_cf lambda-pair trick) —
+    fanout bounded by the number of profiled columns (11), never row
+    counts, exactly the bound the old value-keyed self-join had, minus
+    the self-join's two probe-side passes. NULL values keep their ndv
+    contribution (count(*) semantics) but generate no pairs (the
+    oracle's a.val = b.val join never matches NULL). The set frame
+    feeds two consumers, so it is persisted — the same staging a
+    100 TB discovery run would write to disk."""
+    by_table: dict[str, list[str]] = {}
     for tbl, col in _DOMAIN_COLS:
+        by_table.setdefault(tbl, []).append(col)
+    stacked = None
+    for tbl, cols in by_table.items():
         sel = (
             load_table(spark, sf_dir, tbl)
             .select(
-                F.lit(f"{tbl}.{col}").alias("col"),
-                F.col(col).cast("bigint").alias("val"),
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(f"{tbl}.{c}").alias("col"),
+                                F.col(c).cast("bigint").alias("val"),
+                            )
+                            for c in cols
+                        ]
+                    )
+                ).alias("cv")
             )
-            .distinct()
+            .select("cv.col", "cv.val")
         )
         stacked = sel if stacked is None else stacked.unionByName(sel)
-    stacked = stacked.persist()
-    ndv = stacked.groupBy("col").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    a = stacked.alias("a")
-    b = stacked.alias("b")
+    by_val = stacked.groupBy("val").agg(F.collect_set("col").alias("cols")).persist()
+    ndv = (
+        by_val.select(F.explode("cols").alias("col"))
+        .groupBy("col")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
     common = (
-        a.join(
-            b,
-            (F.col("a.val") == F.col("b.val")) & (F.col("a.col") < F.col("b.col")),
+        by_val.filter(F.col("val").isNotNull())
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(cols, x -> transform("
+                    "filter(cols, y -> y > x), "
+                    "y -> struct(x AS col_a, y AS col_b))))"
+                )
+            ).alias("pr")
         )
-        .groupBy(F.col("a.col").alias("col_a"), F.col("b.col").alias("col_b"))
+        .select("pr.col_a", "pr.col_b")
+        .groupBy("col_a", "col_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
     )
     return (

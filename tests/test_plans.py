@@ -709,9 +709,12 @@ def test_r7_operator_plan_shapes(spark):
     df = skew.join_cardinality_preflight(spark, SF_SMOKE)
     plan = formatted_plan(df)
     assert "SortMergeJoin" not in plan or "count" in plan.lower()
-    # both fact scans are column-pruned to the single join key
+    # per-key scans are column-pruned to the single join key; the r14
+    # side-total scans (bare count(*), guide §1.2 — they no longer
+    # re-run the per-key aggregates) are pruned to ZERO columns
     cols = read_schema_columns(df)
-    assert cols and all(len(c) == 1 for c in cols), cols
+    assert cols and all(len(c) <= 1 for c in cols), cols
+    assert sum(len(c) for c in cols) == 2, cols  # 2 keyed + 2 empty scans
 
 
 def test_countmin_sketch_state_is_constant(spark):
