@@ -57,12 +57,12 @@ HEADLINE = [
     "bloom_join_prefilter",    # declarative bloom semi-join reduction (round 7)
     "zorder_clustering_stats", # 2-D zone-map pruning comparison (round 7)
     "image_ahash_neardup",     # perceptual-hash banded near-dup (round 7)
-    "item_cf_cosine2_topk",    # basket-pair CF via collect_set explode (r7 s2)
     "span_corruption_masks",   # T5 denoising mask plan, positional hashes (r7 s2)
     "column_domain_overlap",   # distinct-first FK discovery self-join (r7 s2)
     "rle_encoding_stats",      # per-row-group run counting windows (r7 s2)
     "fifo_cost_allocation",    # cumulative-axis binned interval join (r7 s3)
     "copurchase_edges_build",  # session-shared family edge build, charged once (r13)
+    "item_cf_cosine2_topk",    # family consumer: CF ranking off the shared edges (r14)
     "link_prediction_common_neighbors",  # reciprocal-kNN wedge scoring (r7 s3)
     "embedding_pca_power_top1",  # one-scan co-moment sketch + power iter (r7 s3)
     "ivm_delta_rollup",        # incremental view maintenance merge (r7 s3)

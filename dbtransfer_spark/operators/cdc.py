@@ -213,16 +213,24 @@ def fuzzy_part_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     ny = names.select(
         "p_brand", "tok", F.col("p_name").alias("name_y")
     )
+    # r14 (guide §1.2 per-task work): the edit-distance confirm is the
+    # block-pair CPU floor, so (a) a length band rejects most pairs
+    # first — dist ≥ |len_x − len_y|, so |Δlen| > 3 can never survive —
+    # and (b) the survivors use the THRESHOLD form levenshtein(x, y, 3)
+    # (Spark 3.5+), whose banded DP early-terminates in O(k·len) instead
+    # of O(len²) and returns the exact distance whenever it is ≤ 3 (else
+    # −1, which the BETWEEN filter drops exactly like the old dist > 3).
     name_pairs = (
         nx.join(ny, ["p_brand", "tok"])
         .filter(F.col("name_x") <= F.col("name_y"))
+        .filter(F.abs(F.length("name_x") - F.length("name_y")) <= 3)
         .withColumn(
             "dist",
             F.when(F.col("name_x") == F.col("name_y"), F.lit(0))
-            .otherwise(F.levenshtein("name_x", "name_y"))
+            .otherwise(F.levenshtein("name_x", "name_y", 3))
             .cast("bigint"),
         )
-        .filter(F.col("dist") <= 3)
+        .filter(F.col("dist").between(0, 3))
     )
     rx = rows.select(
         "p_brand", "tok",

@@ -5452,35 +5452,34 @@ def item_cf_cosine2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     market_basket_pairs (support/lift of a pair) with the per-item
     RANKED neighbor list a recommender actually serves.
 
-    Scale: candidate pairs are generated IN-ORDER from one
-    collect_set-per-basket shuffle (the set also dedups repeat lines, so
-    no separate distinct pass) and a lambda pair-explode — Σ|basket|²
-    rows with ZERO join exchanges, versus the naive basket self-join's
-    two fact-sized shuffles. Basket width is schema-bounded (≤7 lines
-    here); a width cap before the explode is the guard for pathological
-    baskets at 100 TB. The scoring joins key on pre-aggregated per-item
-    counts (dimension-sized), the per-item top-3 is one item-partitioned
-    window — no global sort."""
+    Scale (r14): the pair counts ARE the session-shared co-purchase
+    edge frame's ``together`` column (r12 family design — number of
+    distinct orders containing both parts ≡ the old per-basket
+    collect_set pair explode's one-per-order contribution, the exact
+    equivalence documented on _build_copurchase_edges), so this query
+    joins the family and reads the ONE persisted build instead of
+    re-running its own basket shuffle — which the r7s2 form ran TWICE,
+    once each for the pair explode and the per-item counts (two
+    unshared consumers of the same collect_set aggregate). The per-item
+    denominator is a distinct-first fact aggregate (|distinct
+    (order, part)| → per-part count). The scoring joins key on
+    pre-aggregated per-item counts (dimension-sized), the per-item
+    top-3 is one item-partitioned window — no global sort."""
+    from dbtransfer_spark.operators.shared_frames import copurchase_edges
+
     li = load_table(spark, sf_dir, "lineitem")
-    sets = li.select("l_orderkey", "l_partkey").groupBy("l_orderkey").agg(
-        F.collect_set("l_partkey").alias("ps")
-    )
     pair = (
-        sets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ps, x -> transform("
-                    "filter(ps, y -> y > x), y -> struct(x AS pa, y AS pb))))"
-                )
-            ).alias("pr")
+        copurchase_edges(spark, sf_dir)
+        .select(
+            F.col("u").alias("pa"),
+            F.col("v").alias("pb"),
+            F.col("together").cast("bigint").alias("n_co"),
         )
-        .select("pr.pa", "pr.pb")
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_co"))
         .filter(F.col("n_co") >= 2)
     )
     n_item = (
-        sets.select(F.explode("ps").alias("l_partkey"))
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
         .groupBy("l_partkey")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )

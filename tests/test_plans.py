@@ -736,16 +736,16 @@ def test_r7s2_operator_plan_shapes(spark):
     import dbtransfer_spark.queries as Q2
     from dbtransfer_spark.operators import text as T
 
-    # item_cf_cosine2_topk: candidate generation must carry NO join —
-    # pairs explode from the per-basket collect_set; the only joins are
-    # against the dimension-sized per-item count table
+    # item_cf_cosine2_topk: candidate generation must carry NO
+    # fact-to-fact join — r14: pair counts come from the session-shared
+    # co-purchase edge frame (its build is the zero-join in-array
+    # explode) and the denominator is one distinct-first fact
+    # aggregate; the only joins are against the dimension-sized
+    # per-item count table
     plan = formatted_plan(Q2.QUERIES["item_cf_cosine2_topk"](spark, SF_SMOKE))
     tree = plan.split("\n\n")[0]
-    # bounded static lineage: sets feeds pair (mirrored twice in the sym
-    # union) and n_item (joined twice) — 4 scan references, runtime
-    # reuses the exchange; a join-based pair generator would add
-    # SortMergeJoin nodes before the pair aggregate instead
     assert tree.count("Scan parquet") <= 4, tree
+    assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan
 
     # column_domain_overlap: the staged domain frame serves every
@@ -825,6 +825,7 @@ def test_bench_charges_shared_edge_build_before_family_consumers():
         if q
         in {
             "link_prediction_common_neighbors",
+            "item_cf_cosine2_topk",
             "market_basket_pairs",
             "copurchase_triangles",
             "degree_assortativity",
