@@ -741,10 +741,13 @@ def test_r7s2_operator_plan_shapes(spark):
     # co-purchase edge frame (its build is the zero-join in-array
     # explode) and the denominator is one distinct-first fact
     # aggregate; the only joins are against the dimension-sized
-    # per-item count table
+    # per-item count table. Count numbered operator headers, not raw
+    # tree lines: once the shared edge frame is materialized (by any
+    # earlier query in the session), its InMemoryRelation inlines the
+    # cached build's Final/Initial plans, whose display-only scan lines
+    # would inflate a naive tree.count("Scan parquet").
     plan = formatted_plan(Q2.QUERIES["item_cf_cosine2_topk"](spark, SF_SMOKE))
-    tree = plan.split("\n\n")[0]
-    assert tree.count("Scan parquet") <= 4, tree
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 4, plan
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan
 
