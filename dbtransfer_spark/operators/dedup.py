@@ -2581,13 +2581,25 @@ def minhash_union_merge_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect order is irrelevant); the union side dedups shingles with a
     source-keyed explode+distinct, the only row-multiplying step, then
     signs |union| rows once. Nothing here is quadratic; both sides ride
-    the same source partitioning."""
+    the same source partitioning.
+
+    r14 (guide §2.4 — remove shuffles outright): ``source`` rides the
+    shingle projection via ``carry`` instead of TWO doc_id equi-joins
+    (shingled×docs, then sigs×docs again — each a fact-to-fact shuffle
+    of the wide ``__shingles``/``minhash`` array column just to
+    re-attach one string), and the union side's shingle count comes out
+    of the SAME source-keyed aggregate that collects the union list
+    (``size`` of the collected array ≡ count(*) of the distinct rows by
+    construction), where the old form re-ran the whole explode+distinct
+    exchange a second time to count it. 2 joins + 1 duplicate
+    distinct-explode exchange removed; values identical because every
+    removed operator was a pure re-attachment/re-count of data already
+    present."""
     docs = load_table(spark, sf_dir, "documents")
-    shingled = shingle_arrays(docs, "doc_id", "text", portable_hash=True)
-    with_src = shingled.join(docs.select("doc_id", "source"), "doc_id").persist()
-    sigs = signatures_from_shingles(
-        with_src.select(F.col("doc_id"), "__shingles"), "doc_id"
-    ).join(with_src.select("doc_id", "source"), "doc_id")
+    with_src = shingle_arrays(
+        docs, "doc_id", "text", portable_hash=True, carry=("source",)
+    ).persist()
+    sigs = signatures_from_shingles(with_src, "doc_id", carry=("source",))
     init = ", ".join(["CAST(%d AS BIGINT)" % _PRIME] * 32)
     merged = sigs.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
@@ -2601,19 +2613,17 @@ def minhash_union_merge_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .groupBy("source")
         .agg(F.collect_list("s").alias("__shingles"))
+        .select(
+            "source",
+            "__shingles",
+            F.size("__shingles").cast("bigint").alias("n_union_shingles"),
+        )
     )
-    uni_sig = signatures_from_shingles(union_sh, "source").withColumnRenamed(
-        "minhash", "u_sig"
-    )
-    n_union = (
-        with_src.select("source", F.explode("__shingles").alias("s"))
-        .distinct()
-        .groupBy("source")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_union_shingles"))
-    )
+    uni_sig = signatures_from_shingles(
+        union_sh, "source", carry=("n_union_shingles",)
+    ).withColumnRenamed("minhash", "u_sig")
     return (
         merged.join(uni_sig, "source")
-        .join(n_union, "source")
         .select(
             "source",
             "n_docs",
