@@ -486,20 +486,29 @@ def minhash_lsh_pairs(
 
 
 def minhash_jaccard_estimate(
-    sigs: DataFrame, pairs: DataFrame, id_col: str, carry: tuple[str, ...] = ()
+    sigs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    carry: tuple[str, ...] = (),
+    sigs_b: DataFrame | None = None,
 ) -> DataFrame:
     """Estimated Jaccard = fraction of equal signature positions.
 
     ``carry`` columns from ``sigs`` ride through the two estimate joins as
     ``{c}_a`` / ``{c}_b`` — the estimate must join the signature frame on
     both sides anyway, so attaching e.g. the clique ``ids`` array here is
-    free, while recovering it later costs two more shuffle joins."""
+    free, while recovering it later costs two more shuffle joins.
+
+    ``sigs_b`` (r14): asymmetric callers whose pair sides come from
+    DISJOINT roles (release probe: id_a = new batch, id_b = corpus) pass
+    the b-side frame here so each join probes only its own side instead
+    of a union of both."""
     sa = sigs.select(
         F.col(id_col).alias("id_a"),
         F.col("minhash").alias("mh_a"),
         *[F.col(c).alias(f"{c}_a") for c in carry],
     )
-    sb = sigs.select(
+    sb = (sigs if sigs_b is None else sigs_b).select(
         F.col(id_col).alias("id_b"),
         F.col("minhash").alias("mh_b"),
         *[F.col(c).alias(f"{c}_b") for c in carry],

@@ -28,22 +28,22 @@ _BANDS, _ROWS_PER_BAND = 8, 4
 
 def _banded(sigs: DataFrame, prefix: str, id_col: str = "doc_id") -> DataFrame:
     """Explode a signature frame into (band, band-slice hash) bucket keys
-    — the standard LSH candidate-generation side of a banded equi-join."""
-    return sigs.select(
-        F.col(id_col).alias(f"{prefix}_id"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.hash(
-                            F.slice(F.col("minhash"), i * _ROWS_PER_BAND + 1, _ROWS_PER_BAND)
-                        ).alias("bucket"),
-                    )
-                    for i in range(_BANDS)
-                ]
-            )
-        ).alias("bb"),
+    — the standard LSH candidate-generation side of a banded equi-join.
+
+    One parsed SQL string instead of ``_BANDS`` py4j-built struct/hash
+    expression trees (r14, guide §5 — the driver should do almost no
+    work): identical expression tree after parsing (SQL ``hash`` IS
+    ``F.hash``, Murmur3), so buckets are bit-identical, but plan build
+    drops ~0.25 s per banded frame — the release pipeline builds two per
+    probe, and the probe runs per release."""
+    bands_sql = ", ".join(
+        f"struct({i} AS band,"
+        f" hash(slice(minhash, {i * _ROWS_PER_BAND + 1}, {_ROWS_PER_BAND}))"
+        " AS bucket)"
+        for i in range(_BANDS)
+    )
+    return sigs.selectExpr(
+        f"{id_col} AS {prefix}_id", f"explode(array({bands_sql})) AS bb"
     ).select(f"{prefix}_id", "bb.band", "bb.bucket")
 
 
@@ -94,8 +94,15 @@ def near_dup_probe(
         .select(F.col("new_id").alias("id_a"), F.col("corp_id").alias("id_b"))
         .distinct()
     )
-    sigs = sig_new.unionByName(sig_corpus)
-    est = minhash_jaccard_estimate(sigs, cand, id_col)
+    # Sided estimate (r14, guide §2.3 — shuffle fewer bytes): id_a only
+    # ever names a NEW-side doc and id_b a CORPUS doc, so the estimate
+    # joins each candidate side against ITS OWN signature frame instead
+    # of the old new∪corpus union (which shipped both frames into both
+    # probe joins, and double-matched ids present on both sides — extra
+    # rows the final distinct then had to collapse). Same drop set: a
+    # doc_id names one document, so the double-matched rows carried the
+    # identical signature/estimate.
+    est = minhash_jaccard_estimate(sig_new, cand, id_col, sigs_b=sig_corpus)
     return (
         est.filter(F.col("est_jaccard") >= threshold)
         .select(F.col("id_a").alias(id_col))
@@ -155,8 +162,27 @@ def incremental_release(
         batch_sigs = minhash_signatures(batch, id_col, text_col).persist()
         latest = store.latest_version()
         if latest is None:
-            v = store.commit(batch, note=note or "initial release", n_rows=n_batch)
-            sigs_store.commit(batch_sigs, note=_sig_note(v), n_rows=n_batch)
+            # r14 (guide §2.6 — overlap independent jobs): the corpus
+            # write and the signature-index write share no data
+            # dependency except the version NUMBER in the sigs note,
+            # which the store's single-writer contract makes predictable
+            # (next = latest+1); running them from two driver threads
+            # lets the second job's tasks back-fill the first's tail.
+            # If an out-of-contract concurrent writer ever made the
+            # prediction wrong, the alignment check below simply sees a
+            # stale index next release and self-heals.
+            from concurrent.futures import ThreadPoolExecutor
+
+            v_pred = (store.latest_version() or 0) + 1
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                fut_v = pool.submit(
+                    store.commit, batch, note or "initial release", n_batch
+                )
+                fut_s = pool.submit(
+                    sigs_store.commit, batch_sigs, _sig_note(v_pred), n_batch
+                )
+                v = fut_v.result()
+                fut_s.result()
             return {
                 "version": v,
                 "n_batch": n_batch,
@@ -180,19 +206,44 @@ def incremental_release(
             sig_corpus_persisted = sig_corpus
         # persist the (small, ids-only) drop set: kept is consumed twice
         # (count + commit write) and would otherwise re-run the whole
-        # signature probe per action
+        # signature probe per action — and MATERIALIZE it eagerly so the
+        # two overlapped commit writes below both read the cached result
+        # instead of racing to compute an unmaterialized persist twice.
         drops = near_dup_probe(batch_sigs, sig_corpus, id_col, threshold).persist()
+        drops.count()
         kept = batch.join(drops, id_col, "left_anti")
+        kept_sigs = batch_sigs.join(drops, id_col, "left_anti")
         # append-commit: writes ONLY the survivors and references the parent
         # release's data dirs — O(|batch|) per release, never O(corpus).
         # n_kept rides the commit write as an Observation metric (no
         # separate count job); n_batch bounds the file sizing from above.
-        v = store.commit_append(kept, note=note, n_rows_hint=n_batch)
-        n_kept = int(store.manifest(v)["n_new_rows"])
-        kept_sigs = batch_sigs.join(drops, id_col, "left_anti")
+        # r14 (guide §2.6): the corpus append and the aligned signature
+        # append are independent writes over the cached drop set — run
+        # them from two driver threads (the sigs note's version is
+        # predictable under the single-writer contract, and its row
+        # count rides its own write's Observation, landing on the same
+        # n_kept by construction — kept_sigs has exactly n_kept rows).
         if aligned:
-            sigs_store.commit_append(kept_sigs, note=_sig_note(v), n_rows=n_kept)
+            from concurrent.futures import ThreadPoolExecutor
+
+            v_pred = (store.latest_version() or 0) + 1
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                fut_v = pool.submit(
+                    store.commit_append, kept, note, None, n_batch
+                )
+                fut_s = pool.submit(
+                    sigs_store.commit_append,
+                    kept_sigs,
+                    _sig_note(v_pred),
+                    None,
+                    n_batch,
+                )
+                v = fut_v.result()
+                fut_s.result()
+            n_kept = int(store.manifest(v)["n_new_rows"])
         else:
+            v = store.commit_append(kept, note=note, n_rows_hint=n_batch)
+            n_kept = int(store.manifest(v)["n_new_rows"])
             # re-sync: one full signature snapshot for the new corpus version
             sigs_store.commit(
                 sig_corpus.unionByName(kept_sigs), note=_sig_note(v)
