@@ -95,31 +95,45 @@ def asof_join(
 )
 def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """For every non-purchase event, the user's most recent purchase at or
-    before it (classic point-in-time feature join for training data)."""
+    before it (classic point-in-time feature join for training data).
+
+    r14 (guide §2.4): both as-of sides come from the SAME events table,
+    so the union-merge's tagged union is built as ONE conditional
+    projection over ONE scan instead of two filtered scans unioned —
+    same row set (a row is either a left or a right row, never both),
+    same (ts, side) window order, which is total because (user_id, ts)
+    is duplicate-free in events at every SF. Union node + second scan
+    removed; the window pass is unchanged."""
     events = load_table(spark, sf_dir, "events")
-    left = events.filter(F.col("event_type") != "purchase").select(
-        "event_id", "user_id", "ts", "event_type"
+    is_p = F.col("event_type") == "purchase"
+    unioned = events.select(
+        F.col("user_id").alias("__k"),
+        F.col("ts").alias("__t"),
+        F.when(is_p, F.lit(0)).otherwise(F.lit(1)).alias("__side"),
+        F.when(is_p, F.col("ts")).alias("__r_ts"),
+        F.when(is_p, F.round("value", 2)).alias("__r_val"),
+        F.when(~is_p, F.col("event_id")).alias("event_id"),
+        F.when(~is_p, F.col("event_type")).alias("event_type"),
     )
-    right = (
-        events.filter(F.col("event_type") == "purchase")
-        .select("user_id", "ts", F.round("value", 2).alias("value"))
-        .withColumnRenamed("ts", "p_ts")
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__t", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    out = asof_join(
-        left,
-        right.select("user_id", F.col("p_ts"), F.col("p_ts").alias("pts_copy"), "value"),
-        on="user_id",
-        left_time="ts",
-        right_time="p_ts",
-        right_values=["pts_copy", "value"],
-    )
-    return out.select(
-        "event_id",
-        "user_id",
-        "ts",
-        "event_type",
-        F.col("asof_pts_copy").alias("asof_ts"),
-        F.col("asof_value").alias("asof_value"),
+    return (
+        unioned.select(
+            "__side",
+            "event_id",
+            F.col("__k").alias("user_id"),
+            F.col("__t").alias("ts"),
+            "event_type",
+            F.last("__r_ts", ignorenulls=True).over(w).alias("asof_ts"),
+            F.last("__r_val", ignorenulls=True).over(w).alias("asof_value"),
+        )
+        .filter(F.col("__side") == 1)
+        .select(
+            "event_id", "user_id", "ts", "event_type", "asof_ts", "asof_value"
+        )
     )
 
 
@@ -150,25 +164,33 @@ def asof_next_purchase_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbtransfer_spark.operators.windows import epoch_micros
 
     events = load_table(spark, sf_dir, "events")
-    left = (
-        events.filter(F.col("event_type") != "purchase")
-        .select("event_id", "user_id", "ts", "event_type")
-        .withColumn("__neg", -epoch_micros(events, "ts"))
+    # r14 (guide §2.4): same single-scan conditional-projection union as
+    # asof_last_purchase, on the negated time axis.
+    is_p = F.col("event_type") == "purchase"
+    unioned = events.select(
+        F.col("user_id").alias("__k"),
+        (-epoch_micros(events, "ts")).alias("__t"),
+        F.when(is_p, F.lit(0)).otherwise(F.lit(1)).alias("__side"),
+        F.when(is_p, F.col("ts")).alias("__r_pts"),
+        F.when(is_p, F.round("value", 2)).alias("__r_val"),
+        F.when(~is_p, F.col("event_id")).alias("event_id"),
+        F.when(~is_p, F.col("event_type")).alias("event_type"),
+        F.when(~is_p, F.col("ts")).alias("ts"),
     )
-    right = (
-        events.filter(F.col("event_type") == "purchase")
-        .select("user_id", "ts", F.round("value", 2).alias("value"))
-        .withColumn("__negp", -epoch_micros(events, "ts"))
-        .withColumnRenamed("ts", "p_ts")
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__t", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    out = asof_join(
-        left,
-        right.select("user_id", "__negp", "p_ts", "value"),
-        on="user_id",
-        left_time="__neg",
-        right_time="__negp",
-        right_values=["p_ts", "value"],
-    )
+    out = unioned.select(
+        "__side",
+        "event_id",
+        F.col("__k").alias("user_id"),
+        "ts",
+        "event_type",
+        F.last("__r_pts", ignorenulls=True).over(w).alias("asof_p_ts"),
+        F.last("__r_val", ignorenulls=True).over(w).alias("asof_value"),
+    ).filter(F.col("__side") == 1)
     within = F.col("asof_p_ts") <= F.col("ts") + F.expr("INTERVAL 1 HOUR")
     return out.select(
         "event_id",

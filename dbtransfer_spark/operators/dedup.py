@@ -454,22 +454,23 @@ def minhash_lsh_pairs(
     bucket key is the band slice itself (array<bigint> equality —
     cross-engine reproducible, what the DuckDB oracle replays) or, with
     ``hashed_buckets``, a 32-bit murmur hash of it (narrower shuffle key;
-    engine-specific, so the production/bench fast path only)."""
+    engine-specific, so the production/bench fast path only).
 
-    def bucket(i: int):
-        sl = F.slice("minhash", i * rows_per_band + 1, rows_per_band)
-        return F.hash(sl) if hashed_buckets else sl
+    The band structs are built as ONE parsed SQL string, not ``bands``
+    py4j expression trees (r14, guide §5 — same fix as
+    signatures_from_shingles): identical expressions after parsing
+    (SQL ``hash``/``slice`` ARE ``F.hash``/``F.slice``), less
+    driver-side plan-build latency per banded frame."""
 
-    banded = sigs.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(i).alias("band"), bucket(i).alias("bucket"))
-                    for i in range(bands)
-                ]
-            )
-        ).alias("bb"),
+    def bucket_sql(i: int) -> str:
+        sl = f"slice(minhash, {i * rows_per_band + 1}, {rows_per_band})"
+        return f"hash({sl})" if hashed_buckets else sl
+
+    bands_sql = ", ".join(
+        f"struct({i} AS band, {bucket_sql(i)} AS bucket)" for i in range(bands)
+    )
+    banded = sigs.selectExpr(
+        id_col, f"explode(array({bands_sql})) AS bb"
     ).select(id_col, "bb.band", "bb.bucket")
     a = banded.alias("a")
     b = banded.alias("b")
