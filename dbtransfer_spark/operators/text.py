@@ -1709,20 +1709,29 @@ def span_corruption_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
     any engine, replayable forever (the property real pretraining preps
     need for resumable runs).
 
-    Scale: one position explode (linear in corpus tokens), all hashes
-    computed positionally (no joins), one doc-keyed rollup. The plan is
-    recomputable from (doc_id, position) alone — no stored mask state."""
+    Scale: one BLOCK explode (linear in corpus tokens / 7 — r14, guide
+    §1.2 per-task work: the coin/length/offset hashes depend only on
+    (doc_id, block), so the old per-POSITION explode recomputed each of
+    them 7× and hashed every position's mask key even though ~88% of
+    positions are never masked; the block form computes the three block
+    hashes once per block, derives the masked count arithmetically from
+    the span bounds, and evaluates the per-position mask hash ONLY for
+    the masked positions, in-array per corrupted block), no joins, one
+    doc-keyed rollup over 7× fewer rows. The per-doc outputs are
+    position-exact by construction: a block's masked positions are the
+    contiguous run (i-1)%7 ∈ [start, start+span_len-1] clipped to the
+    tokens the block actually has. The plan is recomputable from
+    (doc_id, position) alone — no stored mask state."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
-        "doc_id", F.size(F.split(F.lower("text"), " ", -1)).alias("n")
+        "doc_id", F.size(F.split(F.lower("text"), " ", -1)).cast("bigint").alias("n")
     )
-    pos = toks.select(
+    blocks = toks.select(
         "doc_id",
-        F.explode(F.expr("sequence(1, n)")).alias("i"),
-    ).select(
-        "doc_id",
-        F.col("i").cast("bigint").alias("i"),
-        F.expr("CAST((i - 1) div 7 AS BIGINT)").alias("blk"),
+        "n",
+        F.explode(F.expr("sequence(CAST(0 AS BIGINT), (n - 1) div 7)")).alias(
+            "blk"
+        ),
     )
     hc = _mask_hash(
         "spark", "concat(CAST(doc_id AS STRING), '#c#', CAST(blk AS STRING))", 10
@@ -1733,36 +1742,49 @@ def span_corruption_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ho = _mask_hash(
         "spark", "concat(CAST(doc_id AS STRING), '#o#', CAST(blk AS STRING))", 8
     )
-    hm = _mask_hash(
+    hm_i = _mask_hash(
         "spark",
         "concat(CAST(doc_id AS STRING), '#m#', CAST(i AS STRING))",
         1000000000,
     )
-    m = pos.withColumn("span_len", F.expr(f"1 + {hl}")).withColumn(
-        "masked",
-        F.expr(
-            f"{hc} < 4 AND ((i - 1) % 7) BETWEEN {ho} % (8 - span_len)"
-            f" AND {ho} % (8 - span_len) + span_len - 1"
-        ),
+    b = (
+        blocks.withColumn("span_len", F.expr(f"1 + {hl}"))
+        .withColumn("start", F.expr(f"{ho} % (8 - span_len)"))
+        .withColumn("rem", F.expr("least(CAST(7 AS BIGINT), n - blk * 7)"))
+        .withColumn(
+            "cnt",
+            F.expr(
+                f"CASE WHEN {hc} < 4 THEN"
+                " greatest(CAST(0 AS BIGINT),"
+                " least(start + span_len, rem) - start)"
+                " ELSE CAST(0 AS BIGINT) END"
+            ),
+        )
+        .withColumn(
+            "chk",
+            F.expr(
+                "CASE WHEN cnt > 0 THEN aggregate("
+                "  sequence(blk * 7 + start + 1,"
+                "           blk * 7 + least(start + span_len, rem)),"
+                f"  CAST(0 AS BIGINT), (acc, i) -> acc + {hm_i})"
+                " ELSE CAST(0 AS BIGINT) END"
+            ),
+        )
     )
     return (
-        m.groupBy("doc_id")
+        b.groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-            F.countDistinct(F.when(F.col("masked"), F.col("blk")))
+            F.max("n").cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("cnt") > 0, 1).otherwise(0))
             .cast("bigint")
             .alias("n_spans"),
-            F.sum(F.when(F.col("masked"), 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_masked"),
+            F.sum("cnt").cast("bigint").alias("n_masked"),
             F.expr(
-                "CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) * 1000000"
-                " div count(*) AS BIGINT)"
+                "CAST(sum(cnt) * 1000000 div max(n) AS BIGINT)"
             ).alias("masked_ppm"),
-            F.expr(
-                f"CAST(coalesce(sum(CASE WHEN masked THEN {hm} END), 0)"
-                " AS BIGINT)"
-            ).alias("mask_checksum"),
+            F.expr("CAST(coalesce(sum(chk), 0) AS BIGINT)").alias(
+                "mask_checksum"
+            ),
         )
         .orderBy("doc_id")
     )

@@ -5043,29 +5043,42 @@ def rle_encoding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly like the real writer, so the window partitioning IS the
     parallelism at 100 TB."""
     li = load_table(spark, sf_dir, "lineitem")
-    base = li.select(
+    # r14 (guide §2.3 — the column_domain_overlap recipe): the three
+    # profiled columns leave ONE lineitem scan as an in-array (col, val)
+    # stack; the old 3-way union ran one scan per column, re-reading the
+    # (orderkey, linenumber) keys three times. Same 3n stacked rows into
+    # the same window exchange.
+    unp = li.select(
+        F.expr("l_orderkey div 512").alias("rg"),
         "l_orderkey",
         "l_linenumber",
-        F.expr("l_orderkey div 512").alias("rg"),
-        "l_returnflag",
-        "l_linestatus",
-        F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_day"),
-    )
-    unp = None
-    for c in ("l_returnflag", "l_linestatus", "ship_day"):
-        sel = base.select(
-            "rg", "l_orderkey", "l_linenumber",
-            F.lit(c).alias("col"), F.col(c).alias("val"),
-        )
-        unp = sel if unp is None else unp.unionByName(sel)
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("l_returnflag").alias("col"),
+                    F.col("l_returnflag").alias("val"),
+                ),
+                F.struct(
+                    F.lit("l_linestatus").alias("col"),
+                    F.col("l_linestatus").alias("val"),
+                ),
+                F.struct(
+                    F.lit("ship_day").alias("col"),
+                    F.date_format("l_shipdate", "yyyy-MM-dd").alias("val"),
+                ),
+            )
+        ).alias("cv"),
+    ).select("rg", "l_orderkey", "l_linenumber", "cv.col", "cv.val")
     # (l_orderkey, l_linenumber) is NOT unique in the fixture; appending
     # val makes the order total for run counting (equal-val ties are
-    # interchangeable — they can never move a run boundary).
+    # interchangeable — they can never move a run boundary). One explicit
+    # lag column instead of two identical lag expressions in the
+    # run_start predicate.
     w = Window.partitionBy("col", "rg").orderBy("l_orderkey", "l_linenumber", "val")
-    runs = unp.withColumn(
+    runs = unp.withColumn("__prev", F.lag("val").over(w)).withColumn(
         "run_start",
         F.when(
-            F.lag("val").over(w).isNull() | (F.lag("val").over(w) != F.col("val")),
+            F.col("__prev").isNull() | (F.col("__prev") != F.col("val")),
             F.lit(1),
         ).otherwise(F.lit(0)),
     )
