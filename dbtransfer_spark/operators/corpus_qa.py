@@ -112,26 +112,46 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("shingle"),
     )
-    # The shingle explode feeds three consumers (the DF-cap aggregate and
-    # the train/bench join sides); persist it so the expensive explode
-    # runs once instead of three times. Narrow rows: (id, source, shingle).
-    shingled = shingled.persist()
-    capped = (
+    # r14 (guide §2.4 — remove shuffles outright): ONE shingle-keyed
+    # aggregate collects each shingle's train and bench doc lists AND its
+    # document frequency; the old form ran the DF-cap aggregate and a
+    # shingle equi-join, then self-joined the joined frame — with the
+    # DF-aggregate + join subtree planned (and computed) once per
+    # self-join side. The (train, bench) candidate pairs now explode
+    # in-array per shingle, bounded by the DF cap (≤ 50 docs/shingle by
+    # the filter), never all-pairs. Pair multiplicity is identical:
+    # shingles are distinct per doc, so each (train_doc, bench_doc)
+    # contributes once per shared shingle in both forms. 5 exchanges →
+    # 2 (shingle aggregate + pair aggregate); the persist is gone
+    # because the explode now has exactly one consumer.
+    per_sh = (
         shingled.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("__df"))
-        .filter(F.col("__df") <= _DF_CAP)
-        .select("shingle")
+        .agg(
+            F.count(F.lit(1)).alias("__df"),
+            F.collect_list(
+                F.when(F.col("source") != "src0", F.col("doc_id"))
+            ).alias("train_docs"),
+            F.collect_list(
+                F.when(F.col("source") == "src0", F.col("doc_id"))
+            ).alias("bench_docs"),
+        )
+        .filter(
+            (F.col("__df") <= _DF_CAP)
+            & (F.size("train_docs") > 0)
+            & (F.size("bench_docs") > 0)
+        )
     )
-    rare = shingled.join(capped, "shingle")
-    train = rare.filter(F.col("source") != "src0").select(
-        F.col("doc_id").alias("train_doc"), "shingle"
-    )
-    bench = rare.filter(F.col("source") == "src0").select(
-        F.col("doc_id").alias("bench_doc"), "shingle"
-    )
+    pairs = per_sh.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(train_docs, t ->"
+                " transform(bench_docs, b ->"
+                " struct(t AS train_doc, b AS bench_doc))))"
+            )
+        ).alias("p")
+    ).select("p.train_doc", "p.bench_doc")
     return (
-        train.join(bench, "shingle")
-        .groupBy("train_doc", "bench_doc")
+        pairs.groupBy("train_doc", "bench_doc")
         .agg(F.count(F.lit(1)).alias("shared_shingles"))
         .filter(F.col("shared_shingles") >= _MIN_SHARED)
         .orderBy(F.desc("shared_shingles"), "train_doc", "bench_doc")
