@@ -536,14 +536,20 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     double division — bit-identical in Spark and DuckDB with NO rounding
     step, so threshold comparisons can never straddle an epsilon.
 
-    Scale: the n-gram stats go through two partial-aggregated shuffles
-    keyed on (doc_id, gram) then doc_id — never a global window, and the
-    gram explosion is linear in corpus tokens (bounded fanout: n-1 grams
-    per n-word doc). Short docs (<2 or <3 words) drop out of the explode
-    and rejoin with coalesce(0.0) via left joins keyed on doc_id. At
-    100 TB the (doc_id, gram) aggregate is the standard inverted-index
-    shuffle every dedup stage here already pays; AQE handles the skew of
-    a pathologically long doc."""
+    Scale (r14, guide §2.4 — remove shuffles outright): every gram stat
+    here is a function of ONE document's own grams, so both are computed
+    IN-ARRAY per doc — top-2-gram share as the max run length of the
+    sorted 2-gram array over its size, duplicate-3-gram fraction from
+    size(array_distinct) — with NO gram explode, no (doc_id, gram)
+    shuffles and no rejoin; the whole filter is a narrow scan-stage
+    projection + the output sort, embarrassingly parallel at 100 TB.
+    (The old form exploded both gram streams through two
+    (doc_id, gram) aggregates, two per-doc rollups and two left joins;
+    values are identical — max(c)/sum(c) over the gram counts IS
+    max-run/|grams| of the sorted array, count(*)/sum(c) IS
+    |distinct|/|grams| — with the same operands in the same one IEEE
+    double division.) Short docs (<2 or <3 words) take the same 0.0
+    the old coalesce(0.0) produced."""
     docs = load_table(spark, sf_dir, "documents")
     t = F.split(F.col("text"), " ", -1)
     base = docs.select(
@@ -553,57 +559,56 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(F.expr("replace(text, ' ', '')")).alias("charsum"),
     )
 
-    def grams(k: int):
+    def gram_arr(k: int) -> str:
         parts = ", ' ', ".join(f"element_at(t, i + {j})" for j in range(k))
-        return F.explode(
-            F.when(
-                F.col("n_words") >= k,
-                F.expr(
-                    f"transform(sequence(1, n_words - {k - 1}),"
-                    f" i -> concat({parts}))"
-                ),
-            ).otherwise(F.expr("array()"))
+        return (
+            f"CASE WHEN n_words >= {k} THEN"
+            f" transform(sequence(1, n_words - {k - 1}), i -> concat({parts}))"
+            " ELSE array() END"
         )
 
-    c2 = (
-        base.select("doc_id", grams(2).alias("g"))
-        .groupBy("doc_id", "g")
-        .agg(F.count(F.lit(1)).alias("c"))
+    # max multiplicity of any 2-gram = longest equal-run of the sorted
+    # gram array (one interpreted pass; named_struct state machine)
+    max_run = (
+        "aggregate(array_sort(g2),"
+        " named_struct('best', 0, 'run', 0, 'prev', CAST(NULL AS STRING)),"
+        " (acc, x) -> named_struct("
+        "   'best', greatest(acc.best, IF(x <=> acc.prev, acc.run + 1, 1)),"
+        "   'run', IF(x <=> acc.prev, acc.run + 1, 1),"
+        "   'prev', x),"
+        " acc -> acc.best)"
     )
-    a2 = c2.groupBy("doc_id").agg(
-        (F.max("c").cast("double") / F.sum("c")).alias("top_2gram_frac")
-    )
-    c3 = (
-        base.select("doc_id", grams(3).alias("g"))
-        .groupBy("doc_id", "g")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    a3 = c3.groupBy("doc_id").agg(
-        (1.0 - F.count(F.lit(1)).cast("double") / F.sum("c")).alias(
-            "frac_dup_3gram"
-        )
+    stats = base.selectExpr(
+        "doc_id",
+        "n_words",
+        "charsum",
+        f"{gram_arr(2)} AS g2",
+        f"{gram_arr(3)} AS g3",
+    ).selectExpr(
+        "doc_id",
+        "n_words",
+        "charsum",
+        "CASE WHEN n_words >= 2 THEN"
+        f" CAST({max_run} AS DOUBLE) / (n_words - 1)"
+        " ELSE CAST(0.0 AS DOUBLE) END AS top_2gram_frac",
+        "CASE WHEN n_words >= 3 THEN"
+        " 1.0 - CAST(size(array_distinct(g3)) AS DOUBLE) / (n_words - 2)"
+        " ELSE CAST(0.0 AS DOUBLE) END AS frac_dup_3gram",
     )
     mwl = F.col("charsum").cast("double") / F.col("n_words")
-    top2 = F.coalesce(F.col("top_2gram_frac"), F.lit(0.0))
-    dup3 = F.coalesce(F.col("frac_dup_3gram"), F.lit(0.0))
-    return (
-        base.join(a2, "doc_id", "left")
-        .join(a3, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_words",
-            mwl.alias("mean_word_len"),
-            top2.alias("top_2gram_frac"),
-            dup3.alias("frac_dup_3gram"),
-            (
-                (F.col("n_words") >= _GQ_MIN_WORDS)
-                & (top2 <= _GQ_TOP2_MAX)
-                & (dup3 <= _GQ_DUP3_MAX)
-                & mwl.between(_GQ_MWL_MIN, _GQ_MWL_MAX)
-            ).alias("keep"),
-        )
-        .orderBy("doc_id")
-    )
+    return stats.select(
+        "doc_id",
+        "n_words",
+        mwl.alias("mean_word_len"),
+        "top_2gram_frac",
+        "frac_dup_3gram",
+        (
+            (F.col("n_words") >= _GQ_MIN_WORDS)
+            & (F.col("top_2gram_frac") <= _GQ_TOP2_MAX)
+            & (F.col("frac_dup_3gram") <= _GQ_DUP3_MAX)
+            & mwl.between(_GQ_MWL_MIN, _GQ_MWL_MAX)
+        ).alias("keep"),
+    ).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
