@@ -703,9 +703,20 @@ def image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound)."""
     docs = load_table(spark, sf_dir, "documents")
     payload = F.encode("text", "utf-8")
+    # r14 (guide §2.3 — don't materialize bytes you never read): only the
+    # first _AH_N payload bytes feed the fingerprint, so hex() runs on the
+    # 48-byte binary prefix (96 hex chars) instead of the whole payload —
+    # the old form hex-doubled every document's full byte length per scan
+    # row. _ah_byte reads chars 1..96 only, so fp is bit-identical.
     media = (
         docs.filter(F.col("doc_id") % 3 == 0)
-        .select("doc_id", F.hex(payload).alias("hx"), F.length(payload).alias("nb"))
+        .select(
+            "doc_id",
+            F.hex(F.expr(f"substring(encode(text, 'utf-8'), 1, {_AH_N})")).alias(
+                "hx"
+            ),
+            F.length(payload).alias("nb"),
+        )
         .filter(F.col("nb") >= _AH_N)
     )
     s1 = media.selectExpr("doc_id", "hx", f"({_ah_sum('spark')}) AS s")

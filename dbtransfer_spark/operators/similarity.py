@@ -969,18 +969,36 @@ def _sqdist_fp(v, c) -> Column:
 
 
 def _kmeans_assign(points: DataFrame, cents: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment: broadcast the k×d centroid table to
-    every executor (k·d longs — fixed size, never SF-scaling), score all
-    k candidates per point in one pass, keep the row_number()=1 row with
-    ties broken on cluster id. One shuffle (the vec_id window), k rows in,
-    1 row out per point."""
-    w = Window.partitionBy("vec_id").orderBy("dist", "cluster")
+    """Nearest-centroid assignment: collapse the k×d centroid table to a
+    ONE-ROW sorted array (k·d longs — fixed size, never SF-scaling),
+    broadcast it beside every point, and pick the argmin IN-ARRAY:
+    array_min over struct(dist, cluster) reproduces the old
+    row_number()-over-(dist, cluster) tie-break exactly (struct ordering
+    is lexicographic by field). r14 (guide §2.4): the old form exploded
+    k rows per point through a crossJoin and re-collapsed them with a
+    vec_id-partitioned window — a full k·|points| shuffle + sort per
+    Lloyd iteration; assignment is now a narrow scan-stage projection
+    with NO shuffle at all."""
+    carr = cents.agg(
+        F.array_sort(F.collect_list(F.struct("cluster", "c"))).alias("__cs")
+    )
+    best = F.array_min(
+        F.transform(
+            F.col("__cs"),
+            lambda s: F.struct(
+                _sqdist_fp(F.col("v"), s.getField("c")).alias("dist"),
+                s.getField("cluster").alias("cluster"),
+            ),
+        )
+    )
     return (
-        points.crossJoin(F.broadcast(cents))
-        .withColumn("dist", _sqdist_fp(F.col("v"), F.col("c")))
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "c")
+        points.crossJoin(F.broadcast(carr))
+        .withColumn("__best", best)
+        .select(
+            *points.columns,
+            F.col("__best.cluster").alias("cluster"),
+            F.col("__best.dist").alias("dist"),
+        )
     )
 
 

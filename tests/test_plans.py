@@ -512,18 +512,20 @@ def test_aqe_converts_unpinned_join_to_broadcast_at_runtime(spark):
     assert "BroadcastHashJoin" in final, final
 
 
-def test_kmeans_assign_uses_rank_limit_and_fixed_broadcast(spark):
-    """kmeans_lloyd's scale contract: each assignment pass broadcasts the
-    k-row centroid table (two passes -> two nested-loop joins over a
-    broadcast side that never grows with SF) and the argmin is a
-    WindowGroupLimit (rank<=1 pushdown), so a task holds k candidate rows
-    per point, never the full candidate set."""
+def test_kmeans_assign_uses_in_array_argmin_and_fixed_broadcast(spark):
+    """kmeans_lloyd's scale contract (r14): each assignment pass
+    broadcasts the ONE-ROW sorted centroid array (two passes -> two
+    nested-loop joins over a broadcast side that never grows with SF)
+    and the argmin is computed in-array per point (array_min over
+    struct(dist, cluster)) — NO window shuffle anywhere in the plan; a
+    task never holds more than its own points."""
     from dbtransfer_spark.operators.similarity import QUERIES
 
     plan = formatted_plan(QUERIES["kmeans_lloyd"](spark, SF_SMOKE))
     tree = plan.split("\n\n")[0]  # simple-tree section; details repeat names
     assert tree.count("BroadcastNestedLoopJoin") == 2, tree
-    assert "WindowGroupLimit" in plan, plan
+    assert "Window" not in plan, plan
+    assert "array_min" in plan, plan
     assert "CartesianProduct" not in plan
 
 
