@@ -736,46 +736,60 @@ def fellegi_sunter_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("band_a") == F.col("band_b")).alias("agree_price"),
             (F.col("tok_a") == F.col("tok_b")).alias("agree_tok"),
         )
-        .persist()  # totals + the 3-field unpivot both consume it
     )
-    tot = cand.agg(
+    # ONE pass over the candidate pairs computes every number the report
+    # needs — the match/unmatch totals AND all six per-field agree counts
+    # are plain conditional sums, so the old persist of the ~|pairs| bool
+    # frame, its second full consumption, and the 3× explode that tripled
+    # the aggregate's input all collapse into 8 partial-aggregated sums
+    # on the join output (guide §2.2: aggregate in the map stage, never
+    # materialize what a sum can carry). The 3-row field frame is then
+    # unpivoted from the single stats row — 1 row in, 3 out.
+    agree_cols = [
+        ("type", "agree_type"),
+        ("price_band", "agree_price"),
+        ("name_token", "agree_tok"),
+    ]
+    stats = cand.agg(
         F.sum(F.when(F.col("is_match"), 1).otherwise(0))
         .cast("bigint")
         .alias("n_m"),
         F.sum(F.when(F.col("is_match"), 0).otherwise(1))
         .cast("bigint")
         .alias("n_u"),
+        *[
+            s
+            for fld, c in agree_cols
+            for s in (
+                F.sum(F.when(F.col("is_match") & F.col(c), 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"am_{fld}"),
+                F.sum(F.when((~F.col("is_match")) & F.col(c), 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"au_{fld}"),
+            )
+        ],
     )
-    unpivoted = cand.select(
-        "is_match",
+    per_field = stats.select(
+        "n_m",
+        "n_u",
         F.explode(
             F.array(
-                F.struct(
-                    F.lit("type").alias("field"), F.col("agree_type").alias("agree")
-                ),
-                F.struct(
-                    F.lit("price_band").alias("field"),
-                    F.col("agree_price").alias("agree"),
-                ),
-                F.struct(
-                    F.lit("name_token").alias("field"),
-                    F.col("agree_tok").alias("agree"),
-                ),
+                *[
+                    F.struct(
+                        F.lit(fld).alias("field"),
+                        F.col(f"am_{fld}").alias("n_agree_m"),
+                        F.col(f"au_{fld}").alias("n_agree_u"),
+                    )
+                    for fld, _ in agree_cols
+                ]
             )
         ).alias("fa"),
-    ).select("is_match", "fa.field", "fa.agree")
-    per_field = unpivoted.groupBy("field").agg(
-        F.sum(F.when(F.col("is_match") & F.col("agree"), 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_agree_m"),
-        F.sum(F.when((~F.col("is_match")) & F.col("agree"), 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_agree_u"),
-    )
+    ).select("n_m", "n_u", "fa.field", "fa.n_agree_m", "fa.n_agree_u")
     m_ppm = F.expr("CASE WHEN n_m > 0 THEN 1000000 * n_agree_m div n_m END")
     u_ppm = F.expr("CASE WHEN n_u > 0 THEN 1000000 * n_agree_u div n_u END")
     return (
-        per_field.crossJoin(F.broadcast(tot))
+        per_field
         .select(
             "field",
             F.col("n_m").alias("n_match_pairs"),

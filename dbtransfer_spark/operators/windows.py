@@ -377,6 +377,20 @@ def gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap-fills with per-user parallelism and no global ordering. Values
     are carried, never recomputed — so the doubles hash identically on
     any engine."""
+    # Gap-run formulation (guide §2.2/§2.4): the old plan shuffled and
+    # sorted EVERY event through a (user_id, day) row_number window to
+    # pick the day close, re-scanned events for the per-user bounds,
+    # generated the spine, joined it back, and ran a second fill window.
+    # But the day close is just max_by(value, (ts, event_id)) — a
+    # partial aggregate with map-side combine — and LOCF over a spine
+    # whose only non-null closes are the observed days is equivalent to
+    # each observed day emitting its own gap run [day, next_day):
+    # one scan, one small lead() window over |user×day| rows, no join,
+    # no full-event shuffle. Identical because event_ids are unique
+    # (the max_by tiebreak is total) and every run's fill value IS its
+    # head's close — the fixture's `value` is non-null, so LOCF can
+    # never skip an observed day (asserted by the oracle hash at every
+    # SF).
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         F.date_trunc("day", "ts").alias("day"),
@@ -384,33 +398,32 @@ def gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "value",
     )
-    w_close = Window.partitionBy("user_id", "day").orderBy(
-        F.desc("ts"), F.desc("event_id")
+    daily = ev.groupBy("user_id", "day").agg(
+        F.max_by("value", F.struct("ts", "event_id")).alias("close")
     )
-    day_close = (
-        ev.withColumn("rn", F.row_number().over(w_close))
-        .filter(F.col("rn") == 1)
-        .select("user_id", "day", F.col("value").alias("day_close"))
-    )
-    spine = (
-        ev.groupBy("user_id")
-        .agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
-        .select(
-            "user_id",
-            F.explode(
-                F.sequence("mn", "mx", F.expr("INTERVAL 1 DAY"))
-            ).alias("day"),
-        )
-    )
-    w_fill = Window.partitionBy("user_id").orderBy("day").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    return spine.join(day_close, ["user_id", "day"], "left").select(
+    w_next = Window.partitionBy("user_id").orderBy("day")
+    runs = daily.withColumn("next_day", F.lead("day").over(w_next))
+    return runs.select(
+        "user_id",
+        F.col("day").alias("obs_day"),
+        "close",
+        F.explode(
+            F.sequence(
+                "day",
+                F.coalesce(
+                    F.expr("next_day - INTERVAL 1 DAY"), F.col("day")
+                ),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day"),
+    ).select(
         "user_id",
         "day",
-        "day_close",
-        F.last("day_close", ignorenulls=True).over(w_fill).alias("filled"),
-        F.col("day_close").isNotNull().alias("is_observed"),
+        F.when(F.col("day") == F.col("obs_day"), F.col("close")).alias(
+            "day_close"
+        ),
+        F.col("close").alias("filled"),
+        (F.col("day") == F.col("obs_day")).alias("is_observed"),
     )
 
 

@@ -4489,18 +4489,38 @@ def zorder_clustering_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         1,
     ).otherwise(0)
 
-    def zones(df, layout, file_expr):
-        return df.groupBy(F.expr(file_expr).alias("file_id")).agg(
+    # One scan feeds BOTH layouts: each order row explodes into its two
+    # (layout, file_id) memberships and a single partial-aggregated
+    # shuffle builds the ~315 zone-map cells — the old per-layout UNION
+    # ran the orders scan (and the 16-term Morton projection) twice and
+    # shuffled twice (guide §2.2: shuffle once, scan once).
+    cells = (
+        coded.select(
+            "d",
+            "p",
+            match.alias("m"),
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("zorder").alias("layout"),
+                        F.expr("z div 256").alias("file_id"),
+                    ),
+                    F.struct(
+                        F.lit("ingest").alias("layout"),
+                        F.expr("o_orderkey div 256").alias("file_id"),
+                    ),
+                )
+            ).alias("lf"),
+        )
+        .groupBy(F.col("lf.layout").alias("layout"), F.col("lf.file_id").alias("file_id"))
+        .agg(
             F.min("d").alias("dmin"),
             F.max("d").alias("dmax"),
             F.min("p").alias("pmin"),
             F.max("p").alias("pmax"),
             F.count(F.lit(1)).alias("n_rows"),
-            F.sum(match).alias("n_match"),
-        ).select(F.lit(layout).alias("layout"), "*")
-
-    cells = zones(coded, "zorder", "z div 256").unionByName(
-        zones(coded, "ingest", "o_orderkey div 256")
+            F.sum("m").alias("n_match"),
+        )
     )
     pruned = F.when(
         (F.col("dmax") < F.expr(lo_d))
@@ -4629,6 +4649,21 @@ def bloom_join_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = pos.groupBy(F.expr("p div 32").alias("word")).agg(
         F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT)))").alias("w")
     )
+    # The whole ≤32-row filter collapses to ONE row: a word→bits map for
+    # membership tests plus the bit-load stats. The old form broadcast the
+    # words table into THREE separate hash joins (one per probe, each
+    # re-building words from its own customer scan) and aggregated it a
+    # fourth time for the load row — 4 word-table builds, 3 join nodes.
+    # Now: one 1-row broadcast beside the fact scan, membership via
+    # element_at (guide §3.1: the build side that fits in one row needs
+    # no join at all).
+    wrow = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("word", "w"))).alias("wm"),
+        F.sum(F.expr("bit_count(w)")).cast("bigint").alias("n_bits_set"),
+        F.expr(f"CAST(sum(bit_count(w)) * 1000000 div {_BF_M} AS BIGINT)").alias(
+            "load_ppm"
+        ),
+    )
     probes = orders.select(
         "o_custkey",
         *[
@@ -4636,26 +4671,23 @@ def bloom_join_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(_BF_K)
         ],
     )
-    tested = probes
-    for j in range(_BF_K):
-        wj = words.select(
-            F.col("word").alias(f"word{j}"), F.col("w").alias(f"w{j}")
-        )
-        tested = tested.join(
-            F.broadcast(wj), F.expr(f"p{j} div 32 = word{j}"), "left"
-        )
-    tested = tested.join(
-        F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey"), "left"
-    ).select(
-        F.expr(
-            " AND ".join(
-                f"(shiftright(coalesce(w{j}, CAST(0 AS BIGINT)), CAST(p{j} % 32 AS INT)) % 2 = 1)"
-                for j in range(_BF_K)
+    tested = (
+        probes.crossJoin(F.broadcast(wrow.select("wm")))
+        .join(F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey"), "left")
+        .select(
+            F.expr(
+                " AND ".join(
+                    "(shiftright(coalesce(element_at(wm, p{j} div 32),"
+                    " CAST(0 AS BIGINT)), CAST(p{j} % 32 AS INT)) % 2 = 1)".format(
+                        j=j
+                    )
+                    for j in range(_BF_K)
+                )
             )
+            .cast("int")
+            .alias("bloom_pass"),
+            F.col("c_custkey").isNotNull().cast("int").alias("true_match"),
         )
-        .cast("int")
-        .alias("bloom_pass"),
-        F.col("c_custkey").isNotNull().cast("int").alias("true_match"),
     )
     agg = tested.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_fact"),
@@ -4669,13 +4701,7 @@ def bloom_join_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div greatest(count(*) - sum(true_match), 1) AS BIGINT)"
         ).alias("fpr_ppm"),
     )
-    load = words.agg(
-        F.sum(F.expr("bit_count(w)")).cast("bigint").alias("n_bits_set"),
-        F.expr(f"CAST(sum(bit_count(w)) * 1000000 div {_BF_M} AS BIGINT)").alias(
-            "load_ppm"
-        ),
-    )
-    return agg.crossJoin(F.broadcast(load))
+    return agg.crossJoin(F.broadcast(wrow.select("n_bits_set", "load_ppm")))
 
 
 bloom_join_prefilter.__doc__ = bloom_join_prefilter.__doc__.format(
