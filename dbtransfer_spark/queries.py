@@ -6463,16 +6463,23 @@ def fd_violation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     each collapsing to a 1-row summary before the 5-row union. FD
     candidates are enumerated column pairs; at 100 TB you run the same
     audit over the pairs a schema crawler proposes."""
+    # A group violates X→Y iff it carries >1 distinct Y — which for the
+    # violation COUNT is exactly min(Y) != max(Y) (nulls ignored by both
+    # formulations). min/max are plain partial aggregates, so the shuffle
+    # carries one (lo, hi) pair per X-group straight off the map side;
+    # the old countDistinct planned as two back-to-back aggregates whose
+    # first shuffle carried every distinct (X, Y) pair (guide §2.2:
+    # shuffle the partial, not the domain).
     per = None
     for tbl, x, y in _FD_CANDIDATES:
         grp = (
             load_table(spark, sf_dir, tbl)
             .groupBy(x)
-            .agg(F.countDistinct(y).alias("d"))
+            .agg(F.min(y).alias("lo"), F.max(y).alias("hi"))
             .agg(
                 F.lit(f"{tbl}: {x} -> {y}").alias("fd"),
                 F.count(F.lit(1)).cast("bigint").alias("n_groups"),
-                F.sum(F.when(F.col("d") > 1, 1).otherwise(0))
+                F.sum(F.when(F.col("lo") != F.col("hi"), 1).otherwise(0))
                 .cast("bigint")
                 .alias("n_violating"),
             )
