@@ -770,6 +770,13 @@ def fellegi_sunter_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ],
     )
+    # Degenerate-input guard (r14 ADVICE): an EMPTY candidate-pair set
+    # makes the global agg emit one row of NULL sums, which would unpivot
+    # into 3 all-NULL output rows where the pre-r14 groupBy form returned
+    # 0 rows. n_m + n_u is the total pair count (NULL on empty input), so
+    # this filter drops exactly the empty case and is a tautology on any
+    # real input — hash-identical on every fixture.
+    stats = stats.filter(F.col("n_m") + F.col("n_u") > 0)
     per_field = stats.select(
         "n_m",
         "n_u",

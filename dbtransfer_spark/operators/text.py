@@ -1094,14 +1094,26 @@ def gram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         " i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1),"
         " ' ', element_at(ws, i + 2)))"
     )
+    # r15 (guide §2.4): the per-doc gram dedup is LOCAL to each document
+    # (doc_id is in the distinct key), so it runs in-array via
+    # array_distinct instead of a full (doc_id, gram) distinct exchange;
+    # and the first-occurrence min becomes a window over the same
+    # gram-keyed clustering the old groupBy+rejoin needed, so the whole
+    # gram stream is built, exploded and shuffled ONCE (the old plan
+    # planned the scan→split→explode subtree twice: once into the
+    # first-doc aggregate and once into the broadcast-join probe side).
+    # explode_outer + post-filter per the InferFiltersFromGenerate
+    # lesson (dedup.py): the array is provably non-empty (nw >= 3) and
+    # its elements non-null, so OUTER only suppresses the inferred
+    # size()>0 scan filter that would re-evaluate the gram transform.
     grams = (
         base.filter(F.col("nw") >= 3)
-        .select("doc_id", F.explode(g).alias("g"))
-        .distinct()
+        .select("doc_id", F.explode_outer(F.array_distinct(g)).alias("g"))
+        .filter(F.col("g").isNotNull())
     )
-    firsts = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    first_doc = F.min("doc_id").over(Window.partitionBy("g"))
     per_doc = (
-        grams.join(firsts, "g")
+        grams.withColumn("first_doc", first_doc)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),

@@ -1911,6 +1911,7 @@ def distributed_prefix_sum(
     order_cols: list[str],
     value_col: str,
     n_partitions: int = 32,
+    return_total: bool = False,
 ) -> DataFrame:
     """Exact global running sum of ``value_col`` in the total order given
     by ``order_cols`` (ascending) WITHOUT a single-partition window —
@@ -1926,7 +1927,13 @@ def distributed_prefix_sum(
     (at scale, under non-deterministic input order) place a row in
     different partitions than the offsets assume — pinning ONE
     materialization makes the offsets provably consistent and also
-    halves the scan cost (r4 VERDICT #6 / ADVICE medium)."""
+    halves the scan cost (r4 VERDICT #6 / ADVICE medium).
+
+    ``return_total=True`` additionally returns the exact global sum of
+    ``value_col`` as a Python int — the per-partition sums are already
+    collected for the offsets, so their total is free driver-side
+    knowledge (r15, guide §2.4: supplier_pareto re-ran its whole fact
+    aggregate just to recompute this one number)."""
     parts = df.repartitionByRange(
         n_partitions, *[F.col(c) for c in order_cols]
     ).sortWithinPartitions(*order_cols)
@@ -1947,11 +1954,14 @@ def distributed_prefix_sum(
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return (
+    out = (
         withpid.join(F.broadcast(offset_df), "__pid")
         .withColumn("__cum", F.sum(value_col).over(w) + F.col("__poffset"))
         .drop("__pid", "__poffset")
     )
+    if return_total:
+        return out, acc
+    return out
 
 
 @register(
@@ -1999,18 +2009,23 @@ def supplier_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).alias("cents")
     )
     ordered = rev.withColumn("__neg", -F.col("cents"))
-    cum = distributed_prefix_sum(ordered, ["__neg", "l_suppkey"], "cents").drop(
-        "__neg"
+    # r15 (guide §2.4 — remove shuffles outright): the grand total is the
+    # sum of the per-partition sums distributed_prefix_sum already
+    # collects for its offsets, so the old second lineitem scan + fact
+    # aggregate + 1-row crossJoin that recomputed it are gone (2 scans →
+    # 1). Exact same BIGINT sum, now a literal.
+    cum, total = distributed_prefix_sum(
+        ordered, ["__neg", "l_suppkey"], "cents", return_total=True
     )
-    total = rev.agg(F.sum("cents").alias("total"))
+    cum = cum.drop("__neg")
+    total_lit = F.lit(total).cast("bigint")
     return (
-        cum.crossJoin(F.broadcast(total))
-        .select(
+        cum.select(
             "l_suppkey",
             F.col("cents").alias("revenue_cents"),
             F.col("__cum").alias("cum_cents"),
-            (F.col("__cum").cast("double") / F.col("total")).alias("cum_share"),
-            (5 * (F.col("__cum") - F.col("cents")) < 4 * F.col("total")).alias(
+            (F.col("__cum").cast("double") / total_lit).alias("cum_share"),
+            (5 * (F.col("__cum") - F.col("cents")) < 4 * total_lit).alias(
                 "in_top80"
             ),
         )

@@ -82,3 +82,26 @@ def test_fuzzy_linkage_blocks_and_distances(spark):
         assert 0 <= r["dist"] <= 3
         # blocking key respected: same first token
         assert r["name_a"].split(" ")[0] == r["name_b"].split(" ")[0]
+
+
+def test_fellegi_sunter_empty_candidate_set_returns_no_rows(spark):
+    """r14 ADVICE: with zero candidate pairs the global-agg rewrite used
+    to emit 3 all-NULL rows where the pre-r14 groupBy form returned 0
+    rows; the stats filter must restore the 0-row degenerate shape."""
+    from dbtransfer_spark.operators.cdc import QUERIES
+
+    # One part per (brand, size) block → no ka < kb pair anywhere.
+    df = spark.createDataFrame(
+        [(1, "BrandA", 5, "azure linen", "TYPE X", 10.0)],
+        "p_partkey long, p_brand string, p_size int, p_name string,"
+        " p_type string, p_retailprice double",
+    )
+    import dbtransfer_spark.operators.cdc as cdc_mod
+
+    orig = cdc_mod.load_table
+    cdc_mod.load_table = lambda sp, d, name: df
+    try:
+        out = QUERIES["fellegi_sunter_weights"](spark, "ignored").collect()
+    finally:
+        cdc_mod.load_table = orig
+    assert out == []
