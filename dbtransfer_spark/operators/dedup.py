@@ -2090,31 +2090,36 @@ _WN_ORACLE_GRAM = " + ".join(
 )
 
 
-def gram_hash_arrays(content: DataFrame, key: str) -> DataFrame:
+def gram_hash_arrays(
+    content: DataFrame, key: str, carry: tuple[str, ...] = ()
+) -> DataFrame:
     """Per-row packed 8-gram hash array ``hs`` over ``norm`` (requires
     ``n_grams`` = length - 7): the zip_with pack-doubling ladder
     (chars → 2-gram → 4-gram → 8-gram packs), each stage its own
     projection (HOF rule, SCALE.md). Shared by winnowing fingerprints
     and content-defined chunking; the base-128 packing is injective
     over [a-z0-9] and spelled as the same integer arithmetic in DuckDB
-    (_WN_ORACLE_GRAM)."""
-    chars = content.selectExpr(key, "norm", "n_grams", "split(norm, '') AS ch")
+    (_WN_ORACLE_GRAM). ``carry`` columns ride every projection
+    unchanged (r15 — winnow_fingerprints threads its per-content
+    multiplicity through the ladder instead of joining it back)."""
+    cols = [c for c in (key, *carry) if c not in ("norm", "n_grams")]
+    chars = content.selectExpr(*cols, "norm", "n_grams", "split(norm, '') AS ch")
     g2 = chars.selectExpr(
-        key,
+        *cols,
         "norm",
         "n_grams",
         "zip_with(ch, slice(ch, 2, size(ch)),"
         " (x, y) -> ascii(x) * 128L + ascii(y)) AS a1",
     )
     g4 = g2.selectExpr(
-        key,
+        *cols,
         "norm",
         "n_grams",
         "zip_with(a1, slice(a1, 3, size(a1)),"
         " (x, y) -> x * 16384L + y) AS a2",
     )
     return g4.selectExpr(
-        key,
+        *cols,
         "norm",
         "n_grams",
         "slice(zip_with(a2, slice(a2, 5, size(a2)),"
@@ -2122,7 +2127,9 @@ def gram_hash_arrays(content: DataFrame, key: str) -> DataFrame:
     )
 
 
-def winnow_select_fps(content: DataFrame, key: str) -> DataFrame:
+def winnow_select_fps(
+    content: DataFrame, key: str, carry: tuple[str, ...] = ()
+) -> DataFrame:
     """Winnowing fingerprint selection, entirely in-array per row:
     ``content`` carries ``key``, ``norm`` ([a-z0-9] stream) and
     ``n_grams`` (= length - k + 1, ≥ w); returns the exploded
@@ -2145,19 +2152,23 @@ def winnow_select_fps(content: DataFrame, key: str) -> DataFrame:
     the inner arrays per element_at, an exponential-shaped blowup
     (measured: 500 docs went from >110 s to ~1 s). fps is provably
     non-empty here (n_grams ≥ w), so OUTER changes nothing
-    semantically; it just suppresses the inferred filter."""
-    g8 = gram_hash_arrays(content, key)
+    semantically; it just suppresses the inferred filter.
+
+    ``carry`` columns ride the ladder and the explode unchanged."""
+    g8 = gram_hash_arrays(content, key, carry)
+    cols = [key, *carry]
+    m1_cols = [c for c in cols if c != "n_grams"]
     m1 = g8.selectExpr(
-        key,
+        *m1_cols,
         "n_grams",
         "zip_with(hs, slice(hs, 2, size(hs)), (x, y) -> least(x, y)) AS m1",
     )
     fps = m1.selectExpr(
-        key,
+        *cols,
         "array_distinct(slice(zip_with(m1, slice(m1, 3, size(m1)),"
         f" (x, y) -> least(x, y)), 1, n_grams - {_WN_W - 1})) AS fps",
     )
-    return fps.select(key, F.explode_outer("fps").alias("fp"))
+    return fps.select(*cols, F.explode_outer("fps").alias("fp"))
 
 
 @register(
@@ -2243,7 +2254,6 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     m = (
         docs.select(
-            "doc_id",
             "source",
             alnum_lower(F.col("text")).alias("norm"),
         )
@@ -2252,61 +2262,77 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # distinct-first (SCALE.md blanket rule): fingerprints depend only
     # on the normalized content, so selection runs once per DISTINCT
-    # norm and docs join the result back by content hash. On the
-    # ×10-replicated sf1 fixture the row-level form exploded 10× the
-    # grams and GC-thrashed to the 120 s cap; this form's fanout is
-    # |distinct content| — exactly the dup-heavy 100 TB corpus case.
-    content = m.select("norm", "n_grams").distinct().withColumn(
-        "nh", F.md5("norm")
+    # norm. r15 restructure (guide §2.4/§6 — the r14 shape scanned
+    # documents THREE times, running the alnum normalization per scan
+    # and shipping full norm strings through a standalone DISTINCT):
+    # ONE scan feeds a two-level aggregate chain —
+    #   groupBy(nh, source): doc multiplicity m_cnt + one representative
+    #     norm per group (partial first() dedups map-side, so the
+    #     exchange carries ~|distinct (content, source)| norms);
+    #   groupBy(nh): total multiplicity m_tot + the per-source counts
+    #     collected in-array (bounded by |sources|).
+    # The winnowing ladder then runs once per distinct content with
+    # (m_tot, n_grams, src_cnts) riding as carry columns, so every
+    # downstream statistic is recovered from the ladder output alone —
+    # no per_nh rejoin, no separate doc_stats scan, no final join.
+    # first(norm) is deterministic: nh = md5(norm) is injective over the
+    # corpus (the same collision-free assumption the r12 distinct-first
+    # form already keyed on), so all norms in a group are identical.
+    per_nh_src = (
+        m.withColumn("nh", F.md5("norm"))
+        .groupBy("nh", "source")
+        .agg(
+            F.count(F.lit(1)).alias("m_cnt"),
+            F.first("norm").alias("norm"),
+            F.first("n_grams").alias("n_grams"),
+        )
     )
-    cfp = winnow_select_fps(content, key="nh").persist()  # fp-count pass
-    # + nd join both consume the (nh, fp) selection
-    # r12 (the dedup_incremental_new_vs_corpus recipe): the per-source
-    # fp stats are recovered ALGEBRAICALLY from distinct-content-sized
-    # frames instead of expanding a (doc, fp) incidence row per
-    # document — the ×100 octave measured that expansion (~30M rows +
-    # a countDistinct over it) at ~15 s of the query's 18 s. Every doc
-    # with content nh carries exactly the selected fp set of nh once,
-    # so: nd(fp) = Σ_{nh ∋ fp} m(nh) (docs per fp — a doc has ONE nh,
-    # so no double count), n_fp(src) = Σ_{(nh,src)} m_cnt·|fps(nh)|,
-    # n_fp_shared(src) = Σ_{(nh,src)} m_cnt·|{fp ∈ nh : nd(fp) > 1}|.
-    # Identical integers to the row-expanded form by construction;
-    # every frame is |distinct content| / |distinct fp| sized.
-    mm = m.withColumn("nh", F.md5("norm"))
-    per_nh_src = mm.groupBy("nh", "source").agg(
-        F.count(F.lit(1)).alias("m_cnt")
-    ).persist()  # nd totals + the per-source rollup
-    per_nh = per_nh_src.groupBy("nh").agg(F.sum("m_cnt").alias("m_tot"))
-    nd = (
-        cfp.join(per_nh, "nh")
-        .groupBy("fp")
-        .agg(F.sum("m_tot").alias("nd"))
+    content = per_nh_src.groupBy("nh").agg(
+        F.first("norm").alias("norm"),
+        F.first("n_grams").alias("n_grams"),
+        F.sum("m_cnt").alias("m_tot"),
+        F.collect_list(F.struct("source", "m_cnt")).alias("src_cnts"),
     )
+    # r12 algebra, unchanged values (the ×100 octave measured the
+    # row-expanded (doc, fp) incidence at ~15 s of 18 s): every doc with
+    # content nh carries exactly the selected fp set of nh once, so
+    # nd(fp) = Σ_{nh ∋ fp} m_tot(nh), n_fp(src) = Σ m_cnt·|fps(nh)|,
+    # n_fp_shared(src) = Σ m_cnt·|{fp ∈ nh : nd(fp) > 1}|.
+    cfp = winnow_select_fps(
+        content, key="nh", carry=("m_tot", "n_grams", "src_cnts")
+    ).persist()  # consumed by the nd aggregate + the stats rejoin
+    nd = cfp.groupBy("fp").agg(F.sum("m_tot").alias("nd"))
     fp_stats = (
         cfp.join(nd, "fp")
         .groupBy("nh")
         .agg(
             F.count(F.lit(1)).alias("k_fp"),
             F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).alias("k_shared"),
+            F.first("n_grams").alias("n_grams"),
+            F.first("src_cnts").alias("src_cnts"),
         )
     )
-    doc_stats = m.groupBy("source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum(F.col("n_grams") - _WN_W + 1).cast("bigint").alias("n_windows"),
-    )
-    src_fp = (
-        per_nh_src.join(fp_stats, "nh")
-        .groupBy("source")
-        .agg(
-            F.sum(F.col("m_cnt") * F.col("k_fp")).cast("bigint").alias("n_fp"),
-            F.sum(F.col("m_cnt") * F.col("k_shared"))
-            .cast("bigint")
-            .alias("n_fp_shared"),
-        )
+    # Every nh survives to fp_stats: n_grams ≥ w makes fps non-empty and
+    # the nd join is key-complete, so the per-source rollup (including
+    # the old doc_stats totals) unpivots from fp_stats alone.
+    src = fp_stats.select(
+        "k_fp",
+        "k_shared",
+        "n_grams",
+        F.explode("src_cnts").alias("sc"),
+    ).select("k_fp", "k_shared", "n_grams", "sc.source", "sc.m_cnt")
+    rollup = src.groupBy("source").agg(
+        F.sum("m_cnt").cast("bigint").alias("n_docs"),
+        F.sum(F.col("m_cnt") * (F.col("n_grams") - _WN_W + 1))
+        .cast("bigint")
+        .alias("n_windows"),
+        F.sum(F.col("m_cnt") * F.col("k_fp")).cast("bigint").alias("n_fp"),
+        F.sum(F.col("m_cnt") * F.col("k_shared"))
+        .cast("bigint")
+        .alias("n_fp_shared"),
     )
     return (
-        doc_stats.join(src_fp, "source")
-        .select(
+        rollup.select(
             "source",
             "n_docs",
             "n_windows",
