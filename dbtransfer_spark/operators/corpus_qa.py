@@ -113,21 +113,29 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("shingle"),
     )
     # r14 (guide §2.4 — remove shuffles outright): ONE shingle-keyed
-    # aggregate collects each shingle's train and bench doc lists AND its
-    # document frequency; the old form ran the DF-cap aggregate and a
-    # shingle equi-join, then self-joined the joined frame — with the
-    # DF-aggregate + join subtree planned (and computed) once per
-    # self-join side. The (train, bench) candidate pairs now explode
-    # in-array per shingle, bounded by the DF cap (≤ 50 docs/shingle by
-    # the filter), never all-pairs. Pair multiplicity is identical:
-    # shingles are distinct per doc, so each (train_doc, bench_doc)
-    # contributes once per shared shingle in both forms. 5 exchanges →
-    # 2 (shingle aggregate + pair aggregate); the persist is gone
-    # because the explode now has exactly one consumer.
+    # pass collects each shingle's train and bench doc lists; the old
+    # form ran the DF-cap aggregate and a shingle equi-join, then
+    # self-joined the joined frame — with the DF-aggregate + join
+    # subtree planned (and computed) once per self-join side. The
+    # (train, bench) candidate pairs explode in-array per shingle,
+    # bounded by the DF cap, never all-pairs. Pair multiplicity is
+    # identical: shingles are distinct per doc, so each (train_doc,
+    # bench_doc) contributes once per shared shingle in both forms.
+    # r15 (r14 ADVICE medium — skew safety at 100 TB): the DF count is a
+    # shingle-partitioned WINDOW applied BEFORE the list aggregate, so a
+    # degenerate stop-word shingle with millions of documents never
+    # reaches a collect_list buffer (the r14 form collected every
+    # shingle's full posting lists first and capped after, unbounding
+    # the aggregation buffers exactly where the skew lives). The window
+    # group spills to disk (ExternalAppendOnlyUnsafeRowArray) instead of
+    # growing an in-memory agg buffer, and the aggregate reuses the
+    # window's hashpartitioning(shingle) — still 2 exchanges total.
+    w = Window.partitionBy("shingle")
     per_sh = (
-        shingled.groupBy("shingle")
+        shingled.withColumn("__df", F.count(F.lit(1)).over(w))
+        .filter(F.col("__df") <= _DF_CAP)
+        .groupBy("shingle")
         .agg(
-            F.count(F.lit(1)).alias("__df"),
             F.collect_list(
                 F.when(F.col("source") != "src0", F.col("doc_id"))
             ).alias("train_docs"),
@@ -135,11 +143,7 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(F.col("source") == "src0", F.col("doc_id"))
             ).alias("bench_docs"),
         )
-        .filter(
-            (F.col("__df") <= _DF_CAP)
-            & (F.size("train_docs") > 0)
-            & (F.size("bench_docs") > 0)
-        )
+        .filter((F.size("train_docs") > 0) & (F.size("bench_docs") > 0))
     )
     pairs = per_sh.select(
         F.explode(
