@@ -151,8 +151,23 @@ def _build_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     (u, v) is emitted once with m = cx·cy, so sum(m) reproduces the
     position-pair explode's multiplicity (i<j with strict value
     inequality ⇒ cx·cy copies per order) and count(1) reproduces the
-    DISTINCT-basket self-join's one-per-order contribution."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    DISTINCT-basket self-join's one-per-order contribution.
+
+    Input layout (r15, guide §6): when the ingest step has registered
+    the bucketed basket projection (catalog.ensure_bucketed_basket —
+    lineitem's two join columns bucketed on l_orderkey), the basket
+    aggregate reads it and needs NO exchange (the bucketed scan's
+    HashPartitioning satisfies the groupBy clustering); otherwise the
+    plain-path build below is value-identical with one more shuffle."""
+    from dbtransfer_spark.catalog import basket_table_name
+
+    tbl = basket_table_name(sf_dir)
+    if spark.catalog.tableExists(tbl):
+        li = spark.table(tbl)
+    else:
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey"
+        )
     baskets = li.groupBy("l_orderkey").agg(
         F.expr("sort_array(collect_list(l_partkey))").alias("ps")
     )

@@ -1427,3 +1427,43 @@ def test_kcore_reliable_path_leaves_no_checkpoint_files(spark, tmp_path):
         if d.startswith("rdd-")
     ]
     assert not leftover, leftover
+
+
+def test_bucketed_basket_build_skips_exchange_and_matches_plain(spark, tmp_path):
+    """r15 (guide §6): when the ingest step has registered the bucketed
+    basket projection, the co-purchase edge build reads it with NO
+    exchange before the basket aggregate (the bucketed scan's
+    HashPartitioning satisfies the groupBy clustering), and the values
+    are identical to the plain-path build."""
+    import re
+    import shutil
+
+    from dbtransfer_spark.catalog import (
+        basket_table_name,
+        ensure_bucketed_basket,
+    )
+    from dbtransfer_spark.operators import shared_frames
+
+    d = tmp_path / "cache"
+    d.mkdir()
+    shutil.copy(
+        "/root/testdata/sf0.001/lineitem.parquet", d / "lineitem.parquet"
+    )
+    cache = str(d)
+    plain = shared_frames._build_copurchase_edges(spark, cache)
+    plain_rows = {tuple(r) for r in plain.collect()}
+    tbl = ensure_bucketed_basket(spark, cache, n_buckets=4)
+    assert spark.catalog.tableExists(tbl) == True  # noqa: E712
+    assert tbl == basket_table_name(cache)
+    try:
+        bucketed = shared_frames._build_copurchase_edges(spark, cache)
+        txt = bucketed._sc._jvm.PythonSQLUtils.explainString(
+            bucketed._jdf.queryExecution(), "formatted"
+        )
+        # exactly ONE exchange (the pair aggregate); none below the
+        # basket aggregate
+        assert len(re.findall(r"^\(\d+\) Exchange", txt, re.M)) == 1, txt
+        assert "Bucketed: true" in txt, txt
+        assert {tuple(r) for r in bucketed.collect()} == plain_rows
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
