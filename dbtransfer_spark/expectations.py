@@ -39,6 +39,7 @@ class Expectation:
     pattern: str | None = None
     parent: object = None          # DataFrame for foreign_key
     parent_key: str | None = None
+    columns: tuple = ()            # composite key for unique_together
 
     def row_violation(self) -> Column | None:
         """Violation predicate for row-level kinds; None for the
@@ -77,6 +78,21 @@ def unique(column: str) -> Expectation:
     return Expectation(f"unique({column})", "unique", column)
 
 
+def unique_together(columns) -> Expectation:
+    """Composite-key uniqueness: no two rows share the same tuple of
+    ``columns`` (NULL fields compare as values, like a struct DISTINCT).
+    r15 — added to spell operator input contracts that plan rewrites
+    rely on (e.g. the as-of single-scan form needs (user_id, ts)
+    duplicate-free for its window order to be total)."""
+    cols = tuple(columns)
+    return Expectation(
+        f"unique_together({','.join(cols)})",
+        "unique_together",
+        cols[0],
+        columns=cols,
+    )
+
+
 def foreign_key(column: str, parent: DataFrame, parent_key: str) -> Expectation:
     return Expectation(
         f"foreign_key({column}->{parent_key})", "foreign_key", column,
@@ -110,7 +126,20 @@ def evaluate(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
             )
         )
     for e in expectations:
-        if e.kind == "unique":
+        if e.kind == "unique_together":
+            s = F.struct(*[F.col(c) for c in e.columns])
+            results.append(
+                df.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("total"),
+                    F.countDistinct(s).cast("bigint").alias("__d"),
+                ).select(
+                    F.lit(e.name).alias("constraint_name"),
+                    F.lit(e.kind).alias("kind"),
+                    (F.col("total") - F.col("__d")).alias("violations"),
+                    "total",
+                )
+            )
+        elif e.kind == "unique":
             results.append(
                 df.agg(
                     F.count(e.column).cast("bigint").alias("__n"),

@@ -103,7 +103,12 @@ def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     same row set (a row is either a left or a right row, never both),
     same (ts, side) window order, which is total because (user_id, ts)
     is duplicate-free in events at every SF. Union node + second scan
-    removed; the window pass is unchanged."""
+    removed; the window pass is unchanged.
+
+    HARD INPUT CONTRACT (r14 VERDICT #8): (user_id, ts) must be
+    duplicate-free — with two purchases at the same (user, instant) the
+    last() carry would be order-dependent. Validate foreign corpora
+    with ``asof_single_scan_input_expectations`` first."""
     events = load_table(spark, sf_dir, "events")
     is_p = F.col("event_type") == "purchase"
     unioned = events.select(
@@ -135,6 +140,18 @@ def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id", "user_id", "ts", "event_type", "asof_ts", "asof_value"
         )
     )
+
+
+def asof_single_scan_input_expectations(spark: SparkSession, sf_dir: str):
+    """The single-scan as-of rewrites' input contract as a runnable
+    expectation suite (r14 VERDICT #8): (user_id, ts) duplicate-free in
+    events, so the (ts, side) window order is total and the last() carry
+    deterministic. One count-distinct pass; all rows must report
+    passed=true before running the as-of queries on an unvetted corpus."""
+    from dbtransfer_spark import expectations as X
+
+    ev = load_table(spark, sf_dir, "events")
+    return X.evaluate(ev, [X.unique_together(("user_id", "ts"))])
 
 
 @register(

@@ -391,6 +391,12 @@ def gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     # head's close — the fixture's `value` is non-null, so LOCF can
     # never skip an observed day (asserted by the oracle hash at every
     # SF).
+    # HARD INPUT CONTRACT (r14 VERDICT #8): events.value must be
+    # NON-NULL and event_id UNIQUE. On data where a day close could be
+    # NULL, LOCF would carry the previous day's value past it while the
+    # gap-run form would emit the NULL for the whole run. Validate
+    # foreign corpora with ``gap_fill_forward_input_expectations``
+    # before trusting this operator on them.
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         F.date_trunc("day", "ts").alias("day"),
@@ -425,6 +431,19 @@ def gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("close").alias("filled"),
         (F.col("day") == F.col("obs_day")).alias("is_observed"),
     )
+
+
+def gap_fill_forward_input_expectations(spark: SparkSession, sf_dir: str):
+    """The gap-run rewrite's input contract as a runnable expectation
+    suite (r14 VERDICT #8): events.value non-null (a NULL day close
+    would make LOCF and the gap-run form diverge) and event_id unique
+    (the max_by tiebreak must be total). One aggregate pass + one
+    count-distinct; all rows must report passed=true before running
+    gap_fill_forward on an unvetted corpus."""
+    from dbtransfer_spark import expectations as X
+
+    ev = load_table(spark, sf_dir, "events")
+    return X.evaluate(ev, [X.not_null("value"), X.unique("event_id")])
 
 
 @register(

@@ -87,7 +87,14 @@ def near_dup_probe(
     split out so callers holding a PRE-BUILT corpus signature index
     (the release pipeline's ``__sigs`` store) skip the O(corpus)
     re-signing entirely — at 100 TB that pass, not the banded join, is
-    what made per-release cost O(corpus)."""
+    what made per-release cost O(corpus).
+
+    INPUT CONTRACT (r14 ADVICE): a doc_id names ONE document — if an id
+    ever appeared on both sides with different text, the sided estimate
+    below would pin id_a to the batch signature where the pre-r14 union
+    form let it match either side. The release pipeline guarantees this
+    (batch ids are exact-deduped and the store append drops near-dups);
+    external callers must uphold it."""
     cand = (
         _banded(sig_new, "new", id_col)
         .join(_banded(sig_corpus, "corp", id_col), ["band", "bucket"])
