@@ -155,7 +155,18 @@ def incremental_release(
     O(batch) + the banded probe. Survivor signatures append-commit in
     lockstep. If the index is missing or stale (out-of-band corpus
     commit), the release transparently re-signs the corpus once and
-    publishes a full signature snapshot — self-healing, never wrong."""
+    publishes a full signature snapshot — self-healing, never wrong.
+
+    Failure ordering under the overlapped commits (r14 ADVICE): if the
+    corpus commit fails after the signature commit succeeded, the sigs
+    store briefly LEADS with a version whose note references a corpus
+    version that never published. This is a declared, recoverable state,
+    not corruption: the alignment check below runs unconditionally on
+    EVERY aligned-path release (there is no fast path around it), sees
+    the dangling note ≠ the actual latest corpus version, and
+    re-snapshots the index — the same self-heal that covers out-of-band
+    corpus commits. Readers of the corpus store never observe it
+    (snapshot isolation); only the sibling index is briefly ahead."""
     batch = exact_dedup(
         new_docs.withColumn("__fp", F.md5(F.col(text_col))), ["__fp"], id_col
     ).drop("__fp").persist()  # counted, probed, anti-joined, committed
