@@ -154,6 +154,15 @@ def ensure_bucketed_basket(
     (
         load_table(spark, cache_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
+        # Pre-shuffle into the bucket layout so each write task holds
+        # exactly ONE bucket: without this, every input partition opens
+        # a file per bucket (n_parts × n_buckets tiny files — 1024 at
+        # local[32], the guide §6 small-files failure, paid again by
+        # every bucketed scan). repartition on the bucket column uses
+        # the same HashPartitioning as the bucket spec, so the write
+        # emits n_buckets right-sized files and IS the one bucketing
+        # shuffle this layout pays at ingest.
+        .repartition(n_buckets, "l_orderkey")
         .write.mode("overwrite")
         .option("path", loc)
         .bucketBy(n_buckets, "l_orderkey")

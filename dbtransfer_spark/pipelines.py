@@ -167,19 +167,33 @@ def incremental_release(
     re-snapshots the index — the same self-heal that covers out-of-band
     corpus commits. Readers of the corpus store never observe it
     (snapshot isolation); only the sibling index is briefly ahead."""
-    batch = exact_dedup(
-        new_docs.withColumn("__fp", F.md5(F.col(text_col))), ["__fp"], id_col
-    ).drop("__fp").persist()  # counted, probed, anti-joined, committed
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    batch = (
+        exact_dedup(
+            new_docs.withColumn("__fp", F.md5(F.col(text_col))), ["__fp"], id_col
+        )
+        .drop("__fp")
+        # n_batch rides whichever job first materializes the cached
+        # batch (guide §1.4/§5 — no standalone count action): the seed
+        # path still counts eagerly (its commits need the number before
+        # any other job has run), but the incremental path reads the
+        # metric off the probe job that materializes batch_sigs anyway,
+        # removing one full job wave per release.
+        .observe(obs, F.count(F.lit(1)).cast("bigint").alias("n"))
+        .persist()
+    )  # counted, probed, anti-joined, committed
     sigs_store = _sig_store(store)
     batch_sigs = None
     sig_corpus_persisted = None
     drops = None
     try:
-        n_batch = batch.count()
         # sign the batch once; probed, anti-joined, committed to the index
         batch_sigs = minhash_signatures(batch, id_col, text_col).persist()
         latest = store.latest_version()
         if latest is None:
+            n_batch = batch.count()
             # r14 (guide §2.6 — overlap independent jobs): the corpus
             # write and the signature-index write share no data
             # dependency except the version NUMBER in the sigs note,
@@ -229,6 +243,9 @@ def incremental_release(
         # instead of racing to compute an unmaterialized persist twice.
         drops = near_dup_probe(batch_sigs, sig_corpus, id_col, threshold).persist()
         drops.count()
+        # the probe job materialized batch/batch_sigs, so the batch-size
+        # metric is available without its own count action
+        n_batch = int(obs.get["n"])
         kept = batch.join(drops, id_col, "left_anti")
         kept_sigs = batch_sigs.join(drops, id_col, "left_anti")
         # append-commit: writes ONLY the survivors and references the parent
