@@ -247,6 +247,27 @@ def main() -> int:
         all_runs[name] = runs
         total += med
 
+    # Trailing canary bracket (r15, measurement tooling only): the
+    # start-of-run canary cannot vouch for the run's tail — r15opt-mid2
+    # started at a calm 0.065 s stamp and still had its back half hit by
+    # a steal burst (item_cf 9.5 s vs its 1.0-1.6 s calm band on
+    # unchanged code). Re-probing the same FROZEN mix after the timed
+    # loop brackets the whole run: a run is calm iff BOTH stamps are.
+    # Timed region and per-query methodology unchanged.
+    canary_end_mix: dict[str, float] = {}
+    for cname, cfn in (
+        ("cpu", _canary),
+        ("shuffle", _canary_shuffle),
+        ("strhash", _canary_strhash),
+    ):
+        runs = []
+        for _ in range(3):
+            t0 = time.monotonic()
+            cfn(spark).write.format("noop").mode("overwrite").save()
+            runs.append(round(time.monotonic() - t0, 3))
+        canary_end_mix[cname] = round(statistics.median(runs), 3)
+    canary_end_sec = canary_end_mix["cpu"]
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # Full per-query history goes to a repo-committed side file: the
     # driver captures ONE stdout line with a length limit (BENCH_r06's
@@ -283,6 +304,8 @@ def main() -> int:
                 "canary_mix": canary_mix,
                 "canary_mix_runs": canary_mix_runs,
                 "ingest_sec": round(ingest_sec, 3),
+                "canary_end_sec": canary_end_sec,
+                "canary_end_mix": canary_end_mix,
                 "queries": timings,
                 "runs": all_runs,
             }
@@ -301,6 +324,8 @@ def main() -> int:
                 "canary_sec": canary_sec,
                 "canary_mix_sec": canary_mix_sec,
                 "canary_mix": canary_mix,
+                "canary_end_sec": canary_end_sec,
+                "canary_end_mix": canary_end_mix,
                 "ingest_sec": round(ingest_sec, 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
